@@ -1,13 +1,229 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{Relational, TimeSeries, Windows}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each key in [[queries]] is an operator from SURVEY.md §2's
+  * inventory; [[oracleSql]] carries the DuckDB-dialect equivalent the
+  * driver runs over the same parquet tables. Keys absent from
+  * [[oracleSql]] are the ⊘-marked ones (no DuckDB-expressible oracle)
+  * and get a rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q_agg_hash(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1/2.2 scans, projections, filters
+    "q_scan_project" -> (Relational.q_scan_project _),
+    "q_filter_pred"  -> (Relational.q_filter_pred _),
+    "q_filter_isin"  -> (Relational.q_filter_isin _),
+    // §2.3 joins
+    "q_join_inner"     -> (Relational.q_join_inner _),
+    "q_join_broadcast" -> (Relational.q_join_broadcast _),
+    "q_join_lookup"    -> (Relational.q_join_lookup _),
+    "q_join_semi"      -> (Relational.q_join_semi _),
+    "q_join_anti"      -> (Relational.q_join_anti _),
+    "q_join_range"     -> (Relational.q_join_range _),
+    // §2.4 aggregations
+    "q_agg_hash"     -> (Relational.q_agg_hash _),
+    "q_agg_count"    -> (Relational.q_agg_count _),
+    "q_agg_distinct" -> (Relational.q_agg_distinct _),
+    "q_agg_approx"   -> (Relational.q_agg_approx _),
+    "q_agg_rollup"   -> (Relational.q_agg_rollup _),
+    "q_agg_cube"     -> (Relational.q_agg_cube _),
+    // §2.6 sorts / top-k
+    "q_sort" -> (Relational.q_sort _),
+    "q_topk" -> (Relational.q_topk _),
+    // §2.7 set ops / dedup
+    "q_union"     -> (Relational.q_union _),
+    "q_intersect" -> (Relational.q_intersect _),
+    "q_except"    -> (Relational.q_except _),
+    "q_dedup"     -> (Relational.q_dedup _),
+    // §2.8 generators
+    "q_explode" -> (Relational.q_explode _),
+    // §2.9 scalar functions
+    "q_string_fn" -> (Relational.q_string_fn _),
+    "q_date_fn"   -> (Relational.q_date_fn _),
+    "q_math_fn"   -> (Relational.q_math_fn _),
+    "q_json_fn"   -> (Relational.q_json_fn _),
+    // §2.5 windows
+    "q_window_rank"    -> (Windows.q_window_rank _),
+    "q_window_lag"     -> (Windows.q_window_lag _),
+    "q_window_running" -> (Windows.q_window_running _),
+    // §2.10 time windows
+    "q_time_tumble"  -> (TimeSeries.q_time_tumble _),
+    "q_time_slide"   -> (TimeSeries.q_time_slide _),
+    "q_time_session" -> (TimeSeries.q_time_session _),
+  )
+
+  /** DuckDB-dialect oracle SQL, one per oracle-checkable query key.
+    * Column names and types are aligned with the Spark outputs
+    * (counts/epochs as BIGINT, doubles rounded identically).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount < 0.05 AND l_returnflag <> 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_isin" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_nationkey NOT IN (3,7)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))),2) AS DOUBLE) AS net_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_lookup" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'construction'
+        |    WHEN 'AUTOMOBILE' THEN 'vehicles'
+        |    WHEN 'MACHINERY' THEN 'industrial' ELSE 'other' END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT tier, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events JOIN (VALUES ('low',0.0,50.0),('mid',50.0,200.0),('high',200.0,1000.0))
+        |  AS t(tier,lo,hi) ON value >= lo AND value < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))),2) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "q_agg_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |  coalesce(o_orderpriority,'ALL') AS priority,
+        |  count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+        |  coalesce(l_linestatus,'ALL') AS linestatus,
+        |  count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_sort" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    "q_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, 'f_status' AS src FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'big_ticket' AS src FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY o_orderkey, src""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_dedup" ->
+      """SELECT lang, source, min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_explode" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(string_split(text,' '),1) - 1 AS INT) AS pos,
+        |  unnest(string_split(text,' ')) AS word
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin,
+    "q_string_fn" ->
+      """SELECT doc_id, upper(substring(text,1,12)) AS prefix_u,
+        |  regexp_replace(source, '^src', 'source-') AS src_renamed,
+        |  concat_ws('|', lang, source) AS tag,
+        |  string_split(text,' ')[1] AS first_word,
+        |  length(text) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_date_fn" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_part('epoch', date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+        |  CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_fn" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
+        |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  l_orderkey % 7 AS key_mod7
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_fn" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  (epoch_us(ts) // 1000000)
+        |    - lag(epoch_us(ts) // 1000000, 1) OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) // 1000000, event_id) AS gap_s
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_time_tumble" ->
+      """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_time_slide" ->
+      """SELECT ((epoch_us(ts) // 900000000) * 900 - t.k * 900) AS w_start,
+        |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (0),(1),(2),(3)) t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,333 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.1–2.9).
+  *
+  * Every query is deterministic for the DuckDB oracle compare:
+  * explicit ORDER BY on a unique key, doubles rounded post-aggregation,
+  * counts kept as longs, timestamps surfaced as epoch-second longs.
+  *
+  * Scale notes are attached per query: each plan is written so that at
+  * 100 TB the scan prunes columns + pushes filters (verified via
+  * `.explain("formatted")`), small dimensions broadcast, and the only
+  * shuffles are the semantically required ones on the grouping/join
+  * keys.
+  */
+object Relational {
+
+  /** Money columns in the testdata are 2-decimal values stored as
+    * doubles. Summing/multiplying them as doubles and rounding the
+    * result is engine-dependent at exact half-boundaries (Spark rounds
+    * HALF_UP via BigDecimal's shortest-repr, DuckDB's double round is
+    * half-even) — so all money arithmetic is done in DECIMAL(18,2),
+    * which is exact, rounds identically in both engines, and casts to
+    * the identical nearest double at the end.
+    */
+  private[queries] def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** round-to-2 + surface as double, for decimal-exact aggregates. */
+  private[queries] def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** Scan + projection + pushed filter (SURVEY.md §2.2 P5, S8).
+    * Filter and 4-column projection both reach the parquet reader
+    * (PushedFilters / ReadSchema), so at scale this reads a fraction
+    * of each row group instead of whole rows.
+    */
+  def q_scan_project(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .filter(col("l_quantity") > 30)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conjunctive predicate filter (SURVEY.md §2.2 P1/P2: the reference's
+    * merge-commit and valid-tree filters — repository.rs:112-113 — are
+    * this shape: cheap predicates applied before any expensive work).
+    */
+  def q_filter_pred(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") >= 45 && col("l_discount") < 0.05 && col("l_returnflag") =!= "A")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Membership-list filter (SURVEY.md §2.2 P4: the reference's
+    * configured ignore-list, analyzer.rs:120-125). IN-lists compile to
+    * parquet-pushable predicates.
+    */
+  def q_filter_isin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") && !col("c_nationkey").isin(3, 7))
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      .orderBy("c_custkey")
+
+  /** Inner equi-join + aggregation (SURVEY.md §2.3 J2: the reference's
+    * repo-id FK subquery, analyzer.rs:311-335, is an equi-join in
+    * relational form). customer is the small side — AQE/broadcast
+    * threshold turns this into a broadcast hash join at any scale where
+    * customer fits in memory; otherwise it's a shuffle hash join keyed
+    * on the join column only.
+    */
+  def q_join_inner(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), money(sum(dec2(col("o_totalprice")))).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** Explicit broadcast hash join: fact × small dim with no shuffle of
+    * the fact side (SURVEY.md §2.3). At 100 TB the lineitem side never
+    * moves; only `part` is replicated to executors.
+    */
+  def q_join_broadcast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        money(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))).as("net_revenue"))
+      .orderBy("p_brand")
+
+  /** Lookup-map join (SURVEY.md §2.3 J1: author_map normalization,
+    * repository.rs:167-171): a literal MapType + element_at + coalesce.
+    * This is the zero-shuffle form of a broadcast join — the map rides
+    * inside the codegen'd expression, exactly like the reference's
+    * in-process HashMap.
+    */
+  def q_join_lookup(s: SparkSession, d: String): DataFrame = {
+    val tierMap = typedLit(Map(
+      "BUILDING"   -> "construction",
+      "AUTOMOBILE" -> "vehicles",
+      "MACHINERY"  -> "industrial"))
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        coalesce(element_at(tierMap, col("c_mktsegment")), lit("other")).as("tier"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join — EXISTS (SURVEY.md §2.3). */
+  def q_join_semi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join — NOT EXISTS (SURVEY.md §2.3 J3: directories
+    * scanned but not analyzed, analyzer.rs:255-263).
+    */
+  def q_join_anti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Non-equi (range) join against a tiny bucket table (SURVEY.md §2.3).
+    * The literal side is rows, so Spark plans BroadcastNestedLoopJoin —
+    * correct here because the build side is O(1). For a large bucket
+    * table the scale path is binning: precompute a bucket id on both
+    * sides and equi-join on it.
+    */
+  def q_join_range(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq(
+      ("low", 0.0, 50.0),
+      ("mid", 50.0, 200.0),
+      ("high", 200.0, 1000.0)).toDF("tier", "lo", "hi")
+    events(s, d)
+      .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), money(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy("tier")
+  }
+
+  /** Flagship hash aggregation — TPC-H Q1 shape (SURVEY.md §2.4 A1:
+    * per-commit diff-stat sums generalized). Tungsten HashAggregateExec
+    * with partial (map-side) + final aggregation: only 4-group partial
+    * rows cross the shuffle, regardless of input size.
+    */
+  def q_agg_hash(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        money(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))).as("sum_disc_price"),
+        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(dec2(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Full count (SURVEY.md §2.4 A2). Parquet row-group metadata makes
+    * this a metadata-only scan.
+    */
+  def q_agg_count(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+
+  /** Exact distinct counts (SURVEY.md §2.4). Expands to a two-phase
+    * distinct-then-count; AQE handles skewed key distributions.
+    */
+  def q_agg_distinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Approximate distinct via HyperLogLog++ (SURVEY.md §2.4). No DuckDB
+    * oracle (sketch values differ per engine) — rows-only check. This is
+    * the 100 TB path for cardinality: fixed-size sketch per partition,
+    * merged at the driver, no shuffle of distinct values.
+    */
+  def q_agg_approx(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
+  /** ROLLUP grouping sets (SURVEY.md §2.4). Grouping nulls are coalesced
+    * to 'ALL' so ordering is engine-independent.
+    */
+  def q_agg_rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), money(sum(dec2(col("o_totalprice")))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** CUBE grouping sets (SURVEY.md §2.4). */
+  def q_agg_cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), money(sum(dec2(col("l_quantity")))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Global sort (SURVEY.md §2.6 O1/O2). Range-partitioned sample sort —
+    * scales to any size; ties broken by unique key for determinism.
+    */
+  def q_sort(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  /** Top-k (SURVEY.md §2.6): orderBy+limit plans TakeOrderedAndProject —
+    * each partition keeps only k rows, no global sort shuffle.
+    */
+  def q_topk(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+
+  /** UNION ALL (SURVEY.md §2.7 U1: per-repo results appended into one
+    * table). unionByName is a zero-shuffle narrow op.
+    */
+  def q_union(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), lit("f_status").as("src"))
+    val b = o.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), lit("big_ticket").as("src"))
+    a.unionByName(b).orderBy("o_orderkey", "src")
+  }
+
+  /** INTERSECT (distinct) (SURVEY.md §2.7). */
+  def q_intersect(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT (distinct) (SURVEY.md §2.7). */
+  def q_except(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Deterministic exact dedup (SURVEY.md §2.7/§2.11: `INSERT OR
+    * IGNORE` conflict-skip, analyzer.rs:301, made distributed). Instead
+    * of dropDuplicates (keeps an arbitrary row), keep min(doc_id) per
+    * key — same single shuffle on the dedup key, reproducible output.
+    */
+  def q_dedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang", "source")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy("lang", "source")
+
+  /** Array flatten via posexplode (SURVEY.md §2.8 G1: changed_files →
+    * one row per file, analyzer.rs:337-343). Built-in Generator — no
+    * custom UDTF; stays inside whole-stage codegen.
+    */
+  def q_explode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+
+  /** String function battery (SURVEY.md §2.9 F1/F2/F4/F6: URL rewrite,
+    * sentinel defaults, basename, join).
+    */
+  def q_string_fn(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("prefix_u"),
+        regexp_replace(col("source"), "^src", "source-").as("src_renamed"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        element_at(split(col("text"), " "), 1).as("first_word"),
+        length(col("text")).cast("long").as("len"))
+      .orderBy("doc_id")
+
+  /** Date/time function battery (SURVEY.md §2.9 F5: epoch-seconds
+    * handling). Timestamps surfaced as epoch longs for engine-neutral
+    * comparison.
+    */
+  def q_date_fn(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_epoch"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_95"))
+      .orderBy("o_orderkey")
+
+  /** Math function battery (SURVEY.md §2.9). */
+  def q_math_fn(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        money(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("net"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        floor(col("l_tax") * 100).cast("long").as("tax_pct"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        abs(col("l_discount") - 0.05).cast("double").as("disc_dev"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON extraction (SURVEY.md §2.9: events.props is JSON text). */
+  def q_json_fn(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function inventory (SURVEY.md §2.5). The reference's schema
+  * is built for exactly these "top files per repo" / "time between
+  * commits" analytics (README.md:51-78); here they run over the
+  * testdata star schema.
+  *
+  * Scale note: every window below partitions by a grouping key, so the
+  * single shuffle is on that key; no global ordering is required.
+  * Skewed partition keys are the one hazard at 100 TB — mitigated by
+  * AQE skew handling, or pre-filtering to the ranked slice.
+  */
+object Windows {
+
+  /** row_number ranking per group, keep top 3 (rank-filter pushes the
+    * per-group sort into one shuffle + per-partition sort).
+    */
+  def q_window_rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, d)
+      .select(
+        col("c_nationkey"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** lag analytic — inter-event gap per user in seconds (the reference's
+    * natural "time between commits" query).
+    */
+  def q_window_lag(s: SparkSession, d: String): DataFrame = {
+    // Order by truncated epoch seconds (not raw ts): events.ts is
+    // nanosecond-precision parquet, which Spark truncates to µs but
+    // DuckDB keeps — ordering on the shared truncation is the only key
+    // both engines agree on.
+    val es = unix_timestamp(col("ts"))
+    val w  = Window.partitionBy(col("user_id")).orderBy(es, col("event_id"))
+    events(s, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (es - lag(es, 1).over(w)).as("gap_s"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Explicit frame spec — running total per customer ordered by date
+    * (cumulative churn in the reference's domain).
+    */
+  def q_window_running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        graft.queries.Relational.money(sum(Relational.dec2(col("o_totalprice"))).over(w)).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+}
