@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, TimeSeries, Windows}
+import graft.queries.{DedupOps, Relational, SimilarityOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,21 @@ object SparkEntry {
     "q_time_tumble"  -> (TimeSeries.q_time_tumble _),
     "q_time_slide"   -> (TimeSeries.q_time_slide _),
     "q_time_session" -> (TimeSeries.q_time_session _),
+    // §2.11 text analysis
+    "q_text_stats"   -> (TextOps.q_text_stats _),
+    "q_tokens"       -> (TextOps.q_tokens _),
+    "q_lang_id"      -> (TextOps.q_lang_id _),
+    "q_text_quality" -> (TextOps.q_text_quality _),
+    "q_fingerprint"  -> (TextOps.q_fingerprint _),
+    // §2.11 dedup family
+    "q_minhash"       -> (DedupOps.q_minhash _),
+    "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
+    "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
+    "q_simhash"       -> (DedupOps.q_simhash _),
+    // §2.11 similarity search
+    "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
+    "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
+    "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
   )
 
   /** DuckDB-dialect oracle SQL, one per oracle-checkable query key.
@@ -225,5 +240,112 @@ object SparkEntry {
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events, (VALUES (0),(1),(2),(3)) t(k)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_stats" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |WHERE length(word) > 0 GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "q_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\w+|[^\w\s]')), 10) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '\b(the|and|of)\b')) AS n_en,
+        |  len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS n_fr,
+        |  len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS n_de,
+        |  len(regexp_extract_all(text, '\b(el|los|las)\b')) AS n_es,
+        |  CASE WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+        |       WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |       WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_words,
+        |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        |        / len(string_split(text,' ')), 10) AS stopword_ratio,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |        / length(text), 10) AS punct_ratio,
+        |  round(0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        |               / len(string_split(text,' ')))
+        |      + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
+        |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |               / length(text)), 10) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_exact,
+        |  md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents))
+        |SELECT doc_id,
+        |  list_min([substr(md5('1:' || x),1,16) for x in shingles]) AS h1,
+        |  list_min([substr(md5('2:' || x),1,16) for x in shingles]) AS h2,
+        |  list_min([substr(md5('3:' || x),1,16) for x in shingles]) AS h3,
+        |  list_min([substr(md5('4:' || x),1,16) for x in shingles]) AS h4,
+        |  list_min([substr(md5('5:' || x),1,16) for x in shingles]) AS h5,
+        |  list_min([substr(md5('6:' || x),1,16) for x in shingles]) AS h6,
+        |  list_min([substr(md5('7:' || x),1,16) for x in shingles]) AS h7,
+        |  list_min([substr(md5('8:' || x),1,16) for x in shingles]) AS h8
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min([substr(md5('1:' || x),1,16) for x in shingles]) AS h1,
+        |    list_min([substr(md5('2:' || x),1,16) for x in shingles]) AS h2,
+        |    list_min([substr(md5('3:' || x),1,16) for x in shingles]) AS h3,
+        |    list_min([substr(md5('4:' || x),1,16) for x in shingles]) AS h4,
+        |    list_min([substr(md5('5:' || x),1,16) for x in shingles]) AS h5,
+        |    list_min([substr(md5('6:' || x),1,16) for x in shingles]) AS h6,
+        |    list_min([substr(md5('7:' || x),1,16) for x in shingles]) AS h7,
+        |    list_min([substr(md5('8:' || x),1,16) for x in shingles]) AS h8
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, h1||h2||h3||h4 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h5||h6||h7||h8 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 10) AS jaccard
+        |FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents WHERE doc_id < 40))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 10) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sim_topk" ->
+      """SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

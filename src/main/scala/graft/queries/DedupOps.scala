@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family for a training-data pipeline
+  * (builder north star). Exact dedup is in Relational.q_dedup; here:
+  * MinHash signatures, MinHash-LSH candidate pairs, SimHash, and
+  * n-gram Jaccard.
+  *
+  * Hashing is md5-based so the DuckDB oracle can reproduce signatures
+  * bit-for-bit (md5 is engine-portable; Spark's murmur `hash()` and
+  * DuckDB's `hash()` are not compatible). At production scale the same
+  * plans run with `xxhash64` for ~4× cheaper hashing — the plan shape
+  * (explode-free array exprs, one self-join on the band key) is
+  * unchanged.
+  */
+object DedupOps {
+
+  /** Word 3-shingles of `text` as an array column (no explode — stays
+    * row-local until a join needs it).
+    */
+  private[queries] def shingles3(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+      .otherwise(array(text))
+  }
+
+  /** One MinHash value: min over shingles of a seeded md5, using the
+    * first 16 hex chars. Lexicographic min on fixed-width lowercase hex
+    * == numeric min, identically in Spark and DuckDB.
+    */
+  private def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, x => substring(md5(concat(lit(s"$seed:"), x)), 1, 16)))
+
+  /** 8-function MinHash signature per document. Pure per-row array
+    * expressions — embarrassingly parallel, no shuffle at any scale.
+    */
+  def q_minhash(s: SparkSession, d: String): DataFrame = {
+    val withSh = documents(s, d).withColumn("sh", shingles3(col("text")))
+    val sig    = (1 to 8).map(i => minhash(col("sh"), i).as(s"h$i"))
+    withSh.select(col("doc_id") +: sig: _*).orderBy("doc_id")
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: 2 bands × 4 rows, self-join
+    * on the band key, then exact shingle-set Jaccard to confirm.
+    *
+    * This is the 100 TB dedup shape: the only shuffle is on the band
+    * key (tiny — 64 hex chars/doc), the candidate set is a minuscule
+    * fraction of the n² pair space, and the expensive Jaccard runs only
+    * on candidates. Band-key skew (many docs in one bucket) is the
+    * failure mode — mitigated by more/narrower bands or by salting the
+    * giant buckets.
+    */
+  def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
+    val sig = q_minhash(s, d)
+      .withColumn("b1", concat(col("h1"), col("h2"), col("h3"), col("h4")))
+      .withColumn("b2", concat(col("h5"), col("h6"), col("h7"), col("h8")))
+    val bands = sig.select(col("doc_id"), col("b1").as("band"))
+      .unionByName(sig.select(col("doc_id"), col("b2").as("band")))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 10).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Pairwise word-3-gram Jaccard over a bounded window of documents
+    * (doc_id < 40 ⇒ 780 pairs): the exact-verification kernel that
+    * LSH candidates feed at scale. Never run unbounded — the LSH query
+    * above is the scale path; this exists to oracle-check the kernel.
+    */
+  def q_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+    sh.as("a")
+      .join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))), 10).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash per document from word-level xxhash64 (no DuckDB
+    * oracle — xxhash64 is Spark-specific; semantics covered by a unit
+    * test with hand-built near-identical docs). Bit-majority is
+    * computed with array expressions: for each bit position, sum the
+    * ±1 votes of all words.
+    */
+  def q_simhash(s: SparkSession, d: String): DataFrame = {
+    val words = array_distinct(split(col("text"), " "))
+    // votes(bit) = sum over words of (bit set ? 1 : -1); simhash bit = votes > 0
+    val bitCols = (0 until 32).map { b =>
+      aggregate(
+        words,
+        lit(0),
+        (acc, w) => acc + when(shiftright(xxhash64(w), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    val simhash = bitCols.zipWithIndex
+      .map { case (votes, b) => when(votes > 0, lit(1L << b)).otherwise(0L) }
+      .reduce((a, b) => a + b)
+    documents(s, d)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
+  }
+}

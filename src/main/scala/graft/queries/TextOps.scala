@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder north
+  * star; no analog in the reference, which stores commit messages as
+  * opaque strings — log.rs:17). All run over the `documents` table and
+  * are pure column expressions: codegen'd, no UDFs, scale linearly
+  * with a single shuffle where grouped.
+  */
+object TextOps {
+
+  /** Corpus word frequencies, top 100 (explode → hash agg → top-k).
+    * At 100 TB the explode pipelines inside the scan stage and the agg
+    * does map-side partial aggregation, so shuffle volume is
+    * O(distinct words), not O(tokens).
+    */
+  def q_text_stats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("word"))
+      .limit(100)
+
+  /** Token counting per document: whitespace tokens and a BPE-ish
+    * regex tokenization (`\w+|[^\w\s]` — word runs plus single
+    * punctuation marks, the classic pre-tokenizer shape).
+    */
+  def q_tokens(s: SparkSession, d: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(bpe).cast("long").as("n_bpe_tokens"),
+        round(length(col("text")).cast("double") / size(bpe), 10).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: count language-marker function words and
+    * take the argmax with a fixed precedence. (A real n-gram model
+    * would broadcast a char-trigram table and score it — same plan
+    * shape: per-row expressions, zero shuffles.)
+    */
+  def q_lang_id(s: SparkSession, d: String): DataFrame = {
+    def hits(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        hits("\\b(the|and|of)\\b").as("n_en"),
+        hits("\\b(le|la|les|et)\\b").as("n_fr"),
+        hits("\\b(der|die|das|und)\\b").as("n_de"),
+        hits("\\b(el|los|las)\\b").as("n_es"))
+      .withColumn("pred_lang",
+        when(col("n_en") >= col("n_fr") && col("n_en") >= col("n_de") && col("n_en") >= col("n_es"), "en")
+          .when(col("n_fr") >= col("n_de") && col("n_fr") >= col("n_es"), "fr")
+          .when(col("n_de") >= col("n_es"), "de")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio →
+    * weighted score. The standard cheap pre-filter before expensive
+    * dedup/embedding stages in a data pipeline.
+    */
+  def q_text_quality(s: SparkSession, d: String): DataFrame = {
+    val words   = split(col("text"), " ")
+    val nWords  = size(words).cast("double")
+    val nStop   = size(filter(words, w =>
+      w === "the" || w === "a" || w === "of" || w === "and")).cast("double")
+    val nPunct  = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("double")
+    val len     = length(col("text")).cast("double")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        round(nStop / nWords, 10).as("stopword_ratio"),
+        round(nPunct / len, 10).as("punct_ratio"),
+        round(
+          lit(0.4) * (nStop / nWords) +
+          lit(0.3) * least(nWords / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - nPunct / len), 10).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: exact content hash plus a normalized
+    * (sorted bag-of-words) hash — the key for shuffle-based exact and
+    * order-insensitive dedup. md5 is engine-portable; at scale xxhash64
+    * (also built-in) halves the key width (see q_dedup_exact_fast).
+    */
+  def q_fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("fp_normalized"))
+      .orderBy("doc_id")
+}

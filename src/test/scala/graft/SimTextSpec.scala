@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimTextSpec extends AnyFunSuite {
+  import TestSpark._
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("cosine_sim expression matches hand computation and is symmetric") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)), // orthogonal
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)), // identical
+      (Array(1.0f, 1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)), // 45 degrees
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))  // zero vector
+    ).toDF("a", "b")
+    val got = df.select(expr("cosine_sim(a, b)").as("c"), expr("cosine_sim(b, a)").as("cr"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(math.abs(got(0)._1 - 0.0) < 1e-12)
+    assert(math.abs(got(1)._1 - 1.0) < 1e-12)
+    assert(math.abs(got(2)._1 - math.sqrt(0.5)) < 1e-12)
+    assert(got(3)._1 == 0.0) // zero-norm convention
+    got.foreach { case (c, cr) => assert(c == cr) }
+  }
+
+  test("dot_product expression matches hand computation") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.5f, -2.0f, 4.0f), Array(2.0f, 3.0f, 0.5f))).toDF("a", "b")
+    val got = df.select(expr("dot_product(a, b)")).collect().head.getDouble(0)
+    assert(math.abs(got - (1.5 * 2.0 + -2.0 * 3.0 + 4.0 * 0.5)) < 1e-12)
+  }
+
+  test("q_sim_topk: 5 neighbors per query, rank contiguous, cosine non-increasing") {
+    val rows = q("q_sim_topk").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    }
+  }
+
+  test("q_sim_topk top-1 agrees with brute force over collected vectors") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = q("q_sim_topk").filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    top1.foreach { case (qid, nid) =>
+      val best = vecs.keys.filter(_ != qid)
+        .maxBy(k => (BigDecimal(cos(vecs(qid), vecs(k))).setScale(6, BigDecimal.RoundingMode.HALF_UP), -k))
+      assert(nid == best, s"query $qid: got $nid expected $best")
+    }
+  }
+
+  test("q_sim_lsh candidates are a subset of brute-force near-dups (id<300)") {
+    val lsh = q("q_sim_lsh").collect()
+      .filter(r => r.getAs[Long]("vec_a") < 300 && r.getAs[Long]("vec_b") < 300)
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val brute = q("q_dedup_embed").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh.subsetOf(brute), s"LSH found non-pairs: ${lsh -- brute}")
+  }
+
+  test("q_minhash: signatures are deterministic and near-dup docs collide more") {
+    val s1 = q("q_minhash").collect()
+    val s2 = q("q_minhash").collect()
+    assert(s1.sameElements(s2))
+    // every signature column is a 16-char lowercase hex string
+    s1.take(20).foreach { r =>
+      (1 to 8).foreach { i =>
+        val h = r.getAs[String](s"h$i")
+        assert(h.length == 16 && h.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+      }
+    }
+  }
+
+  test("minhash LSH recall on synthetic near-duplicates") {
+    // Two near-identical docs (one word changed out of 40) must share at
+    // least one band; a totally different doc must not pair with them.
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.queries.DedupOps.q_dedup_minhash(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.8))
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("q_simhash: deterministic, and near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"tok$i") :+ "zzz").mkString(" ")
+    val far  = (1 to 60).map(i => s"q$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("sh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val hs = graft.queries.DedupOps.q_simhash(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0L), hs(1L)) < hamming(hs(0L), hs(2L)),
+      s"near=${hamming(hs(0L), hs(1L))} far=${hamming(hs(0L), hs(2L))}")
+  }
+
+  test("q_fingerprint: normalized fingerprint is word-order insensitive") {
+    import spark.implicits._
+    val docs = Seq((0L, "b a c"), (1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("fp").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = graft.queries.TextOps.q_fingerprint(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("fp_exact"), r.getAs[String]("fp_normalized"))).toMap
+    assert(fps(0L)._1 != fps(1L)._1)      // exact differs
+    assert(fps(0L)._2 == fps(1L)._2)      // normalized equal
+    assert(fps(1L)._2 != fps(2L)._2)      // different content differs
+  }
+
+  test("q_tokens and q_text_quality return one row per doc with sane ranges") {
+    val n = Tables.documents(spark, sf).count()
+    val tok = q("q_tokens").collect()
+    assert(tok.length == n)
+    tok.foreach { r =>
+      assert(r.getAs[Long]("n_ws_tokens") > 0)
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_ws_tokens"))
+    }
+    val tq = q("q_text_quality").collect()
+    assert(tq.length == n)
+    tq.foreach { r =>
+      val sr = r.getAs[Double]("stopword_ratio")
+      assert(sr >= 0.0 && sr <= 1.0)
+      val qs = r.getAs[Double]("quality_score")
+      assert(qs >= 0.0 && qs <= 1.0)
+    }
+  }
+}
