@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupOps, Relational, SimilarityOps, TextOps, TimeSeries, Windows}
+import graft.queries.{DedupOps, Multimodal, Relational, SimilarityOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -75,6 +75,9 @@ object SparkEntry {
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
+    // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
+    "q_media_features" -> (Multimodal.mediaFeatures _),
+    "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL, one per oracle-checkable query key.

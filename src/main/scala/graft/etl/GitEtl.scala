@@ -1,0 +1,129 @@
+package graft.etl
+
+import java.nio.file.{Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's full ETL (analyzer.rs:203-352) as a Spark job:
+  * driver-side directory scan → parallel per-repo `git log` extraction
+  * (mapPartitions over the repo work-list — the executor-boundary
+  * analog of one tokio task per repo, analyzer.rs:222-230) → DataFrame
+  * normalization (author-map broadcast lookup, URL rewrite, explode)
+  * → three parquet tables.
+  *
+  * Deviations from the reference, by design (SURVEY.md §7.3):
+  *  - surrogate keys are deterministic (dense_rank over repo name), not
+  *    SQLite AUTOINCREMENT (analyzer.rs:152) — AUTOINCREMENT has no
+  *    stable distributed analog;
+  *  - the logs "primary key" is (repository_id, commit_hash), not a
+  *    global commit_hash PK, so forks sharing commits don't silently
+  *    drop whole repositories (the reference's `.ok()` swallow at
+  *    analyzer.rs:351 + global PK at analyzer.rs:163);
+  *  - failed repos surface in [[EtlReport.failed]] instead of
+  *    disappearing.
+  */
+object GitEtl {
+
+  final case class EtlReport(
+      analyzed: Seq[String],
+      ignored: Seq[String],
+      failed: Map[String, String],
+      nLogs: Long,
+      nChangedFiles: Long)
+
+  /** Run the ETL. Tables land as parquet under `outDir`:
+    * repositories(repo_id, name, url), logs(commit_hash, parent_hash,
+    * author_name, author_email, commit_datetime, commit_epoch, message,
+    * insertions, deletions, repository_id), changed_files(commit_hash,
+    * file_path) — DDL shapes from analyzer.rs:149-188 with an extra
+    * epoch column for engine-neutral comparisons.
+    */
+  def run(
+      spark: SparkSession,
+      root: Path,
+      outDir: String,
+      config: EtlConfig = EtlConfig(),
+      maxDepth: Int = 1): EtlReport = {
+    val (etl, report) = dataframes(spark, root, config, maxDepth)
+    etl("repositories").write.mode("overwrite").parquet(s"$outDir/repositories.parquet")
+    etl("logs").write.mode("overwrite").parquet(s"$outDir/logs.parquet")
+    etl("changed_files").write.mode("overwrite").parquet(s"$outDir/changed_files.parquet")
+    report
+  }
+
+  /** Build the three output DataFrames without writing. */
+  def dataframes(
+      spark: SparkSession,
+      root: Path,
+      config: EtlConfig,
+      maxDepth: Int): (Map[String, DataFrame], EtlReport) = {
+    import spark.implicits._
+
+    val (candidates, ignored) = GitLogSource.scanDirectories(root, maxDepth, config.ignoredRepositories)
+
+    // One task per repository: the work-list is tiny (paths), the work
+    // is in the tasks — repartition to one repo per partition exactly
+    // like the reference's task-per-repo fanout (analyzer.rs:222-230).
+    // Extracted once, cached: the report reads only repo-level
+    // metadata; the commit rows stay distributed.
+    val resultsDs = spark
+      .createDataset(candidates.map(_.toString))
+      .repartition(math.max(1, candidates.size))
+      .mapPartitions(_.map(p => GitLogSource.extractRepo(Paths.get(p))))
+      .persist()
+
+    val meta     = resultsDs.map(r => (r.repo_name, r.error)).collect()
+    val failed   = meta.collect { case (n, Some(e)) => n -> e }.toMap
+    val analyzed = meta.collect { case (n, None) => n }.sorted.toSeq
+
+    val commits = resultsDs.flatMap(_.commits)
+
+    // Author normalization (J1): broadcast the email→name map and
+    // override the *name* only (repository.rs:167-171). A literal
+    // MapType rides inside codegen — zero shuffle, like the
+    // reference's in-process HashMap.
+    val authorMapCol = typedLit(config.authorMap)
+    val logsRaw = commits.toDF()
+      .withColumn("author_name",
+        coalesce(element_at(authorMapCol, col("author_email")), col("author_name")))
+
+    // Deterministic surrogate key: dense_rank over name. The repo set
+    // is small (a work-list); the window over it is driver-scale, not
+    // data-scale.
+    val repositories = logsRaw
+      .select(col("repo_name").as("name"), col("repo_url").as("url"))
+      .distinct()
+      .withColumn("repo_id",
+        dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy("name", "url")).cast("long"))
+      .select("repo_id", "name", "url")
+
+    val logs = logsRaw
+      .join(broadcast(repositories), logsRaw("repo_name") === repositories("name"))
+      .select(
+        col("commit_hash"),
+        col("parent_hash"),
+        col("author_name"),
+        col("author_email"),
+        to_timestamp(from_unixtime(col("commit_epoch"))).as("commit_datetime"),
+        col("commit_epoch"),
+        col("message"),
+        col("insertions"),
+        col("deletions"),
+        col("repo_id").as("repository_id"))
+
+    val changedFiles = logsRaw
+      .select(col("commit_hash"), explode(col("changed_files")).as("file_path"))
+
+    val report = EtlReport(
+      analyzed = analyzed,
+      ignored = ignored,
+      failed = failed,
+      nLogs = logs.count(),
+      nChangedFiles = changedFiles.count())
+
+    (Map(
+      "repositories" -> repositories,
+      "logs" -> logs,
+      "changed_files" -> changedFiles), report)
+  }
+}

@@ -1,0 +1,188 @@
+package graft.etl
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.sys.process._
+import scala.util.Try
+
+/** One extracted commit, pre-normalization (the analog of the
+  * reference's `GitLog`, log.rs:6-25, plus the repo identity carried
+  * alongside instead of a SQLite FK).
+  */
+final case class CommitRow(
+    repo_name: String,
+    repo_path: String,
+    repo_url: String,
+    commit_hash: String,
+    parent_hash: String,
+    author_name: String,
+    author_email: String,
+    commit_epoch: Long,
+    message: String,
+    insertions: Long,
+    deletions: Long,
+    changed_files: Seq[String])
+
+/** Per-repository extraction outcome — the reference swallows repo
+  * failures silently (`.ok()`, analyzer.rs:351); we surface them as an
+  * error side-channel instead so a cluster job can report skipped
+  * repos without killing tasks.
+  */
+final case class RepoResult(
+    repo_name: String,
+    repo_path: String,
+    error: Option[String],
+    commits: Seq[CommitRow])
+
+/** Git history extraction via `git log` text parsing (the JVM has no
+  * bundled JGit in /opt/spark/jars, and libgit2 is C — parsing
+  * porcelain output is the portable executor-side path).
+  *
+  * Semantics reproduced from the reference (SURVEY.md §1.3):
+  *  - merge commits excluded (`--no-merges` ≡ parent_count() < 2,
+  *    repository.rs:112);
+  *  - root commits diff against the empty tree, parent_hash = 40×'0'
+  *    (repository.rs:119-133, 175);
+  *  - first-parent diffs only (implicit in `git log` for non-merges,
+  *    repository.rs:120);
+  *  - exact-match rename/copy detection (`-M100% -C100%` ≡
+  *    find_similar(exact_match_only), repository.rs:142-147), with the
+  *    NEW path recorded (repository.rs:149-152);
+  *  - submodules ignored (`-c diff.ignoreSubmodules=all`,
+  *    repository.rs:137);
+  *  - sentinel defaults, never NULL: "(no author name)",
+  *    "(no author email)", "(no commit summary)", "(no remote url)"
+  *    (repository.rs:164-179, 192);
+  *  - remote URL rewrite git@github.com: → https://github.com/
+  *    (repository.rs:193).
+  */
+object GitLogSource {
+
+  val ZeroOid = "0" * 40
+  val NoAuthorName  = "(no author name)"
+  val NoAuthorEmail = "(no author email)"
+  val NoSummary     = "(no commit summary)"
+  val NoRemoteUrl   = "(no remote url)"
+
+  // \x01 marks a commit header, \x02 separates fields — both are
+  // impossible in git metadata, so parsing is unambiguous even for
+  // messages containing tabs/newlines (summary is %s: first line only,
+  // like commit.summary() at repository.rs:179).
+  private val HeaderMark = '\u0001'
+  private val FieldSep   = '\u0002'
+
+  /** Directory scan (analyzer.rs:102-135): immediate subdirectories of
+    * `root` up to `maxDepth`, excluding `.git` dirs and configured
+    * ignores. Returns (candidates, ignored) — candidates are *all*
+    * non-ignored dirs; non-repos among them surface later as skipped,
+    * matching the reference's report (analyzer.rs:255-263).
+    */
+  def scanDirectories(
+      root: Path, maxDepth: Int, ignored: Seq[String]): (Seq[Path], Seq[String]) = {
+    val all = Files.walk(root, maxDepth).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p != root)
+      .filter(p => p.getFileName.toString != ".git")
+      .filter(p => !p.iterator().asScala.exists(_.toString == ".git")) // never descend into .git
+      .toVector.sortBy(_.toString)
+    val (ig, keep) = all.partition(p => ignored.contains(p.getFileName.toString))
+    (keep, ig.map(_.getFileName.toString))
+  }
+
+  /** Extract one repository. Any repo-level git failure yields
+    * RepoResult(error = Some(...)) with no commits (reference:
+    * silently skipped repo, analyzer.rs:351 — we keep the reason).
+    */
+  def extractRepo(path: Path): RepoResult = {
+    val name = path.getFileName.toString
+    val result = Try {
+      val dir = path.toFile
+      require(Files.isDirectory(path.resolve(".git")) || isBareRepo(path),
+        s"not a git repository: $path")
+      val url = remoteUrl(dir)
+      val out = gitLog(dir)
+      parseLog(out, name, path.toString, url)
+    }
+    result.fold(
+      e => RepoResult(name, path.toString, Some(e.getMessage), Nil),
+      commits => RepoResult(name, path.toString, None, commits))
+  }
+
+  private def isBareRepo(p: Path): Boolean =
+    Files.isRegularFile(p.resolve("HEAD")) && Files.isDirectory(p.resolve("objects"))
+
+  private def remoteUrl(dir: File): String = {
+    val raw = Try(
+      Process(Seq("git", "config", "--get", "remote.origin.url"), dir).!!.trim
+    ).toOption.filter(_.nonEmpty).getOrElse(NoRemoteUrl)
+    raw.replace("git@github.com:", "https://github.com/")
+  }
+
+  private def gitLog(dir: File): String = {
+    val cmd = Seq(
+      "git", "-c", "diff.ignoreSubmodules=all", "log",
+      "--no-merges", "--date-order", "--numstat",
+      "--find-renames=100%", "--find-copies=100%",
+      s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%at$FieldSep%s")
+    Process(cmd, dir).!!
+  }
+
+  /** Parse `git log --numstat` blocks into CommitRows. */
+  def parseLog(
+      out: String, repoName: String, repoPath: String, url: String): Seq[CommitRow] = {
+    val rows = Vector.newBuilder[CommitRow]
+    var current: CommitRow = null
+    var ins = 0L
+    var del = 0L
+    var files = Vector.newBuilder[String]
+
+    def flush(): Unit = if (current != null) {
+      rows += current.copy(
+        insertions = ins, deletions = del, changed_files = files.result())
+      ins = 0L; del = 0L; files = Vector.newBuilder[String]
+    }
+
+    out.linesIterator.foreach { line =>
+      if (line.nonEmpty && line.charAt(0) == HeaderMark) {
+        flush()
+        val f = line.substring(1).split(FieldSep.toString, -1)
+        val parents = f(1).split(' ').filter(_.nonEmpty)
+        current = CommitRow(
+          repo_name = repoName,
+          repo_path = repoPath,
+          repo_url = url,
+          commit_hash = f(0),
+          parent_hash = parents.headOption.getOrElse(ZeroOid),
+          author_name = if (f(2).isEmpty) NoAuthorName else f(2),
+          author_email = if (f(3).isEmpty) NoAuthorEmail else f(3),
+          commit_epoch = f(4).toLong,
+          message = if (f(5).isEmpty) NoSummary else f(5),
+          insertions = 0L, deletions = 0L, changed_files = Nil)
+      } else if (line.nonEmpty && current != null) {
+        // numstat: "<ins>\t<del>\t<path>"; '-' for binary counts as 0
+        // (libgit2 stats count 0 lines for binary deltas).
+        val parts = line.split('\t')
+        if (parts.length >= 3) {
+          ins += Try(parts(0).toLong).getOrElse(0L)
+          del += Try(parts(1).toLong).getOrElse(0L)
+          files += newPath(parts.drop(2).mkString("\t"))
+        }
+      }
+    }
+    flush()
+    rows.result()
+  }
+
+  /** Resolve a numstat path to the delta's NEW path
+    * (repository.rs:149-152): handles both `old => new` and the
+    * brace form `dir/{old => new}/file`.
+    */
+  def newPath(p: String): String = {
+    val brace = """\{([^{}]*) => ([^{}]*)\}""".r
+    val replaced = brace.replaceAllIn(p, m => scala.util.matching.Regex.quoteReplacement(m.group(2)))
+    val flat = replaced.indexOf(" => ")
+    val cleaned = if (flat >= 0) replaced.substring(flat + 4) else replaced
+    cleaned.replace("//", "/")
+  }
+
+}

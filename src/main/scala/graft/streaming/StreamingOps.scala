@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming variants of the windowed operators
+  * (SURVEY.md §2.10). The reference is one-shot batch (main.rs:4-28);
+  * these expose the same *column logic* as the batch queries in
+  * graft.queries.TimeSeries, applied to an unbounded source — the
+  * DataFrame transformations are identical, only the source/sink and
+  * watermark differ. Each takes any streaming (or batch) DataFrame
+  * with the events schema (ts timestamp, event_type string,
+  * user_id long, value double, event_id long).
+  *
+  * Scale notes: state store size is bounded by the watermark horizon ×
+  * key cardinality; the shuffle is on the same group keys as batch.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts with a 10-minute watermark: late rows
+    * beyond the watermark are dropped, windows finalize (append mode)
+    * once the watermark passes their end.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/15-minute windows under watermark — identical
+    * column logic to TimeSeries.q_time_slide.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows (30-minute inactivity gap) — streaming
+    * analog of TimeSeries.q_time_session; session state merges as
+    * events arrive and emits on watermark close.
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stateful exact dedup by event_id within the watermark horizon
+    * (SURVEY.md §2.10: `dropDuplicatesWithinWatermark`) — the streaming
+    * counterpart of the batch dedup family: state is bounded by the
+    * watermark, unlike an unbounded global dropDuplicates.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}

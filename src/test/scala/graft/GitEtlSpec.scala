@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.sys.process._
+import graft.etl.{EtlConfig, GitEtl, GitLogSource}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden ETL test per FIXTURES.md §B: a synthetic git-repo tree
+  * exercising every §1.3 semantic of the reference (root commit,
+  * plain edit, exact rename, author-map override, excluded merge,
+  * summary-only message, missing/present remote URL, ignore list,
+  * non-repo dir).
+  */
+class GitEtlSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def sh(dir: Path, cmd: String*): String =
+    Process(cmd, dir.toFile,
+      "GIT_AUTHOR_DATE" -> "2024-01-01T00:00:00Z",
+      "GIT_COMMITTER_DATE" -> "2024-01-01T00:00:00Z").!!
+
+  private def git(dir: Path, args: String*): String =
+    sh(dir, "git" +: args: _*)
+
+  private def commit(dir: Path, msg: String, author: String = "Dev One <dev@example.com>", date: String): Unit =
+    Process(Seq("git", "commit", "-q", "--no-verify", "-m", msg, s"--author=$author"),
+      dir.toFile,
+      "GIT_AUTHOR_DATE" -> date, "GIT_COMMITTER_DATE" -> date,
+      "GIT_COMMITTER_NAME" -> "CI", "GIT_COMMITTER_EMAIL" -> "ci@example.com").!!
+
+  /** Build the fixture tree once per suite. */
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("etl-fixture")
+    // repo1: the full semantic gauntlet
+    val repo1 = Files.createDirectory(r.resolve("repo1"))
+    git(repo1, "init", "-q", "-b", "main")
+    git(repo1, "config", "user.email", "dev@example.com")
+    git(repo1, "config", "user.name", "Dev One")
+    // C1: root commit, two files (parent_hash must be 40 zeros)
+    Files.writeString(repo1.resolve("a.txt"), "line1\nline2\n")
+    Files.writeString(repo1.resolve("b.txt"), "alpha\nbeta\ngamma\n")
+    git(repo1, "add", ".")
+    commit(repo1, "C1 root", date = "2024-01-01T00:00:00Z")
+    // C2: edit a.txt (+2/-1)
+    Files.writeString(repo1.resolve("a.txt"), "line1\nline2changed\nline3\nline4\n")
+    git(repo1, "add", ".")
+    commit(repo1, "C2 edit", date = "2024-01-02T00:00:00Z")
+    // C3: exact rename b.txt -> c.txt (changed_files must record c.txt)
+    git(repo1, "mv", "b.txt", "c.txt")
+    commit(repo1, "C3 rename", date = "2024-01-03T00:00:00Z")
+    // C4: authored by the aliased email (config must rewrite the name)
+    Files.writeString(repo1.resolve("d.txt"), "dd\n")
+    git(repo1, "add", ".")
+    commit(repo1, "C4 aliased", author = "Ali As <alias@example.com>", date = "2024-01-04T00:00:00Z")
+    // branch + merge: merge commit M must be absent from logs
+    git(repo1, "checkout", "-q", "-b", "feature")
+    Files.writeString(repo1.resolve("feat.txt"), "f\n")
+    git(repo1, "add", ".")
+    commit(repo1, "C5 feature work", date = "2024-01-05T00:00:00Z")
+    git(repo1, "checkout", "-q", "main")
+    Files.writeString(repo1.resolve("main.txt"), "m\n")
+    git(repo1, "add", ".")
+    commit(repo1, "C6 main work", date = "2024-01-06T00:00:00Z")
+    Process(Seq("git", "merge", "-q", "--no-ff", "-m", "M merge", "feature"),
+      repo1.toFile,
+      "GIT_AUTHOR_DATE" -> "2024-01-07T00:00:00Z", "GIT_COMMITTER_DATE" -> "2024-01-07T00:00:00Z",
+      "GIT_COMMITTER_NAME" -> "CI", "GIT_COMMITTER_EMAIL" -> "ci@example.com").!!
+    // C7: multi-line message — only the summary line must be stored
+    Files.writeString(repo1.resolve("e.txt"), "e\n")
+    git(repo1, "add", ".")
+    commit(repo1, "C7 summary line\n\nbody line 1\nbody line 2", date = "2024-01-08T00:00:00Z")
+
+    // repo2: has a github remote (URL rewrite)
+    val repo2 = Files.createDirectory(r.resolve("repo2"))
+    git(repo2, "init", "-q", "-b", "main")
+    git(repo2, "config", "user.email", "dev@example.com")
+    git(repo2, "config", "user.name", "Dev One")
+    git(repo2, "remote", "add", "origin", "git@github.com:x/y.git")
+    Files.writeString(repo2.resolve("r2.txt"), "hello\n")
+    git(repo2, "add", ".")
+    commit(repo2, "R2 only", date = "2024-02-01T00:00:00Z")
+
+    // vendor: ignored by config; data: not a git repo
+    Files.createDirectory(r.resolve("vendor"))
+    Files.createDirectory(r.resolve("data"))
+    r
+  }
+
+  private lazy val config = EtlConfig(
+    ignoredRepositories = Seq("vendor"),
+    authorMap = Map("alias@example.com" -> "Canonical Name"))
+
+  private lazy val (tables, report) = GitEtl.dataframes(spark, root, config, maxDepth = 1)
+
+  test("report: repo1+repo2 analyzed, vendor ignored, data failed") {
+    assert(report.analyzed == Seq("repo1", "repo2"))
+    assert(report.ignored == Seq("vendor"))
+    assert(report.failed.keySet == Set("data"))
+  }
+
+  test("repositories: deterministic ids, URL rewrite, no-remote sentinel") {
+    val repos = tables("repositories").collect()
+      .map(r => (r.getAs[Long]("repo_id"), r.getAs[String]("name"), r.getAs[String]("url")))
+      .sortBy(_._1)
+    assert(repos.length == 2)
+    assert(repos(0) == ((1L, "repo1", "(no remote url)")))
+    assert(repos(1) == ((2L, "repo2", "https://github.com/x/y.git")))
+  }
+
+  test("logs: merge excluded, 8 commits total, summary-only messages") {
+    val logs = tables("logs").collect()
+    assert(logs.length == 8) // repo1: C1..C7 (7), repo2: 1; merge M absent
+    val messages = logs.map(_.getAs[String]("message")).toSet
+    assert(!messages.exists(_.contains("merge")))
+    assert(messages.contains("C7 summary line")) // body stripped
+    assert(!messages.exists(_.contains("body line")))
+  }
+
+  test("root commit: zero-OID parent and whole-tree insertions") {
+    val c1 = tables("logs").collect().find(_.getAs[String]("message") == "C1 root").get
+    assert(c1.getAs[String]("parent_hash") == "0" * 40)
+    assert(c1.getAs[Long]("insertions") == 5) // 2 lines a.txt + 3 lines b.txt
+    assert(c1.getAs[Long]("deletions") == 0)
+  }
+
+  test("plain edit stats: +3/-1 on C2") {
+    val c2 = tables("logs").collect().find(_.getAs[String]("message") == "C2 edit").get
+    assert(c2.getAs[Long]("insertions") == 3)
+    assert(c2.getAs[Long]("deletions") == 1)
+  }
+
+  test("exact rename: changed_files records the NEW path, zero stats") {
+    val c3 = tables("logs").collect().find(_.getAs[String]("message") == "C3 rename").get
+    assert(c3.getAs[Long]("insertions") == 0)
+    assert(c3.getAs[Long]("deletions") == 0)
+    val files = tables("changed_files").collect()
+      .filter(_.getAs[String]("commit_hash") == c3.getAs[String]("commit_hash"))
+      .map(_.getAs[String]("file_path"))
+    assert(files.toSeq == Seq("c.txt"))
+  }
+
+  test("author map: name overridden by email lookup, email preserved") {
+    val c4 = tables("logs").collect().find(_.getAs[String]("message") == "C4 aliased").get
+    assert(c4.getAs[String]("author_name") == "Canonical Name")
+    assert(c4.getAs[String]("author_email") == "alias@example.com")
+  }
+
+  test("changed_files counts match per-commit file lists") {
+    assert(report.nChangedFiles == tables("changed_files").count())
+    // C1 touched 2 files
+    val c1 = tables("logs").collect().find(_.getAs[String]("message") == "C1 root").get
+    val c1files = tables("changed_files").collect()
+      .filter(_.getAs[String]("commit_hash") == c1.getAs[String]("commit_hash"))
+      .map(_.getAs[String]("file_path")).sorted
+    assert(c1files.toSeq == Seq("a.txt", "b.txt"))
+  }
+
+  test("commit_datetime equals epoch seconds") {
+    tables("logs").collect().foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("commit_datetime").getTime / 1000 ==
+        r.getAs[Long]("commit_epoch"))
+    }
+  }
+
+  test("config TOML-subset parser") {
+    val cfg = EtlConfig.parse(Seq(
+      """# comment""",
+      """ignored_repositories = ["vendor", "archive"]""",
+      """[author_map]""",
+      """"alias@example.com" = "Canonical Name"""",
+      """"o@x.io" = "Other" """))
+    assert(cfg.ignoredRepositories == Seq("vendor", "archive"))
+    assert(cfg.authorMap == Map("alias@example.com" -> "Canonical Name", "o@x.io" -> "Other"))
+  }
+
+  test("numstat rename-path resolution") {
+    assert(GitLogSource.newPath("src/{old => new}/f.rs") == "src/new/f.rs")
+    assert(GitLogSource.newPath("a.txt => b.txt") == "b.txt")
+    assert(GitLogSource.newPath("plain/path.txt") == "plain/path.txt")
+    assert(GitLogSource.newPath("d/{ => sub}/f") == "d/sub/f")
+  }
+}

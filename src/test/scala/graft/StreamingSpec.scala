@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics: the same column logic as the batch
+  * TimeSeries queries, driven through MemoryStream + memory sink.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def runToCompletion(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window streaming agg matches batch on the same data") {
+    val input = MemoryStream[Ev]
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:55:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 11:05:00"), 2, "view", 3.0),
+      Ev(4, ts("2024-01-01 12:30:00"), 2, "click", 4.0))
+    input.addData(evs: _*)
+    val got = runToCompletion(
+      StreamingOps.tumblingCounts(input.toDF()), "tumble_out", "update")
+      .collect().map(r => (r.getAs[Timestamp]("w_start").toString, r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 11:00:00.0", "view", 1L),
+      ("2024-01-01 12:00:00.0", "click", 1L)))
+  }
+
+  test("watermark drops late rows in append mode") {
+    val input = MemoryStream[Ev]
+    // batch 1: event at 10:05 then watermark-advancing event at 12:00
+    input.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+    val agg = StreamingOps.tumblingCounts(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Ev(2, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: a very late row for the already-finalized 10:00 window
+    input.addData(Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val finalized = spark.table("wm_out")
+      .filter(col("w_start") === ts("2024-01-01 10:00:00"))
+      .collect()
+    // the 10:00 window emitted once, with n=1: the late row never joined it
+    assert(finalized.length == 1 && finalized.head.getAs[Long]("n") == 1L)
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(1, ts("2024-01-01 09:00:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 09:20:00"), 7, "click", 1.0),  // same session
+      Ev(3, ts("2024-01-01 10:30:00"), 7, "click", 1.0))  // new session (>30min gap)
+    val q = StreamingOps.sessionize(input.toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark far past both sessions so they finalize
+    input.addData(Ev(99, ts("2024-01-02 00:00:00"), 8, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out")
+      .filter(col("user_id") === 7).collect()
+    assert(got.length == 2)
+    val ns = got.map(_.getAs[Long]("n_events")).sorted.toSeq
+    assert(ns == Seq(1L, 2L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes stateful duplicates") {
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(1, ts("2024-01-01 09:00:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 09:00:05"), 1, "click", 1.0), // dup id within watermark
+      Ev(2, ts("2024-01-01 09:01:00"), 1, "view", 2.0))
+    val got = runToCompletion(
+      StreamingOps.dedupWithinWatermark(input.toDF()), "dedup_out", "append")
+      .collect()
+    assert(got.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.queries.Multimodal
+
+  test("media features: one row per doc, deterministic 8-dim features") {
+    val a = Multimodal.mediaFeatures(spark, sf).collect()
+    val b = Multimodal.mediaFeatures(spark, sf).collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    assert(a.sameElements(b))
+    a.take(10).foreach { r =>
+      assert(r.getSeq[Float](3).length == 8)
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+
+  test("frame sampling: frame count = ceil(bytes/64), frames reassemble payload") {
+    val frames = Multimodal.frameSample(spark, sf).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    val media = Multimodal.mediaTable(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("kind") === "video").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(frames.keySet == media.keySet)
+    frames.foreach { case (id, fs) =>
+      val expected = math.ceil(media(id).length / 64.0).toInt
+      assert(fs.length == expected, s"media $id")
+      val reassembled = fs.sortBy(_.getAs[Int]("frame_no"))
+        .flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+      assert(reassembled.sameElements(media(id)), s"media $id payload mismatch")
+    }
+  }
+
+  test("resize meta: aspect ratio preserved, width capped") {
+    Multimodal.resizeMeta(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("out_width") <= 640)
+      val scale = r.getAs[Int]("out_width").toDouble / r.getAs[Int]("width")
+      assert(math.abs(r.getAs[Int]("out_height") - (r.getAs[Int]("height") * scale).toInt) <= 1)
+    }
+  }
+}
