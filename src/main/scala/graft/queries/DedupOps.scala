@@ -28,20 +28,31 @@ object DedupOps {
       .otherwise(array(text))
   }
 
-  /** One MinHash value: min over shingles of a seeded md5, using the
-    * first 16 hex chars. Lexicographic min on fixed-width lowercase hex
-    * == numeric min, identically in Spark and DuckDB.
-    */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => substring(md5(concat(lit(s"$seed:"), x)), 1, 16)))
-
-  /** 8-function MinHash signature per document. Pure per-row array
-    * expressions — embarrassingly parallel, no shuffle at any scale.
+  /** 8-function MinHash signature per document.
+    *
+    * Shape: explode shingles → 8 codegen'd scalar md5s per shingle row
+    * → hash-agg min per doc. A per-row `transform(...)` higher-order
+    * function computes the same values but runs *interpreted* (Spark
+    * HOF lambdas are outside whole-stage codegen) — measured ~4×
+    * slower. The explode pipelines inside the scan stage; the single
+    * shuffle carries only partial per-doc minima (map-side combine), so
+    * shuffle volume is O(docs), not O(shingles), at any scale.
+    *
+    * MinHash value = first 16 hex chars of a seeded md5; lexicographic
+    * min on fixed-width lowercase hex == numeric min, identically in
+    * Spark and DuckDB.
     */
   def q_minhash(s: SparkSession, d: String): DataFrame = {
-    val withSh = documents(s, d).withColumn("sh", shingles3(col("text")))
-    val sig    = (1 to 8).map(i => minhash(col("sh"), i).as(s"h$i"))
-    withSh.select(col("doc_id") +: sig: _*).orderBy("doc_id")
+    // documents is a few small parquet files -> 1-2 input partitions.
+    // The hashing is CPU-bound and row-local, so fan out to all cores
+    // first: partition count for a heavy narrow stage must track
+    // cores, not input bytes.
+    val exploded = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
+    val mins = (1 to 8).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("x"))), 1, 16)).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
   }
 
   /** MinHash-LSH near-dup candidate pairs: 2 bands × 4 rows, self-join
@@ -55,17 +66,26 @@ object DedupOps {
     * giant buckets.
     */
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
+    // The signature table is tiny (one 128-char row per doc) but its
+    // lineage — 8 md5-min passes over every shingle — is the expensive
+    // part, and it feeds BOTH sides of the band self-join plus the
+    // candidate lookup. Persist it so the hashing runs exactly once;
+    // without this, alias-divergent subplans defeat ReuseExchange and
+    // the signatures are recomputed up to 8× (measured 21s → ~2s at
+    // sf0.1).
     val sig = q_minhash(s, d)
       .withColumn("b1", concat(col("h1"), col("h2"), col("h3"), col("h4")))
       .withColumn("b2", concat(col("h5"), col("h6"), col("h7"), col("h8")))
-    val bands = sig.select(col("doc_id"), col("b1").as("band"))
-      .unionByName(sig.select(col("doc_id"), col("b2").as("band")))
+      .persist()
+    val bands = sig.select(col("doc_id"), explode(array(col("b1"), col("b2"))).as("band"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sh = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+      .persist() // feeds both sides of the candidate lookup
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -102,18 +122,21 @@ object DedupOps {
     * ±1 votes of all words.
     */
   def q_simhash(s: SparkSession, d: String): DataFrame = {
-    val words = array_distinct(split(col("text"), " "))
-    // votes(bit) = sum over words of (bit set ? 1 : -1); simhash bit = votes > 0
-    val bitCols = (0 until 32).map { b =>
-      aggregate(
-        words,
-        lit(0),
-        (acc, w) => acc + when(shiftright(xxhash64(w), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    val simhash = bitCols.zipWithIndex
-      .map { case (votes, b) => when(votes > 0, lit(1L << b)).otherwise(0L) }
-      .reduce((a, b) => a + b)
-    documents(s, d)
+    // Same explode→codegen-agg shape as q_minhash (a 32×aggregate()
+    // HOF stack would run interpreted): one xxhash64 per distinct word,
+    // then 32 codegen'd conditional sums; votes(bit) = Σ ±1, simhash
+    // bit = votes > 0.
+    val hashed = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val simhash = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
       .orderBy("doc_id")
   }

@@ -80,10 +80,13 @@ object SimilarityOps {
       }
     }
     val e = embeddings(s, d)
+    // Each sketch bit is one codegen'd dot_product against a literal
+    // plane vector — 8 tight primitive loops instead of a 512-term
+    // scalar expression tree (which would blow past the JIT/codegen
+    // method-size limit and fall back to interpreted projection).
     val sketch = (0 until nBits).map { b =>
-      val dot = (0 until dims).map { j =>
-        element_at(col("embedding"), j + 1).cast("double") * lit(planes(b)(j))
-      }.reduce(_ + _)
+      val dot = call_function("dot_product",
+        col("embedding"), typedLit(planes(b).map(_.toFloat).toArray))
       when(dot >= 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     val bucketed = e.select(col("vec_id"), col("embedding"), sketch.as("bucket"))
