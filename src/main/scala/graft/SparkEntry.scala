@@ -30,6 +30,8 @@ object SparkEntry {
     "q_join_semi"      -> (Relational.q_join_semi _),
     "q_join_anti"      -> (Relational.q_join_anti _),
     "q_join_range"     -> (Relational.q_join_range _),
+    "q_join_asof"      -> (Windows.q_join_asof _),
+    "q_sql_report"     -> (Relational.q_sql_report _),
     // §2.4 aggregations
     "q_agg_hash"     -> (Relational.q_agg_hash _),
     "q_agg_count"    -> (Relational.q_agg_count _),
@@ -243,6 +245,21 @@ object SparkEntry {
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events, (VALUES (0),(1),(2),(3)) t(k)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_join_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts)//1000000 AS es FROM events),
+        |p AS (SELECT user_id, es, arg_max(value, event_id) AS p_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, es)
+        |SELECT e.event_id, e.user_id, e.es, p.p_value AS last_purchase
+        |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es >= p.es
+        |ORDER BY event_id""".stripMargin,
+    "q_sql_report" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_text_stats" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)

@@ -322,6 +322,25 @@ object Relational {
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** The SQL entry surface (SURVEY.md §3.3: the reference's only read
+    * query runs as SQL inside SQLite; ours runs through spark.sql over
+    * registered views — same Catalyst plan as the DataFrame API). A
+    * 4-table star join: two dimension hops broadcast, one shuffled agg.
+    */
+  def q_sql_report(s: SparkSession, d: String): DataFrame = {
+    region(s, d).createOrReplaceTempView("region")
+    nation(s, d).createOrReplaceTempView("nation")
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+  }
+
   /** JSON extraction (SURVEY.md §2.9: events.props is JSON text). */
   def q_json_fn(s: SparkSession, d: String): DataFrame =
     events(s, d)

@@ -50,6 +50,46 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** As-of join (SURVEY.md §2.3 stretch): for every event, the value of
+    * the same user's most recent purchase at-or-before the event
+    * (inclusive on the shared truncated-seconds key).
+    *
+    * Spark-native realization: tag-and-union both sides, then one
+    * window pass with `last(..., ignoreNulls)` over an unbounded
+    * preceding frame — a single shuffle on the join key, no range
+    * join, no per-row probe. Purchase rows sort before event rows at
+    * equal timestamps (is_p desc) to get inclusive as-of semantics;
+    * the right side is pre-deduplicated per (user, second) with max_by
+    * so the result is deterministic. The DuckDB oracle is a native
+    * ASOF LEFT JOIN over the same deduped side.
+    *
+    * At 100 TB this beats the naive range-join formulation outright:
+    * shuffle is O(|left| + |right|) on the equi-key, and the window
+    * state is one value per partition.
+    */
+  def q_join_asof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_timestamp(col("ts")).as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "es")
+      .agg(max_by(col("value"), col("event_id")).as("p_value"))
+    val leftTagged = ev.select(
+      col("user_id"), col("es"), lit(0).as("is_p"), col("event_id"),
+      lit(null).cast("double").as("p_value"))
+    val rightTagged = purchases.select(
+      col("user_id"), col("es"), lit(1).as("is_p"), lit(null).cast("long").as("event_id"),
+      col("p_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("is_p").desc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("last_purchase", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id"), col("user_id"), col("es"), col("last_purchase"))
+      .orderBy("event_id")
+  }
+
   /** Explicit frame spec — running total per customer ordered by date
     * (cumulative churn in the reference's domain).
     */

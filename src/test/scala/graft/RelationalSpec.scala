@@ -129,6 +129,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_asof: lookback matches a hand-computed per-user scan") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"), r.getAs[Long]("es")))
+    val expected = evs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.map { case (id, _, _, _, es) =>
+        val prior = rows.filter(r => r._3 == "purchase" && r._5 <= es)
+        val best = if (prior.isEmpty) None
+          else Some(prior.maxBy(r => (r._5, r._1))._4)
+        id -> best
+      }
+    }
+    val got = q("q_join_asof").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("last_purchase")).map(_.toDouble)).toMap
+    expected.foreach { case (id, exp) => assert(got(id) == exp, s"event $id") }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
