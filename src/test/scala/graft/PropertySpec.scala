@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.4) over small generated
+  * DataFrames: laws that must hold for any input, not just the fixture
+  * data.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic property driver: scalatest+scalacheck without the
+    * scalatestplus bridge (not in the offline dep set) — draw seeded
+    * samples and assert the body for each.
+    */
+  private def forAll[A](g: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default.withSize(30), Seed(i.toLong)))
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 10).foreach { i =>
+      body(
+        ga.pureApply(Gen.Parameters.default.withSize(30), Seed(i.toLong)),
+        gb.pureApply(Gen.Parameters.default.withSize(30), Seed(i.toLong + 1000)))
+    }
+
+  private val wordGen = Gen.oneOf("a", "bb", "ccc", "dd", "e", "the", "of")
+  private val docGen  = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+  private val docsGen = Gen.nonEmptyListOf(docGen)
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = df.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
+      assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+    }
+  }
+
+  test("explode row count equals the sum of array lengths") {
+    forAll(docsGen) { texts =>
+      val df = texts.toDF("text").withColumn("words", split(col("text"), " "))
+      val exploded = df.select(explode(col("words"))).count()
+      val expected = df.select(sum(size(col("words")))).head.getLong(0)
+      assert(exploded == expected)
+    }
+  }
+
+  test("unionAll count is additive; except removes exactly the intersection") {
+    forAll(Gen.listOf(Gen.chooseNum(0, 20)), Gen.listOf(Gen.chooseNum(0, 20))) { (xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      assert(a.unionByName(b).count() == xs.length + ys.length)
+      val exceptCount = a.except(b).count()
+      val expected = (xs.toSet -- ys.toSet).size
+      assert(exceptCount == expected)
+    }
+  }
+
+  test("running window sum ends at the group total") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 100L)))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "ord")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("ord")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val last = df.withColumn("run", sum("v").over(w))
+        .groupBy("g").agg(max("run").as("final"))
+      val direct = df.groupBy("g").agg(sum("v").as("total"))
+      assert(last.join(direct, "g").filter(col("final") =!= col("total")).isEmpty)
+    }
+  }
+
+  test("jaccard is 1 for identical docs, 0 for disjoint vocab, symmetric bounds") {
+    forAll(docGen) { text =>
+      val df = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("prop").toString
+      df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val pairs = graft.queries.DedupOps.q_ngram_jaccard(spark, tmp).collect()
+      assert(pairs.length == 1 && pairs.head.getAs[Double]("jaccard") == 1.0)
+    }
+  }
+
+  test("minhash signature equality follows from shingle-set equality") {
+    forAll(docGen, Gen.chooseNum(0, 5)) { (text, rot) =>
+      // a rotation of the same words has the same shingle multiset only
+      // if rot == 0; identical docs must always produce identical sigs
+      val df = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("prop-mh").toString
+      df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val sigs = graft.queries.DedupOps.q_minhash(spark, tmp).collect()
+      val s0 = sigs.find(_.getLong(0) == 0L).get
+      val s1 = sigs.find(_.getLong(0) == 1L).get
+      (1 to 8).foreach(i => assert(s0.getAs[String](s"h$i") == s1.getAs[String](s"h$i")))
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Sinks
+import graft.plans.SkewJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinksSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("csv and json sinks round-trip the orders table") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_orderstatus")
+    val tmp = Files.createTempDirectory("sinks").toString
+    Sinks.writeCsv(orders, s"$tmp/csv")
+    Sinks.writeJson(orders, s"$tmp/json")
+    val ddl = "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    val backCsv = Sinks.readCsv(spark, s"$tmp/csv", ddl)
+    val backJson = Sinks.readJson(spark, s"$tmp/json", ddl)
+    assert(backCsv.count() == orders.count())
+    assert(backJson.count() == orders.count())
+    assert(backCsv.agg(sum("o_orderkey")).head.getLong(0) ==
+      orders.agg(sum("o_orderkey")).head.getLong(0))
+  }
+
+  test("date-partitioned parquet prunes partitions on the filter") {
+    val tmp = Files.createTempDirectory("part").toString
+    Sinks.writeDatePartitioned(Tables.orders(spark, sf), "o_orderdate", s"$tmp/orders")
+    val dirs = new java.io.File(s"$tmp/orders").listFiles().count(_.getName.startsWith("p_date="))
+    assert(dirs > 1, "expected multiple date partitions")
+    val all = spark.read.parquet(s"$tmp/orders")
+    val someDay = all.select("p_date").limit(1).collect().head.getDate(0).toString
+    val oneDay = all.filter(col("p_date") === someDay)
+    // partition filter must reach the scan (directory pruning), not a post-filter
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(oneDay.count() > 0)
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+  }
+
+  test("bucketed tables join with zero exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
+    try {
+      Sinks.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_orderkey", 8, "orders_b")
+      Sinks.writeBucketed(
+        Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+        "l_orderkey", 8, "lineitem_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a uniform tail
+    val left = (Seq.fill(10000)("HOT") ++ (1 to 500).map(i => s"k$i"))
+      .toDF("k").withColumn("v", monotonically_increasing_id())
+    val right = (Seq("HOT") ++ (1 to 500).map(i => s"k$i")).toDF("rk")
+      .withColumn("rv", length(col("rk")))
+    val plain  = left.join(right, col("k") === col("rk")).agg(count(lit(1)), sum("rv")).head
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "rk", 8)
+      .agg(count(lit(1)), sum("rv")).head
+    assert(plain == salted)
+  }
+}
