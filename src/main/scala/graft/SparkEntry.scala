@@ -38,6 +38,7 @@ object SparkEntry {
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx"   -> (Relational.q_agg_approx _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
+    "q_agg_groupset" -> (Relational.q_agg_groupset _),
     "q_agg_cube"     -> (Relational.q_agg_cube _),
     // §2.6 sorts / top-k
     "q_sort" -> (Relational.q_sort _),
@@ -150,6 +151,14 @@ object SparkEntry {
         |  coalesce(o_orderpriority,'ALL') AS priority,
         |  count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_groupset" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS returnflag,

@@ -1,0 +1,69 @@
+package graft.etl
+
+import java.nio.file.Paths
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's interface (main.rs:5,
+  * analyzer.rs:32-62): a user of `git-log-to-sqlite <root> --database
+  * repositories.db --config config.toml --num-threads 8` runs
+  *
+  *   runMain graft.etl.Main <root> --out /path/tables \
+  *     [--config config.toml] [--max-depth 1] [--num-threads N] [--clear]
+  *
+  * and gets the same three tables as parquet (SQLite → parquet is the
+  * one interface change; the JDBC writer shape in graft.sources.Sinks
+  * covers the literal .db target where a driver is available). The
+  * report output mirrors main.rs:7-26: elapsed seconds, analyzed
+  * repositories, skipped directories.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: graft.etl.Main <root> --out <dir> [--config <toml>] " +
+          "[--max-depth N] [--num-threads N] [--clear]")
+      sys.exit(2)
+    }
+    val root = Paths.get(args(0))
+    var out = "git-tables"
+    var configPath: Option[String] = None
+    var maxDepth = 1
+    var threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    var clear = false
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--out"         => out = args(i + 1); i += 2
+        case "--config"      => configPath = Some(args(i + 1)); i += 2
+        case "--max-depth"   => maxDepth = args(i + 1).toInt; i += 2
+        case "--num-threads" => threads = args(i + 1).toInt; i += 2
+        case "--clear"       => clear = true; i += 1 // parquet overwrite is implicit
+        case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
+      }
+    }
+
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-git-etl")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val config = configPath.map(p => EtlConfig.load(Paths.get(p))).getOrElse(EtlConfig())
+    val t0 = System.nanoTime()
+    val report = GitEtl.run(spark, root, out, config, maxDepth)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // Report format mirrors the reference (main.rs:7-26).
+    println(f"# Done in $secs%.1f seconds")
+    println(s"# Analyzed repositories (${report.analyzed.size}): ${report.analyzed.mkString(", ")}")
+    if (report.ignored.nonEmpty)
+      println(s"# Ignored (${report.ignored.size}): ${report.ignored.mkString(", ")}")
+    if (report.failed.nonEmpty)
+      println(s"# Skipped (${report.failed.size}): ${report.failed.keys.toSeq.sorted.mkString(", ")}")
+    println(s"# logs: ${report.nLogs} rows, changed_files: ${report.nChangedFiles} rows -> $out")
+    spark.stop()
+  }
+}

@@ -110,6 +110,28 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SparkSessionExtensions hook: inject the vector functions at session
+  * build time so every session (including SQL-only users) sees them
+  * without an explicit register() call:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}
+
 object VectorFunctions {
   /** Analysis-time input validation (ExpectsInputTypes is unusable
     * outside org.apache.spark.sql — AbstractDataType is private[sql]).

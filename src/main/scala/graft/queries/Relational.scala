@@ -341,6 +341,22 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (SURVEY.md §2.4) — the general form that
+    * rollup/cube specialize: per-(status,priority), per-status, and
+    * grand total, in one pass.
+    */
+  def q_agg_groupset(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** JSON extraction (SURVEY.md §2.9: events.props is JSON text). */
   def q_json_fn(s: SparkSession, d: String): DataFrame =
     events(s, d)
