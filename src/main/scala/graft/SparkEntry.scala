@@ -39,6 +39,8 @@ object SparkEntry {
     "q_agg_approx"   -> (Relational.q_agg_approx _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
     "q_agg_groupset" -> (Relational.q_agg_groupset _),
+    "q_percentile"   -> (Relational.q_percentile _),
+    "q_array_fn"     -> (Relational.q_array_fn _),
     "q_agg_cube"     -> (Relational.q_agg_cube _),
     // §2.6 sorts / top-k
     "q_sort" -> (Relational.q_sort _),
@@ -160,6 +162,20 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_array_fn" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5) AS first5_sorted,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  string_split(text, ' ')[-1] AS last_word,
+        |  list_aggregate(string_split(text, ' '), 'max') AS max_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
         |  coalesce(l_linestatus,'ALL') AS linestatus,

@@ -341,6 +341,36 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
   }
 
+  /** Exact percentiles per group (sort-based `percentile`; at scale the
+    * sketch path is `approx_percentile` — same call shape, bounded
+    * memory). Interpolated values of 2-decimal inputs terminate within
+    * 3 decimals, so round-4 is engine-exact.
+    */
+  def q_percentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Array-function battery (SURVEY.md §2.9: the changed_files array
+    * column motivates first-class array ops).
+    */
+  def q_array_fn(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        slice(array_sort(array_distinct(w)), 1, 5).as("first5_sorted"),
+        array_contains(w, "the").as("has_the"),
+        element_at(w, -1).as("last_word"),
+        array_max(w).as("max_word"))
+      .orderBy("doc_id")
+  }
+
   /** Explicit GROUPING SETS (SURVEY.md §2.4) — the general form that
     * rollup/cube specialize: per-(status,priority), per-status, and
     * grand total, in one pass.

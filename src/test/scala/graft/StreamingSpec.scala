@@ -84,6 +84,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(ns == Seq(1L, 2L))
   }
 
+  test("file-source streaming tumble matches the batch result") {
+    // readStream over parquet files (the production source shape):
+    // write the µs-normalized events out, stream them back, and compare
+    // against the batch aggregation on the same data.
+    val batch = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("stream-src").toString
+    batch.write.mode("overwrite").parquet(s"$tmp/events")
+    val streamed = spark.readStream
+      .schema(batch.schema)
+      .parquet(s"$tmp/events")
+    val q = StreamingOps.tumblingCounts(streamed)
+      .writeStream.format("memory").queryName("file_tumble").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("file_tumble")
+      .groupBy("w_start", "event_type").agg(sum("n").as("n"))
+    val expected = batch
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes stateful duplicates") {
     val input = MemoryStream[Ev]
     input.addData(
