@@ -41,6 +41,8 @@ object SparkEntry {
     "q_agg_groupset" -> (Relational.q_agg_groupset _),
     "q_percentile"   -> (Relational.q_percentile _),
     "q_array_fn"     -> (Relational.q_array_fn _),
+    "q_null_fn"      -> (Relational.q_null_fn _),
+    "q_sim_ivf"      -> (SimilarityOps.q_sim_ivf _),
     "q_agg_cube"     -> (Relational.q_agg_cube _),
     // §2.6 sorts / top-k
     "q_sort" -> (Relational.q_sort _),
@@ -162,6 +164,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "q_null_fn" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'P') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'P'), '(pending)') AS status_filled,
+        |  nullif(o_orderstatus, 'P') IS NULL AS was_pending,
+        |  CASE WHEN o_totalprice > 250000.0 THEN 'high'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'low' END AS price_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

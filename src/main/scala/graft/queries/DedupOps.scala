@@ -21,7 +21,7 @@ object DedupOps {
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).
     */
-  private[queries] def shingles3(text: Column): Column = {
+  def shingles3(text: Column): Column = {
     val w = split(text, " ")
     when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3), i => concat_ws(" ", slice(w, i + 1, lit(3)))))

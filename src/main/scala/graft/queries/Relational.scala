@@ -341,6 +341,22 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
   }
 
+  /** Null-handling battery (SURVEY.md §2.9 F2: the reference's
+    * sentinel-default pattern is coalesce; here with real NULL
+    * production via nullif and three-valued logic).
+    */
+  def q_null_fn(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("(pending)")).as("status_filled"),
+        nullif(col("o_orderstatus"), lit("P")).isNull.as("was_pending"),
+        when(col("o_totalprice") > 250000.0, "high")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("low").as("price_band"))
+      .orderBy("o_orderkey")
+
   /** Exact percentiles per group (sort-based `percentile`; at scale the
     * sketch path is `approx_percentile` — same call shape, bounded
     * memory). Interpolated values of 2-decimal inputs terminate within

@@ -60,6 +60,59 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style ANN (the other scale path besides LSH): coarse-quantize
+    * vectors to their nearest of K centroids (one broadcast pass), then
+    * search only the `nprobe` most promising cells per query. No
+    * DuckDB oracle (assignment is a ranking artifact) — the unit test
+    * asserts every returned cosine equals the exact brute-force value
+    * and ranks are consistent.
+    *
+    * "Training" is deterministic: the first K vectors serve as
+    * centroids (a production pipeline would run a few Lloyd
+    * iterations — same join shape, the assignment pass below is
+    * exactly the k-means E-step). At 100 TB: centroids broadcast (KB),
+    * the corpus partitions by cell, and a query touches nprobe/K of
+    * the data.
+    */
+  def q_sim_ivf(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val k = 16
+    val nprobe = 4
+    val e = embeddings(s, d)
+    val centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // E-step: nearest centroid per vector (broadcast K×dim, rank 1)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        expr("cosine_sim(embedding, cv)").as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // queries probe their nprobe nearest cells
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        expr("cosine_sim(qv, cv)").as("cos_c"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    // search only the probed cells
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Scale path for ANN: random-hyperplane LSH bucketing — sign-bit
     * sketch of r random projections = bucket key; only same-bucket
     * pairs are scored. Deterministic seeded projections via xxhash64

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.MinHashAggregator
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggregatorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash8 UDAF equals the expression-pipeline signature") {
+    val minhash8 = udaf(MinHashAggregator)
+    val exploded = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode(graft.queries.DedupOps.shingles3(col("text"))).as("x"))
+    val viaUdaf = exploded.groupBy("doc_id")
+      .agg(minhash8(col("x")).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toVector).toMap
+    val viaExprs = graft.queries.DedupOps.q_minhash(spark, sf)
+      .filter(col("doc_id") < 50)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (1 to 8).map(i => r.getAs[String](s"h$i")).toVector).toMap
+    assert(viaUdaf == viaExprs)
+  }
+
+  test("mapGroupsWithState accumulates per-user stats across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, v: Double) =
+      StatefulOps.Ev(id, Timestamp.valueOf("2024-01-01 10:00:00"), u, "purchase", v)
+    val input = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("user_stats").outputMode("update").start()
+    input.addData(ev(1, 7, 100.0), ev(2, 7, 50.0), ev(3, 8, 900.0))
+    q.processAllAvailable()
+    input.addData(ev(4, 7, 25.0), ev(5, 8, 200.0)) // state must carry over
+    q.processAllAvailable()
+    q.stop()
+    // last update per user reflects the cumulative state
+    val last = spark.table("user_stats").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n")) }
+    assert(last(7L).getAs[Long]("n") == 3 && last(7L).getAs[Double]("total") == 175.0)
+    assert(last(8L).getAs[Long]("n") == 2 && last(8L).getAs[Double]("total") == 1100.0)
+    assert(last(8L).getAs[Boolean]("highSpender"))
+    assert(!last(7L).getAs[Boolean]("highSpender"))
+  }
+
+  test("IVF results carry exact cosines and consistent ranks") {
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    ivf.foreach { r =>
+      val exact = BigDecimal(cos(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("neighbor_id"))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("cosine") - exact) < 1e-9)
+    }
+    ivf.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+}
