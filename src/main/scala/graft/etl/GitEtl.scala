@@ -61,22 +61,24 @@ object GitEtl {
 
     val (candidates, ignored) = GitLogSource.scanDirectories(root, maxDepth, config.ignoredRepositories)
 
-    // One task per repository: the work-list is tiny (paths), the work
-    // is in the tasks — repartition to one repo per partition exactly
-    // like the reference's task-per-repo fanout (analyzer.rs:222-230).
-    // Extracted once, cached: the report reads only repo-level
-    // metadata; the commit rows stay distributed.
-    val resultsDs = spark
-      .createDataset(candidates.map(_.toString))
-      .repartition(math.max(1, candidates.size))
-      .mapPartitions(_.map(p => GitLogSource.extractRepo(Paths.get(p))))
-      .persist()
+    // Cheap validation pass on the driver (HEAD resolution only, no
+    // history reads): splits the work-list into extractable repos and
+    // the failure report — the reference's silent skip (analyzer.rs:351)
+    // surfaced as data.
+    val validated = candidates.map(p => p -> GitLogSource.validateRepo(p))
+    val failed    = validated.collect { case (p, Some(e)) => p.getFileName.toString -> e }.toMap
+    val okPaths   = validated.collect { case (p, None) => p.toString }
+    val analyzed  = okPaths.map(p => Paths.get(p).getFileName.toString).sorted
 
-    val meta     = resultsDs.map(r => (r.repo_name, r.error)).collect()
-    val failed   = meta.collect { case (n, Some(e)) => n -> e }.toMap
-    val analyzed = meta.collect { case (n, None) => n }.sorted.toSeq
-
-    val commits = resultsDs.flatMap(_.commits)
+    // One task per repository (the reference's task-per-repo fanout,
+    // analyzer.rs:222-230), but STREAMING: git log output is parsed
+    // line-by-line, so executor memory per repo is O(one commit), not
+    // O(history) — the reference holds each repo's full history in a
+    // Vec (repository.rs:114,185), its main scale hazard.
+    val commits = spark
+      .createDataset(okPaths)
+      .repartition(math.max(1, okPaths.size))
+      .mapPartitions(_.flatMap(p => GitLogSource.streamRepo(Paths.get(p))))
 
     // Author normalization (J1): broadcast the email→name map and
     // override the *name* only (repository.rs:167-171). A literal

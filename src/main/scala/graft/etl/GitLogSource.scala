@@ -127,51 +127,100 @@ object GitLogSource {
     Process(cmd, dir).!!
   }
 
-  /** Parse `git log --numstat` blocks into CommitRows. */
-  def parseLog(
-      out: String, repoName: String, repoPath: String, url: String): Seq[CommitRow] = {
-    val rows = Vector.newBuilder[CommitRow]
-    var current: CommitRow = null
-    var ins = 0L
-    var del = 0L
-    var files = Vector.newBuilder[String]
+  /** Cheap repo validation for the report pass: confirms the path is a
+    * git repository with a resolvable HEAD without reading any history.
+    */
+  def validateRepo(path: Path): Option[String] = {
+    if (!(Files.isDirectory(path.resolve(".git")) || isBareRepo(path)))
+      Some(s"not a git repository: $path")
+    else {
+      val ok = Try(Process(Seq("git", "rev-parse", "--verify", "HEAD"), path.toFile).!!).isSuccess
+      if (ok) None else Some(s"cannot resolve HEAD in $path")
+    }
+  }
 
-    def flush(): Unit = if (current != null) {
-      rows += current.copy(
-        insertions = ins, deletions = del, changed_files = files.result())
-      ins = 0L; del = 0L; files = Vector.newBuilder[String]
+  /** Stream one repository's commits WITHOUT materializing the whole
+    * history: `git log` output is consumed line-by-line through a lazy
+    * iterator, so executor memory per repo is O(one commit), not
+    * O(history) — the reference holds the entire repo in a Vec
+    * (repository.rs:114,185), which SURVEY.md §4 flags as its OOM risk
+    * at scale; this is the Spark-side fix.
+    */
+  def streamRepo(path: Path): Iterator[CommitRow] = {
+    val name = path.getFileName.toString
+    val url  = remoteUrl(path.toFile)
+    val cmd = Seq(
+      "git", "-c", "diff.ignoreSubmodules=all", "log",
+      "--no-merges", "--date-order", "--numstat",
+      "--find-renames=100%", "--find-copies=100%",
+      s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%at$FieldSep%s")
+    val lines = Process(cmd, path.toFile).lazyLines_!
+    parseLines(lines.iterator, name, path.toString, url)
+  }
+
+  /** Incremental block parser over `git log --numstat` lines. */
+  def parseLines(
+      lines: Iterator[String], repoName: String, repoPath: String,
+      url: String): Iterator[CommitRow] = new Iterator[CommitRow] {
+    private var current: CommitRow = null
+    private var ins = 0L
+    private var del = 0L
+    private var files = Vector.newBuilder[String]
+    private var pending: CommitRow = null
+    private var done = false
+
+    private def finishCurrent(): CommitRow = {
+      val r = current.copy(insertions = ins, deletions = del, changed_files = files.result())
+      current = null; ins = 0L; del = 0L; files = Vector.newBuilder[String]
+      r
     }
 
-    out.linesIterator.foreach { line =>
-      if (line.nonEmpty && line.charAt(0) == HeaderMark) {
-        flush()
-        val f = line.substring(1).split(FieldSep.toString, -1)
-        val parents = f(1).split(' ').filter(_.nonEmpty)
-        current = CommitRow(
-          repo_name = repoName,
-          repo_path = repoPath,
-          repo_url = url,
-          commit_hash = f(0),
-          parent_hash = parents.headOption.getOrElse(ZeroOid),
-          author_name = if (f(2).isEmpty) NoAuthorName else f(2),
-          author_email = if (f(3).isEmpty) NoAuthorEmail else f(3),
-          commit_epoch = f(4).toLong,
-          message = if (f(5).isEmpty) NoSummary else f(5),
-          insertions = 0L, deletions = 0L, changed_files = Nil)
-      } else if (line.nonEmpty && current != null) {
-        // numstat: "<ins>\t<del>\t<path>"; '-' for binary counts as 0
-        // (libgit2 stats count 0 lines for binary deltas).
-        val parts = line.split('\t')
-        if (parts.length >= 3) {
-          ins += Try(parts(0).toLong).getOrElse(0L)
-          del += Try(parts(1).toLong).getOrElse(0L)
-          files += newPath(parts.drop(2).mkString("\t"))
+    private def advance(): Unit = {
+      while (pending == null && !done) {
+        if (!lines.hasNext) {
+          done = true
+          if (current != null) pending = finishCurrent()
+        } else {
+          val line = lines.next()
+          if (line.nonEmpty && line.charAt(0) == HeaderMark) {
+            if (current != null) pending = finishCurrent()
+            val f = line.substring(1).split(FieldSep.toString, -1)
+            val parents = f(1).split(' ').filter(_.nonEmpty)
+            current = CommitRow(
+              repo_name = repoName, repo_path = repoPath, repo_url = url,
+              commit_hash = f(0),
+              parent_hash = parents.headOption.getOrElse(ZeroOid),
+              author_name = if (f(2).isEmpty) NoAuthorName else f(2),
+              author_email = if (f(3).isEmpty) NoAuthorEmail else f(3),
+              commit_epoch = f(4).toLong,
+              message = if (f(5).isEmpty) NoSummary else f(5),
+              insertions = 0L, deletions = 0L, changed_files = Nil)
+          } else if (line.nonEmpty && current != null) {
+            val parts = line.split('\t')
+            if (parts.length >= 3) {
+              ins += Try(parts(0).toLong).getOrElse(0L)
+              del += Try(parts(1).toLong).getOrElse(0L)
+              files += newPath(parts.drop(2).mkString("\t"))
+            }
+          }
         }
       }
     }
-    flush()
-    rows.result()
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): CommitRow = {
+      advance()
+      if (pending == null) throw new NoSuchElementException
+      val r = pending; pending = null; r
+    }
   }
+
+  /** Parse a complete `git log --numstat` dump (delegates to the
+    * incremental parser; used by extractRepo and tests).
+    */
+  def parseLog(
+      out: String, repoName: String, repoPath: String, url: String): Seq[CommitRow] =
+    parseLines(out.linesIterator, repoName, repoPath, url).toVector
 
   /** Resolve a numstat path to the delta's NEW path
     * (repository.rs:149-152): handles both `old => new` and the

@@ -122,27 +122,31 @@ object SimilarityOps {
     */
   def q_sim_lsh(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val dims = 64
-    val nBits = 8
+    val dims    = 64
+    val nBits   = 8  // bucket width: P(same bucket | near-dup) per table
+    val nTables = 4  // independent tables: recall ≈ 1-(1-p^bits)^tables
     // Deterministic pseudo-random hyperplanes: component j of plane b
-    // = ±1 from xxhash64(b, j). Sign sketch is a cheap array expr.
-    val planes: Seq[Seq[Double]] = (0 until nBits).map { b =>
+    // in table t = ±1 from a seeded hash. Sign sketch per table.
+    def planes(t: Int): Seq[Array[Float]] = (0 until nBits).map { b =>
       (0 until dims).map { j =>
-        val h = scala.util.hashing.MurmurHash3.productHash((b, j, 42))
-        if (h % 2 == 0) 1.0 else -1.0
-      }
+        val h = scala.util.hashing.MurmurHash3.productHash((t, b, j, 42))
+        if (h % 2 == 0) 1.0f else -1.0f
+      }.toArray
     }
     val e = embeddings(s, d)
     // Each sketch bit is one codegen'd dot_product against a literal
-    // plane vector — 8 tight primitive loops instead of a 512-term
+    // plane vector — tight primitive loops instead of a 512-term
     // scalar expression tree (which would blow past the JIT/codegen
     // method-size limit and fall back to interpreted projection).
-    val sketch = (0 until nBits).map { b =>
-      val dot = call_function("dot_product",
-        col("embedding"), typedLit(planes(b).map(_.toFloat).toArray))
+    def sketch(t: Int) = (0 until nBits).map { b =>
+      val dot = call_function("dot_product", col("embedding"), typedLit(planes(t)(b)))
       when(dot >= 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    val bucketed = e.select(col("vec_id"), col("embedding"), sketch.as("bucket"))
+    }.reduce(_ + _) + lit(t.toLong << 32) // disjoint bucket spaces per table
+    // multi-table: one (vec, bucket) row per table, like LSH banding —
+    // candidates = pairs sharing ANY table's bucket
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nTables).map(sketch): _*)).as("bucket"))
+      .persist()
     val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -150,6 +154,7 @@ object SimilarityOps {
       .select(col("vec_a"), col("vec_b"),
         round(expr("cosine_sim(va, vb)"), 6).as("cosine"))
       .filter(col("cosine") > 0.35)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 }
