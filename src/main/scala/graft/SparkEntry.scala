@@ -42,6 +42,8 @@ object SparkEntry {
     "q_percentile"   -> (Relational.q_percentile _),
     "q_array_fn"     -> (Relational.q_array_fn _),
     "q_null_fn"      -> (Relational.q_null_fn _),
+    "q_pivot"        -> (Relational.q_pivot _),
+    "q_unpivot"      -> (Relational.q_unpivot _),
     "q_sim_ivf"      -> (SimilarityOps.q_sim_ivf _),
     "q_agg_cube"     -> (Relational.q_agg_cube _),
     // §2.6 sorts / top-k
@@ -164,6 +166,18 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT * FROM (
+        |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
     "q_null_fn" ->
       """SELECT o_orderkey,
         |  nullif(o_orderstatus, 'P') AS status_or_null,

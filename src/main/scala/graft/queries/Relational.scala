@@ -341,6 +341,34 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
   }
 
+  /** Pivot — long→wide conditional aggregation (explicit value list so
+    * the plan needs no discovery pass; absent cells coalesce to 0 to
+    * match SQL conditional counts).
+    */
+  def q_pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot (melt) — wide→long, the inverse shape. */
+  def q_unpivot(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")),
+        "metric", "val")
+      .orderBy("p_partkey", "metric")
+
   /** Null-handling battery (SURVEY.md §2.9 F2: the reference's
     * sentinel-default pattern is coalesce; here with real NULL
     * production via nullif and three-valued logic).
