@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must run (not crash) over 0-row inputs —
+  * empty partitions and empty tables are routine at scale, and plans
+  * with windows/aggregates/generators all have empty-input edge paths.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emptyDir: String = {
+    val tmp = Files.createTempDirectory("empty-sf").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      // limit(0) through the real readers keeps the exact column types
+      // (events goes through the nanos shim → plain bigint ts on disk,
+      // which the shim reads back unchanged).
+      val src =
+        if (t == "events")
+          spark.read.parquet(s"$sf/$t.parquet") // raw: preserves ts as long via conf set by Tables.events earlier
+        else Tables.table(spark, sf, t)
+      src.limit(0).write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    tmp
+  }
+
+  // global aggregates (no GROUP BY) correctly emit one row over empty
+  // input: count=0, sum=null — standard SQL semantics
+  private val globalAggs = Set("q_agg_count", "q_agg_distinct", "q_agg_approx")
+
+  test("all declared queries run on empty tables with the expected cardinality") {
+    // ensure the nanosAsLong conf is set before reading raw events
+    Tables.events(spark, sf).count()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, emptyDir).count()
+      val expected = if (globalAggs(name)) 1L else 0L
+      assert(n == expected, s"$name returned $n rows on empty input (expected $expected)")
+    }
+  }
+}
