@@ -44,6 +44,12 @@ object SparkEntry {
     "q_null_fn"      -> (Relational.q_null_fn _),
     "q_pivot"        -> (Relational.q_pivot _),
     "q_unpivot"      -> (Relational.q_unpivot _),
+    "q_regexp_fn"    -> (Relational.q_regexp_fn _),
+    "q_cond_agg"     -> (Relational.q_cond_agg _),
+    "q_stats_agg"    -> (Relational.q_stats_agg _),
+    "q_bit_fn"       -> (Relational.q_bit_fn _),
+    "q_having"       -> (Relational.q_having _),
+    "q_subquery"     -> (Relational.q_subquery _),
     "q_sim_ivf"      -> (SimilarityOps.q_sim_ivf _),
     "q_agg_cube"     -> (Relational.q_agg_cube _),
     // §2.6 sorts / top-k
@@ -166,6 +172,42 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "q_regexp_fn" ->
+      """SELECT doc_id,
+        |  regexp_extract(source, 'src(\d+)', 1) AS src_num,
+        |  regexp_matches(text, '\bspark\b') AS mentions_spark,
+        |  len(regexp_extract_all(text, '\btable\b')) AS n_table
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 250000.0) AS n_big,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_order
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(avg(l_tax), 6) AS avg_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_bit_fn" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 16 AS with_flag,
+        |  xor(o_orderkey, o_custkey) AS xored,
+        |  o_orderkey << 2 AS shifted
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+    "q_subquery" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS rel_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,

@@ -341,6 +341,75 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
   }
 
+  /** Regex function battery: extract / match-test / count. */
+  def q_regexp_fn(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("source"), "src(\\d+)", 1).as("src_num"),
+        col("text").rlike("\\bspark\\b").as("mentions_spark"),
+        size(regexp_extract_all(col("text"), lit("\\btable\\b"), lit(0))).cast("long").as("n_table"))
+      .orderBy("doc_id")
+
+  /** Conditional / selective aggregates: count_if, every/any, min_by /
+    * max_by (the arg-extremum pattern used across the dedup family).
+    */
+  def q_cond_agg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 250000.0).as("n_big"),
+        every(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"))
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregates: stddev/variance/correlation. Rounded at 4
+    * decimals — both engines use numerically stable one-pass updates
+    * whose results agree far beyond that precision at this scale.
+    */
+  def q_stats_agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(avg(col("l_tax")), 6).as("avg_tax"))
+      .orderBy("l_returnflag")
+
+  /** Bitwise function battery. */
+  def q_bit_fn(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255)).as("low_byte"),
+        (col("o_orderkey").bitwiseOR(16)).as("with_flag"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("xored"),
+        shiftleft(col("o_orderkey"), 2).as("shifted"))
+      .orderBy("o_orderkey")
+
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def q_having(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), money(sum(dec2(col("o_totalprice")))).as("spend"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+
+  /** Scalar subquery: each order's price relative to the global
+    * average (Catalyst plans the subquery once and broadcasts the
+    * scalar).
+    */
+  def q_subquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS rel_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Pivot — long→wide conditional aggregation (explicit value list so
     * the plan needs no discovery pass; absent cells coalesce to 0 to
     * match SQL conditional counts).
