@@ -48,6 +48,7 @@ object GitEtl {
     etl("repositories").write.mode("overwrite").parquet(s"$outDir/repositories.parquet")
     etl("logs").write.mode("overwrite").parquet(s"$outDir/logs.parquet")
     etl("changed_files").write.mode("overwrite").parquet(s"$outDir/changed_files.parquet")
+    etl("logs_raw").unpersist() // extraction cache released after the writes
     report
   }
 
@@ -84,23 +85,34 @@ object GitEtl {
     // override the *name* only (repository.rs:167-171). A literal
     // MapType rides inside codegen — zero shuffle, like the
     // reference's in-process HashMap.
+    //
+    // Persisted: the extraction lineage (git subprocess + parse) feeds
+    // the report counts AND all three table writes — without caching,
+    // every downstream action would re-run `git log` over every repo
+    // (~5 full extractions per ETL run). Released in run() after the
+    // writes; dataframes() callers can unpersist via the returned map's
+    // "logs_raw" entry.
     val authorMapCol = typedLit(config.authorMap)
     val logsRaw = commits.toDF()
       .withColumn("author_name",
         coalesce(element_at(authorMapCol, col("author_email")), col("author_name")))
+      .persist()
 
-    // Deterministic surrogate key: dense_rank over name. The repo set
-    // is small (a work-list); the window over it is driver-scale, not
-    // data-scale.
-    val repositories = logsRaw
-      .select(col("repo_name").as("name"), col("repo_url").as("url"))
+    // Deterministic surrogate key: dense_rank over (name, path). The
+    // repo identity key is the unique repo_path — two checkouts with
+    // the same directory basename (root/team1/app, root/team2/app) are
+    // distinct repositories and must not merge or duplicate; `name` in
+    // the output stays the basename for reference parity.
+    val repoWindow = org.apache.spark.sql.expressions.Window.orderBy("name", "path")
+    val repoDim = logsRaw
+      .select(col("repo_name").as("name"), col("repo_path").as("path"), col("repo_url").as("url"))
       .distinct()
-      .withColumn("repo_id",
-        dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy("name", "url")).cast("long"))
-      .select("repo_id", "name", "url")
+      .withColumn("repo_id", dense_rank().over(repoWindow).cast("long"))
+
+    val repositories = repoDim.select("repo_id", "name", "url")
 
     val logs = logsRaw
-      .join(broadcast(repositories), logsRaw("repo_name") === repositories("name"))
+      .join(broadcast(repoDim), logsRaw("repo_path") === repoDim("path"))
       .select(
         col("commit_hash"),
         col("parent_hash"),
@@ -126,6 +138,7 @@ object GitEtl {
     (Map(
       "repositories" -> repositories,
       "logs" -> logs,
-      "changed_files" -> changedFiles), report)
+      "changed_files" -> changedFiles,
+      "logs_raw" -> logsRaw), report)
   }
 }

@@ -118,14 +118,19 @@ object GitLogSource {
     raw.replace("git@github.com:", "https://github.com/")
   }
 
-  private def gitLog(dir: File): String = {
-    val cmd = Seq(
-      "git", "-c", "diff.ignoreSubmodules=all", "log",
-      "--no-merges", "--date-order", "--numstat",
-      "--find-renames=100%", "--find-copies=100%",
-      s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%at$FieldSep%s")
-    Process(cmd, dir).!!
-  }
+  /** The one git-log command both extraction paths share.
+    * core.quotePath=false keeps non-ASCII paths raw (git's default
+    * C-quotes/octal-escapes them in numstat output, which would diverge
+    * from the reference's raw libgit2 paths).
+    */
+  private def logCommand: Seq[String] = Seq(
+    "git", "-c", "diff.ignoreSubmodules=all", "-c", "core.quotePath=false", "log",
+    "--no-merges", "--date-order", "--numstat",
+    "--find-renames=100%", "--find-copies=100%",
+    s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%at$FieldSep%s")
+
+  private def gitLog(dir: File): String =
+    Process(logCommand, dir).!!
 
   /** Cheap repo validation for the report pass: confirms the path is a
     * git repository with a resolvable HEAD without reading any history.
@@ -149,12 +154,7 @@ object GitLogSource {
   def streamRepo(path: Path): Iterator[CommitRow] = {
     val name = path.getFileName.toString
     val url  = remoteUrl(path.toFile)
-    val cmd = Seq(
-      "git", "-c", "diff.ignoreSubmodules=all", "log",
-      "--no-merges", "--date-order", "--numstat",
-      "--find-renames=100%", "--find-copies=100%",
-      s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%at$FieldSep%s")
-    val lines = Process(cmd, path.toFile).lazyLines_!
+    val lines = Process(logCommand, path.toFile).lazyLines_!
     parseLines(lines.iterator, name, path.toString, url)
   }
 

@@ -31,12 +31,18 @@ object Main {
     var threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     var clear = false
     var i = 1
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"$flag requires a value"); sys.exit(2)
+      }
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--out"         => out = args(i + 1); i += 2
-        case "--config"      => configPath = Some(args(i + 1)); i += 2
-        case "--max-depth"   => maxDepth = args(i + 1).toInt; i += 2
-        case "--num-threads" => threads = args(i + 1).toInt; i += 2
+        case "--out"         => out = value("--out"); i += 2
+        case "--config"      => configPath = Some(value("--config")); i += 2
+        case "--max-depth"   => maxDepth = value("--max-depth").toInt; i += 2
+        case "--num-threads" => threads = value("--num-threads").toInt; i += 2
         case "--clear"       => clear = true; i += 1 // parquet overwrite is implicit
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }

@@ -88,7 +88,7 @@ object Multimodal {
   def frameSample(s: SparkSession, d: String, frameBytes: Int = 64): DataFrame = {
     val nFrames = ceil(length(col("bytes")).cast("double") / frameBytes).cast("int")
     mediaTable(s, d)
-      .filter(col("kind") === "video")
+      .filter(col("kind") === "video" && length(col("bytes")) > 0)
       .select(
         col("media_id"),
         posexplode(transform(sequence(lit(0), nFrames - 1),

@@ -162,6 +162,40 @@ class GitEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("same-named repos in different directories stay distinct (no dup/merge)") {
+    val r = Files.createTempDirectory("etl-dup")
+    Seq("team1", "team2").foreach { team =>
+      val repo = Files.createDirectories(r.resolve(team).resolve("app"))
+      git(repo, "init", "-q", "-b", "main")
+      git(repo, "config", "user.email", s"$team@x.io")
+      git(repo, "config", "user.name", team)
+      Files.writeString(repo.resolve(s"$team.txt"), s"$team\n")
+      git(repo, "add", ".")
+      commit(repo, s"$team commit", date = "2024-03-01T00:00:00Z")
+    }
+    val (t, rep) = GitEtl.dataframes(spark, r, EtlConfig(), maxDepth = 2)
+    assert(rep.analyzed == Seq("app", "app"))
+    val repos = t("repositories").collect()
+    assert(repos.length == 2 && repos.map(_.getAs[Long]("repo_id")).toSet == Set(1L, 2L))
+    val logs = t("logs").collect()
+    assert(logs.length == 2, "each commit must appear exactly once")
+    assert(logs.map(_.getAs[Long]("repository_id")).toSet == Set(1L, 2L))
+  }
+
+  test("non-ASCII file paths come through unquoted") {
+    val r = Files.createTempDirectory("etl-utf8")
+    val repo = Files.createDirectory(r.resolve("uni"))
+    git(repo, "init", "-q", "-b", "main")
+    git(repo, "config", "user.email", "u@x.io")
+    git(repo, "config", "user.name", "U")
+    Files.writeString(repo.resolve("café.txt"), "x\n")
+    git(repo, "add", ".")
+    commit(repo, "unicode path", date = "2024-03-02T00:00:00Z")
+    val (t, _) = GitEtl.dataframes(spark, r, EtlConfig(), maxDepth = 1)
+    val files = t("changed_files").collect().map(_.getAs[String]("file_path"))
+    assert(files.toSeq == Seq("café.txt"), files.mkString(","))
+  }
+
   test("config TOML-subset parser") {
     val cfg = EtlConfig.parse(Seq(
       """# comment""",
