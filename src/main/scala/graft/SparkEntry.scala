@@ -103,12 +103,12 @@ object SparkEntry {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_quantity > 30
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
         |WHERE l_quantity >= 45 AND l_discount < 0.05 AND l_returnflag <> 'A'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
     "q_filter_isin" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
         |WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_nationkey NOT IN (3,7)
@@ -303,7 +303,7 @@ object SparkEntry {
         |  abs(l_discount - 0.05) AS disc_dev,
         |  l_orderkey % 7 AS key_mod7
         |FROM lineitem WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, net, qty_ceil, tax_pct, price_sqrt""".stripMargin,
     "q_json_fn" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50

@@ -40,7 +40,10 @@ object Relational {
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       .filter(col("l_quantity") > 30)
-      .orderBy("l_orderkey", "l_linenumber")
+      // order by ALL output columns: (l_orderkey, l_linenumber) is NOT
+      // unique in the synthetic lineitem, and full-row ordering is the
+      // only engine-stable total order with duplicate keys
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
   /** Conjunctive predicate filter (SURVEY.md §2.2 P1/P2: the reference's
     * merge-commit and valid-tree filters — repository.rs:112-113 — are
@@ -50,7 +53,7 @@ object Relational {
     lineitem(s, d)
       .filter(col("l_quantity") >= 45 && col("l_discount") < 0.05 && col("l_returnflag") =!= "A")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
 
   /** Membership-list filter (SURVEY.md §2.2 P4: the reference's
     * configured ignore-list, analyzer.rs:120-125). IN-lists compile to
@@ -320,7 +323,7 @@ object Relational {
         round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
         abs(col("l_discount") - 0.05).cast("double").as("disc_dev"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "net", "qty_ceil", "tax_pct", "price_sqrt")
 
   /** The SQL entry surface (SURVEY.md §3.3: the reference's only read
     * query runs as SQL inside SQLite; ours runs through spark.sql over

@@ -53,8 +53,25 @@ def main():
         if bad:
             print(f"  X {name}: {len(bad)}/{len(sp_rows)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
             n_fail += 1
+            continue
+        # order-sensitive re-check: every query ORDERs BY a unique key,
+        # so the raw (unsorted) row sequences must also match — guards
+        # against a driver compare that hashes in row order.
+        sp_raw = [tuple(r) for r in sp.fetchall()] if False else None
+        du2 = con.sql(oracle[name]).fetchall()
+        sp2 = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
+        order = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])  # align col order
+        du_cols_orig = [d[0] for d in con.sql(oracle[name]).description]
+        du_order = {c: i for i, c in enumerate(du_cols_orig)}
+        sp_cols_orig = [d[0] for d in con.sql(f"SELECT * FROM '{qdir}/*.parquet'").description]
+        proj = [du_order[c] for c in sp_cols_orig]
+        du2_proj = [tuple(r[i] for i in proj) for r in du2]
+        mismatch = next((i for i, (a, b) in enumerate(zip(sp2, du2_proj)) if tuple(a) != b), None)
+        if mismatch is not None:
+            print(f"  X {name}: ROW-ORDER mismatch at row {mismatch}: spark={sp2[mismatch]} duck={du2_proj[mismatch]}")
+            n_fail += 1
         else:
-            print(f"  ok {name} ({len(sp_rows)} rows)")
+            print(f"  ok {name} ({len(sp_rows)} rows, ordered)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
