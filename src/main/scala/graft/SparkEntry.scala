@@ -182,8 +182,8 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_totalprice > 250000.0) AS n_big,
         |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
-        |  arg_max(o_orderkey, o_totalprice) AS top_order,
-        |  arg_min(o_orderkey, o_totalprice) AS bottom_order
+        |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)*10000000 + o_orderkey) AS top_order,
+        |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)*10000000 + o_orderkey) AS bottom_order
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stats_agg" ->
       """SELECT l_returnflag,

@@ -42,6 +42,7 @@ object MinHashAggregator extends Aggregator[String, Array[String], Array[String]
   override def zero: Array[String] = Array.fill(NumHashes)(Top)
 
   override def reduce(b: Array[String], x: String): Array[String] = {
+    if (x == null) return b // match the expression pipeline: min() skips nulls
     var i = 0
     while (i < NumHashes) {
       val h = hash16(i + 1, x)

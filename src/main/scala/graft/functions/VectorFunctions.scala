@@ -27,10 +27,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // dimension mismatch -> NULL, never a silent prefix computation
+    // (the DuckDB oracle errors on mismatched lengths; a wrong-but-
+    // plausible similarity is the worst possible failure mode)
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -53,15 +59,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi   = ctx.freshName("yi")
       val den  = ctx.freshName("den")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  double $den = Math.sqrt($nx) * Math.sqrt($ny);
+         |  ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
          |}
-         |double $den = Math.sqrt($nx) * Math.sqrt($ny);
-         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
        """.stripMargin
     })
 
@@ -81,10 +91,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // see CosineSimilarity
     var dot = 0.0; var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     dot
@@ -96,12 +109,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val d = ctx.freshName("dot")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $d = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $d += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $d;
          |}
-         |${ev.value} = $d;
        """.stripMargin
     })
 
@@ -124,11 +141,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val (l, r) = VectorFunctions.twoArgs("cosine_sim", exprs); CosineSimilarity(l, r)
+      }))
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val (l, r) = VectorFunctions.twoArgs("dot_product", exprs); DotProduct(l, r)
+      }))
   }
 }
 
@@ -151,11 +172,16 @@ object VectorFunctions {
   /** Register `cosine_sim` / `dot_product` for use via `expr(...)` and
     * SQL. Idempotent per session.
     */
+  private[functions] def twoArgs(name: String, exprs: Seq[Expression]): (Expression, Expression) = {
+    require(exprs.length == 2, s"$name requires exactly 2 arguments, got ${exprs.length}")
+    (exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", exprs => { val (l, r) = twoArgs("cosine_sim", exprs); CosineSimilarity(l, r) }, "built-in")
     reg.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => { val (l, r) = twoArgs("dot_product", exprs); DotProduct(l, r) }, "built-in")
   }
 }

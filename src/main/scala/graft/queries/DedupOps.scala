@@ -42,7 +42,14 @@ object DedupOps {
     * min on fixed-width lowercase hex == numeric min, identically in
     * Spark and DuckDB.
     */
-  def q_minhash(s: SparkSession, d: String): DataFrame = {
+  def q_minhash(s: SparkSession, d: String): DataFrame =
+    signatures(s, d).orderBy("doc_id")
+
+  /** Unsorted signature table — the internal form (q_dedup_minhash
+    * consumes this so the presentation sort isn't materialized into
+    * the cache and immediately destroyed by the band join's shuffle).
+    */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
     // documents is a few small parquet files -> 1-2 input partitions.
     // The hashing is CPU-bound and row-local, so fan out to all cores
     // first: partition count for a heavy narrow stage must track
@@ -52,7 +59,7 @@ object DedupOps {
       .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
     val mins = (1 to 8).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("x"))), 1, 16)).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs: 2 bands × 4 rows, self-join
@@ -73,7 +80,7 @@ object DedupOps {
     // without this, alias-divergent subplans defeat ReuseExchange and
     // the signatures are recomputed up to 8× (measured 21s → ~2s at
     // sf0.1).
-    val sig = q_minhash(s, d)
+    val sig = signatures(s, d)
       .withColumn("b1", concat(col("h1"), col("h2"), col("h3"), col("h4")))
       .withColumn("b2", concat(col("h5"), col("h6"), col("h7"), col("h8")))
       .persist()

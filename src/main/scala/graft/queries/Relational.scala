@@ -357,15 +357,21 @@ object Relational {
   /** Conditional / selective aggregates: count_if, every/any, min_by /
     * max_by (the arg-extremum pattern used across the dedup family).
     */
-  def q_cond_agg(s: SparkSession, d: String): DataFrame =
+  def q_cond_agg(s: SparkSession, d: String): DataFrame = {
+    // max_by/min_by ties on the raw price would be engine-arbitrary;
+    // fold the unique order key into an exact integral ordering scalar
+    // (cents * 1e7 + key — both factors fit 2^53 with room to spare) so
+    // the extremum row is unique and both engines agree.
+    val ordKey = (dec2(col("o_totalprice")) * 100).cast("long") * lit(10000000L) + col("o_orderkey")
     orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
         count_if(col("o_totalprice") > 250000.0).as("n_big"),
         every(col("o_totalprice") > 1000.0).as("all_over_1k"),
-        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"))
+        max_by(col("o_orderkey"), ordKey).as("top_order"),
+        min_by(col("o_orderkey"), ordKey).as("bottom_order"))
       .orderBy("o_orderpriority")
+  }
 
   /** Statistical aggregates: stddev/variance/correlation. Rounded at 4
     * decimals — both engines use numerically stable one-pass updates

@@ -26,6 +26,20 @@ class SimTextSpec extends AnyFunSuite {
     got.foreach { case (c, cr) => assert(c == cr) }
   }
 
+  test("cosine_sim returns NULL (not a prefix result) on dimension mismatch") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val rows = df.select(expr("cosine_sim(a, b)"), expr("dot_product(a, b)")).collect()
+    assert(rows.head.isNullAt(0) && rows.head.isNullAt(1))
+  }
+
+  test("function builders reject wrong arity with a clear message") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").collect())
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+
   test("dot_product expression matches hand computation") {
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
