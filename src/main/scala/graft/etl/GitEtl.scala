@@ -125,8 +125,13 @@ object GitEtl {
         col("deletions"),
         col("repo_id").as("repository_id"))
 
+    // repository_id discriminates fork-shared commit hashes, matching
+    // the (repository_id, commit_hash) logs key — without it a commit
+    // reachable from two repos would double-join per-file rows.
     val changedFiles = logsRaw
-      .select(col("commit_hash"), explode(col("changed_files")).as("file_path"))
+      .join(broadcast(repoDim), logsRaw("repo_path") === repoDim("path"))
+      .select(col("commit_hash"), explode(col("changed_files")).as("file_path"),
+        col("repo_id").as("repository_id"))
 
     val report = EtlReport(
       analyzed = analyzed,

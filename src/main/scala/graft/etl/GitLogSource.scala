@@ -80,11 +80,23 @@ object GitLogSource {
     */
   def scanDirectories(
       root: Path, maxDepth: Int, ignored: Seq[String]): (Seq[Path], Seq[String]) = {
-    val all = Files.walk(root, maxDepth).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p != root)
-      .filter(p => p.getFileName.toString != ".git")
-      .filter(p => !p.iterator().asScala.exists(_.toString == ".git")) // never descend into .git
-      .toVector.sortBy(_.toString)
+    // Manual per-directory listing instead of Files.walk: one
+    // unreadable subdirectory must not abort the whole scan (walk's
+    // iterator throws UncheckedIOException mid-traversal and can't be
+    // resumed), and each stream is closed deterministically.
+    def children(dir: Path): Vector[Path] = {
+      val stream = Try(Files.list(dir))
+      stream.map { st =>
+        try st.iterator().asScala.filter(Files.isDirectory(_)).toVector
+        finally st.close()
+      }.getOrElse(Vector.empty) // unreadable dir -> skipped, not fatal
+    }
+    def walk(dir: Path, depth: Int): Vector[Path] =
+      if (depth <= 0) Vector.empty
+      else children(dir)
+        .filter(_.getFileName.toString != ".git") // never descend into .git
+        .flatMap(c => c +: walk(c, depth - 1))
+    val all = walk(root, maxDepth).sortBy(_.toString)
     val (ig, keep) = all.partition(p => ignored.contains(p.getFileName.toString))
     (keep, ig.map(_.getFileName.toString))
   }
@@ -154,7 +166,11 @@ object GitLogSource {
   def streamRepo(path: Path): Iterator[CommitRow] = {
     val name = path.getFileName.toString
     val url  = remoteUrl(path.toFile)
-    val lines = Process(logCommand, path.toFile).lazyLines_!
+    // lazyLines (not lazyLines_!) throws when the stream ends with a
+    // nonzero exit status: a git failure mid-history becomes a LOUD
+    // task failure instead of silently truncating the repo's commits
+    // while the report still lists it as analyzed.
+    val lines = Process(logCommand, path.toFile).lazyLines
     parseLines(lines.iterator, name, path.toString, url)
   }
 
@@ -226,9 +242,12 @@ object GitLogSource {
     * (repository.rs:149-152): handles both `old => new` and the
     * brace form `dir/{old => new}/file`.
     */
+  // hoisted: newPath runs once per changed file — millions of calls on
+  // a large history; recompiling the pattern per call is pure overhead
+  private val BraceRename = """\{([^{}]*) => ([^{}]*)\}""".r
+
   def newPath(p: String): String = {
-    val brace = """\{([^{}]*) => ([^{}]*)\}""".r
-    val replaced = brace.replaceAllIn(p, m => scala.util.matching.Regex.quoteReplacement(m.group(2)))
+    val replaced = BraceRename.replaceAllIn(p, m => scala.util.matching.Regex.quoteReplacement(m.group(2)))
     val flat = replaced.indexOf(" => ")
     val cleaned = if (flat >= 0) replaced.substring(flat + 4) else replaced
     cleaned.replace("//", "/")

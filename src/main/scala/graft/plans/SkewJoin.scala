@@ -24,6 +24,8 @@ object SkewJoin {
       leftKey: String, rightKey: String,
       salts: Int): DataFrame = {
     require(salts > 0)
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs already contain a __salt column; rename it before salting")
     // rand() is seeded per-partition by Spark; determinism of the JOIN
     // RESULT doesn't depend on which salt a row draws.
     val saltedLeft = left.withColumn("__salt", (rand(42) * salts).cast("int"))
