@@ -71,6 +71,7 @@ object SparkEntry {
     "q_window_rank"    -> (Windows.q_window_rank _),
     "q_window_lag"     -> (Windows.q_window_lag _),
     "q_window_running" -> (Windows.q_window_running _),
+    "q_window_dist"    -> (Windows.q_window_dist _),
     // §2.10 time windows
     "q_time_tumble"  -> (TimeSeries.q_time_tumble _),
     "q_time_slide"   -> (TimeSeries.q_time_slide _),
@@ -322,6 +323,15 @@ object SparkEntry {
         |        PARTITION BY user_id
         |        ORDER BY epoch_us(ts) // 1000000, event_id) AS gap_s
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_dist" ->
+      """SELECT c_nationkey, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 10) AS pct_rank,
+        |  round(cume_dist() OVER w, 10) AS cume,
+        |  lead(c_custkey, 1) OVER w AS next_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey

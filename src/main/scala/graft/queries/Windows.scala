@@ -50,6 +50,22 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * lead, per nation ordered by balance with a unique tie-break.
+    */
+  def q_window_dist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").asc, col("c_custkey"))
+    customer(s, d)
+      .select(
+        col("c_nationkey"),
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 10).as("pct_rank"),
+        round(cume_dist().over(w), 10).as("cume"),
+        lead(col("c_custkey"), 1).over(w).as("next_cust"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** As-of join (SURVEY.md §2.3 stretch): for every event, the value of
     * the same user's most recent purchase at-or-before the event
     * (inclusive on the shared truncated-seconds key).
