@@ -65,6 +65,7 @@ object SparkEntry {
     // §2.9 scalar functions
     "q_string_fn" -> (Relational.q_string_fn _),
     "q_date_fn"   -> (Relational.q_date_fn _),
+    "q_date_fn2"  -> (Relational.q_date_fn2 _),
     "q_math_fn"   -> (Relational.q_math_fn _),
     "q_json_fn"   -> (Relational.q_json_fn _),
     // §2.5 windows
@@ -294,6 +295,14 @@ object SparkEntry {
         |  CAST(day(o_orderdate) AS BIGINT) AS dom,
         |  CAST(date_part('epoch', date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
         |  CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_date_fn2" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_math_fn" ->
       """SELECT l_orderkey, l_linenumber,

@@ -310,6 +310,20 @@ object Relational {
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_95"))
       .orderBy("o_orderkey")
 
+  /** Calendar arithmetic battery: month-clamped addition, month end,
+    * quarter/day-of-year/ISO week.
+    */
+  def q_date_fn2(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+      .orderBy("o_orderkey")
+
   /** Math function battery (SURVEY.md §2.9). */
   def q_math_fn(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
