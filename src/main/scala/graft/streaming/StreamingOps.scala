@@ -54,6 +54,28 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the following hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * expire join state — the canonical unbounded-join-made-bounded
+    * shape. State per side is (watermark + interval) × key cardinality.
+    */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id", "purchase_value")
+  }
+
   /** Stateful exact dedup by event_id within the watermark horizon
     * (SURVEY.md §2.10: `dropDuplicatesWithinWatermark`) — the streaming
     * counterpart of the batch dedup family: state is bounded by the

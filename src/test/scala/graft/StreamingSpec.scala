@@ -107,6 +107,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 50.0), // within 1h of click 1
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "purchase", 70.0), // outside 1h
+      Ev(4, ts("2024-01-01 10:10:00"), 2, "click", 0.0))     // user 2: no purchase
+    val got = runToCompletion(
+      StreamingOps.clickToPurchaseJoin(input.toDF()), "ssj_out", "append")
+      .collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"), r.getAs[Double]("purchase_value")))
+      .toSet
+    assert(got == Set((1L, 2L, 50.0)))
+  }
+
   test("dropDuplicatesWithinWatermark removes stateful duplicates") {
     val input = MemoryStream[Ev]
     input.addData(
