@@ -196,6 +196,40 @@ class GitEtlSpec extends AnyFunSuite {
     assert(files.toSeq == Seq("café.txt"), files.mkString(","))
   }
 
+  test("downstream analytics over the produced tables") {
+    // write the fixture's tables and run the reference-user queries
+    val out = Files.createTempDirectory("etl-out").toString
+    tables("repositories").write.mode("overwrite").parquet(s"$out/repositories.parquet")
+    tables("logs").write.mode("overwrite").parquet(s"$out/logs.parquet")
+    tables("changed_files").write.mode("overwrite").parquet(s"$out/changed_files.parquet")
+
+    val top = graft.etl.GitAnalytics.topFilesPerRepo(spark, out, k = 3).collect()
+    // repo1: a.txt changed twice (C1, C2) — must rank first
+    val repo1Top = top.filter(_.getAs[String]("repo") == "repo1")
+    assert(repo1Top.head.getAs[String]("file_path") == "a.txt")
+    assert(repo1Top.head.getAs[Long]("n_changes") == 2)
+
+    val activity = graft.etl.GitAnalytics.authorActivity(spark, out).collect()
+    assert(activity.map(_.getAs[String]("author_name")).toSet ==
+      Set("Dev One", "Canonical Name"))
+
+    val churn = graft.etl.GitAnalytics.cumulativeChurn(spark, out).collect()
+    // cumulative churn is non-decreasing within each repo
+    churn.groupBy(_.getAs[Long]("repository_id")).values.foreach { rs =>
+      val cs = rs.sortBy(r => (r.getAs[Long]("commit_epoch"), r.getAs[String]("commit_hash")))
+        .map(_.getAs[Long]("cumulative_churn"))
+      assert(cs.sliding(2).forall { case Array(a, b) => b >= a; case _ => true })
+    }
+
+    val cadence = graft.etl.GitAnalytics.commitCadence(spark, out).collect()
+    // repo1 commits are exactly 1 day apart in the fixture
+    val repo1 = cadence.find(_.getAs[Long]("repository_id") == 1L).get
+    assert(repo1.getAs[Double]("median_gap_s") == 86400.0)
+
+    val found = graft.etl.GitAnalytics.searchCommits(spark, out, "rename").collect()
+    assert(found.length == 1 && found.head.getSeq[String](5) == Seq("c.txt"))
+  }
+
   test("config TOML-subset parser") {
     val cfg = EtlConfig.parse(Seq(
       """# comment""",
