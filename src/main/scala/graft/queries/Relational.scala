@@ -345,16 +345,16 @@ object Relational {
     * 4-table star join: two dimension hops broadcast, one shuffled agg.
     */
   def q_sql_report(s: SparkSession, d: String): DataFrame = {
-    region(s, d).createOrReplaceTempView("region")
-    nation(s, d).createOrReplaceTempView("nation")
-    customer(s, d).createOrReplaceTempView("customer")
-    orders(s, d).createOrReplaceTempView("orders")
+    region(s, d).createOrReplaceTempView("graft_rep_region")
+    nation(s, d).createOrReplaceTempView("graft_rep_nation")
+    customer(s, d).createOrReplaceTempView("graft_rep_customer")
+    orders(s, d).createOrReplaceTempView("graft_rep_orders")
     s.sql(
       """SELECT r_name, n_name, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
+        |FROM graft_rep_orders JOIN graft_rep_customer ON o_custkey = c_custkey
+        |  JOIN graft_rep_nation ON c_nationkey = n_nationkey
+        |  JOIN graft_rep_region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
   }
 
@@ -426,11 +426,11 @@ object Relational {
     * scalar).
     */
   def q_subquery(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("orders")
+    orders(s, d).createOrReplaceTempView("graft_sq_orders")
     s.sql(
       """SELECT o_orderkey,
-        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS rel_price
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM graft_sq_orders), 6) AS rel_price
+        |FROM graft_sq_orders ORDER BY o_orderkey""".stripMargin)
   }
 
   /** Pivot — long→wide conditional aggregation (explicit value list so
@@ -512,13 +512,15 @@ object Relational {
     * grand total, in one pass.
     */
   def q_agg_groupset(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("orders")
+    // view names are namespaced per query: a shared name like "orders"
+    // would race if two queries ran concurrently in one session
+    orders(s, d).createOrReplaceTempView("graft_gs_orders")
     s.sql(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total
-        |FROM orders
+        |FROM graft_gs_orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin)
   }
