@@ -21,8 +21,8 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-        finally spark.catalog.clearCache() // release per-query persist()s
-      val secs = (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9 // before cache teardown
+      spark.catalog.clearCache() // release per-query persist()s, untimed
       // a failed query must not read as a (fast) success — negate it so
       // the JSON shows the failure and drags the total down visibly
       name -> (if (ok) secs else -secs)

@@ -25,9 +25,16 @@ final case class EtlConfig(
 
 object EtlConfig {
 
-  def load(path: Path): EtlConfig =
-    if (Files.isRegularFile(path)) parse(Files.readAllLines(path).asScala.toSeq)
-    else EtlConfig()
+  /** Load an explicitly-named config file. Missing/unreadable paths
+    * fail loudly — a typo'd --config silently ignoring the ignore-list
+    * and author map is far worse than an error (the reference errors
+    * on unreadable config too).
+    */
+  def load(path: Path): EtlConfig = {
+    if (!Files.isRegularFile(path))
+      throw new java.io.FileNotFoundException(s"config file not found: $path")
+    parse(Files.readAllLines(path).asScala.toSeq)
+  }
 
   /** Minimal TOML-subset parser: top-level `ignored_repositories`
     * string array + `[author_map]` table of quoted pairs.

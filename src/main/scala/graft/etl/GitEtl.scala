@@ -67,7 +67,7 @@ object GitEtl {
     // the failure report — the reference's silent skip (analyzer.rs:351)
     // surfaced as data.
     val validated = candidates.map(p => p -> GitLogSource.validateRepo(p))
-    val failed    = validated.collect { case (p, Some(e)) => p.getFileName.toString -> e }.toMap
+    val failed    = validated.collect { case (p, Some(e)) => p.toString -> e }.toMap // path-keyed: basenames can collide
     val okPaths   = validated.collect { case (p, None) => p.toString }
     val analyzed  = okPaths.map(p => Paths.get(p).getFileName.toString).sorted
 
@@ -118,7 +118,7 @@ object GitEtl {
         col("parent_hash"),
         col("author_name"),
         col("author_email"),
-        to_timestamp(from_unixtime(col("commit_epoch"))).as("commit_datetime"),
+        timestamp_seconds(col("commit_epoch")).as("commit_datetime"),
         col("commit_epoch"),
         col("message"),
         col("insertions"),

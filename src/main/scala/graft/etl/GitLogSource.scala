@@ -24,17 +24,6 @@ final case class CommitRow(
     deletions: Long,
     changed_files: Seq[String])
 
-/** Per-repository extraction outcome — the reference swallows repo
-  * failures silently (`.ok()`, analyzer.rs:351); we surface them as an
-  * error side-channel instead so a cluster job can report skipped
-  * repos without killing tasks.
-  */
-final case class RepoResult(
-    repo_name: String,
-    repo_path: String,
-    error: Option[String],
-    commits: Seq[CommitRow])
-
 /** Git history extraction via `git log` text parsing (the JVM has no
   * bundled JGit in /opt/spark/jars, and libgit2 is C — parsing
   * porcelain output is the portable executor-side path).
@@ -55,7 +44,15 @@ final case class RepoResult(
   *    "(no author email)", "(no commit summary)", "(no remote url)"
   *    (repository.rs:164-179, 192);
   *  - remote URL rewrite git@github.com: → https://github.com/
-  *    (repository.rs:193).
+  *    (repository.rs:193);
+  *  - commit time is COMMITTER time (`%ct` ≡ commit.time().seconds(),
+  *    repository.rs:178) — author time differs on rebased/cherry-picked
+  *    commits.
+  *
+  * Known limitation: a filename containing a literal " => " is
+  * indistinguishable from git's rename marker in `--numstat` text
+  * output and resolves to its suffix; the unambiguous fix is the
+  * NUL-separated `-z` protocol.
   */
 object GitLogSource {
 
@@ -101,25 +98,6 @@ object GitLogSource {
     (keep, ig.map(_.getFileName.toString))
   }
 
-  /** Extract one repository. Any repo-level git failure yields
-    * RepoResult(error = Some(...)) with no commits (reference:
-    * silently skipped repo, analyzer.rs:351 — we keep the reason).
-    */
-  def extractRepo(path: Path): RepoResult = {
-    val name = path.getFileName.toString
-    val result = Try {
-      val dir = path.toFile
-      require(Files.isDirectory(path.resolve(".git")) || isBareRepo(path),
-        s"not a git repository: $path")
-      val url = remoteUrl(dir)
-      val out = gitLog(dir)
-      parseLog(out, name, path.toString, url)
-    }
-    result.fold(
-      e => RepoResult(name, path.toString, Some(e.getMessage), Nil),
-      commits => RepoResult(name, path.toString, None, commits))
-  }
-
   private def isBareRepo(p: Path): Boolean =
     Files.isRegularFile(p.resolve("HEAD")) && Files.isDirectory(p.resolve("objects"))
 
@@ -139,10 +117,7 @@ object GitLogSource {
     "git", "-c", "diff.ignoreSubmodules=all", "-c", "core.quotePath=false", "log",
     "--no-merges", "--date-order", "--numstat",
     "--find-renames=100%", "--find-copies=100%",
-    s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%at$FieldSep%s")
-
-  private def gitLog(dir: File): String =
-    Process(logCommand, dir).!!
+    s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%ct$FieldSep%s")
 
   /** Cheap repo validation for the report pass: confirms the path is a
     * git repository with a resolvable HEAD without reading any history.
@@ -232,7 +207,7 @@ object GitLogSource {
   }
 
   /** Parse a complete `git log --numstat` dump (delegates to the
-    * incremental parser; used by extractRepo and tests).
+    * incremental parser; used by tests).
     */
   def parseLog(
       out: String, repoName: String, repoPath: String, url: String): Seq[CommitRow] =

@@ -39,6 +39,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      // NULL element -> NULL result (ArrayData.getFloat would unbox a
+      // null slot to 0.0f — a wrong-but-plausible similarity; DuckDB's
+      // list_cosine_similarity returns NULL here)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -64,13 +68,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; continue; }
          |    double $xi = (double) $x.getFloat($i);
          |    double $yi = (double) $y.getFloat($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
          |  double $den = Math.sqrt($nx) * Math.sqrt($ny);
-         |  ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+         |  }
          |}
        """.stripMargin
     })
@@ -99,7 +106,10 @@ case class DotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) return null // see CosineSimilarity
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
@@ -114,10 +124,11 @@ case class DotProduct(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $d = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; continue; }
          |    $d += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |  }
-         |  ${ev.value} = $d;
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
          |}
        """.stripMargin
     })

@@ -79,6 +79,15 @@ class GitEtlSpec extends AnyFunSuite {
     Files.writeString(repo2.resolve("r2.txt"), "hello\n")
     git(repo2, "add", ".")
     commit(repo2, "R2 only", date = "2024-02-01T00:00:00Z")
+    // rebased-commit shape: author date != committer date — the stored
+    // time must be COMMITTER time (repository.rs:178 commit.time())
+    Files.writeString(repo2.resolve("r2b.txt"), "x\n")
+    git(repo2, "add", ".")
+    Process(Seq("git", "commit", "-q", "--no-verify", "-m", "R2 rebased"),
+      repo2.toFile,
+      "GIT_AUTHOR_DATE" -> "2024-02-01T00:00:00Z",
+      "GIT_COMMITTER_DATE" -> "2024-02-05T00:00:00Z",
+      "GIT_COMMITTER_NAME" -> "CI", "GIT_COMMITTER_EMAIL" -> "ci@example.com").!!
 
     // vendor: ignored by config; data: not a git repo
     Files.createDirectory(r.resolve("vendor"))
@@ -95,7 +104,8 @@ class GitEtlSpec extends AnyFunSuite {
   test("report: repo1+repo2 analyzed, vendor ignored, data failed") {
     assert(report.analyzed == Seq("repo1", "repo2"))
     assert(report.ignored == Seq("vendor"))
-    assert(report.failed.keySet == Set("data"))
+    // failed is keyed by full path (basenames can collide across dirs)
+    assert(report.failed.keySet.map(p => java.nio.file.Paths.get(p).getFileName.toString) == Set("data"))
   }
 
   test("repositories: deterministic ids, URL rewrite, no-remote sentinel") {
@@ -107,9 +117,9 @@ class GitEtlSpec extends AnyFunSuite {
     assert(repos(1) == ((2L, "repo2", "https://github.com/x/y.git")))
   }
 
-  test("logs: merge excluded, 8 commits total, summary-only messages") {
+  test("logs: merge excluded, 9 commits total, summary-only messages") {
     val logs = tables("logs").collect()
-    assert(logs.length == 8) // repo1: C1..C7 (7), repo2: 1; merge M absent
+    assert(logs.length == 9) // repo1: C1..C7 (7), repo2: 2; merge M absent
     val messages = logs.map(_.getAs[String]("message")).toSet
     assert(!messages.exists(_.contains("merge")))
     assert(messages.contains("C7 summary line")) // body stripped
@@ -153,6 +163,11 @@ class GitEtlSpec extends AnyFunSuite {
       .filter(_.getAs[String]("commit_hash") == c1.getAs[String]("commit_hash"))
       .map(_.getAs[String]("file_path")).sorted
     assert(c1files.toSeq == Seq("a.txt", "b.txt"))
+  }
+
+  test("rebased commit stores committer time, not author time") {
+    val r = tables("logs").collect().find(_.getAs[String]("message") == "R2 rebased").get
+    assert(r.getAs[Long]("commit_epoch") == 1707091200L) // 2024-02-05T00:00:00Z
   }
 
   test("commit_datetime equals epoch seconds") {

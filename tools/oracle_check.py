@@ -57,15 +57,13 @@ def main():
         # order-sensitive re-check: every query ORDERs BY a unique key,
         # so the raw (unsorted) row sequences must also match — guards
         # against a driver compare that hashes in row order.
-        sp_raw = [tuple(r) for r in sp.fetchall()] if False else None
-        du2 = con.sql(oracle[name]).fetchall()
-        sp2 = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
-        order = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])  # align col order
-        du_cols_orig = [d[0] for d in con.sql(oracle[name]).description]
-        du_order = {c: i for i, c in enumerate(du_cols_orig)}
-        sp_cols_orig = [d[0] for d in con.sql(f"SELECT * FROM '{qdir}/*.parquet'").description]
+        sp_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        sp_cols_orig = [d[0] for d in sp_rel.description]
+        sp2 = sp_rel.fetchall()
+        du_rel = con.sql(oracle[name])
+        du_order = {c: i for i, c in enumerate(d[0] for d in du_rel.description)}
         proj = [du_order[c] for c in sp_cols_orig]
-        du2_proj = [tuple(r[i] for i in proj) for r in du2]
+        du2_proj = [tuple(r[i] for i in proj) for r in du_rel.fetchall()]
         mismatch = next((i for i, (a, b) in enumerate(zip(sp2, du2_proj)) if tuple(a) != b), None)
         if mismatch is not None:
             print(f"  X {name}: ROW-ORDER mismatch at row {mismatch}: spark={sp2[mismatch]} duck={du2_proj[mismatch]}")
