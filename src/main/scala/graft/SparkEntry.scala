@@ -93,7 +93,7 @@ object SparkEntry {
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
-    "q_media_features" -> (Multimodal.mediaFeatures _),
+    "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
@@ -240,7 +240,7 @@ object SparkEntry {
     "q_array_fn" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_words,
-        |  list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5) AS first5_sorted,
+        |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ' ') AS first5_sorted,
         |  list_contains(string_split(text, ' '), 'the') AS has_the,
         |  string_split(text, ' ')[-1] AS last_word,
         |  list_aggregate(string_split(text, ' '), 'max') AS max_word
@@ -471,6 +471,39 @@ object SparkEntry {
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Spark session_window ≡ gaps-and-islands: a new session starts
+    // when the gap to the previous event is >= 30 min (Spark merges
+    // strictly-before-end starts); end = last event + gap. Computed at
+    // microsecond precision so sub-second timestamps can't diverge,
+    // floored to seconds only at the output boundary.
+    "q_time_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS eus, value FROM events),
+        |m AS (SELECT user_id, eus, value,
+        |  CASE WHEN lag(eus) OVER w IS NULL
+        |       OR eus - lag(eus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eus)),
+        |g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY eus
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m)
+        |SELECT (min(eus) // 1000000) AS sess_start,
+        |  ((max(eus) + 1800000000) // 1000000) AS sess_end,
+        |  user_id, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin,
+    // Bit b of the simhash = bit b%4 of hex nibble b/4 of md5(word) —
+    // identical strings, identical md5s, identical bits in both engines.
+    "q_simhash" -> {
+      val votes = (0 until 32).map { b =>
+        s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx,${b / 4 + 1},1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n")
+      val bits = (0 until 32).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |h AS (SELECT doc_id, substr(md5(word),1,8) AS hx FROM w),
+         |v AS (SELECT doc_id,
+         |$votes
+         |FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_embed" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Fan a narrow CPU-bound stage out to all cores — but ONLY when the
+    * scan is under-partitioned (few small parquet files at test scale).
+    * At 100 TB the input splits already provide parallelism and a
+    * blanket repartition would be a full shuffle of the raw text ahead
+    * of the hashing; the guard makes it a no-op there. (Partition count
+    * comes from the planned scan, no job is triggered.)
+    */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).
     */
@@ -53,9 +65,9 @@ object DedupOps {
     // documents is a few small parquet files -> 1-2 input partitions.
     // The hashing is CPU-bound and row-local, so fan out to all cores
     // first: partition count for a heavy narrow stage must track
-    // cores, not input bytes.
-    val exploded = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    // cores, not input bytes (guarded — no-op when the scan is already
+    // parallel, see fanOut).
+    val exploded = fanOut(s, documents(s, d))
       .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
     val mins = (1 to 8).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("x"))), 1, 16)).as(s"h$i"))
@@ -89,8 +101,7 @@ object DedupOps {
       .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val sh = fanOut(s, documents(s, d))
       .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
       .persist() // feeds both sides of the candidate lookup
     cand
@@ -122,24 +133,26 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash per document from word-level xxhash64 (no DuckDB
-    * oracle — xxhash64 is Spark-specific; semantics covered by a unit
-    * test with hand-built near-identical docs). Bit-majority is
-    * computed with array expressions: for each bit position, sum the
-    * ±1 votes of all words.
+  /** 32-bit SimHash per document. Bits derive from the first 8 hex
+    * chars of md5(word) — engine-portable, so the DuckDB oracle can
+    * reproduce the hash bit-for-bit (the earlier xxhash64 form was
+    * Spark-only and could only get a rows-only check). At production
+    * scale the same plan runs with xxhash64 — one hash call instead of
+    * md5+conv, same explode→codegen-agg shape.
     */
   def q_simhash(s: SparkSession, d: String): DataFrame = {
     // Same explode→codegen-agg shape as q_minhash (a 32×aggregate()
-    // HOF stack would run interpreted): one xxhash64 per distinct word,
+    // HOF stack would run interpreted): one md5 per distinct word,
     // then 32 codegen'd conditional sums; votes(bit) = Σ ±1, simhash
-    // bit = votes > 0.
-    val hashed = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    // bit = votes > 0. Bit b lives in hex nibble b/4 (1-based char
+    // position b/4+1), bit b%4 within the nibble.
+    val hashed = fanOut(s, documents(s, d))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("word"))
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      .select(col("doc_id"), substring(md5(col("word")), 1, 8).as("hx"))
+    def nib(i: Int) = conv(substring(col("hx"), i + 1, 1), 16, 10).cast("int")
     val votes = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+      sum(when(shiftright(nib(b / 4), b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
     val simhash = (0 until 32)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)

@@ -65,6 +65,20 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Harness-safe form of [[mediaFeatures]]: the driver's pandas-based
+    * compare can't sort array-typed columns, so the 8-float feature
+    * vector is posexploded to (media_id, feat_idx, feat_value) scalars.
+    * Rounded to 6 decimals so the dump is stable across float printing.
+    */
+  def mediaFeaturesFlat(s: SparkSession, d: String): DataFrame =
+    mediaFeatures(s, d)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("feat_idx", "feat_value")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("feat_idx").cast("long").as("feat_idx"),
+        round(col("feat_value").cast("double"), 6).as("feat_value"))
+      .orderBy("media_id", "feat_idx")
+
   /** STUB decoder: 8 floats from a rolling polynomial hash of the
     * payload — deterministic, so tests can assert exact values.
     */

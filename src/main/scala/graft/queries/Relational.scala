@@ -500,7 +500,9 @@ object Relational {
       .select(
         col("doc_id"),
         size(w).cast("long").as("n_words"),
-        slice(array_sort(array_distinct(w)), 1, 5).as("first5_sorted"),
+        // joined to a scalar: the driver's pandas-based compare can't
+        // sort array-typed columns; the array ops stay under test
+        array_join(slice(array_sort(array_distinct(w)), 1, 5), " ").as("first5_sorted"),
         array_contains(w, "the").as("has_the"),
         element_at(w, -1).as("last_word"),
         array_max(w).as("max_word"))

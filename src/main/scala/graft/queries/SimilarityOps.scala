@@ -143,18 +143,32 @@ object SimilarityOps {
       when(dot >= 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _) + lit(t.toLong << 32) // disjoint bucket spaces per table
     // multi-table: one (vec, bucket) row per table, like LSH banding —
-    // candidates = pairs sharing ANY table's bucket
-    val bucketed = e.select(col("vec_id"), col("embedding"),
+    // candidates = pairs sharing ANY table's bucket.
+    //
+    // Scale shape: only (vec_id, bucket) rides the bucket shuffle — the
+    // vectors stay in the scan. Same-bucket pairs are generated with a
+    // per-bucket grouped explode, deduped across tables FIRST, and only
+    // then are embeddings joined back, so each surviving pair is scored
+    // exactly once (a pair sharing buckets in several tables used to be
+    // scored up to nTables times and distinct'd after the cosine).
+    // Giant buckets (the LSH skew mode) are bounded by nBits — more/
+    // narrower planes shrink them; collect_list is per-bucket, not
+    // per-corpus.
+    val ids = e.select(col("vec_id"),
       explode(array((0 until nTables).map(sketch): _*)).as("bucket"))
-      .persist()
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    val pairs = ids.groupBy("bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("vec_a"), col("ids"))
+      .select(col("vec_a"),
+        explode(filter(col("ids"), x => x > col("vec_a"))).as("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(expr("cosine_sim(va, vb)"), 6).as("cosine"))
       .filter(col("cosine") > 0.35)
-      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 }

@@ -35,7 +35,9 @@ object TextOps {
     documents(s, d)
       .select(
         col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        // explicit limit -1 keeps trailing empty tokens, matching the
+        // oracle's regexp_split_to_array semantics by construction
+        size(split(col("text"), "\\s+", -1)).cast("long").as("n_ws_tokens"),
         size(bpe).cast("long").as("n_bpe_tokens"),
         round(length(col("text")).cast("double") / size(bpe), 10).as("chars_per_token"))
       .orderBy("doc_id")

@@ -44,9 +44,10 @@ object TimeSeries {
       .orderBy("w_start", "event_type")
 
   /** Session windows: events grouped into per-user sessions separated
-    * by >= 30 minutes of inactivity. No DuckDB equivalent
-    * (SURVEY.md §2.10 marks it ⊘) — covered by a unit test with
-    * hand-computed sessions; driver does a rows-only check.
+    * by >= 30 minutes of inactivity. Oracle-checked via the DuckDB
+    * gaps-and-islands formulation (lag + cumulative flag over
+    * (user_id, ts) at microsecond precision) — see SparkEntry.oracleSql;
+    * also covered by a unit test with hand-computed sessions.
     */
   def q_time_session(s: SparkSession, d: String): DataFrame =
     events(s, d)
