@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAggregator, VectorFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,11 +18,13 @@ object SimilarityOps {
     *
     * Plan shape for scale: the query side (10 rows) is broadcast; the
     * candidate scan streams through WholeStageCodegen computing the
-    * codegen'd cosine loop — the big side is never shuffled. The
-    * window top-k then shuffles only (n_queries × n_candidates) scored
-    * id/double rows; the 100 TB refinement is per-partition heap
-    * top-k before the shuffle (planned custom TypedImperativeAggregate),
-    * which caps shuffle volume at k rows per partition per query.
+    * codegen'd cosine loop — the big side is never shuffled. The top-k
+    * itself is [[graft.functions.TopKAggregator]] (a bounded-heap
+    * TypedImperativeAggregate via ScalaAggregator): each map partition
+    * reduces to ≤ k pairs per query before the exchange, so the shuffle
+    * carries k·partitions rows per query instead of every scored
+    * (query × candidate) row — the window `row_number` form it replaces
+    * shuffled the full scored set.
     */
   def q_sim_topk(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
@@ -35,10 +37,14 @@ object SimilarityOps {
       .select(
         col("query_id"), col("neighbor_id"),
         round(expr("cosine_sim(qv, nv)"), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+    scored.groupBy("query_id")
+      .agg(TopKAggregator.topk(5)(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(
+        col("query_id"),
+        col("pair._2").as("neighbor_id"),
+        col("pair._1").as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -49,6 +49,39 @@ class AggregatorSpec extends AnyFunSuite {
     assert(!last(7L).getAs[Boolean]("highSpender"))
   }
 
+  test("TopKAggregator: bounded buffer, tie-break on smaller id, merge keeps global best") {
+    val a = new graft.functions.TopKAggregator(3)
+    val fed = Seq((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.7, 2L))
+      .foldLeft(a.zero)(a.reduce)
+    assert(a.finish(fed) == Seq((0.9, 1L), (0.9, 3L), (0.7, 2L)))
+    assert(fed.length == 3) // never grows past k
+    val other = Seq((0.95, 9L), (0.2, 4L)).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(a.merge(fed, other)) == Seq((0.95, 9L), (0.9, 1L), (0.9, 3L)))
+    assert(a.finish(a.merge(a.zero, other)) == Seq((0.95, 9L), (0.2, 4L)))
+  }
+
+  test("q_sim_topk via TopKAggregator equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("cosine_sim(qv, nv)"), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaAgg = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("IVF results carry exact cosines and consistent ranks") {
     val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)
