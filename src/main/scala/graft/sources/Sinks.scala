@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   *  - bucketed tables (`bucketBy` + `saveAsTable`) — the co-located
   *    join path: two tables bucketed on the same key join with ZERO
   *    exchange on either side (asserted in SinksSpec);
-  *  - JDBC (the literal SQLite analog) is expressed but not runnable
-  *    here — no JDBC driver jar ships in this container; the writer
-  *    config is the documented shape.
+  *  - JDBC (the literal SQLite analog) — runnable and round-trip
+  *    tested against embedded Derby (the JDBC driver that ships with
+  *    Spark); SQLite itself is a url/driver swap away.
   *
   * At 100 TB: hive-partition on a low-cardinality pruning column
   * (e.g. event date) so queries touch only matching directories;
@@ -55,13 +55,60 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
-  /** The JDBC sink shape (SQLite parity, S5/S7). Not invocable in this
-    * container (no driver jar); kept as the documented writer config.
+  /** Embedded Derby — the one JDBC engine whose driver ships in
+    * /opt/spark/jars; the integration-test target for the SQLite-shaped
+    * sink below.
     */
-  def jdbcWriter(df: DataFrame, url: String, table: String) =
-    df.write.mode(SaveMode.Append)
+  val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** Runnable JDBC sink (S5/S7 — the reference's output contract is a
+    * local SQLite file, analyzer.rs:146-346). Round-trip-tested against
+    * embedded Derby; SQLite is the same call with
+    * `url = jdbc:sqlite:/path/repositories.db, driver = org.sqlite.JDBC`
+    * once the xerial sqlite-jdbc jar is on the classpath (not
+    * resolvable offline in this container — see NOTES.md).
+    */
+  def writeJdbc(
+      df: DataFrame, url: String, table: String,
+      driver: String = DerbyDriver, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
       .format("jdbc")
-      .option("url", url)           // e.g. jdbc:sqlite:/path/repositories.db
+      .option("url", url)
+      .option("driver", driver)
       .option("dbtable", table)
       .option("batchsize", 1000)    // the reference batches one tx per repo
+    // Derby's Spark dialect maps StringType to CLOB, which Derby then
+    // refuses to compare — every pushed-down string filter would error.
+    // Create string columns as max-width VARCHAR instead.
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(32672)")
+    (if (driver == DerbyDriver && stringCols.nonEmpty)
+       w.option("createTableColumnTypes", stringCols.mkString(", "))
+     else w).save()
+  }
+
+  def readJdbc(
+      spark: SparkSession, url: String, table: String,
+      driver: String = DerbyDriver): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("driver", driver)
+      .option("dbtable", table)
+      .load()
+
+  /** The reference's full `.db` contract: repositories / logs /
+    * changed_files written into one embedded database
+    * (analyzer.rs:146-188). Tables are written single-partition because
+    * single-file embedded engines (SQLite, embedded Derby) serialize
+    * writers — the reference itself funnels all inserts through one
+    * connection; server-backed JDBC targets should call writeJdbc per
+    * table with the natural partitioning instead.
+    */
+  def writeReferenceDb(
+      tables: Map[String, DataFrame], url: String,
+      driver: String = DerbyDriver): Unit =
+    Seq("repositories", "logs", "changed_files").foreach { t =>
+      writeJdbc(tables(t).coalesce(1), url, t, driver)
+    }
 }

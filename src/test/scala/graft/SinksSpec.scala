@@ -58,6 +58,35 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("JDBC sink round-trips the reference's three-table contract (embedded Derby)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("jdbc").toString
+    val url = s"jdbc:derby:$tmp/refdb;create=true"
+    val repositories = Seq((1L, "repo1", "(no remote url)")).toDF("repo_id", "name", "url")
+    val logs = Seq(
+      ("h1", "0" * 40, "Dev One", "dev@example.com",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1704067200L, "C1 root", 5L, 0L, 1L),
+      ("h2", "h1", "Dev One", "dev@example.com",
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1704153600L, "C2 edit", 3L, 1L, 1L))
+      .toDF("commit_hash", "parent_hash", "author_name", "author_email", "commit_datetime",
+        "commit_epoch", "message", "insertions", "deletions", "repository_id")
+    val changed = Seq(("h1", "a.txt", 1L), ("h1", "b.txt", 1L), ("h2", "a.txt", 1L))
+      .toDF("commit_hash", "file_path", "repository_id")
+    val all = Map("repositories" -> repositories, "logs" -> logs, "changed_files" -> changed)
+    Sinks.writeReferenceDb(all, url)
+    val backLogs = Sinks.readJdbc(spark, url, "logs")
+    assert(backLogs.count() == 2)
+    val c1 = backLogs.filter(col("message") === "C1 root").head()
+    assert(c1.getAs[Long]("insertions") == 5)
+    assert(c1.getAs[String]("parent_hash") == "0" * 40)
+    assert(c1.getAs[Long]("commit_epoch") == 1704067200L)
+    assert(Sinks.readJdbc(spark, url, "repositories").count() == 1)
+    assert(Sinks.readJdbc(spark, url, "changed_files").count() == 3)
+    // overwrite semantics: a re-run replaces, never duplicates
+    Sinks.writeReferenceDb(all, url)
+    assert(Sinks.readJdbc(spark, url, "logs").count() == 2)
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of one hot key + a uniform tail
