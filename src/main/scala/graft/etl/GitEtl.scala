@@ -5,15 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's full ETL (analyzer.rs:203-352) as a Spark job:
-  * driver-side directory scan → parallel per-repo `git log` extraction
-  * (mapPartitions over the repo work-list — the executor-boundary
-  * analog of one tokio task per repo, analyzer.rs:222-230) → DataFrame
-  * normalization (author-map broadcast lookup, URL rewrite, explode)
-  * → three parquet tables.
+  * driver-side directory scan → one distributed pass per repo doing
+  * validation + remote-url lookup + `git log` extraction (mapPartitions
+  * over the repo work-list — the executor-boundary analog of one tokio
+  * task per repo, analyzer.rs:222-230) → DataFrame normalization
+  * (author-map broadcast lookup, URL rewrite, explode) → three parquet
+  * tables.
   *
   * Deviations from the reference, by design (SURVEY.md §7.3):
-  *  - surrogate keys are deterministic (dense_rank over repo name), not
-  *    SQLite AUTOINCREMENT (analyzer.rs:152) — AUTOINCREMENT has no
+  *  - surrogate keys are deterministic (dense_rank over (name, path)),
+  *    not SQLite AUTOINCREMENT (analyzer.rs:152) — AUTOINCREMENT has no
   *    stable distributed analog;
   *  - the logs "primary key" is (repository_id, commit_hash), not a
   *    global commit_hash PK, so forks sharing commits don't silently
@@ -44,69 +45,73 @@ object GitEtl {
       outDir: String,
       config: EtlConfig = EtlConfig(),
       maxDepth: Int = 1): EtlReport = {
-    val (etl, report) = dataframes(spark, root, config, maxDepth)
+    val etl = dataframes(spark, root, config, maxDepth)
     etl("repositories").write.mode("overwrite").parquet(s"$outDir/repositories.parquet")
     etl("logs").write.mode("overwrite").parquet(s"$outDir/logs.parquet")
     etl("changed_files").write.mode("overwrite").parquet(s"$outDir/changed_files.parquet")
-    etl("logs_raw").unpersist() // extraction cache released after the writes
-    report
+    val rep = report(etl) // cheap: reads the still-cached extraction
+    etl("events").unpersist() // extraction cache released after writes+report
+    rep
   }
 
-  /** Build the three output DataFrames without writing. */
+  /** Build the output DataFrames without writing. Triggers NO Spark
+    * jobs — callers that want the run report call [[report]] (which
+    * does), and should unpersist the "events" entry when finished.
+    */
   def dataframes(
       spark: SparkSession,
       root: Path,
       config: EtlConfig,
-      maxDepth: Int): (Map[String, DataFrame], EtlReport) = {
+      maxDepth: Int): Map[String, DataFrame] = {
     import spark.implicits._
 
     val (candidates, ignored) = GitLogSource.scanDirectories(root, maxDepth, config.ignoredRepositories)
 
-    // Cheap validation pass on the driver (HEAD resolution only, no
-    // history reads): splits the work-list into extractable repos and
-    // the failure report — the reference's silent skip (analyzer.rs:351)
-    // surfaced as data.
-    val validated = candidates.map(p => p -> GitLogSource.validateRepo(p))
-    val failed    = validated.collect { case (p, Some(e)) => p.toString -> e }.toMap // path-keyed: basenames can collide
-    val okPaths   = validated.collect { case (p, None) => p.toString }
-    val analyzed  = okPaths.map(p => Paths.get(p).getFileName.toString).sorted
-
     // One task per repository (the reference's task-per-repo fanout,
-    // analyzer.rs:222-230), but STREAMING: git log output is parsed
-    // line-by-line, so executor memory per repo is O(one commit), not
-    // O(history) — the reference holds each repo's full history in a
-    // Vec (repository.rs:114,185), its main scale hazard.
-    val commits = spark
-      .createDataset(okPaths)
-      .repartition(math.max(1, okPaths.size))
-      .mapPartitions(_.flatMap(p => GitLogSource.streamRepo(Paths.get(p))))
+    // analyzer.rs:222-230), with ALL per-repo subprocess work —
+    // HEAD validation, remote-url lookup, `git log` — inside the task:
+    // driver prep is O(1) filesystem metadata per directory, so a
+    // 100k-repo work-list doesn't serialize minutes of rev-parse calls
+    // before the job starts. Extraction is STREAMING: the -z byte
+    // stream is parsed token-by-token, so executor memory per repo is
+    // O(one commit), not O(history) — the reference holds each repo's
+    // full history in a Vec (repository.rs:114,185), its main scale
+    // hazard.
+    //
+    // Persisted: the one extraction pass feeds the repositories dim,
+    // logs, changed_files, AND the failure report — without caching,
+    // every downstream action would re-run `git log` over every repo.
+    val events = spark
+      .createDataset(candidates.map(_.toString))
+      .repartition(math.max(1, candidates.size))
+      .mapPartitions(_.flatMap(p => GitLogSource.extractRepo(Paths.get(p))))
+      .toDF()
+      .persist()
 
     // Author normalization (J1): broadcast the email→name map and
     // override the *name* only (repository.rs:167-171). A literal
     // MapType rides inside codegen — zero shuffle, like the
     // reference's in-process HashMap.
-    //
-    // Persisted: the extraction lineage (git subprocess + parse) feeds
-    // the report counts AND all three table writes — without caching,
-    // every downstream action would re-run `git log` over every repo
-    // (~5 full extractions per ETL run). Released in run() after the
-    // writes; dataframes() callers can unpersist via the returned map's
-    // "logs_raw" entry.
     val authorMapCol = typedLit(config.authorMap)
-    val logsRaw = commits.toDF()
+    val logsRaw = events.filter(col("kind") === "commit")
+      .select(col("commit.*"))
       .withColumn("author_name",
         coalesce(element_at(authorMapCol, col("author_email")), col("author_name")))
-      .persist()
 
+    // Repositories dimension from the VALIDATED WORK-LIST (kind=repo
+    // events), not from extracted commits: a repo that validates but
+    // yields zero non-merge commits still gets its row, matching the
+    // reference's unconditional repository insert (analyzer.rs:299-310)
+    // and keeping report.analyzed consistent with the table.
+    //
     // Deterministic surrogate key: dense_rank over (name, path). The
     // repo identity key is the unique repo_path — two checkouts with
     // the same directory basename (root/team1/app, root/team2/app) are
     // distinct repositories and must not merge or duplicate; `name` in
     // the output stays the basename for reference parity.
     val repoWindow = org.apache.spark.sql.expressions.Window.orderBy("name", "path")
-    val repoDim = logsRaw
+    val repoDim = events.filter(col("kind") === "repo")
       .select(col("repo_name").as("name"), col("repo_path").as("path"), col("repo_url").as("url"))
-      .distinct()
       .withColumn("repo_id", dense_rank().over(repoWindow).cast("long"))
 
     val repositories = repoDim.select("repo_id", "name", "url")
@@ -133,17 +138,31 @@ object GitEtl {
       .select(col("commit_hash"), explode(col("changed_files")).as("file_path"),
         col("repo_id").as("repository_id"))
 
-    val report = EtlReport(
-      analyzed = analyzed,
-      ignored = ignored,
-      failed = failed,
-      nLogs = logs.count(),
-      nChangedFiles = changedFiles.count())
+    val failures = events.filter(col("kind") === "error")
+      .select(col("repo_path").as("path"), col("error"))
 
-    (Map(
+    Map(
       "repositories" -> repositories,
       "logs" -> logs,
       "changed_files" -> changedFiles,
-      "logs_raw" -> logsRaw), report)
+      "failures" -> failures,
+      "ignored" -> ignored.toDF("name"),
+      "events" -> events)
+  }
+
+  /** Materialize the run report from [[dataframes]] output — the one
+    * place that triggers jobs (four small actions over the cached
+    * extraction; `dataframes` itself stays lazy).
+    */
+  def report(tables: Map[String, DataFrame]): EtlReport = {
+    import org.apache.spark.sql.Row
+    EtlReport(
+      analyzed = tables("repositories").select("name")
+        .collect().map(_.getString(0)).toSeq.sorted,
+      ignored = tables("ignored").collect().map(_.getString(0)).toSeq,
+      failed = tables("failures")
+        .collect().map { case Row(p: String, e: String) => p -> e }.toMap,
+      nLogs = tables("logs").count(),
+      nChangedFiles = tables("changed_files").count())
   }
 }

@@ -1,7 +1,8 @@
 package graft.etl
 
-import java.io.File
-import java.nio.file.{Files, Path, Paths}
+import java.io.{BufferedInputStream, ByteArrayOutputStream, File, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 import scala.sys.process._
 import scala.util.Try
@@ -24,7 +25,27 @@ final case class CommitRow(
     deletions: Long,
     changed_files: Seq[String])
 
-/** Git history extraction via `git log` text parsing (the JVM has no
+/** One executor-side extraction event — the union row type that lets a
+  * single distributed pass produce the repositories dimension, the
+  * commit stream, AND the failure report:
+  *
+  *  - kind="repo":   the path validated as a git repository (url set);
+  *    emitted even when the history yields zero non-merge commits, so
+  *    the repositories table includes empty/all-merge repos exactly as
+  *    the reference does (analyzer.rs:299-310);
+  *  - kind="commit": one extracted commit (commit set);
+  *  - kind="error":  validation failed (error set) — the reference's
+  *    silent skip (analyzer.rs:351) surfaced as data.
+  */
+final case class ExtractEvent(
+    kind: String,
+    repo_name: String,
+    repo_path: String,
+    repo_url: String,
+    error: String,
+    commit: CommitRow)
+
+/** Git history extraction via `git log` parsing (the JVM has no
   * bundled JGit in /opt/spark/jars, and libgit2 is C — parsing
   * porcelain output is the portable executor-side path).
   *
@@ -49,10 +70,13 @@ final case class CommitRow(
   *    repository.rs:178) — author time differs on rebased/cherry-picked
   *    commits.
   *
-  * Known limitation: a filename containing a literal " => " is
-  * indistinguishable from git's rename marker in `--numstat` text
-  * output and resolves to its suffix; the unambiguous fix is the
-  * NUL-separated `-z` protocol.
+  * Parsing is NUL-delimited end to end (`-z` + `%x00` field
+  * separators): no byte that can legally appear inside git metadata or
+  * a filename is used as a delimiter, so author names / summaries with
+  * control characters, filenames containing a literal " => ", and even
+  * filenames with embedded newlines all come through exactly — these
+  * were silent-corruption cases for the earlier line-based `--numstat`
+  * text parse.
   */
 object GitLogSource {
 
@@ -62,12 +86,12 @@ object GitLogSource {
   val NoSummary     = "(no commit summary)"
   val NoRemoteUrl   = "(no remote url)"
 
-  // \x01 marks a commit header, \x02 separates fields — both are
-  // impossible in git metadata, so parsing is unambiguous even for
-  // messages containing tabs/newlines (summary is %s: first line only,
-  // like commit.summary() at repository.rs:179).
+  // \x01 marks a commit header. It is unambiguous by POSITION, not by
+  // rarity: a NUL-token can only start with \x01 when it is our header
+  // marker — plain numstat entry tokens start with the insertion count,
+  // and rename path tokens are consumed positionally (see parseTokens),
+  // so even a filename beginning with \x01 cannot be misread.
   private val HeaderMark = '\u0001'
-  private val FieldSep   = '\u0002'
 
   /** Directory scan (analyzer.rs:102-135): immediate subdirectories of
     * `root` up to `maxDepth`, excluding `.git` dirs and configured
@@ -109,15 +133,19 @@ object GitLogSource {
   }
 
   /** The one git-log command both extraction paths share.
-    * core.quotePath=false keeps non-ASCII paths raw (git's default
-    * C-quotes/octal-escapes them in numstat output, which would diverge
-    * from the reference's raw libgit2 paths).
+    *
+    * `-z` NUL-separates commits and NUL-terminates every numstat path
+    * (renames arrive as an empty path slot followed by two standalone
+    * old/new path tokens — no " => " munging to disambiguate); `%x00`
+    * makes every header field its own NUL token. core.quotePath=false
+    * keeps non-ASCII paths raw (with -z git never quotes, but the
+    * config also covers the `git config` subprocess family).
     */
   private def logCommand: Seq[String] = Seq(
     "git", "-c", "diff.ignoreSubmodules=all", "-c", "core.quotePath=false", "log",
-    "--no-merges", "--date-order", "--numstat",
+    "-z", "--no-merges", "--date-order", "--numstat",
     "--find-renames=100%", "--find-copies=100%",
-    s"--pretty=format:$HeaderMark%H$FieldSep%P$FieldSep%an$FieldSep%ae$FieldSep%ct$FieldSep%s")
+    "--pretty=format:%x01%H%x00%P%x00%an%x00%ae%x00%ct%x00%s")
 
   /** Cheap repo validation for the report pass: confirms the path is a
     * git repository with a resolvable HEAD without reading any history.
@@ -132,26 +160,118 @@ object GitLogSource {
   }
 
   /** Stream one repository's commits WITHOUT materializing the whole
-    * history: `git log` output is consumed line-by-line through a lazy
-    * iterator, so executor memory per repo is O(one commit), not
-    * O(history) — the reference holds the entire repo in a Vec
-    * (repository.rs:114,185), which SURVEY.md §4 flags as its OOM risk
-    * at scale; this is the Spark-side fix.
+    * history: the raw `git log -z` byte stream is consumed token by
+    * token through a lazy iterator, so executor memory per repo is
+    * O(one commit), not O(history) — the reference holds the entire
+    * repo in a Vec (repository.rs:114,185), which SURVEY.md §4 flags as
+    * its OOM risk at scale; this is the Spark-side fix.
+    *
+    * A nonzero git exit status becomes a LOUD exception at end of
+    * stream (raised from the consuming task) instead of silently
+    * truncating the repo's commits while the report lists it as
+    * analyzed.
     */
-  def streamRepo(path: Path): Iterator[CommitRow] = {
+  def streamRepo(path: Path): Iterator[CommitRow] =
+    streamRepo(path, path.getFileName.toString, remoteUrl(path.toFile))
+
+  /** Validate + extract one repository as a lazy event stream — the
+    * whole per-repo subprocess budget (rev-parse validation, remote-url
+    * lookup, git log) runs HERE, inside the executor task, so the
+    * driver's prep per repo is O(1) (a directory listing entry) even on
+    * a 100k-repo work-list.
+    */
+  def extractRepo(path: Path): Iterator[ExtractEvent] = {
     val name = path.getFileName.toString
-    val url  = remoteUrl(path.toFile)
-    // lazyLines (not lazyLines_!) throws when the stream ends with a
-    // nonzero exit status: a git failure mid-history becomes a LOUD
-    // task failure instead of silently truncating the repo's commits
-    // while the report still lists it as analyzed.
-    val lines = Process(logCommand, path.toFile).lazyLines
-    parseLines(lines.iterator, name, path.toString, url)
+    validateRepo(path) match {
+      case Some(err) =>
+        Iterator.single(ExtractEvent("error", name, path.toString, null, err, null))
+      case None =>
+        val url = remoteUrl(path.toFile)
+        Iterator.single(ExtractEvent("repo", name, path.toString, url, null, null)) ++
+          streamRepo(path, name, url).map(c =>
+            ExtractEvent("commit", name, path.toString, url, null, c))
+    }
   }
 
-  /** Incremental block parser over `git log --numstat` lines. */
-  def parseLines(
-      lines: Iterator[String], repoName: String, repoPath: String,
+  private def streamRepo(path: Path, name: String, url: String): Iterator[CommitRow] = {
+    val pb = new java.lang.ProcessBuilder(logCommand: _*)
+    pb.directory(path.toFile)
+    val proc = pb.start()
+    proc.getOutputStream.close()
+    // stderr must be drained concurrently or a chatty git blocks on a
+    // full pipe; keep a bounded tail for the failure message
+    val stderrTail = new StringBuilder
+    val drainer = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getErrorStream, UTF_8))
+      var line = r.readLine()
+      while (line != null) {
+        stderrTail.synchronized {
+          if (stderrTail.length < 4096) stderrTail.append(line).append('\n')
+        }
+        line = r.readLine()
+      }
+    }, s"git-stderr-$name")
+    drainer.setDaemon(true)
+    drainer.start()
+    val tokens = nulTokens(new BufferedInputStream(proc.getInputStream), onEof = () => {
+      val code = proc.waitFor()
+      if (code != 0)
+        throw new RuntimeException(
+          s"git log exited with $code in $path: ${stderrTail.synchronized(stderrTail.toString).trim}")
+    })
+    parseTokens(tokens, name, path.toString, url)
+  }
+
+  /** Lazy NUL-token reader over a raw byte stream. Tokens are UTF-8
+    * decoded per token (paths/metadata may contain any byte but NUL).
+    * `onEof` runs once when the stream ends — the exit-status hook.
+    */
+  private[etl] def nulTokens(in: InputStream, onEof: () => Unit = () => ()): Iterator[String] =
+    new Iterator[String] {
+      private val buf = new ByteArrayOutputStream(256)
+      private var pending: String = null
+      private var done = false
+
+      private def advance(): Unit = {
+        while (pending == null && !done) {
+          val b = in.read()
+          if (b < 0) {
+            done = true
+            if (buf.size() > 0) pending = take()
+            onEof()
+          } else if (b == 0) pending = take()
+          else buf.write(b)
+        }
+      }
+      private def take(): String = {
+        val s = new String(buf.toByteArray, UTF_8); buf.reset(); s
+      }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): String = {
+        advance()
+        if (pending == null) throw new NoSuchElementException
+        val t = pending; pending = null; t
+      }
+    }
+
+  /** Incremental parser over the NUL-token stream of
+    * `git log -z --numstat --pretty=format:%x01%H%x00...%x00%s`.
+    *
+    * Stream grammar (established against git 2.x output, see the
+    * fixture tests):
+    * {{{
+    * commit   := \x01 H \0 P \0 an \0 ae \0 ct \0 summary rest
+    * rest     := ""                      (no diff)
+    *           | "\n" entry (\0 entry)*  (numstat entries)
+    * entry    := ins \t del \t path      (plain; path may contain \t)
+    *           | ins \t del \t \0 old \0 new   (rename/copy)
+    * commits are separated by one \0 (an empty token when the previous
+    * commit ended with a NUL-terminated entry).
+    * }}}
+    */
+  private[etl] def parseTokens(
+      tokens: Iterator[String], repoName: String, repoPath: String,
       url: String): Iterator[CommitRow] = new Iterator[CommitRow] {
     private var current: CommitRow = null
     private var ins = 0L
@@ -166,34 +286,55 @@ object GitLogSource {
       r
     }
 
+    // header fields are consumed positionally — control characters in
+    // the name/summary fields shift nothing
+    private def startCommit(hash: String): Unit = {
+      val parents = tokens.next().split(' ').filter(_.nonEmpty)
+      val an = tokens.next()
+      val ae = tokens.next()
+      val ct = tokens.next()
+      val sTok = tokens.next() // summary [+ "\n" + first entry chunk]
+      val nl = sTok.indexOf('\n')
+      val summary = if (nl >= 0) sTok.substring(0, nl) else sTok
+      current = CommitRow(
+        repo_name = repoName, repo_path = repoPath, repo_url = url,
+        commit_hash = hash,
+        parent_hash = parents.headOption.getOrElse(ZeroOid),
+        author_name = if (an.isEmpty) NoAuthorName else an,
+        author_email = if (ae.isEmpty) NoAuthorEmail else ae,
+        commit_epoch = ct.toLong,
+        message = if (summary.isEmpty) NoSummary else summary,
+        insertions = 0L, deletions = 0L, changed_files = Nil)
+      if (nl >= 0 && nl < sTok.length - 1) entry(sTok.substring(nl + 1))
+    }
+
+    private def entry(chunk: String): Unit = {
+      val parts = chunk.split("\t", -1)
+      if (parts.length >= 3) {
+        ins += Try(parts(0).toLong).getOrElse(0L) // "-" for binary files
+        del += Try(parts(1).toLong).getOrElse(0L)
+        val path = parts.drop(2).mkString("\t") // a path may contain tabs
+        if (path.isEmpty) {
+          // rename/copy: empty path slot, then two standalone tokens;
+          // record the NEW path (repository.rs:149-152)
+          tokens.next() // old path
+          files += tokens.next()
+        } else files += path
+      }
+    }
+
     private def advance(): Unit = {
       while (pending == null && !done) {
-        if (!lines.hasNext) {
+        if (!tokens.hasNext) {
           done = true
           if (current != null) pending = finishCurrent()
         } else {
-          val line = lines.next()
-          if (line.nonEmpty && line.charAt(0) == HeaderMark) {
+          val t = tokens.next()
+          if (t.isEmpty) () // commit separator after a NUL-ended entry
+          else if (t.charAt(0) == HeaderMark) {
             if (current != null) pending = finishCurrent()
-            val f = line.substring(1).split(FieldSep.toString, -1)
-            val parents = f(1).split(' ').filter(_.nonEmpty)
-            current = CommitRow(
-              repo_name = repoName, repo_path = repoPath, repo_url = url,
-              commit_hash = f(0),
-              parent_hash = parents.headOption.getOrElse(ZeroOid),
-              author_name = if (f(2).isEmpty) NoAuthorName else f(2),
-              author_email = if (f(3).isEmpty) NoAuthorEmail else f(3),
-              commit_epoch = f(4).toLong,
-              message = if (f(5).isEmpty) NoSummary else f(5),
-              insertions = 0L, deletions = 0L, changed_files = Nil)
-          } else if (line.nonEmpty && current != null) {
-            val parts = line.split('\t')
-            if (parts.length >= 3) {
-              ins += Try(parts(0).toLong).getOrElse(0L)
-              del += Try(parts(1).toLong).getOrElse(0L)
-              files += newPath(parts.drop(2).mkString("\t"))
-            }
-          }
+            startCommit(t.substring(1))
+          } else if (current != null) entry(t)
         }
       }
     }
@@ -206,26 +347,10 @@ object GitLogSource {
     }
   }
 
-  /** Parse a complete `git log --numstat` dump (delegates to the
+  /** Parse a complete `-z` dump held in memory (delegates to the
     * incremental parser; used by tests).
     */
   def parseLog(
       out: String, repoName: String, repoPath: String, url: String): Seq[CommitRow] =
-    parseLines(out.linesIterator, repoName, repoPath, url).toVector
-
-  /** Resolve a numstat path to the delta's NEW path
-    * (repository.rs:149-152): handles both `old => new` and the
-    * brace form `dir/{old => new}/file`.
-    */
-  // hoisted: newPath runs once per changed file — millions of calls on
-  // a large history; recompiling the pattern per call is pure overhead
-  private val BraceRename = """\{([^{}]*) => ([^{}]*)\}""".r
-
-  def newPath(p: String): String = {
-    val replaced = BraceRename.replaceAllIn(p, m => scala.util.matching.Regex.quoteReplacement(m.group(2)))
-    val flat = replaced.indexOf(" => ")
-    val cleaned = if (flat >= 0) replaced.substring(flat + 4) else replaced
-    cleaned.replace("//", "/")
-  }
-
+    parseTokens(out.split("\u0000", -1).iterator, repoName, repoPath, url).toVector
 }

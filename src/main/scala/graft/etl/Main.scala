@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * repositories.db --config config.toml --num-threads 8` runs
   *
   *   runMain graft.etl.Main <root> --out /path/tables \
-  *     [--config config.toml] [--max-depth 1] [--num-threads N] [--clear]
+  *     [--config config.toml] [--max-depth 1] [--recursive] \
+  *     [--num-threads N] [--clear]
   *
   * and gets the same three tables as parquet (SQLite → parquet is the
   * one interface change; the JDBC writer shape in graft.sources.Sinks
@@ -21,13 +22,15 @@ object Main {
     if (args.isEmpty) {
       System.err.println(
         "usage: graft.etl.Main <root> --out <dir> [--config <toml>] " +
-          "[--max-depth N] [--num-threads N] [--clear]")
+          "[--max-depth N] [--recursive] [--num-threads N] [--clear]")
       sys.exit(2)
     }
     val root = Paths.get(args(0))
     var out = "git-tables"
     var configPath: Option[String] = None
     var maxDepth = 1
+    var maxDepthSet = false
+    var recursive = false
     var threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     var clear = false
     var i = 1
@@ -41,12 +44,16 @@ object Main {
       args(i) match {
         case "--out"         => out = value("--out"); i += 2
         case "--config"      => configPath = Some(value("--config")); i += 2
-        case "--max-depth"   => maxDepth = value("--max-depth").toInt; i += 2
+        case "--max-depth"   => maxDepth = value("--max-depth").toInt; maxDepthSet = true; i += 2
+        case "--recursive"   => recursive = true; i += 1 // analyzer.rs:32-62 parity
         case "--num-threads" => threads = value("--num-threads").toInt; i += 2
         case "--clear"       => clear = true; i += 1 // parquet overwrite is implicit
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
     }
+    // --recursive without an explicit --max-depth means "no bound",
+    // like the reference; with one, --max-depth caps the recursion
+    if (recursive && !maxDepthSet) maxDepth = Int.MaxValue
 
     val spark = SparkSession.builder()
       .master(s"local[$threads]")

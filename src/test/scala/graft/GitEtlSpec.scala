@@ -99,7 +99,8 @@ class GitEtlSpec extends AnyFunSuite {
     ignoredRepositories = Seq("vendor"),
     authorMap = Map("alias@example.com" -> "Canonical Name"))
 
-  private lazy val (tables, report) = GitEtl.dataframes(spark, root, config, maxDepth = 1)
+  private lazy val tables = GitEtl.dataframes(spark, root, config, maxDepth = 1)
+  private lazy val report = GitEtl.report(tables)
 
   test("report: repo1+repo2 analyzed, vendor ignored, data failed") {
     assert(report.analyzed == Seq("repo1", "repo2"))
@@ -188,7 +189,8 @@ class GitEtlSpec extends AnyFunSuite {
       git(repo, "add", ".")
       commit(repo, s"$team commit", date = "2024-03-01T00:00:00Z")
     }
-    val (t, rep) = GitEtl.dataframes(spark, r, EtlConfig(), maxDepth = 2)
+    val t = GitEtl.dataframes(spark, r, EtlConfig(), maxDepth = 2)
+    val rep = GitEtl.report(t)
     assert(rep.analyzed == Seq("app", "app"))
     val repos = t("repositories").collect()
     assert(repos.length == 2 && repos.map(_.getAs[Long]("repo_id")).toSet == Set(1L, 2L))
@@ -206,7 +208,7 @@ class GitEtlSpec extends AnyFunSuite {
     Files.writeString(repo.resolve("café.txt"), "x\n")
     git(repo, "add", ".")
     commit(repo, "unicode path", date = "2024-03-02T00:00:00Z")
-    val (t, _) = GitEtl.dataframes(spark, r, EtlConfig(), maxDepth = 1)
+    val t = GitEtl.dataframes(spark, r, EtlConfig(), maxDepth = 1)
     val files = t("changed_files").collect().map(_.getAs[String]("file_path"))
     assert(files.toSeq == Seq("café.txt"), files.mkString(","))
   }
@@ -245,6 +247,17 @@ class GitEtlSpec extends AnyFunSuite {
     assert(found.length == 1 && found.head.getSeq[String](5) == Seq("c.txt"))
   }
 
+  test("extractRepo: repo event precedes commits; non-repos yield a single error event") {
+    val repo1 = root.resolve("repo1")
+    val evs = GitLogSource.extractRepo(repo1).toVector
+    assert(evs.head.kind == "repo" && evs.head.repo_url == "(no remote url)")
+    assert(evs.tail.forall(_.kind == "commit"))
+    assert(evs.count(_.kind == "commit") == 7) // C1..C7, merge excluded
+    val bad = GitLogSource.extractRepo(root.resolve("data")).toVector
+    assert(bad.map(_.kind) == Vector("error"))
+    assert(bad.head.error.contains("not a git repository"))
+  }
+
   test("config TOML-subset parser") {
     val cfg = EtlConfig.parse(Seq(
       """# comment""",
@@ -256,10 +269,30 @@ class GitEtlSpec extends AnyFunSuite {
     assert(cfg.authorMap == Map("alias@example.com" -> "Canonical Name", "o@x.io" -> "Other"))
   }
 
-  test("numstat rename-path resolution") {
-    assert(GitLogSource.newPath("src/{old => new}/f.rs") == "src/new/f.rs")
-    assert(GitLogSource.newPath("a.txt => b.txt") == "b.txt")
-    assert(GitLogSource.newPath("plain/path.txt") == "plain/path.txt")
-    assert(GitLogSource.newPath("d/{ => sub}/f") == "d/sub/f")
+  test("adversarial filenames: literal ' => ', embedded newline, rename still records NEW path") {
+    // These were silent-corruption cases for line-based --numstat text
+    // parsing; the -z NUL protocol must carry them exactly.
+    val r = Files.createTempDirectory("etl-z")
+    val repo = Files.createDirectory(r.resolve("zrepo"))
+    git(repo, "init", "-q", "-b", "main")
+    git(repo, "config", "user.email", "z@x.io")
+    git(repo, "config", "user.name", "Z")
+    Files.writeString(repo.resolve("a => b.txt"), "arrow\n")
+    Files.writeString(repo.resolve("weird\nname.txt"), "nl\n")
+    Files.writeString(repo.resolve("old.txt"), "content\n")
+    git(repo, "add", ".")
+    commit(repo, "Z1 adversarial", date = "2024-04-01T00:00:00Z")
+    git(repo, "mv", "old.txt", "new => dir.txt") // rename TO an arrow name
+    commit(repo, "Z2 rename", date = "2024-04-02T00:00:00Z")
+    val t = GitEtl.dataframes(spark, r, EtlConfig(), maxDepth = 1)
+    val logs = t("logs").collect()
+    val byMsg = logs.map(l => l.getAs[String]("message") -> l.getAs[String]("commit_hash")).toMap
+    def filesOf(msg: String) = t("changed_files").collect()
+      .filter(_.getAs[String]("commit_hash") == byMsg(msg))
+      .map(_.getAs[String]("file_path")).sorted.toSeq
+    assert(filesOf("Z1 adversarial") == Seq("a => b.txt", "old.txt", "weird\nname.txt"))
+    assert(filesOf("Z2 rename") == Seq("new => dir.txt")) // NEW path, zero ambiguity
+    val z1 = logs.find(_.getAs[String]("message") == "Z1 adversarial").get
+    assert(z1.getAs[Long]("insertions") == 3)
   }
 }
