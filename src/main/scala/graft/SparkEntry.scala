@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupOps, Multimodal, Relational, SimilarityOps, TextOps, TimeSeries, Windows}
+import graft.queries.{DedupOps, Multimodal, Relational, SampleOps, SimilarityOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,10 +92,26 @@ object SparkEntry {
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
+    // §2.11 training-data selection (deterministic hash sampling)
+    "q_sample_hash"      -> (SampleOps.q_sample_hash _),
+    "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
+    "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
+
+  /** Integer value of the first `chars` hex chars of md5(doc_id) in
+    * DuckDB SQL — mirrors SampleOps.hashDraw (Spark `conv`) nibble for
+    * nibble.
+    */
+  private def duckHashDraw(chars: Int): String = {
+    val h = s"substr(md5(CAST(doc_id AS VARCHAR)),1,$chars)"
+    (1 to chars).map { i =>
+      val weight = 1L << (4 * (chars - i))
+      s"(strpos('0123456789abcdef', substr($h,$i,1)) - 1) * $weight"
+    }.mkString("(", " + ", ")")
+  }
 
   /** DuckDB-dialect oracle SQL, one per oracle-checkable query key.
     * Column names and types are aligned with the Spark outputs
@@ -490,6 +506,41 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sess
         |ORDER BY user_id, sess_start""".stripMargin,
+    // Deterministic hash draw shared by the sampling oracles: integer
+    // value of the first N hex chars of md5(doc_id), via per-nibble
+    // strpos arithmetic (DuckDB has no base-16 conv()).
+    "q_sample_hash" -> {
+      val draw4 = duckHashDraw(4)
+      s"""SELECT doc_id, lang, source, $draw4 % 1000 AS bucket
+         |FROM documents
+         |WHERE $draw4 % 1000 <
+         |  (CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 400 ELSE 600 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_sample_reservoir" -> {
+      val draw6 = duckHashDraw(6)
+      s"""WITH d AS (SELECT lang, doc_id, $draw6 AS draw FROM documents),
+         |r AS (SELECT lang, doc_id, draw,
+         |  row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rank FROM d)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, CAST(draw AS BIGINT) AS draw
+         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+    },
+    "q_pipeline_prep" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    round(0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        |                 / len(string_split(text,' ')))
+        |        + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
+        |        + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |                 / length(text)), 10) AS quality,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |    md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored
+        |  WHERE quality >= 0.45 AND lang IN ('en','fr','de','es'))
+        |SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(quality) AS quality,
+        |  CAST(min(n_tokens) AS BIGINT) AS n_tokens, count(*) AS n_dups
+        |FROM kept GROUP BY fp ORDER BY doc_id""".stripMargin,
     // Bit b of the simhash = bit b%4 of hex nibble b/4 of md5(word) —
     // identical strings, identical md5s, identical bits in both engines.
     "q_simhash" -> {

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.TopKAggregator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data selection operators (builder north star): the sampling
+  * and corpus-prep stages that sit between raw documents and a training
+  * mix. All are DETERMINISTIC — sampling decisions derive from md5 of
+  * the row key, not an RNG — so runs are reproducible, incremental
+  * reruns keep their selections, and the DuckDB oracle can verify every
+  * row. (Spark's `sample()`/`sampleBy()` are seeded-random: fine for
+  * stats, wrong for reproducible corpus builds — a re-run with one new
+  * input file reshuffles every selection.)
+  */
+object SampleOps {
+
+  private val Hex = "0123456789abcdef"
+
+  /** First `chars` hex chars of md5(key) as an integer column — the
+    * deterministic "random" draw, identical in Spark (`conv`) and
+    * DuckDB (nibble arithmetic, see the oracle SQL).
+    */
+  def hashDraw(key: Column, chars: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, chars), 16, 10).cast("long")
+
+  /** Stratified downsampling by language with per-stratum keep rates —
+    * the standard rebalancing move (downweight the dominant language,
+    * keep the tail). Keep iff hash(doc_id) mod 1000 < rate(lang).
+    *
+    * Scale shape: a pure per-row filter on a scan — no shuffle, no
+    * driver state, prunes to the kept fraction before anything
+    * downstream. Rates ride as a broadcast map literal.
+    */
+  def q_sample_hash(s: SparkSession, d: String): DataFrame = {
+    val rates = typedLit(Map("en" -> 200L, "zh" -> 400L)) // per-mille; default 600
+    val bucket = hashDraw(col("doc_id"), 4) % 1000
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"),
+        coalesce(element_at(rates, col("lang")), lit(600L)).as("keep_rate"))
+      .filter(col("bucket") < col("keep_rate"))
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Bounded per-group sample ("reservoir" with a deterministic
+    * priority): per language, keep the k docs with the smallest
+    * hash(doc_id) — a uniform-ish, reproducible k-per-group sample.
+    *
+    * Implemented with [[TopKAggregator]] (negated draw as the score),
+    * so each map partition reduces to ≤ k candidates per group before
+    * the shuffle — the same bounded-state shape a true reservoir
+    * sampler needs, and the reuse case the aggregate was built for.
+    */
+  def q_sample_reservoir(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        hashDraw(col("doc_id"), 6).as("draw"))
+      .groupBy("lang")
+      .agg(TopKAggregator.topk(k)(-col("draw").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(
+        col("lang"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("pair._2").as("doc_id"),
+        (-col("pair._1")).cast("long").as("draw"))
+      .orderBy("lang", "rank")
+
+  /** Composed corpus-prep pipeline — the end-to-end shape a training
+    * mix actually runs: quality gate → language allow-list → exact
+    * near-order-insensitive dedup (min doc per normalized fingerprint)
+    * → token accounting. Every stage is a deterministic column
+    * expression; the only shuffle is the dedup group-by.
+    */
+  def q_pipeline_prep(s: SparkSession, d: String): DataFrame = {
+    val words  = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val nStop  = size(filter(words, w =>
+      w === "the" || w === "a" || w === "of" || w === "and")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("double")
+    val len    = length(col("text")).cast("double")
+    val quality = round(
+      lit(0.4) * (nStop / nWords) +
+      lit(0.3) * least(nWords / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / len), 10)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        quality.as("quality"),
+        size(split(col("text"), "\\s+", -1)).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", array_sort(words))).as("fp"))
+      .filter(col("quality") >= 0.45 && col("lang").isin("en", "fr", "de", "es"))
+      .groupBy("fp")
+      .agg(
+        // min() everywhere: engine-deterministic even if metadata were
+        // to differ inside a normalized-duplicate group
+        min(col("doc_id")).as("doc_id"),
+        min(col("lang")).as("lang"),
+        min(col("quality")).as("quality"),
+        min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_dups"))
+      .select("doc_id", "lang", "quality", "n_tokens", "n_dups")
+      .orderBy("doc_id")
+  }
+}

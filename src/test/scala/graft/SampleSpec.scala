@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the deterministic sampling / corpus-prep operators
+  * (graft.queries.SampleOps). Exact row-level correctness is covered by
+  * the DuckDB oracle; these assert the semantic contracts.
+  */
+class SampleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_sample_hash: per-stratum rates bound the draw, and reruns are identical") {
+    val a = SparkEntry.queries("q_sample_hash")(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val cap = r.getAs[String]("lang") match {
+        case "en" => 200L; case "zh" => 400L; case _ => 600L
+      }
+      assert(r.getAs[Long]("bucket") < cap)
+    }
+    val b = SparkEntry.queries("q_sample_hash")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // deterministic
+  }
+
+  test("q_sample_reservoir: exactly min(k, group size) per language, contiguous ranks, sorted draws") {
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q_sample_reservoir")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(20L, langSizes(lang)))
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length))
+      val draws = sorted.map(_.getAs[Long]("draw"))
+      assert(draws.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
+    }
+    // the kept set is the k smallest draws — spot-check against a full sort
+    val full = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        graft.queries.SampleOps.hashDraw(col("doc_id"), 6).as("draw"))
+      .collect().groupBy(_.getAs[String]("lang"))
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val expect = full(lang).sortBy(r => (r.getAs[Long]("draw"), r.getAs[Long]("doc_id")))
+        .take(rs.length).map(_.getAs[Long]("doc_id")).toSet
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet == expect)
+    }
+  }
+
+  test("q_pipeline_prep: quality gate, language allow-list, unique doc ids") {
+    val rows = SparkEntry.queries("q_pipeline_prep")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("quality") >= 0.45)
+      assert(Set("en", "fr", "de", "es").contains(r.getAs[String]("lang")))
+      assert(r.getAs[Long]("n_dups") >= 1L)
+    }
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+}
