@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupOps, Multimodal, Relational, SampleOps, SimilarityOps, TextOps, TimeSeries, Windows}
+import graft.queries.{DedupOps, EmbedOps, Multimodal, Relational, SampleOps, SimilarityOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,10 @@ object SparkEntry {
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
+    // §2.11 embedding utilities
+    "q_embed_stats"    -> (EmbedOps.q_embed_stats _),
+    "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
+    "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -506,6 +510,33 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sess
         |ORDER BY user_id, sess_start""".stripMargin,
+    "q_embed_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2_norm,
+        |  list_max(embedding::DOUBLE[]) AS max_val,
+        |  list_min(embedding::DOUBLE[]) AS min_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // floor(x+0.5), not round(): the engines disagree on .5 ties
+    "q_embed_quant" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  127.0 / greatest(list_max(embedding::DOUBLE[]), -list_min(embedding::DOUBLE[])) AS scale
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id, CAST(generate_subscripts(e,1) - 1 AS BIGINT) AS dim,
+        |  CAST(floor(unnest(e) * scale + 0.5) AS BIGINT) AS q
+        |FROM s ORDER BY vec_id, dim""".stripMargin,
+    // list(v ORDER BY vec_id) fixes the accumulation order on both
+    // sides — float sums are order-dependent in the last bits
+    "q_embed_centroid" ->
+      """WITH pe AS (
+        |  SELECT vec_id % 8 AS cell, vec_id,
+        |    CAST(generate_subscripts(embedding,1) - 1 AS BIGINT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT cell, dim,
+        |  round(list_sum(list(v ORDER BY vec_id)) / count(*), 6) AS centroid,
+        |  count(*) AS n
+        |FROM pe GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
     // Deterministic hash draw shared by the sampling oracles: integer
     // value of the first N hex chars of md5(doc_id), via per-nibble
     // strpos arithmetic (DuckDB has no base-16 conv()).

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities (builder north star): the vector hygiene
+  * ops a training pipeline runs between raw embeddings and
+  * dedup/similarity stages. All per-element math is expression-level
+  * (codegen'd, no UDFs); cross-row aggregation (centroids) forces a
+  * deterministic accumulation order so the DuckDB oracle matches
+  * bit-for-bit.
+  */
+object EmbedOps {
+
+  /** Per-vector scalar stats: L2 norm (via the codegen'd dot_product —
+    * sequential accumulation, bit-identical to the oracle), extrema,
+    * and dimensionality. Zero shuffles — a pure scan projection.
+    */
+  def q_embed_stats(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(expr("dot_product(embedding, embedding)")), 6).as("l2_norm"),
+        array_max(col("embedding")).cast("double").as("max_val"),
+        array_min(col("embedding")).cast("double").as("min_val"))
+      .orderBy("vec_id")
+  }
+
+  /** Symmetric int8 quantization: scale = 127 / max(|v|), element q =
+    * floor(v·scale + 0.5) — floor(x+0.5) instead of round() because
+    * the two engines disagree on .5 ties (HALF_UP vs half-even) and a
+    * quantizer must be bit-stable. Exploded to scalars for the
+    * harness; the library form would keep `array<tinyint>`.
+    *
+    * Scale shape: per-row expressions inside the scan stage; the
+    * explode is for verification output only.
+    */
+  def q_embed_quant(s: SparkSession, d: String): DataFrame = {
+    val maxAbs = greatest(array_max(col("embedding")).cast("double"),
+      -array_min(col("embedding")).cast("double"))
+    embeddings(s, d)
+      .filter(col("vec_id") < 100) // bounded verification window
+      .select(col("vec_id"), col("embedding"),
+        (lit(127.0) / maxAbs).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(
+        col("vec_id"),
+        col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * col("scale") + 0.5).cast("long").as("q"))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** Per-cluster centroids — the k-means M-step (complementing the
+    * E-step assignment pass in SimilarityOps.q_sim_ivf). Assignment
+    * here is the deterministic `vec_id mod k` so the oracle can verify
+    * the aggregation kernel itself.
+    *
+    * Floating-point sums are order-dependent in the last bits and
+    * Spark's partial aggregation order is nondeterministic, so the
+    * mean is computed by folding an explicitly (vec_id-)ordered list —
+    * bit-identical to the oracle's `list_sum(list(v ORDER BY vec_id))`.
+    * At production scale the plain `avg()` (order-free, 1e-13
+    * tolerance) replaces the ordered fold; the collect_list form
+    * exists to keep the kernel hash-verifiable.
+    */
+  def q_embed_centroid(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    embeddings(s, d)
+      .select(pmod(col("vec_id"), lit(k)).as("cell"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(
+        sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(
+        col("cell"),
+        col("dim").cast("long").as("dim"),
+        round(
+          aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"),
+          6).as("centroid"),
+        col("n"))
+      .orderBy("cell", "dim")
+}

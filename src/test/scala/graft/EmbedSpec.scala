@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the embedding utility operators
+  * (graft.queries.EmbedOps); exact values are DuckDB-oracle-checked.
+  */
+class EmbedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_embed_stats: positive norms, extrema ordered, fixed dim") {
+    val rows = SparkEntry.queries("q_embed_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64L)
+      assert(r.getAs[Double]("l2_norm") > 0.0)
+      assert(r.getAs[Double]("max_val") >= r.getAs[Double]("min_val"))
+    }
+  }
+
+  test("q_embed_quant: symmetric int8 range with the extreme element hitting ±127") {
+    val rows = SparkEntry.queries("q_embed_quant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("q")) <= 127L))
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    byVec.values.foreach { vs =>
+      assert(vs.map(v => math.abs(v.getAs[Long]("q"))).max == 127L)
+    }
+  }
+
+  test("q_embed_centroid: k*dim cells, group sizes sum to corpus size") {
+    val rows = SparkEntry.queries("q_embed_centroid")(spark, sf).collect()
+    assert(rows.length == 8 * 64)
+    val total = rows.filter(_.getAs[Long]("dim") == 0L).map(_.getAs[Long]("n")).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+}
