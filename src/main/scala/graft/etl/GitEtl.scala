@@ -44,8 +44,9 @@ object GitEtl {
       root: Path,
       outDir: String,
       config: EtlConfig = EtlConfig(),
-      maxDepth: Int = 1): EtlReport = {
-    val etl = dataframes(spark, root, config, maxDepth)
+      maxDepth: Int = 1,
+      shardsPerRepo: Int = 1): EtlReport = {
+    val etl = dataframes(spark, root, config, maxDepth, shardsPerRepo)
     etl("repositories").write.mode("overwrite").parquet(s"$outDir/repositories.parquet")
     etl("logs").write.mode("overwrite").parquet(s"$outDir/logs.parquet")
     etl("changed_files").write.mode("overwrite").parquet(s"$outDir/changed_files.parquet")
@@ -62,10 +63,12 @@ object GitEtl {
       spark: SparkSession,
       root: Path,
       config: EtlConfig,
-      maxDepth: Int): Map[String, DataFrame] = {
+      maxDepth: Int,
+      shardsPerRepo: Int = 1): Map[String, DataFrame] = {
     import spark.implicits._
 
     val (candidates, ignored) = GitLogSource.scanDirectories(root, maxDepth, config.ignoredRepositories)
+    val nShards = math.max(1, shardsPerRepo)
 
     // One task per repository (the reference's task-per-repo fanout,
     // analyzer.rs:222-230), with ALL per-repo subprocess work —
@@ -81,10 +84,16 @@ object GitEtl {
     // Persisted: the one extraction pass feeds the repositories dim,
     // logs, changed_files, AND the failure report — without caching,
     // every downstream action would re-run `git log` over every repo.
+    // shardsPerRepo > 1 spreads each history over several tasks (hash-
+    // sliced via rev-list + log --stdin) — the giant-repo straggler
+    // mitigation; shard 0 carries the repo/error events.
+    val work = candidates.flatMap(p => (0 until nShards).map(sh => (p.toString, sh)))
     val events = spark
-      .createDataset(candidates.map(_.toString))
-      .repartition(math.max(1, candidates.size))
-      .mapPartitions(_.flatMap(p => GitLogSource.extractRepo(Paths.get(p))))
+      .createDataset(work)
+      .repartition(math.max(1, work.size))
+      .mapPartitions(_.flatMap { case (p, sh) =>
+        GitLogSource.extractRepoShard(Paths.get(p), sh, nShards)
+      })
       .toDF()
       .persist()
 

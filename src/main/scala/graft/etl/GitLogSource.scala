@@ -193,6 +193,106 @@ object GitLogSource {
     }
   }
 
+  /** Sharded variant of [[extractRepo]] — the giant-repo straggler
+    * mitigation: shard `sh` of `shards` extracts only the commits whose
+    * hash falls in its slice, so one huge history spreads over several
+    * tasks instead of serializing into one. The "repo" / "error"
+    * events are emitted by shard 0 only (one dimension row per repo);
+    * every shard still validates (a rev-parse is cheap next to its
+    * extraction slice).
+    */
+  def extractRepoShard(path: Path, sh: Int, shards: Int): Iterator[ExtractEvent] =
+    if (shards <= 1) extractRepo(path)
+    else {
+      val name = path.getFileName.toString
+      validateRepo(path) match {
+        case Some(err) =>
+          if (sh == 0) Iterator.single(ExtractEvent("error", name, path.toString, null, err, null))
+          else Iterator.empty
+        case None =>
+          val url = remoteUrl(path.toFile)
+          val head =
+            if (sh == 0) Iterator.single(ExtractEvent("repo", name, path.toString, url, null, null))
+            else Iterator.empty
+          head ++ streamRepoShard(path, name, url, sh, shards).map(c =>
+            ExtractEvent("commit", name, path.toString, url, null, c))
+      }
+    }
+
+  /** A commit's shard: uniform from its leading hash bits — no global
+    * index pass needed, every shard streams the (cheap, diff-free)
+    * rev-list independently and keeps its slice.
+    */
+  private[etl] def shardOf(hash: String, shards: Int): Int =
+    (java.lang.Long.parseLong(hash.substring(0, 8), 16) % shards).toInt
+
+  /** Pipe `git rev-list` (metadata-only walk) through a shard filter
+    * into `git log --stdin --no-walk=unsorted`, which diffs ONLY the
+    * fed commits — output bytes are the same -z grammar parseTokens
+    * already handles (verified against git 2.x).
+    */
+  private def streamRepoShard(
+      path: Path, name: String, url: String, sh: Int, shards: Int): Iterator[CommitRow] = {
+    val revPb = new java.lang.ProcessBuilder("git", "rev-list", "--no-merges", "HEAD")
+    revPb.directory(path.toFile)
+    revPb.redirectError(java.lang.ProcessBuilder.Redirect.DISCARD)
+    val revProc = revPb.start()
+    revProc.getOutputStream.close()
+    val revIn = new java.io.BufferedReader(
+      new java.io.InputStreamReader(revProc.getInputStream, UTF_8))
+
+    // Find the first owned hash BEFORE starting git log: `git log
+    // --stdin` with empty stdin falls back to HEAD (verified), so an
+    // empty shard must never launch the log process at all — it would
+    // re-emit the entire history.
+    var first: String = null
+    var line = revIn.readLine()
+    while (first == null && line != null) {
+      if (line.length >= 8 && shardOf(line, shards) == sh) first = line
+      else line = revIn.readLine()
+    }
+    if (first == null) {
+      val rc = revProc.waitFor()
+      if (rc != 0) throw new RuntimeException(s"git rev-list exited with $rc in $path")
+      Iterator.empty
+    } else {
+      val logPb = new java.lang.ProcessBuilder(
+        (logCommand.filterNot(_ == "--date-order") ++ Seq("--no-walk=unsorted", "--stdin")): _*)
+      logPb.directory(path.toFile)
+      logPb.redirectError(java.lang.ProcessBuilder.Redirect.DISCARD)
+      val logProc = logPb.start()
+
+      // feeder: stream rev-list -> shard filter -> log stdin; a thread
+      // so both pipes flow without buffering the history anywhere
+      val firstHash = first
+      val feeder = new Thread(() => {
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(logProc.getOutputStream, UTF_8))
+        try {
+          out.write(firstHash); out.write('\n')
+          var l = revIn.readLine()
+          while (l != null) {
+            if (l.length >= 8 && shardOf(l, shards) == sh) {
+              out.write(l); out.write('\n')
+            }
+            l = revIn.readLine()
+          }
+        } finally out.close()
+      }, s"git-shard-feeder-$name-$sh")
+      feeder.setDaemon(true)
+      feeder.start()
+
+      val tokens = nulTokens(new BufferedInputStream(logProc.getInputStream), onEof = () => {
+        val rc = revProc.waitFor()
+        val lc = logProc.waitFor()
+        if (rc != 0 || lc != 0)
+          throw new RuntimeException(
+            s"sharded git extraction failed in $path (rev-list=$rc, log=$lc)")
+      })
+      parseTokens(tokens, name, path.toString, url)
+    }
+  }
+
   private def streamRepo(path: Path, name: String, url: String): Iterator[CommitRow] = {
     val pb = new java.lang.ProcessBuilder(logCommand: _*)
     pb.directory(path.toFile)

@@ -22,7 +22,7 @@ object Main {
     if (args.isEmpty) {
       System.err.println(
         "usage: graft.etl.Main <root> --out <dir> [--config <toml>] " +
-          "[--max-depth N] [--recursive] [--num-threads N] [--clear]")
+          "[--max-depth N] [--recursive] [--shards N] [--num-threads N] [--clear]")
       sys.exit(2)
     }
     val root = Paths.get(args(0))
@@ -31,6 +31,7 @@ object Main {
     var maxDepth = 1
     var maxDepthSet = false
     var recursive = false
+    var shards = 1 // >1 spreads giant repos over several tasks
     var threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     var clear = false
     var i = 1
@@ -46,6 +47,7 @@ object Main {
         case "--config"      => configPath = Some(value("--config")); i += 2
         case "--max-depth"   => maxDepth = value("--max-depth").toInt; maxDepthSet = true; i += 2
         case "--recursive"   => recursive = true; i += 1 // analyzer.rs:32-62 parity
+        case "--shards"      => shards = value("--shards").toInt; i += 2
         case "--num-threads" => threads = value("--num-threads").toInt; i += 2
         case "--clear"       => clear = true; i += 1 // parquet overwrite is implicit
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
@@ -66,7 +68,7 @@ object Main {
 
     val config = configPath.map(p => EtlConfig.load(Paths.get(p))).getOrElse(EtlConfig())
     val t0 = System.nanoTime()
-    val report = GitEtl.run(spark, root, out, config, maxDepth)
+    val report = GitEtl.run(spark, root, out, config, maxDepth, shards)
     val secs = (System.nanoTime() - t0) / 1e9
 
     // Report format mirrors the reference (main.rs:7-26).

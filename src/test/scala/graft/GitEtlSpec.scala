@@ -247,6 +247,26 @@ class GitEtlSpec extends AnyFunSuite {
     assert(found.length == 1 && found.head.getSeq[String](5) == Seq("c.txt"))
   }
 
+  test("sharded extraction equals unsharded (giant-repo straggler path)") {
+    val plain = GitEtl.dataframes(spark, root, config, maxDepth = 1)
+    val sharded = GitEtl.dataframes(spark, root, config, maxDepth = 1, shardsPerRepo = 3)
+    def logsKey(t: Map[String, org.apache.spark.sql.DataFrame]) =
+      t("logs").collect().map(r =>
+        (r.getAs[Long]("repository_id"), r.getAs[String]("commit_hash"),
+          r.getAs[Long]("insertions"), r.getAs[Long]("deletions"),
+          r.getAs[String]("message"))).toSet
+    def filesKey(t: Map[String, org.apache.spark.sql.DataFrame]) =
+      t("changed_files").collect().map(r =>
+        (r.getAs[Long]("repository_id"), r.getAs[String]("commit_hash"),
+          r.getAs[String]("file_path"))).toSet
+    assert(logsKey(sharded) == logsKey(plain))
+    assert(filesKey(sharded) == filesKey(plain))
+    assert(sharded("repositories").collect().map(_.toString).sorted.toSeq ==
+      plain("repositories").collect().map(_.toString).sorted.toSeq)
+    assert(GitEtl.report(sharded).analyzed == GitEtl.report(plain).analyzed)
+    sharded("events").unpersist(); plain("events").unpersist()
+  }
+
   test("extractRepo: repo event precedes commits; non-repos yield a single error event") {
     val repo1 = root.resolve("repo1")
     val evs = GitLogSource.extractRepo(repo1).toVector
