@@ -93,11 +93,19 @@ object GitLogSource {
   // so even a filename beginning with \x01 cannot be misread.
   private val HeaderMark = '\u0001'
 
-  /** Directory scan (analyzer.rs:102-135): immediate subdirectories of
-    * `root` up to `maxDepth`, excluding `.git` dirs and configured
-    * ignores. Returns (candidates, ignored) — candidates are *all*
-    * non-ignored dirs; non-repos among them surface later as skipped,
-    * matching the reference's report (analyzer.rs:255-263).
+  /** Directory scan (analyzer.rs:102-135) up to `maxDepth`, excluding
+    * `.git` dirs and configured ignores. Returns (candidates, ignored).
+    *
+    * Pruning rules (matter once --recursive makes maxDepth unbounded):
+    *  - an ignored name prunes its WHOLE subtree (a repo nested under
+    *    vendor/ must not sneak in through recursion);
+    *  - a directory that is itself a git repository is a candidate and
+    *    is never descended into (its working tree — node_modules and
+    *    friends — must not become thousands of bogus candidates);
+    *  - top-level non-repo dirs are still candidates, so they surface
+    *    as skipped in the report exactly like the reference
+    *    (analyzer.rs:255-263); deeper non-repo dirs are only traversal
+    *    nodes.
     */
   def scanDirectories(
       root: Path, maxDepth: Int, ignored: Seq[String]): (Seq[Path], Seq[String]) = {
@@ -112,14 +120,23 @@ object GitLogSource {
         finally st.close()
       }.getOrElse(Vector.empty) // unreadable dir -> skipped, not fatal
     }
-    def walk(dir: Path, depth: Int): Vector[Path] =
-      if (depth <= 0) Vector.empty
-      else children(dir)
-        .filter(_.getFileName.toString != ".git") // never descend into .git
-        .flatMap(c => c +: walk(c, depth - 1))
-    val all = walk(root, maxDepth).sortBy(_.toString)
-    val (ig, keep) = all.partition(p => ignored.contains(p.getFileName.toString))
-    (keep, ig.map(_.getFileName.toString))
+    def looksLikeRepo(p: Path): Boolean =
+      Files.isDirectory(p.resolve(".git")) || isBareRepo(p)
+    val cands = Vector.newBuilder[Path]
+    val ign   = Vector.newBuilder[String]
+    def walk(dir: Path, depth: Int): Unit =
+      if (depth <= maxDepth) children(dir).foreach { c =>
+        val name = c.getFileName.toString
+        if (name == ".git") ()                      // never descend into .git
+        else if (ignored.contains(name)) ign += name // prune the subtree
+        else if (looksLikeRepo(c)) cands += c        // repo: never descend inside
+        else {
+          if (depth == 1) cands += c // reference parity: surfaces as skipped
+          walk(c, depth + 1)
+        }
+      }
+    walk(root, 1)
+    (cands.result().sortBy(_.toString), ign.result().sorted)
   }
 
   private def isBareRepo(p: Path): Boolean =
@@ -263,7 +280,10 @@ object GitLogSource {
       val logProc = logPb.start()
 
       // feeder: stream rev-list -> shard filter -> log stdin; a thread
-      // so both pipes flow without buffering the history anywhere
+      // so both pipes flow without buffering the history anywhere. If
+      // git log dies mid-stream the writes hit EPIPE — swallow it (the
+      // exit-status check below raises the loud failure) but stop
+      // feeding.
       val firstHash = first
       val feeder = new Thread(() => {
         val out = new java.io.BufferedWriter(
@@ -277,14 +297,21 @@ object GitLogSource {
             }
             l = revIn.readLine()
           }
-        } finally out.close()
+        } catch { case _: java.io.IOException => () } // EPIPE: log died
+        finally Try(out.close())
       }, s"git-shard-feeder-$name-$sh")
       feeder.setDaemon(true)
       feeder.start()
 
       val tokens = nulTokens(new BufferedInputStream(logProc.getInputStream), onEof = () => {
-        val rc = revProc.waitFor()
+        // log's stdout hit EOF, so logProc is exiting — but rev-list
+        // may be wedged writing to a pipe nobody drains anymore (the
+        // feeder dies on EPIPE when log aborts mid-stream). A plain
+        // waitFor() would hang the task forever; bound it and kill.
         val lc = logProc.waitFor()
+        val rc =
+          if (revProc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) revProc.exitValue()
+          else { revProc.destroyForcibly(); -1 }
         if (rc != 0 || lc != 0)
           throw new RuntimeException(
             s"sharded git extraction failed in $path (rev-list=$rc, log=$lc)")
@@ -393,7 +420,10 @@ object GitLogSource {
       val an = tokens.next()
       val ae = tokens.next()
       val ct = tokens.next()
-      val sTok = tokens.next() // summary [+ "\n" + first entry chunk]
+      // the stream can END right after %ct's NUL: a diff-less oldest
+      // commit with an empty message emits no summary byte and no
+      // trailing NUL (verified with --allow-empty --allow-empty-message)
+      val sTok = if (tokens.hasNext) tokens.next() else "" // summary [+ "\n" + first entry chunk]
       val nl = sTok.indexOf('\n')
       val summary = if (nl >= 0) sTok.substring(0, nl) else sTok
       current = CommitRow(
@@ -447,10 +477,4 @@ object GitLogSource {
     }
   }
 
-  /** Parse a complete `-z` dump held in memory (delegates to the
-    * incremental parser; used by tests).
-    */
-  def parseLog(
-      out: String, repoName: String, repoPath: String, url: String): Seq[CommitRow] =
-    parseTokens(out.split("\u0000", -1).iterator, repoName, repoPath, url).toVector
 }

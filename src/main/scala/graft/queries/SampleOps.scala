@@ -57,6 +57,7 @@ object SampleOps {
     documents(s, d)
       .select(col("lang"), col("doc_id"),
         hashDraw(col("doc_id"), 6).as("draw"))
+      .filter(col("draw").isNotNull) // null key ⇒ null draw ⇒ encoder crash
       .groupBy("lang")
       .agg(TopKAggregator.topk(k)(-col("draw").cast("double"), col("doc_id")).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "pair")))

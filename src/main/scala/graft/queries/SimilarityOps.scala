@@ -37,6 +37,10 @@ object SimilarityOps {
       .select(
         col("query_id"), col("neighbor_id"),
         round(expr("cosine_sim(qv, nv)"), 6).as("cosine"))
+      // cosine_sim returns NULL for malformed vectors (dim mismatch /
+      // null elements); the tuple encoder's primitive Double would
+      // crash on it, and an unrankable candidate should drop anyway
+      .filter(col("cosine").isNotNull)
     scored.groupBy("query_id")
       .agg(TopKAggregator.topk(5)(col("cosine"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))

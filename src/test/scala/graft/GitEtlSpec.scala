@@ -267,6 +267,51 @@ class GitEtlSpec extends AnyFunSuite {
     sharded("events").unpersist(); plain("events").unpersist()
   }
 
+  test("diff-less commits with empty messages parse (root and non-root)") {
+    // The -z stream can end right after %ct's NUL (no summary byte) —
+    // must yield the "(no commit summary)" sentinel, not a crash.
+    val r = Files.createTempDirectory("etl-empty")
+    val repo = Files.createDirectory(r.resolve("emptymsg"))
+    git(repo, "init", "-q", "-b", "main")
+    git(repo, "config", "user.email", "e@x.io")
+    git(repo, "config", "user.name", "E")
+    Process(Seq("git", "commit", "-q", "--allow-empty", "--allow-empty-message", "-m", ""),
+      repo.toFile,
+      "GIT_AUTHOR_DATE" -> "2024-05-01T00:00:00Z", "GIT_COMMITTER_DATE" -> "2024-05-01T00:00:00Z",
+      "GIT_COMMITTER_NAME" -> "CI", "GIT_COMMITTER_EMAIL" -> "ci@example.com").!!
+    Process(Seq("git", "commit", "-q", "--allow-empty", "--allow-empty-message", "-m", ""),
+      repo.toFile,
+      "GIT_AUTHOR_DATE" -> "2024-05-02T00:00:00Z", "GIT_COMMITTER_DATE" -> "2024-05-02T00:00:00Z",
+      "GIT_COMMITTER_NAME" -> "CI", "GIT_COMMITTER_EMAIL" -> "ci@example.com").!!
+    val evs = GitLogSource.extractRepo(repo).toVector
+    val commits = evs.filter(_.kind == "commit").map(_.commit)
+    assert(commits.length == 2)
+    assert(commits.forall(_.message == "(no commit summary)"))
+    assert(commits.forall(c => c.insertions == 0 && c.changed_files.isEmpty))
+    assert(commits.map(_.parent_hash).count(_ == "0" * 40) == 1) // the root
+  }
+
+  test("recursive scan prunes ignored subtrees and never descends into repos") {
+    val r = Files.createTempDirectory("etl-scan")
+    // vendor/nested-repo must NOT become a candidate (ignored subtree)
+    val nested = Files.createDirectories(r.resolve("vendor").resolve("nested"))
+    git(nested, "init", "-q", "-b", "main")
+    // realrepo with a deep non-git working tree that must not explode
+    val real = Files.createDirectory(r.resolve("realrepo"))
+    git(real, "init", "-q", "-b", "main")
+    Files.createDirectories(real.resolve("node_modules").resolve("a").resolve("b"))
+    // a deep repo under a plain dir IS found recursively
+    val deep = Files.createDirectories(r.resolve("group").resolve("deeprepo"))
+    git(deep, "init", "-q", "-b", "main")
+    val (cands, ign) = GitLogSource.scanDirectories(r, Int.MaxValue, Seq("vendor"))
+    val names = cands.map(_.getFileName.toString)
+    assert(ign == Seq("vendor"))
+    assert(names.contains("realrepo") && names.contains("deeprepo"))
+    assert(!names.contains("nested"), "ignored subtree leaked a repo")
+    assert(!names.exists(Set("node_modules", "a", "b")), "descended into a repo's working tree")
+    assert(names.contains("group")) // top-level non-repo surfaces as skippable candidate
+  }
+
   test("extractRepo: repo event precedes commits; non-repos yield a single error event") {
     val repo1 = root.resolve("repo1")
     val evs = GitLogSource.extractRepo(repo1).toVector
