@@ -75,22 +75,11 @@ object SampleOps {
     * expression; the only shuffle is the dedup group-by.
     */
   def q_pipeline_prep(s: SparkSession, d: String): DataFrame = {
-    val words  = split(col("text"), " ")
-    val nWords = size(words).cast("double")
-    val nStop  = size(filter(words, w =>
-      w === "the" || w === "a" || w === "of" || w === "and")).cast("double")
-    val nPunct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("double")
-    val len    = length(col("text")).cast("double")
-    val quality = round(
-      lit(0.4) * (nStop / nWords) +
-      lit(0.3) * least(nWords / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - nPunct / len), 10)
     documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
-        quality.as("quality"),
+        TextOps.qualityScore(col("text")).as("quality"),
         size(split(col("text"), "\\s+", -1)).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", array_sort(words))).as("fp"))
+        TextOps.normalizedFp(col("text")).as("fp"))
       .filter(col("quality") >= 0.45 && col("lang").isin("en", "fr", "de", "es"))
       .groupBy("fp")
       .agg(

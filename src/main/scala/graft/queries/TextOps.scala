@@ -66,6 +66,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The weighted quality score as a reusable column expression —
+    * shared by q_text_quality, the batch corpus-prep pipeline
+    * (SampleOps.q_pipeline_prep), and the streaming quality gate
+    * (streaming.DocPipeline), so all three filter on the SAME number.
+    */
+  def qualityScore(text: Column): Column = {
+    val words  = split(text, " ")
+    val nWords = size(words).cast("double")
+    val nStop  = size(filter(words, w =>
+      w === "the" || w === "a" || w === "of" || w === "and")).cast("double")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("double")
+    val len    = length(text).cast("double")
+    round(
+      lit(0.4) * (nStop / nWords) +
+      lit(0.3) * least(nWords / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / len), 10)
+  }
+
+  /** Order-insensitive content fingerprint (sorted bag of words) — the
+    * near-exact dedup key; shared with the pipeline/streaming dedup.
+    */
+  def normalizedFp(text: Column): Column =
+    md5(concat_ws(" ", array_sort(split(text, " "))))
+
   /** Quality scoring: length, punctuation ratio, stopword ratio →
     * weighted score. The standard cheap pre-filter before expensive
     * dedup/embedding stages in a data pipeline.
@@ -84,10 +109,7 @@ object TextOps {
         size(words).cast("long").as("n_words"),
         round(nStop / nWords, 10).as("stopword_ratio"),
         round(nPunct / len, 10).as("punct_ratio"),
-        round(
-          lit(0.4) * (nStop / nWords) +
-          lit(0.3) * least(nWords / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - nPunct / len), 10).as("quality_score"))
+        qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -101,6 +123,6 @@ object TextOps {
       .select(
         col("doc_id"),
         md5(col("text")).as("fp_exact"),
-        md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("fp_normalized"))
+        normalizedFp(col("text")).as("fp_normalized"))
       .orderBy("doc_id")
 }

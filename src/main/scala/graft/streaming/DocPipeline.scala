@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.queries.{SampleOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus-prep (builder north star): the same quality gate,
+  * deterministic sampling, and near-exact dedup that
+  * SampleOps.q_pipeline_prep runs in batch, applied to an unbounded
+  * document stream — identical column expressions (shared via TextOps /
+  * SampleOps), so a doc admitted by the batch pipeline is admitted by
+  * the streaming one.
+  *
+  * Expects the documents schema plus an ingest timestamp:
+  * (ts timestamp, doc_id long, lang string, text string).
+  *
+  * Scale notes: the quality/sample stages are stateless per-row
+  * expressions — they pipeline inside the source stage with zero
+  * state. Only the dedup holds state, bounded by watermark horizon ×
+  * distinct-fingerprint cardinality within it.
+  */
+object DocPipeline {
+
+  /** Stateless gate: quality threshold + language allow-list +
+    * deterministic hash-rate sampling. Safe in any output mode.
+    */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.45,
+      keepPerMille: Int = 600): DataFrame =
+    docs
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality &&
+        col("lang").isin("en", "fr", "de", "es") &&
+        SampleOps.hashDraw(col("doc_id"), 4) % 1000 < keepPerMille)
+
+  /** Near-exact (word-order-insensitive) dedup within the watermark
+    * horizon: first document with a given normalized fingerprint wins,
+    * later permutations/duplicates are dropped; state expires with the
+    * watermark instead of growing forever.
+    */
+  def dedupNormalized(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", TextOps.normalizedFp(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** The full streaming prep: gate → dedup, mirroring
+    * SampleOps.q_pipeline_prep's stage order.
+    */
+  def prep(docs: DataFrame, minQuality: Double = 0.45,
+      keepPerMille: Int = 600): DataFrame =
+    dedupNormalized(qualityGate(docs, minQuality, keepPerMille))
+      .select(col("ts"), col("doc_id"), col("lang"), col("quality"),
+        size(split(col("text"), "\\s+", -1)).cast("long").as("n_tokens"))
+}

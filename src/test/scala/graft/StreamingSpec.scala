@@ -26,6 +26,29 @@ class StreamingSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  private case class Doc(ts: Timestamp, doc_id: Long, lang: String, text: String)
+
+  test("streaming doc pipeline: quality gate is batch-identical, dedup drops reordered duplicate") {
+    val good = (1 to 60).map(i => s"the w$i of x.").mkString(" ") // stopword-rich, long
+    val goodPerm = good.split(" ").reverse.mkString(" ")          // same bag of words
+    val junk = "#### @@@@ !!!! %%%% ^^^^ &&&& ****"               // punct-heavy, short
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(ts("2024-01-01 10:00:00"), 1L, "en", good),
+      Doc(ts("2024-01-01 10:01:00"), 2L, "en", junk),
+      Doc(ts("2024-01-01 10:02:00"), 3L, "zh", good),       // lang-gated
+      Doc(ts("2024-01-01 10:03:00"), 4L, "en", goodPerm))   // near-dup of doc 1
+    val out = runToCompletion(
+      graft.streaming.DocPipeline.prep(input.toDF(), keepPerMille = 1000),
+      "doc_prep", "append")
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L), s"kept=$kept") // junk gated, zh gated, permutation deduped
+    // the gate's quality number equals the batch expression on the same text
+    val batchQ = Seq((1L, good)).toDF("doc_id", "text")
+      .select(graft.queries.TextOps.qualityScore(col("text"))).head.getDouble(0)
+    assert(out.collect().head.getAs[Double]("quality") == batchQ)
+  }
+
   test("tumbling window streaming agg matches batch on the same data") {
     val input = MemoryStream[Ev]
     val evs = Seq(
