@@ -103,6 +103,7 @@ object SparkEntry {
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q_media_resize"   -> ((s, d) => Multimodal.resizeMeta(s, d)),
   )
 
   /** Integer value of the first `chars` hex chars of md5(doc_id) in
@@ -510,6 +511,18 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sess
         |ORDER BY user_id, sess_start""".stripMargin,
+    // media metadata derives arithmetically from doc_id (mediaTable);
+    // floor() before the INT cast — DuckDB's cast-to-int ROUNDS while
+    // Spark's truncates
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |  CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+        |  CAST(doc_id % 4 * 90 + 180 AS INT) AS height,
+        |  CAST(least(doc_id % 4 * 160 + 320, 640) AS INT) AS out_width,
+        |  CAST(floor((doc_id % 4 * 90 + 180) * least(doc_id % 4 * 160 + 320, 640)
+        |       / (doc_id % 4 * 160 + 320)) AS INT) AS out_height
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_embed_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
