@@ -33,6 +33,20 @@ class PropertySpec extends AnyFunSuite {
   private val docGen  = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
   private val docsGen = Gen.nonEmptyListOf(docGen)
 
+  test("TopKAggregator equals sort-based top-k under arbitrary partitioning and merge order") {
+    val pairGen  = for { s <- Gen.chooseNum(0, 100); id <- Gen.chooseNum(0L, 50L) } yield (s / 10.0, id)
+    val pairsGen = Gen.listOf(pairGen)
+    forAll(pairsGen, Gen.chooseNum(1, 5)) { (pairs, k) =>
+      val a = new graft.functions.TopKAggregator(k)
+      // partition by index mod 3, reduce each slice, merge in slice order
+      val bufs = pairs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+        .map { case (_, ps) => ps.map(_._1).foldLeft(a.zero)(a.reduce) }
+      val merged = bufs.foldLeft(a.zero)(a.merge)
+      val expect = pairs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(a.finish(merged).toList == expect)
+    }
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     forAll(docsGen) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
