@@ -80,6 +80,42 @@ object GitAnalytics {
       .orderBy("repository_id")
   }
 
+  /** File co-change coupling: pairs of files repeatedly modified in
+    * the same commits, per repository — the classic hidden-dependency
+    * detector over this schema. Same shape as the MinHash-LSH band
+    * join: self-join on the (repository, commit) key, pair-count
+    * aggregation. At scale the guard is the commit fan-out: a
+    * touches-everything commit (mass reformat) contributes
+    * quadratically, so commits with more than `maxFilesPerCommit`
+    * files are excluded — standard practice for coupling metrics, and
+    * the skew cap that keeps the join's per-key work bounded.
+    */
+  def coChangedFiles(
+      s: SparkSession, dir: String,
+      minPairCount: Long = 2, maxFilesPerCommit: Int = 50): DataFrame = {
+    val cf = t(s, dir, "changed_files")
+    val small = cf
+      .groupBy("repository_id", "commit_hash")
+      .agg(count(lit(1)).as("n_files"))
+      .filter(col("n_files") <= maxFilesPerCommit)
+      .select("repository_id", "commit_hash")
+    val files = cf.join(small, Seq("repository_id", "commit_hash"))
+    val pairs = files.as("a")
+      .join(files.as("b"),
+        col("a.repository_id") === col("b.repository_id") &&
+          col("a.commit_hash") === col("b.commit_hash") &&
+          col("a.file_path") < col("b.file_path"))
+      .select(
+        col("a.repository_id").as("repository_id"),
+        col("a.file_path").as("file_a"),
+        col("b.file_path").as("file_b"))
+    pairs
+      .groupBy("repository_id", "file_a", "file_b")
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minPairCount)
+      .orderBy(desc("n_together"), col("repository_id"), col("file_a"), col("file_b"))
+  }
+
   /** Commits whose summary matches a pattern (the "find that change"
     * query), with their file lists aggregated back into arrays.
     */

@@ -245,6 +245,15 @@ class GitEtlSpec extends AnyFunSuite {
 
     val found = graft.etl.GitAnalytics.searchCommits(spark, out, "rename").collect()
     assert(found.length == 1 && found.head.getSeq[String](5) == Seq("c.txt"))
+
+    // co-change: a.txt+b.txt share only C1 (below min count 2), so
+    // with minPairCount=1 the pair appears once; with the default 2 it
+    // doesn't
+    val co1 = graft.etl.GitAnalytics.coChangedFiles(spark, out, minPairCount = 1).collect()
+    val pair = co1.find(r => r.getAs[String]("file_a") == "a.txt" && r.getAs[String]("file_b") == "b.txt")
+    assert(pair.exists(_.getAs[Long]("n_together") == 1L))
+    assert(graft.etl.GitAnalytics.coChangedFiles(spark, out).collect()
+      .forall(_.getAs[Long]("n_together") >= 2L))
   }
 
   test("sharded extraction equals unsharded (giant-repo straggler path)") {
