@@ -85,25 +85,30 @@ object DedupOps {
     * giant buckets.
     */
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
-    // The signature table is tiny (one 128-char row per doc) but its
-    // lineage — 8 md5-min passes over every shingle — is the expensive
-    // part, and it feeds BOTH sides of the band self-join plus the
-    // candidate lookup. Persist it so the hashing runs exactly once;
-    // without this, alias-divergent subplans defeat ReuseExchange and
-    // the signatures are recomputed up to 8× (measured 21s → ~2s at
-    // sf0.1).
-    val sig = signatures(s, d)
-      .withColumn("b1", concat(col("h1"), col("h2"), col("h3"), col("h4")))
-      .withColumn("b2", concat(col("h5"), col("h6"), col("h7"), col("h8")))
-      .persist()
-    val bands = sig.select(col("doc_id"), explode(array(col("b1"), col("b2"))).as("band"))
-    val cand = bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs via a grouped explode per band (same shape as
+    // SimilarityOps.q_sim_lsh): the signature lineage — 8 md5-min
+    // passes over every shingle — is consumed exactly ONCE, so no
+    // persist is needed and the only band-side shuffle is the groupBy
+    // (the earlier self-join shuffled the bands twice and had to cache
+    // the signatures to stop an 8× recompute). Band skew is bounded by
+    // band width (64 hex chars); a pathological bucket caps at its own
+    // pair count, not the corpus.
+    val bands = signatures(s, d).select(col("doc_id"),
+      explode(array(
+        concat(col("h1"), col("h2"), col("h3"), col("h4")),
+        concat(col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
+    val cand = bands.groupBy("band")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"),
+        explode(filter(col("ids"), x => x > col("doc_a"))).as("doc_b"))
       .distinct()
+    // the shingle sets feed both sides of the candidate lookup — the
+    // one remaining double consumption, persisted to hash text once
     val sh = fanOut(s, documents(s, d))
       .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
-      .persist() // feeds both sides of the candidate lookup
+      .persist()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
