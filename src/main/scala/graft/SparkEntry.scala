@@ -565,7 +565,8 @@ object SparkEntry {
       val draw6 = duckHashDraw(6)
       s"""WITH d AS (SELECT lang, doc_id, $draw6 AS draw FROM documents),
          |r AS (SELECT lang, doc_id, draw,
-         |  row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rank FROM d)
+         |  row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rank
+         |  FROM d WHERE draw IS NOT NULL)
          |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, CAST(draw AS BIGINT) AS draw
          |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
     },

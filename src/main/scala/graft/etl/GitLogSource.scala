@@ -113,15 +113,21 @@ object GitLogSource {
     // unreadable subdirectory must not abort the whole scan (walk's
     // iterator throws UncheckedIOException mid-traversal and can't be
     // resumed), and each stream is closed deterministically.
+    // symlinked directories are never followed: a self-referencing
+    // link (root/a/loop -> root/a) would otherwise recurse forever
+    // under --recursive
     def children(dir: Path): Vector[Path] = {
       val stream = Try(Files.list(dir))
       stream.map { st =>
-        try st.iterator().asScala.filter(Files.isDirectory(_)).toVector
+        try st.iterator().asScala
+          .filter(p => Files.isDirectory(p) && !Files.isSymbolicLink(p))
+          .toVector
         finally st.close()
       }.getOrElse(Vector.empty) // unreadable dir -> skipped, not fatal
     }
     def looksLikeRepo(p: Path): Boolean =
-      Files.isDirectory(p.resolve(".git")) || isBareRepo(p)
+      // .git may be a FILE (linked worktrees, submodule checkouts)
+      Files.exists(p.resolve(".git")) || isBareRepo(p)
     val cands = Vector.newBuilder[Path]
     val ign   = Vector.newBuilder[String]
     def walk(dir: Path, depth: Int): Unit =
@@ -168,7 +174,8 @@ object GitLogSource {
     * git repository with a resolvable HEAD without reading any history.
     */
   def validateRepo(path: Path): Option[String] = {
-    if (!(Files.isDirectory(path.resolve(".git")) || isBareRepo(path)))
+    // .git may be a directory or a file (worktree/submodule checkouts)
+    if (!(Files.exists(path.resolve(".git")) || isBareRepo(path)))
       Some(s"not a git repository: $path")
     else {
       val ok = Try(Process(Seq("git", "rev-parse", "--verify", "HEAD"), path.toFile).!!).isSuccess

@@ -30,6 +30,26 @@ object DedupOps {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Distinct co-bucket id pairs (a < b) via a per-bucket grouped
+    * explode — the LSH candidate-generation shape shared by the MinHash
+    * band join and the random-hyperplane bucket join
+    * (SimilarityOps.q_sim_lsh). Only (bucket, id) enters the shuffle;
+    * pairs are deduped across buckets BEFORE any expensive verification
+    * joins back. Bucket skew caps at that bucket's own pair count —
+    * salting a pathological bucket would slot in here, once, for both
+    * callers.
+    */
+  private[queries] def candidatePairs(
+      bucketed: DataFrame, bucket: String, id: String,
+      aName: String, bName: String): DataFrame =
+    bucketed.groupBy(bucket)
+      .agg(sort_array(collect_list(col(id))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as(aName), col("ids"))
+      .select(col(aName),
+        explode(filter(col("ids"), x => x > col(aName))).as(bName))
+      .distinct()
+
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).
     */
@@ -97,13 +117,7 @@ object DedupOps {
       explode(array(
         concat(col("h1"), col("h2"), col("h3"), col("h4")),
         concat(col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
-    val cand = bands.groupBy("band")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"),
-        explode(filter(col("ids"), x => x > col("doc_a"))).as("doc_b"))
-      .distinct()
+    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
     // the shingle sets feed both sides of the candidate lookup — the
     // one remaining double consumption, persisted to hash text once
     val sh = fanOut(s, documents(s, d))

@@ -166,13 +166,7 @@ object SimilarityOps {
     // per-corpus.
     val ids = e.select(col("vec_id"),
       explode(array((0 until nTables).map(sketch): _*)).as("bucket"))
-    val pairs = ids.groupBy("bucket")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("vec_a"), col("ids"))
-      .select(col("vec_a"),
-        explode(filter(col("ids"), x => x > col("vec_a"))).as("vec_b"))
-      .distinct()
+    val pairs = DedupOps.candidatePairs(ids, "bucket", "vec_id", "vec_a", "vec_b")
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))

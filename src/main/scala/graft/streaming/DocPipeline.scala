@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
 object DocPipeline {
 
   /** Stateless gate: quality threshold + language allow-list +
-    * deterministic hash-rate sampling. Safe in any output mode.
+    * optional deterministic hash-rate sampling (the default 1000 ‰
+    * keeps everything, so defaults match the batch pipeline exactly —
+    * pass a lower rate to downsample). Safe in any output mode.
     */
   def qualityGate(docs: DataFrame, minQuality: Double = 0.45,
-      keepPerMille: Int = 600): DataFrame =
+      keepPerMille: Int = 1000): DataFrame =
     docs
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= minQuality &&
@@ -47,7 +49,7 @@ object DocPipeline {
     * SampleOps.q_pipeline_prep's stage order.
     */
   def prep(docs: DataFrame, minQuality: Double = 0.45,
-      keepPerMille: Int = 600): DataFrame =
+      keepPerMille: Int = 1000): DataFrame =
     dedupNormalized(qualityGate(docs, minQuality, keepPerMille))
       .select(col("ts"), col("doc_id"), col("lang"), col("quality"),
         size(split(col("text"), "\\s+", -1)).cast("long").as("n_tokens"))

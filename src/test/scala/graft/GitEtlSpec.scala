@@ -321,6 +321,28 @@ class GitEtlSpec extends AnyFunSuite {
     assert(names.contains("group")) // top-level non-repo surfaces as skippable candidate
   }
 
+  test("scan handles .git-file worktrees and symlink loops") {
+    val r = Files.createTempDirectory("etl-wt")
+    val base = Files.createDirectory(r.resolve("base"))
+    git(base, "init", "-q", "-b", "main")
+    git(base, "config", "user.email", "w@x.io")
+    git(base, "config", "user.name", "W")
+    Files.writeString(base.resolve("f.txt"), "x\n")
+    git(base, "add", ".")
+    commit(base, "base commit", date = "2024-06-01T00:00:00Z")
+    // a linked worktree: its .git is a FILE pointing at the main repo
+    val group = Files.createDirectory(r.resolve("group"))
+    git(base, "worktree", "add", "-q", "-b", "wt-branch", group.resolve("wt").toString)
+    // a symlink loop that must not hang the recursive walk
+    Files.createSymbolicLink(group.resolve("loop"), group)
+    val (cands, _) = GitLogSource.scanDirectories(r, Int.MaxValue, Nil)
+    val names = cands.map(_.getFileName.toString)
+    assert(names.contains("wt"), s"worktree checkout not detected: $names")
+    assert(GitLogSource.validateRepo(group.resolve("wt")).isEmpty)
+    val evs = GitLogSource.extractRepo(group.resolve("wt")).toVector
+    assert(evs.count(_.kind == "commit") == 1)
+  }
+
   test("extractRepo: repo event precedes commits; non-repos yield a single error event") {
     val repo1 = root.resolve("repo1")
     val evs = GitLogSource.extractRepo(repo1).toVector
