@@ -30,6 +30,7 @@ object SparkEntry {
     "q_join_semi"      -> (Relational.q_join_semi _),
     "q_join_anti"      -> (Relational.q_join_anti _),
     "q_join_range"     -> (Relational.q_join_range _),
+    "q_join_outer"     -> (Relational.q_join_outer _),
     "q_join_asof"      -> (Windows.q_join_asof _),
     "q_sql_report"     -> (Relational.q_sql_report _),
     // §2.4 aggregations
@@ -73,6 +74,8 @@ object SparkEntry {
     "q_window_lag"     -> (Windows.q_window_lag _),
     "q_window_running" -> (Windows.q_window_running _),
     "q_window_dist"    -> (Windows.q_window_dist _),
+    "q_window_range"   -> (Relational.q_window_range _),
+    "q_string_agg"     -> (Relational.q_string_agg _),
     // §2.10 time windows
     "q_time_tumble"  -> (TimeSeries.q_time_tumble _),
     "q_time_slide"   -> (TimeSeries.q_time_slide _),
@@ -176,6 +179,25 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "q_join_outer" ->
+      """WITH oagg AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |rich AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
+        |FROM rich FULL OUTER JOIN oagg ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS trailing_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,

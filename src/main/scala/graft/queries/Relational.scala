@@ -527,6 +527,55 @@ object Relational {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** Full outer join (SURVEY.md §2.3): null-extending both sides —
+    * high-balance customers without orders AND order groups whose
+    * customer falls outside the filter both survive. Plans as a
+    * SortMergeJoin(FullOuter) on the key; at scale identical shuffle
+    * shape to the inner join, plus null-extension.
+    */
+  def q_join_outer(s: SparkSession, d: String): DataFrame = {
+    val oagg = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val rich = customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    rich.join(oagg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        col("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** RANGE window frame (SURVEY.md §2.5): trailing 30-day revenue per
+    * customer — peers by VALUE distance, not row count, so equal-date
+    * orders share one frame (deterministic under ties, unlike ROWS).
+    */
+  def q_window_range(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_wr_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS trailing_30d
+        |FROM graft_wr_orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** Ordered string aggregation (SURVEY.md §2.4: listagg/string_agg) —
+    * sorted-distinct concat so the result is deterministic regardless
+    * of partial-aggregation order.
+    */
+  def q_string_agg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
   /** JSON extraction (SURVEY.md §2.9: events.props is JSON text). */
   def q_json_fn(s: SparkSession, d: String): DataFrame =
     events(s, d)
