@@ -71,9 +71,22 @@ object Main {
     val report = GitEtl.run(spark, root, out, config, maxDepth, shards)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    // Report format mirrors the reference (main.rs:7-26).
+    // Report format mirrors the reference (main.rs:7-26), plus per-repo
+    // commit counts (the reference's per-repo progress lines,
+    // analyzer.rs:282, rendered post-hoc — Spark tasks complete out of
+    // order, so a faithful live ticker would interleave misleadingly).
     println(f"# Done in $secs%.1f seconds")
     println(s"# Analyzed repositories (${report.analyzed.size}): ${report.analyzed.mkString(", ")}")
+    locally {
+      val logs = spark.read.parquet(s"$out/logs.parquet")
+      val repos = spark.read.parquet(s"$out/repositories.parquet")
+      import org.apache.spark.sql.functions.{col, count, lit}
+      logs.groupBy("repository_id").agg(count(lit(1)).as("n"))
+        .join(repos, col("repository_id") === col("repo_id"), "right")
+        .orderBy("name", "repo_id")
+        .collect()
+        .foreach(r => println(s"#   ${r.getAs[String]("name")}: ${Option(r.getAs[Any]("n")).getOrElse(0L)} commits"))
+    }
     if (report.ignored.nonEmpty)
       println(s"# Ignored (${report.ignored.size}): ${report.ignored.mkString(", ")}")
     if (report.failed.nonEmpty)
