@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // timestamp-literal filters must not shift with machine TZ
       .config("spark.ui.enabled", "false")
       // optional knob for overhead experiments (default: Spark default)
       .config("spark.sql.adaptive.enabled",
