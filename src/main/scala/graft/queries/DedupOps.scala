@@ -94,6 +94,21 @@ object DedupOps {
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Production-scale signature variant: xxhash64 (one 64-bit hash per
+    * shingle per function) instead of md5+substring — ~4× cheaper
+    * hashing with the SAME plan shape (explode → codegen'd scalar hash
+    * → map-side-combined min), so every scale property of the md5 form
+    * carries over. Not DuckDB-reproducible (xxhash64 is Spark-specific),
+    * which is why the oracle-checked q_minhash keeps md5; swap this in
+    * when the corpus, not the oracle, is the point.
+    */
+  def signaturesFast(s: SparkSession, d: String): DataFrame = {
+    val exploded = fanOut(s, documents(s, d))
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
+    val mins = (1 to 8).map(i => min(xxhash64(lit(i), col("x"))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash-LSH near-dup candidate pairs: 2 bands × 4 rows, self-join
     * on the band key, then exact shingle-set Jaccard to confirm.
     *

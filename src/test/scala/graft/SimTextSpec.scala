@@ -129,6 +129,23 @@ class SimTextSpec extends AnyFunSuite {
       s"near=${hamming(hs(0L), hs(1L))} far=${hamming(hs(0L), hs(2L))}")
   }
 
+  test("signaturesFast: xxhash64 minima are deterministic and near-dup-sensitive like md5's") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mhf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def sigs() = graft.queries.DedupOps.signaturesFast(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (1 to 8).map(i => r.getAs[Long](s"h$i")).toVector).toMap
+    val a = sigs()
+    assert(a == sigs()) // deterministic across runs
+    def agree(x: Vector[Long], y: Vector[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(agree(a(0L), a(1L)) > agree(a(0L), a(2L)),
+      "near-dup must share more minhash functions than an unrelated doc")
+  }
+
   test("q_fingerprint: normalized fingerprint is word-order insensitive") {
     import spark.implicits._
     val docs = Seq((0L, "b a c"), (1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
