@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupOps, EmbedOps, Multimodal, Relational, SampleOps, SimilarityOps, TextOps, TimeSeries, Windows}
+import graft.queries.{DedupOps, EmbedOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,7 @@ object SparkEntry {
     "q_agg_count"    -> (Relational.q_agg_count _),
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx"   -> (Relational.q_agg_approx _),
+    "q_sketch_merge" -> (SketchOps.q_sketch_merge _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
     "q_agg_groupset" -> (Relational.q_agg_groupset _),
     "q_percentile"   -> (Relational.q_percentile _),

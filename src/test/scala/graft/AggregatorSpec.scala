@@ -82,6 +82,20 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("q_sketch_merge: unioned HLL estimate tracks the exact distinct count") {
+    val rows = SparkEntry.queries("q_sketch_merge")(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("approx_distinct"), r.getAs[Long]("exact_distinct"))).toMap
+    assert(rows.size >= 2)
+    rows.foreach { case (k, (approx, exact)) =>
+      assert(exact > 0, s"nation $k")
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"nation $k: approx=$approx exact=$exact") // HLL default lgK err << 5%
+    }
+    // the merged row must be present and consistent with the parts
+    assert(rows.contains(-1L))
+  }
+
   test("IVF results carry exact cosines and consistent ranks") {
     val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)
