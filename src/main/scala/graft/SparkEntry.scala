@@ -181,7 +181,8 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_count" -> "SELECT count(*) AS n_rows FROM lineitem",
     "q_join_outer" ->
-      """WITH oagg AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+      """WITH oagg AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_orderstatus = 'P' AND o_totalprice > 200000 GROUP BY o_custkey),
         |rich AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000)
         |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
         |FROM rich FULL OUTER JOIN oagg ON c_custkey = o_custkey

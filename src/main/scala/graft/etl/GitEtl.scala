@@ -30,7 +30,8 @@ object GitEtl {
       ignored: Seq[String],
       failed: Map[String, String],
       nLogs: Long,
-      nChangedFiles: Long)
+      nChangedFiles: Long,
+      commitsPerRepo: Seq[(String, Long)] = Nil)
 
   /** Run the ETL. Tables land as parquet under `outDir`:
     * repositories(repo_id, name, url), logs(commit_hash, parent_hash,
@@ -165,6 +166,17 @@ object GitEtl {
     */
   def report(tables: Map[String, DataFrame]): EtlReport = {
     import org.apache.spark.sql.Row
+    // per-repo commit counts from the cached extraction (the
+    // reference's per-repo progress lines, rendered post-hoc); right
+    // join keeps zero-commit repos with n = 0
+    val perRepo = tables("logs")
+      .groupBy("repository_id").agg(count(lit(1)).as("n"))
+      .join(tables("repositories"),
+        col("repository_id") === col("repo_id"), "right")
+      .select(col("name"), coalesce(col("n"), lit(0L)).as("n"), col("repo_id"))
+      .collect()
+      .sortBy(r => (r.getString(0), r.getAs[Long]("repo_id")))
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toSeq
     EtlReport(
       analyzed = tables("repositories").select("name")
         .collect().map(_.getString(0)).toSeq.sorted,
@@ -172,6 +184,7 @@ object GitEtl {
       failed = tables("failures")
         .collect().map { case Row(p: String, e: String) => p -> e }.toMap,
       nLogs = tables("logs").count(),
-      nChangedFiles = tables("changed_files").count())
+      nChangedFiles = tables("changed_files").count(),
+      commitsPerRepo = perRepo)
   }
 }

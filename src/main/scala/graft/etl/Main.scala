@@ -77,16 +77,7 @@ object Main {
     // order, so a faithful live ticker would interleave misleadingly).
     println(f"# Done in $secs%.1f seconds")
     println(s"# Analyzed repositories (${report.analyzed.size}): ${report.analyzed.mkString(", ")}")
-    locally {
-      val logs = spark.read.parquet(s"$out/logs.parquet")
-      val repos = spark.read.parquet(s"$out/repositories.parquet")
-      import org.apache.spark.sql.functions.{col, count, lit}
-      logs.groupBy("repository_id").agg(count(lit(1)).as("n"))
-        .join(repos, col("repository_id") === col("repo_id"), "right")
-        .orderBy("name", "repo_id")
-        .collect()
-        .foreach(r => println(s"#   ${r.getAs[String]("name")}: ${Option(r.getAs[Any]("n")).getOrElse(0L)} commits"))
-    }
+    report.commitsPerRepo.foreach { case (name, n) => println(s"#   $name: $n commits") }
     if (report.ignored.nonEmpty)
       println(s"# Ignored (${report.ignored.size}): ${report.ignored.mkString(", ")}")
     if (report.failed.nonEmpty)

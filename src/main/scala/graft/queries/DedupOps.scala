@@ -81,7 +81,18 @@ object DedupOps {
     * consumes this so the presentation sort isn't materialized into
     * the cache and immediately destroyed by the band join's shuffle).
     */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesWith(s, d, i => x => substring(md5(concat(lit(s"$i:"), x)), 1, 16))
+
+  /** The one signature scaffold both hash variants share: fan-out →
+    * explode shingles → 8 codegen'd scalar hashes → map-side-combined
+    * min per doc. `hashFn(i)` builds minhash function i's per-shingle
+    * hash column — the ONLY thing the md5 (oracle) and xxhash64 (scale)
+    * forms differ in, so shape changes (fan-out policy, shingling, a
+    * future salt) land once.
+    */
+  private def signaturesWith(
+      s: SparkSession, d: String, hashFn: Int => Column => Column): DataFrame = {
     // documents is a few small parquet files -> 1-2 input partitions.
     // The hashing is CPU-bound and row-local, so fan out to all cores
     // first: partition count for a heavy narrow stage must track
@@ -89,8 +100,7 @@ object DedupOps {
     // parallel, see fanOut).
     val exploded = fanOut(s, documents(s, d))
       .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
-    val mins = (1 to 8).map(i =>
-      min(substring(md5(concat(lit(s"$i:"), col("x"))), 1, 16)).as(s"h$i"))
+    val mins = (1 to 8).map(i => min(hashFn(i)(col("x"))).as(s"h$i"))
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -102,12 +112,8 @@ object DedupOps {
     * which is why the oracle-checked q_minhash keeps md5; swap this in
     * when the corpus, not the oracle, is the point.
     */
-  def signaturesFast(s: SparkSession, d: String): DataFrame = {
-    val exploded = fanOut(s, documents(s, d))
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
-    val mins = (1 to 8).map(i => min(xxhash64(lit(i), col("x"))).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+  def signaturesFast(s: SparkSession, d: String): DataFrame =
+    signaturesWith(s, d, i => x => xxhash64(lit(i), x))
 
   /** MinHash-LSH near-dup candidate pairs: 2 bands × 4 rows, self-join
     * on the band key, then exact shingle-set Jaccard to confirm.

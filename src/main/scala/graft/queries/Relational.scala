@@ -527,14 +527,19 @@ object Relational {
         |ORDER BY status, priority""".stripMargin)
   }
 
-  /** Full outer join (SURVEY.md §2.3): null-extending both sides —
-    * high-balance customers without orders AND order groups whose
-    * customer falls outside the filter both survive. Plans as a
+  /** Full outer join (SURVEY.md §2.3): null-extending BOTH sides —
+    * pending-order counts only exist for some customers (left rows
+    * with null n_orders) and pending orders belong mostly to customers
+    * below the balance filter (right rows with null c_name), so both
+    * extensions carry real rows at every test sf. Plans as a
     * SortMergeJoin(FullOuter) on the key; at scale identical shuffle
     * shape to the inner join, plus null-extension.
     */
   def q_join_outer(s: SparkSession, d: String): DataFrame = {
     val oagg = orders(s, d)
+      // big pending orders: sparse enough that both null-extensions
+      // carry rows at every test sf (asserted in AggregatorSpec)
+      .filter(col("o_orderstatus") === "P" && col("o_totalprice") > 200000)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"))
     val rich = customer(s, d)

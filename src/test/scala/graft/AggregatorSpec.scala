@@ -92,8 +92,18 @@ class AggregatorSpec extends AnyFunSuite {
       assert(math.abs(approx - exact).toDouble / exact < 0.05,
         s"nation $k: approx=$approx exact=$exact") // HLL default lgK err << 5%
     }
-    // the merged row must be present and consistent with the parts
-    assert(rows.contains(-1L))
+    // the merged row must be consistent with the parts: exact sum, and
+    // an approx that tracks the union of all per-nation sketches
+    val parts = rows.removed(-1L)
+    assert(rows(-1L)._2 == parts.values.map(_._2).sum)
+    assert(math.abs(rows(-1L)._1 - rows(-1L)._2).toDouble / rows(-1L)._2 < 0.05)
+  }
+
+  test("q_join_outer: both null-extensions carry rows") {
+    val rows = SparkEntry.queries("q_join_outer")(spark, sf).collect()
+    assert(rows.exists(_.isNullAt(1)), "no right-only rows (c_name null)")
+    assert(rows.exists(_.isNullAt(2)), "no left-only rows (n_orders null)")
+    assert(rows.forall(!_.isNullAt(0))) // coalesced key never null
   }
 
   test("IVF results carry exact cosines and consistent ranks") {
