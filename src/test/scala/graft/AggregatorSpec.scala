@@ -99,6 +99,14 @@ class AggregatorSpec extends AnyFunSuite {
     assert(math.abs(rows(-1L)._1 - rows(-1L)._2).toDouble / rows(-1L)._2 < 0.05)
   }
 
+  test("q_agg_approx: HLL++ estimates within the default relative error of exact") {
+    val approx = SparkEntry.queries("q_agg_approx")(spark, sf).head()
+    val exact = SparkEntry.queries("q_agg_distinct")(spark, sf).head()
+    def within(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.1
+    assert(within(approx.getAs[Long]("approx_parts"), exact.getAs[Long]("n_parts")))
+    assert(within(approx.getAs[Long]("approx_orders"), exact.getAs[Long]("n_orders")))
+  }
+
   test("q_join_outer: both null-extensions carry rows") {
     val rows = SparkEntry.queries("q_join_outer")(spark, sf).collect()
     assert(rows.exists(_.isNullAt(1)), "no right-only rows (c_name null)")
