@@ -35,20 +35,36 @@ object DedupOps {
     * band join and the random-hyperplane bucket join
     * (SimilarityOps.q_sim_lsh). Only (bucket, id) enters the shuffle;
     * pairs are deduped across buckets BEFORE any expensive verification
-    * joins back. Bucket skew caps at that bucket's own pair count —
-    * salting a pathological bucket would slot in here, once, for both
-    * callers.
+    * joins back.
+    *
+    * `maxBucket` is the degenerate-bucket guard: a bucket holding m ids
+    * emits m·(m−1)/2 pairs, so one pathological hash value (empty
+    * documents, a boilerplate band) can dominate the whole job
+    * quadratically. Buckets above the cap are DROPPED — at that size
+    * the bucket carries no similarity signal (it is a hash collision
+    * class, not a near-dup cluster), and production dedup systems cut
+    * them for the same reason. The cap is the skew ceiling: per-group
+    * state ≤ maxBucket ids, per-group output ≤ maxBucket²/2 pairs.
     */
-  private[queries] def candidatePairs(
+  private[graft] def candidatePairs(
       bucketed: DataFrame, bucket: String, id: String,
-      aName: String, bName: String): DataFrame =
-    bucketed.groupBy(bucket)
+      aName: String, bName: String, maxBucket: Int = 10000): DataFrame = {
+    // pre-filter on COUNTS (map-side-combined, constant state) so a
+    // degenerate bucket's ids are never even collected — filtering on
+    // size(collect_list(...)) after the fact would still buffer the
+    // whole pathological bucket in the aggregation state
+    val keep = bucketed.groupBy(bucket)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket)
+      .select(bucket)
+    bucketed.join(keep, Seq(bucket))
+      .groupBy(bucket)
       .agg(sort_array(collect_list(col(id))).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as(aName), col("ids"))
       .select(col(aName),
         explode(filter(col("ids"), x => x > col(aName))).as(bName))
       .distinct()
+  }
 
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).

@@ -129,6 +129,17 @@ class SimTextSpec extends AnyFunSuite {
       s"near=${hamming(hs(0L), hs(1L))} far=${hamming(hs(0L), hs(2L))}")
   }
 
+  test("candidatePairs: degenerate buckets are dropped, small buckets pair fully") {
+    import spark.implicits._
+    // bucket "big" has 5 ids (over the cap of 4), "ok" has 3, "solo" 1
+    val rows = (1L to 5L).map(i => ("big", i)) ++ Seq(("ok", 10L), ("ok", 11L), ("ok", 12L), ("solo", 99L))
+    val pairs = graft.queries.DedupOps.candidatePairs(
+      rows.toDF("bucket", "id"), "bucket", "id", "a", "b", maxBucket = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"got $pairs") // big-bucket pairs gone, solo produces none
+  }
+
   test("signaturesFast: xxhash64 minima are deterministic and near-dup-sensitive like md5's") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
