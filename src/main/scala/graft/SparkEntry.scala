@@ -100,6 +100,7 @@ object SparkEntry {
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
+    "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
     // §2.11 embedding utilities
     "q_embed_stats"    -> (EmbedOps.q_embed_stats _),
     "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
@@ -594,6 +595,18 @@ object SparkEntry {
          |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, CAST(draw AS BIGINT) AS draw
          |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
     },
+    "q_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS shard_offset,
+        |  (shard << 32) + CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_pipeline_prep" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -68,6 +68,34 @@ object SampleOps {
         (-col("pair._1")).cast("long").as("draw"))
       .orderBy("lang", "rank")
 
+  /** Sequence packing — the concat-then-chunk layout step of training
+    * data prep: documents are laid out in deterministic order and cut
+    * into fixed token-budget windows; each doc records the sequence its
+    * first token lands in and its offset there.
+    *
+    * Scale shape: packing is per-SHARD (hash of the doc id), so the
+    * running-sum window parallelizes — one partition per shard, no
+    * global sort. seq ids are namespaced by shard (shard ≪ 32 | local
+    * seq), exactly how a 1000-executor packing job would stay
+    * embarrassingly parallel.
+    */
+  def q_pack_sequences(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        size(split(col("text"), "\\s+", -1)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("shard_offset"),
+        (shiftleft(col("shard"), 32) +
+          floor((col("cum") - col("n_tokens")) / budget).cast("long")).as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   /** Composed corpus-prep pipeline — the end-to-end shape a training
     * mix actually runs: quality gate → language allow-list → exact
     * near-order-insensitive dedup (min doc per normalized fingerprint)

@@ -46,6 +46,22 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pack_sequences: per-shard offsets are gapless running sums, seq ids namespaced") {
+    val rows = SparkEntry.queries("q_pack_sequences")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expect = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("shard_offset") == expect,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("seq_id") >> 32 == shard)
+        assert((r.getAs[Long]("seq_id") & 0xffffffffL) == expect / 512)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("q_pipeline_prep: quality gate, language allow-list, unique doc ids") {
     val rows = SparkEntry.queries("q_pipeline_prep")(spark, sf).collect()
     assert(rows.nonEmpty)
