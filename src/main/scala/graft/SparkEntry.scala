@@ -605,7 +605,7 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, shard, n_tokens,
         |  CAST(cum - n_tokens AS BIGINT) AS shard_offset,
-        |  (shard << 32) + CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+        |  (shard << 40) + CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_pipeline_prep" ->
       """WITH scored AS (

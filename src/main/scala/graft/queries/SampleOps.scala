@@ -75,9 +75,11 @@ object SampleOps {
     *
     * Scale shape: packing is per-SHARD (hash of the doc id), so the
     * running-sum window parallelizes — one partition per shard, no
-    * global sort. seq ids are namespaced by shard (shard ≪ 32 | local
-    * seq), exactly how a 1000-executor packing job would stay
-    * embarrassingly parallel.
+    * global sort. seq ids are namespaced by shard (shard ≪ 40 | local
+    * seq: 2^40 sequences ≈ 5·10^14 tokens of headroom per shard at the
+    * default budget — far past any single shard's share of a 100 TB
+    * corpus), how a 1000-executor packing job stays embarrassingly
+    * parallel without id collisions.
     */
   def q_pack_sequences(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -91,7 +93,7 @@ object SampleOps {
       .select(
         col("doc_id"), col("shard"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("shard_offset"),
-        (shiftleft(col("shard"), 32) +
+        (shiftleft(col("shard"), 40) +
           floor((col("cum") - col("n_tokens")) / budget).cast("long")).as("seq_id"))
       .orderBy("doc_id")
   }

@@ -2,34 +2,42 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Mechanical plan audit over the whole query inventory: flags the
-  * anti-patterns that stop scaling (cartesian products without a
-  * broadcast build side, non-broadcast nested-loop joins) so a
-  * regression in any query's plan fails loudly in one run.
+/** Mechanical plan audit over the whole query inventory: flags
+  * CartesianProduct in any declared query's physical plan, with
+  * auto-broadcast disabled so tiny audit inputs can't mask the shape
+  * production-size inputs would get. (BroadcastNestedLoopJoin from an
+  * EXPLICIT broadcast() hint is acceptable — that is the bounded
+  * theta-join pattern — so it is deliberately not flagged.)
+  *
+  * One implementation, two entry points: [[flaggedQueries]] is called
+  * by the main() below and by PlanAuditSpec, so the tool and the test
+  * cannot diverge.
   */
 object PlanAudit {
+
+  /** Names of queries whose physical plan contains a CartesianProduct.
+    * Planning only — nothing executes. The session should have
+    * spark.sql.autoBroadcastJoinThreshold=-1 (main() sets it; the spec
+    * sets and restores it).
+    */
+  def flaggedQueries(spark: SparkSession, sfDir: String): Seq[String] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // disable auto-broadcast: at tiny audit scale every table fits
-      // the 10MB threshold and a would-be CartesianProduct planifies as
-      // a harmless-looking BroadcastNestedLoopJoin. With -1 only
-      // EXPLICIT broadcast() hints (our bounded theta-joins) broadcast,
-      // so the audit sees the plan shape production-size inputs get.
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var bad = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) {
-        bad += 1; println(s"FLAG $name: CartesianProduct")
-      }
-      spark.catalog.clearCache()
-    }
-    println(s"audited ${graft.SparkEntry.queries.size} plans, $bad flagged")
+    val bad = flaggedQueries(spark, sfDir)
+    bad.foreach(n => println(s"FLAG $n: CartesianProduct"))
+    println(s"audited ${graft.SparkEntry.queries.size} plans, ${bad.size} flagged")
     spark.stop()
   }
 }

@@ -15,11 +15,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        spark.catalog.clearCache()
-        if (plan.contains("CartesianProduct")) Some(name) else None
-      }
+      val flagged = graft.tools.PlanAudit.flaggedQueries(spark, sf)
       assert(flagged.isEmpty, s"cartesian products in: ${flagged.mkString(", ")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }

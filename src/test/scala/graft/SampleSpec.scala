@@ -55,8 +55,8 @@ class SampleSpec extends AnyFunSuite {
       ordered.foreach { r =>
         assert(r.getAs[Long]("shard_offset") == expect,
           s"shard $shard doc ${r.getAs[Long]("doc_id")}")
-        assert(r.getAs[Long]("seq_id") >> 32 == shard)
-        assert((r.getAs[Long]("seq_id") & 0xffffffffL) == expect / 512)
+        assert(r.getAs[Long]("seq_id") >> 40 == shard)
+        assert((r.getAs[Long]("seq_id") & ((1L << 40) - 1)) == expect / 512)
         expect += r.getAs[Long]("n_tokens")
       }
     }
