@@ -116,7 +116,8 @@ object TextOps {
   /** Document fingerprinting: exact content hash plus a normalized
     * (sorted bag-of-words) hash — the key for shuffle-based exact and
     * order-insensitive dedup. md5 is engine-portable; at scale xxhash64
-    * (also built-in) halves the key width (see q_dedup_exact_fast).
+    * (also built-in) halves the key width — the same md5↔xxhash64 swap
+    * DedupOps.signaturesFast makes for minhash.
     */
   def q_fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
