@@ -343,6 +343,39 @@ class GitEtlSpec extends AnyFunSuite {
     assert(evs.count(_.kind == "commit") == 1)
   }
 
+  test("sharded extraction streams a 3000-commit history (rev-list output exceeds one pipe buffer)") {
+    // fast-import builds the history in one subprocess; 3000 hashes ≈
+    // 123KB of rev-list output, so the feeder thread must stream across
+    // pipe-buffer boundaries (the regime the tiny fixtures never hit)
+    val r = Files.createTempDirectory("etl-big")
+    val repo = Files.createDirectory(r.resolve("big"))
+    git(repo, "init", "-q", "-b", "main")
+    val fi = new StringBuilder
+    (1 to 3000).foreach { i =>
+      val msg = s"c$i"; val content = i.toString
+      fi.append(s"commit refs/heads/main\n")
+        .append(s"committer Big Repo <big@x.io> ${1700000000 + i} +0000\n")
+        .append(s"data ${msg.getBytes("UTF-8").length}\n$msg\n")
+        .append(s"M 644 inline f${i % 7}.txt\n")
+        .append(s"data ${content.getBytes("UTF-8").length}\n$content\n")
+    }
+    val fiFile = r.resolve("fi.txt")
+    Files.writeString(fiFile, fi.toString)
+    Process(Seq("bash", "-c", s"git fast-import --quiet < $fiFile"), repo.toFile).!!
+    val plain = GitLogSource.extractRepo(repo).filter(_.kind == "commit")
+      .map(_.commit.commit_hash).toSet
+    assert(plain.size == 3000)
+    val shards = 3
+    val sharded = (0 until shards).flatMap(sh =>
+      GitLogSource.extractRepoShard(repo, sh, shards).filter(_.kind == "commit")
+        .map(_.commit.commit_hash)).toSet
+    assert(sharded == plain, "sharded union must equal the full walk")
+    // shard slices are disjoint by construction (hash-partitioned)
+    val sizes = (0 until shards).map(sh =>
+      GitLogSource.extractRepoShard(repo, sh, shards).count(_.kind == "commit"))
+    assert(sizes.sum == 3000 && sizes.forall(_ > 0), sizes.toString)
+  }
+
   test("extractRepo: repo event precedes commits; non-repos yield a single error event") {
     val repo1 = root.resolve("repo1")
     val evs = GitLogSource.extractRepo(repo1).toVector
