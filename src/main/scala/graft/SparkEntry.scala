@@ -39,6 +39,7 @@ object SparkEntry {
     "q_agg_distinct" -> (Relational.q_agg_distinct _),
     "q_agg_approx"   -> (Relational.q_agg_approx _),
     "q_sketch_merge" -> (SketchOps.q_sketch_merge _),
+    "q_sketch_exact" -> (SketchOps.q_sketch_exact _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
     "q_agg_groupset" -> (Relational.q_agg_groupset _),
     "q_percentile"   -> (Relational.q_percentile _),
@@ -206,6 +207,17 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    // the hash-verifiable half of the sketch family (the estimate
+    // itself is engine-specific and stays rows-only in q_sketch_merge)
+    "q_sketch_exact" ->
+      """WITH pn AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    count(DISTINCT c_custkey) AS exact_distinct
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, exact_distinct FROM pn
+        |UNION ALL
+        |SELECT -1, CAST(sum(exact_distinct) AS BIGINT) FROM pn
+        |ORDER BY c_nationkey""".stripMargin,
     "q_agg_rollup" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         |  coalesce(o_orderpriority,'ALL') AS priority,
@@ -570,7 +582,7 @@ object SparkEntry {
         |  SELECT vec_id % 8 AS cell, vec_id,
         |    CAST(generate_subscripts(embedding,1) - 1 AS BIGINT) AS dim,
         |    unnest(embedding::DOUBLE[]) AS v
-        |  FROM embeddings)
+        |  FROM embeddings WHERE vec_id < 256)
         |SELECT cell, dim,
         |  round(list_sum(list(v ORDER BY vec_id)) / count(*), 6) AS centroid,
         |  count(*) AS n

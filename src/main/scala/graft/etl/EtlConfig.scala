@@ -36,6 +36,22 @@ object EtlConfig {
     parse(Files.readAllLines(path).asScala.toSeq)
   }
 
+  /** CLI config resolution, matching the reference's default-lookup
+    * semantics (analyzer.rs:53-54, 137-144): an explicitly passed path
+    * must exist (loud failure, see [[load]]); with NO explicit path,
+    * `config.toml` under `cwd` is picked up when present and silently
+    * skipped when absent — the reference's clap default + `if
+    * config_path.exists()` fallback.
+    */
+  def resolve(explicit: Option[Path],
+      cwd: Path = java.nio.file.Paths.get(".")): EtlConfig =
+    explicit match {
+      case Some(p) => load(p)
+      case None =>
+        val default = cwd.resolve("config.toml")
+        if (Files.isRegularFile(default)) load(default) else EtlConfig()
+    }
+
   /** Minimal TOML-subset parser: top-level `ignored_repositories`
     * string array + `[author_map]` table of quoted pairs.
     */

@@ -66,7 +66,9 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val config = configPath.map(p => EtlConfig.load(Paths.get(p))).getOrElse(EtlConfig())
+    // analyzer.rs:53-54, 137-144 parity: explicit --config fails loudly
+    // when missing; no --config picks up ./config.toml if present
+    val config = EtlConfig.resolve(configPath.map(Paths.get(_)))
     val t0 = System.nanoTime()
     val report = GitEtl.run(spark, root, out, config, maxDepth, shards)
     val secs = (System.nanoTime() - t0) / 1e9

@@ -43,28 +43,26 @@ object DedupOps {
     * quadratically. Buckets above the cap are DROPPED — at that size
     * the bucket carries no similarity signal (it is a hash collision
     * class, not a near-dup cluster), and production dedup systems cut
-    * them for the same reason. The cap is the skew ceiling: per-group
-    * state ≤ maxBucket ids, per-group output ≤ maxBucket²/2 pairs.
+    * them for the same reason.
+    *
+    * The guard is [[graft.functions.BoundedCollectAggregator]]: ONE
+    * aggregation pass with state hard-capped at maxBucket+1 ids per
+    * group (overflow finishes empty). The earlier count-prefilter
+    * enforced the same ceiling but needed a second pass over
+    * `bucketed`, which recomputed the bucket column's entire lineage —
+    * for MinHash bands, the 8-hash signature scan of the corpus —
+    * a 2× compute tax that dominates at scale.
     */
   private[graft] def candidatePairs(
       bucketed: DataFrame, bucket: String, id: String,
-      aName: String, bName: String, maxBucket: Int = 10000): DataFrame = {
-    // pre-filter on COUNTS (map-side-combined, constant state) so a
-    // degenerate bucket's ids are never even collected — filtering on
-    // size(collect_list(...)) after the fact would still buffer the
-    // whole pathological bucket in the aggregation state
-    val keep = bucketed.groupBy(bucket)
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket)
-      .select(bucket)
-    bucketed.join(keep, Seq(bucket))
-      .groupBy(bucket)
-      .agg(sort_array(collect_list(col(id))).as("ids"))
+      aName: String, bName: String, maxBucket: Int = 10000): DataFrame =
+    bucketed.groupBy(bucket)
+      .agg(graft.functions.BoundedCollectAggregator.bounded(maxBucket)(col(id)).as("ids"))
+      .filter(size(col("ids")) > 1) // singletons and overflowed buckets
       .select(explode(col("ids")).as(aName), col("ids"))
       .select(col(aName),
         explode(filter(col("ids"), x => x > col(aName))).as(bName))
       .distinct()
-  }
 
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).
@@ -155,14 +153,26 @@ object DedupOps {
         concat(col("h1"), col("h2"), col("h3"), col("h4")),
         concat(col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
     val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
-    // the shingle sets feed both sides of the candidate lookup — the
-    // one remaining double consumption, persisted to hash text once
+    // Exact-Jaccard confirmation, with the shingle lineage consumed
+    // exactly ONCE: each pair explodes into its two member ids, joins
+    // the shingle table a single time, and a bounded regroup (state =
+    // two shingle arrays per pair) reassembles both sides. The earlier
+    // two-sided join consumed the shingle scan twice and had to persist
+    // it — a leak for library callers, and at 100 TB a corpus-wide
+    // shingle cache doesn't fit anywhere anyway. Here nothing is
+    // cached: docs are scanned twice total (signature pass + this one),
+    // and only candidate pairs' shingles ride the regroup shuffle.
     val sh = fanOut(s, documents(s, d))
       .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
-      .persist()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    val sides = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    sides.join(sh, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        // exactly one of the two member rows matches each side; max
+        // over {sh, NULL} selects it deterministically
+        max(when(col("doc_id") === col("doc_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("doc_b"), col("sh"))).as("sh_b"))
       .select(
         col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

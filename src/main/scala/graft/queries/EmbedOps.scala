@@ -64,12 +64,17 @@ object EmbedOps {
     * Spark's partial aggregation order is nondeterministic, so the
     * mean is computed by folding an explicitly (vec_id-)ordered list —
     * bit-identical to the oracle's `list_sum(list(v ORDER BY vec_id))`.
-    * At production scale the plain `avg()` (order-free, 1e-13
-    * tolerance) replaces the ordered fold; the collect_list form
-    * exists to keep the kernel hash-verifiable.
+    * The ordered fold buffers its group, so — like the other oracle
+    * kernels (q_ngram_jaccard, q_dedup_embed) — the input is a BOUNDED
+    * id window: per-group state is ≤ maxVecs/k rows by construction,
+    * never the corpus. The production path is [[centroidsAvg]]
+    * (order-free `avg()`, constant aggregation state, any scale);
+    * this kernel exists to hash-verify the math.
     */
-  def q_embed_centroid(s: SparkSession, d: String, k: Int = 8): DataFrame =
+  def q_embed_centroid(s: SparkSession, d: String, k: Int = 8,
+      maxVecs: Int = 256): DataFrame =
     embeddings(s, d)
+      .filter(col("vec_id") < maxVecs) // bounded verification window
       .select(pmod(col("vec_id"), lit(k)).as("cell"), col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cell", "dim")
@@ -83,5 +88,24 @@ object EmbedOps {
           aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"),
           6).as("centroid"),
         col("n"))
+      .orderBy("cell", "dim")
+
+  /** Production centroid path: plain `avg()` per (cell, dim) — partial
+    * aggregation with constant per-group state (sum, count), so the
+    * shuffle carries k·dim combined rows no matter the corpus size.
+    * Order-free float summation means the last bits can differ from the
+    * ordered-fold kernel run-to-run (within ~1e-13 relative); the unit
+    * test pins it to the kernel within 1e-9 on the same input. Takes
+    * any (vec_id, embedding) frame so callers can feed real k-means
+    * assignments instead of the kernel's mod-k cells.
+    */
+  def centroidsAvg(vectors: DataFrame, k: Int): DataFrame =
+    vectors
+      .select(pmod(col("vec_id"), lit(k)).as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("v").cast("double")).as("centroid"), count(lit(1)).as("n"))
+      .select(col("cell"), col("dim").cast("long").as("dim"),
+        round(col("centroid"), 6).as("centroid"), col("n"))
       .orderBy("cell", "dim")
 }

@@ -80,14 +80,21 @@ object SampleOps {
     * default budget — far past any single shard's share of a 100 TB
     * corpus), how a 1000-executor packing job stays embarrassingly
     * parallel without id collisions.
+    *
+    * `shards` defaults to the cluster's parallelism (the library form —
+    * one window partition per core); the declared query pins 8 so the
+    * oracle is shard-count-stable. Offsets are per-shard, so the
+    * packing is consistent at ANY shard count (unit-tested at 3).
     */
-  def q_pack_sequences(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
+  def packSequences(s: SparkSession, d: String, budget: Int = 512,
+      shards: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nShards = shards.getOrElse(s.sparkContext.defaultParallelism)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
       .select(col("doc_id"),
-        pmod(col("doc_id"), lit(8)).as("shard"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
         size(split(col("text"), "\\s+", -1)).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(
@@ -97,6 +104,12 @@ object SampleOps {
           floor((col("cum") - col("n_tokens")) / budget).cast("long")).as("seq_id"))
       .orderBy("doc_id")
   }
+
+  /** Oracle-pinned form of [[packSequences]]: 8 shards, 512-token
+    * budget — the declared `q_pack_sequences` key.
+    */
+  def q_pack_sequences(s: SparkSession, d: String, budget: Int = 512): DataFrame =
+    packSequences(s, d, budget, Some(8))
 
   /** Composed corpus-prep pipeline — the end-to-end shape a training
     * mix actually runs: quality gate → language allow-list → exact

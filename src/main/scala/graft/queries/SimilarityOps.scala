@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables._
 import graft.functions.{TopKAggregator, VectorFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over the `embeddings`
@@ -91,35 +90,48 @@ object SimilarityOps {
     val e = embeddings(s, d)
     val centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    // E-step: nearest centroid per vector (broadcast K×dim, rank 1)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
+    // E-step: nearest centroid per vector. Argmax as a map-side-combined
+    // `max_by` aggregation — constant per-group state (one best-so-far
+    // struct), so the shuffle carries n combined rows instead of the
+    // n·K sorted assignment rows a window would move. Tie-break on the
+    // SMALLEST cent_id via -cent_id inside the max key.
     val assigned = e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         expr("cosine_sim(embedding, cv)").as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    // queries probe their nprobe nearest cells
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("cent_id"), col("embedding")),
+        struct(col("cos_c"), (-col("cent_id")).as("tb"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cent_id").as("cell"))
+    // queries probe their nprobe nearest cells: bounded top-nprobe via
+    // a collect-sort-slice over the K centroid scores (per-group state
+    // ≤ K rows by construction — K is the coarse codebook, not data).
+    // qv is joined back from the 10-row query frame rather than carried
+    // through the aggregate.
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_c").desc, col("cent_id"))
     val probes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cent_id"),
+      .select(col("query_id"), col("cent_id"),
         expr("cosine_sim(qv, cv)").as("cos_c"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
-    // search only the probed cells
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+      .groupBy("query_id")
+      .agg(slice(
+        sort_array(collect_list(struct((-col("cos_c")).as("neg"), col("cent_id")))),
+        1, nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.cent_id")).as("cell"))
+      .join(q, Seq("query_id"))
+    // search only the probed cells; top-5 via the bounded-heap
+    // TopKAggregator (≤ 5 pairs per query cross the final shuffle)
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("cosine").isNotNull)
+    scored.groupBy("query_id")
+      .agg(TopKAggregator.topk(5)(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair._2").as("neighbor_id"),
+        col("pair._1").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 

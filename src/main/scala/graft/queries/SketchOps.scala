@@ -42,4 +42,27 @@ object SketchOps {
       .unionAll(global)
       .orderBy("c_nationkey")
   }
+
+  /** Exact twin of [[q_sketch_merge]]'s verified surface: per-nation
+    * distinct counts plus the (-1) all-nations row, same shape minus
+    * the sketch estimate. This keys the hash-verifiable half of the
+    * sketch query to the DuckDB oracle, so the only unverified columns
+    * left in the family are the genuinely engine-specific estimates.
+    * The global row reuses the partial-merge idea: custkeys are
+    * per-nation disjoint, so the union level is a sum over the 25
+    * per-nation partials, never a rescan.
+    */
+  def q_sketch_exact(s: SparkSession, d: String): DataFrame = {
+    val perNation = customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("exact_distinct"))
+    val global = perNation
+      .agg(sum(col("exact_distinct")).as("exact_distinct"))
+      .select(lit(-1L).as("c_nationkey"), col("exact_distinct"))
+    perNation
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("exact_distinct"))
+      .unionAll(global)
+      .orderBy("c_nationkey")
+  }
 }

@@ -26,6 +26,18 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaUdaf == viaExprs)
   }
 
+  test("BoundedCollectAggregator: sorted under cap, empty on overflow, merge stays capped") {
+    // 90 ids spread over 8 partitions: each partial is under the cap of
+    // 20, so saturation must happen in merge(), not reduce()
+    val df = (1L to 100L).map(i => (if (i <= 90) "big" else "ok", i))
+      .toDF("k", "id").repartition(8)
+    val out = df.groupBy("k")
+      .agg(graft.functions.BoundedCollectAggregator.bounded(20)(col("id")).as("ids"))
+      .collect().map(r => r.getAs[String]("k") -> r.getSeq[Long](1)).toMap
+    assert(out("big").isEmpty, "over-cap bucket must finish empty")
+    assert(out("ok") == (91L to 100L), "surviving bucket must be sorted and exact")
+  }
+
   test("mapGroupsWithState accumulates per-user stats across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import java.sql.Timestamp
@@ -97,6 +109,16 @@ class AggregatorSpec extends AnyFunSuite {
     val parts = rows.removed(-1L)
     assert(rows(-1L)._2 == parts.values.map(_._2).sum)
     assert(math.abs(rows(-1L)._1 - rows(-1L)._2).toDouble / rows(-1L)._2 < 0.05)
+  }
+
+  test("q_sketch_exact: oracle-checked twin agrees with q_sketch_merge's exact columns") {
+    val exact = SparkEntry.queries("q_sketch_exact")(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_nationkey") -> r.getAs[Long]("exact_distinct")).toMap
+    val merged = SparkEntry.queries("q_sketch_merge")(spark, sf).collect()
+    assert(exact.size == merged.length)
+    merged.foreach { r =>
+      assert(exact(r.getAs[Long]("c_nationkey")) == r.getAs[Long]("exact_distinct"))
+    }
   }
 
   test("q_agg_approx: HLL++ estimates within the default relative error of exact") {

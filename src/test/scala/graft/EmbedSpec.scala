@@ -28,10 +28,27 @@ class EmbedSpec extends AnyFunSuite {
     }
   }
 
-  test("q_embed_centroid: k*dim cells, group sizes sum to corpus size") {
+  test("q_embed_centroid: k*dim cells, group sizes sum to the bounded window") {
     val rows = SparkEntry.queries("q_embed_centroid")(spark, sf).collect()
     assert(rows.length == 8 * 64)
     val total = rows.filter(_.getAs[Long]("dim") == 0L).map(_.getAs[Long]("n")).sum
-    assert(total == Tables.embeddings(spark, sf).count())
+    val window = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 256).count()
+    assert(total == window)
+  }
+
+  test("centroidsAvg matches the ordered-fold kernel within 1e-9 on the same input") {
+    import org.apache.spark.sql.functions.col
+    val bounded = Tables.embeddings(spark, sf).filter(col("vec_id") < 256)
+    val fast = queries.EmbedOps.centroidsAvg(bounded, 8).collect()
+      .map(r => ((r.getAs[Long]("cell"), r.getAs[Long]("dim")),
+        (r.getAs[Double]("centroid"), r.getAs[Long]("n")))).toMap
+    val kernel = SparkEntry.queries("q_embed_centroid")(spark, sf).collect()
+    assert(kernel.length == fast.size)
+    kernel.foreach { r =>
+      val (c, n) = fast((r.getAs[Long]("cell"), r.getAs[Long]("dim")))
+      assert(n == r.getAs[Long]("n"))
+      assert(math.abs(c - r.getAs[Double]("centroid")) <= 1e-9)
+    }
   }
 }

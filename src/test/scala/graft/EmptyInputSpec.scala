@@ -29,7 +29,8 @@ class EmptyInputSpec extends AnyFunSuite {
   // global aggregates (no GROUP BY) correctly emit one row over empty
   // input: count=0, sum=null — standard SQL semantics
   // (q_sketch_merge's union row is a global aggregate too)
-  private val globalAggs = Set("q_agg_count", "q_agg_distinct", "q_agg_approx", "q_sketch_merge")
+  private val globalAggs =
+    Set("q_agg_count", "q_agg_distinct", "q_agg_approx", "q_sketch_merge", "q_sketch_exact")
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events

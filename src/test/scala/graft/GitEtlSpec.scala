@@ -398,6 +398,21 @@ class GitEtlSpec extends AnyFunSuite {
     assert(cfg.authorMap == Map("alias@example.com" -> "Canonical Name", "o@x.io" -> "Other"))
   }
 
+  test("config resolution: cwd config.toml picked up by default, explicit bad path throws") {
+    val cwd = Files.createTempDirectory("etl-cfg")
+    // no config.toml in cwd -> silent default, like the reference
+    assert(EtlConfig.resolve(None, cwd) == EtlConfig())
+    Files.writeString(cwd.resolve("config.toml"),
+      "ignored_repositories = [\"vendor\"]\n[author_map]\n\"a@x.io\" = \"A\"\n")
+    val picked = EtlConfig.resolve(None, cwd)
+    assert(picked.ignoredRepositories == Seq("vendor"))
+    assert(picked.authorMap == Map("a@x.io" -> "A"))
+    // explicit path stays loud on a typo
+    intercept[java.io.FileNotFoundException] {
+      EtlConfig.resolve(Some(cwd.resolve("nope.toml")), cwd)
+    }
+  }
+
   test("adversarial filenames: literal ' => ', embedded newline, rename still records NEW path") {
     // These were silent-corruption cases for line-based --numstat text
     // parsing; the -z NUL protocol must carry them exactly.

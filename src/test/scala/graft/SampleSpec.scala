@@ -62,6 +62,22 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: offsets stay per-shard consistent at a different shard count") {
+    val rows = queries.SampleOps.packSequences(spark, sf, 512, Some(3)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("shard")).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expect = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("shard_offset") == expect,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("seq_id") >> 40 == shard)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("q_pipeline_prep: quality gate, language allow-list, unique doc ids") {
     val rows = SparkEntry.queries("q_pipeline_prep")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -7,6 +7,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+// Top-level (not spec-nested) event/doc rows: an inner case class makes
+// Spark's codegen'd encoder constructor lookup fail and fall back to
+// interpreted with a logged Janino stack per query — green but noisy.
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, lang: String, text: String)
+
 /** Structured Streaming semantics: the same column logic as the batch
   * TimeSeries queries, driven through MemoryStream + memory sink.
   */
@@ -17,16 +23,12 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
-
   private def runToCompletion(df: DataFrame, name: String, mode: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()
     q.stop()
     spark.table(name)
   }
-
-  private case class Doc(ts: Timestamp, doc_id: Long, lang: String, text: String)
 
   test("streaming doc pipeline: quality gate is batch-identical, dedup drops reordered duplicate") {
     val good = (1 to 60).map(i => s"the w$i of x.").mkString(" ") // stopword-rich, long
