@@ -656,5 +656,72 @@ object SparkEntry {
         |WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // The LSH planes are deterministic ±1 literals (SimilarityOps
+    // .lshPlaneSign), so the oracle can rebuild every sign bit as an
+    // explicit left-associated signed sum — bit-identical to the
+    // codegen'd dot_product fold (float→double products with ±1 are
+    // exact; both engines then add left-to-right in double) — and
+    // re-derive buckets, candidate pairs, and confirmed cosines
+    // entirely in SQL. The SQL carries no maxBucket cap: parity holds
+    // while no bucket overflows (10k members would mean a degenerate
+    // corpus; the cap's drop semantics are unit-tested separately).
+    "q_sim_lsh" -> {
+      import graft.queries.SimilarityOps.{LshBits, LshDims, LshTables, lshPlaneSign}
+      val buckets = (0 until LshTables).map { t =>
+        val bits = (0 until LshBits).map { b =>
+          val terms = (0 until LshDims).map { j =>
+            val sign = if (lshPlaneSign(t, b, j) > 0) "+" else "-"
+            s"$sign e[${j + 1}]::DOUBLE"
+          }.mkString(" ")
+          s"(CASE WHEN ($terms) >= 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"($bits) + ${t.toLong << 32}"
+      }
+      s"""WITH ids AS (
+         |  SELECT vec_id, unnest([${buckets.mkString(", ")}]) AS bucket
+         |  FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM ids a JOIN ids b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT p.vec_a, p.vec_b,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+         |FROM pairs p
+         |JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |JOIN embeddings eb ON eb.vec_id = p.vec_b
+         |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) > 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    // IVF is deterministic too (centroids = first 16 vectors): the
+    // E-step argmax, nprobe probe ranking, and final top-5 all order by
+    // (cosine DESC, id) — reproduced with ranked windows. E-step/probe
+    // ranks use the unrounded cosine on both sides, as the query does.
+    "q_sim_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |                 c.cent_id) AS rn
+        |    FROM embeddings e, cent c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cent_id AS cell FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |                 c.cent_id) AS rn
+        |    FROM embeddings q, cent c WHERE q.vec_id < 10)
+        |  WHERE rn <= 4)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]), 6) DESC,
+        |               a.vec_id) AS rank
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -71,10 +71,11 @@ object SimilarityOps {
 
   /** IVF-style ANN (the other scale path besides LSH): coarse-quantize
     * vectors to their nearest of K centroids (one broadcast pass), then
-    * search only the `nprobe` most promising cells per query. No
-    * DuckDB oracle (assignment is a ranking artifact) — the unit test
-    * asserts every returned cosine equals the exact brute-force value
-    * and ranks are consistent.
+    * search only the `nprobe` most promising cells per query.
+    * Oracle-checked (the whole pipeline is deterministic: fixed
+    * centroids, ranks ordered by (cosine DESC, id)); the unit test
+    * additionally asserts every returned cosine equals the exact
+    * brute-force value and ranks are consistent.
     *
     * "Training" is deterministic: the first K vectors serve as
     * centroids (a production pipeline would run a few Lloyd
@@ -135,25 +136,40 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** LSH geometry shared by the Spark query and the DuckDB oracle
+    * generator (SparkEntry.oracleSql): component j of hyperplane b in
+    * table t is ±1 from a seeded MurmurHash3 — a deterministic literal,
+    * not fitted state, so BOTH engines can materialize the exact same
+    * planes and the bucketing is hash-verifiable end-to-end.
+    */
+  val LshDims   = 64
+  val LshBits   = 8 // bucket width: P(same bucket | near-dup) per table
+  val LshTables = 4 // independent tables: recall ≈ 1-(1-p^bits)^tables
+
+  /** +1.0 or -1.0: the sign of plane component (table t, bit b, dim j). */
+  def lshPlaneSign(t: Int, b: Int, j: Int): Float = {
+    val h = scala.util.hashing.MurmurHash3.productHash((t, b, j, 42))
+    if (h % 2 == 0) 1.0f else -1.0f
+  }
+
   /** Scale path for ANN: random-hyperplane LSH bucketing — sign-bit
     * sketch of r random projections = bucket key; only same-bucket
-    * pairs are scored. Deterministic seeded projections via xxhash64
-    * (no MLlib fit step, no driver-side state — the "model" is a
-    * broadcast literal). No DuckDB oracle (hash-dependent); rows-only
-    * check + unit test asserting candidate pairs ⊆ brute-force pairs.
+    * pairs are scored. Deterministic seeded projections (no MLlib fit
+    * step, no driver-side state — the "model" is a broadcast literal).
+    * Oracle-checked: the DuckDB side rebuilds the same ±1 planes as an
+    * explicit signed sum (generated SQL), so buckets, candidate pairs,
+    * and cosines all hash-match. (The oracle carries no maxBucket cap;
+    * parity holds while no bucket overflows — at the cap of 10k that
+    * would mean a degenerate corpus, which the unit suite covers
+    * separately.)
     */
   def q_sim_lsh(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val dims    = 64
-    val nBits   = 8  // bucket width: P(same bucket | near-dup) per table
-    val nTables = 4  // independent tables: recall ≈ 1-(1-p^bits)^tables
-    // Deterministic pseudo-random hyperplanes: component j of plane b
-    // in table t = ±1 from a seeded hash. Sign sketch per table.
+    val dims    = LshDims
+    val nBits   = LshBits
+    val nTables = LshTables
     def planes(t: Int): Seq[Array[Float]] = (0 until nBits).map { b =>
-      (0 until dims).map { j =>
-        val h = scala.util.hashing.MurmurHash3.productHash((t, b, j, 42))
-        if (h % 2 == 0) 1.0f else -1.0f
-      }.toArray
+      (0 until dims).map(j => lshPlaneSign(t, b, j)).toArray
     }
     val e = embeddings(s, d)
     // Each sketch bit is one codegen'd dot_product against a literal
