@@ -48,12 +48,20 @@ object GitEtl {
       maxDepth: Int = 1,
       shardsPerRepo: Int = 1): EtlReport = {
     val etl = dataframes(spark, root, config, maxDepth, shardsPerRepo)
-    etl("repositories").write.mode("overwrite").parquet(s"$outDir/repositories.parquet")
-    etl("logs").write.mode("overwrite").parquet(s"$outDir/logs.parquet")
-    etl("changed_files").write.mode("overwrite").parquet(s"$outDir/changed_files.parquet")
+    write(etl, outDir)
     val rep = report(etl) // cheap: reads the still-cached extraction
     etl("events").unpersist() // extraction cache released after writes+report
     rep
+  }
+
+  /** Write the three reference tables from a [[dataframes]] map —
+    * split out so callers (Main) can materialize the extraction under
+    * a progress listener first, then write from cache.
+    */
+  def write(tables: Map[String, DataFrame], outDir: String): Unit = {
+    tables("repositories").write.mode("overwrite").parquet(s"$outDir/repositories.parquet")
+    tables("logs").write.mode("overwrite").parquet(s"$outDir/logs.parquet")
+    tables("changed_files").write.mode("overwrite").parquet(s"$outDir/changed_files.parquet")
   }
 
   /** Build the output DataFrames without writing. Triggers NO Spark

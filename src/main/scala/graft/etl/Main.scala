@@ -70,7 +70,31 @@ object Main {
     // when missing; no --config picks up ./config.toml if present
     val config = EtlConfig.resolve(configPath.map(Paths.get(_)))
     val t0 = System.nanoTime()
-    val report = GitEtl.run(spark, root, out, config, maxDepth, shards)
+    val tables = GitEtl.dataframes(spark, root, config, maxDepth, shards)
+    // Live progress during the long pole (the reference's per-repo
+    // bars, analyzer.rs:282): one Spark task = one (repo, shard), so
+    // the extraction job's task-end stream IS per-repo completion.
+    // The extraction is materialized here under a scoped listener
+    // (count() fills the persist; the writes below read the cache),
+    // then per-repo commit counts still print post-hoc — task
+    // completion order is not repo order, and a faithful ticker
+    // reports progress, not sequence.
+    val nTasks = tables("events").rdd.getNumPartitions
+    val done = new java.util.concurrent.atomic.AtomicInteger
+    val progress = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val k = done.incrementAndGet()
+        System.err.print(s"\r# extracting: $k/$nTasks repo tasks")
+        if (k == nTasks) System.err.println()
+      }
+    }
+    spark.sparkContext.addSparkListener(progress)
+    try tables("events").count()
+    finally spark.sparkContext.removeSparkListener(progress)
+    GitEtl.write(tables, out)
+    val report = GitEtl.report(tables)
+    tables("events").unpersist()
     val secs = (System.nanoTime() - t0) / 1e9
 
     // Report format mirrors the reference (main.rs:7-26), plus per-repo
