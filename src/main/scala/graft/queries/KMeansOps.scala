@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spherical k-means over an embedding column — the "training" step
+  * that q_sim_ivf's coarse quantizer hand-waves (its cells are the
+  * first K vectors; a production IVF index runs a few Lloyd iterations
+  * first). Everything is the DataFrame shapes the rest of the library
+  * already uses:
+  *
+  *  - E-step: broadcast the K×dim centroid table, score with the
+  *    codegen'd `cosine_sim`, argmax via map-side-combined `max_by` —
+  *    the exact assignment pass of SimilarityOps.q_sim_ivf, n combined
+  *    rows per shuffle.
+  *  - M-step: per-(cell, dim) `avg()` after a posexplode — constant
+  *    aggregation state, k·dim combined rows (EmbedOps.centroidsAvg's
+  *    shape, over real assignments instead of mod-k cells).
+  *
+  * Per iteration that is one broadcast join + two map-side-combined
+  * aggregations over the corpus — no window, no collect_list, no
+  * driver-side vectors beyond the K centroids themselves (K×dim
+  * doubles, kilobytes — the same "model is a broadcast literal" stance
+  * as the LSH planes). Iterations loop on the driver because k-means
+  * is inherently synchronous: each E-step needs the finished M-step.
+  * Determinism: init = first K vectors by id, cosine ties break to the
+  * smallest cent_id, so reruns assign identically.
+  */
+object KMeansOps {
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid
+    * (cosine), then recompute centroids as per-cell dimension means.
+    * `centroids` must have (cent_id: long, cv: array<float>); returns
+    * the same shape, one row per surviving cell (a cell that captures
+    * no vectors drops out, standard Lloyd behavior).
+    */
+  def lloydStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assign(vectors, centroids)
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("cell").as("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m").cast("float")).as("cv"))
+  }
+
+  /** E-step only: (vec_id, embedding, cell) with cell = argmax cosine
+    * centroid, ties to the smallest cent_id.
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        expr("cosine_sim(embedding, cv)").as("cos_c"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("cent_id"), col("embedding")),
+        struct(col("cos_c"), (-col("cent_id")).as("tb"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cent_id").as("cell"))
+
+  /** Train k centroids with `iters` Lloyd iterations from the
+    * deterministic first-k-by-id init, returning the final assignment
+    * (vec_id, cell) joined with per-cell sizes. The centroid table is
+    * materialized between iterations (it is K rows — the only
+    * driver-side state), keeping each iteration's lineage one
+    * broadcast join deep instead of stacking all iterations into a
+    * single exponential plan.
+    */
+  def kmeans(s: SparkSession, vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    VectorFunctions.register(s)
+    var cent = vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    (1 to iters).foreach { _ =>
+      val step = lloydStep(vectors, cent)
+      val next = step.collect() // K rows, kilobytes — the model, not data
+      cent = s.createDataFrame(java.util.Arrays.asList(next: _*), step.schema)
+    }
+    assign(vectors, cent)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Mean within-cluster cosine — the quality metric the unit test
+    * tracks across iterations (must not decrease for spherical
+    * k-means on normalized-ish data).
+    */
+  def distortion(s: SparkSession, vectors: DataFrame, centroids: DataFrame): Double = {
+    VectorFunctions.register(s)
+    assign(vectors, centroids)
+      .join(broadcast(centroids), col("cell") === col("cent_id"))
+      .select(expr("cosine_sim(embedding, cv)").as("c"))
+      .agg(avg("c")).head().getDouble(0)
+  }
+}

@@ -37,6 +37,23 @@ class EmbedSpec extends AnyFunSuite {
     assert(total == window)
   }
 
+  test("kmeans: Lloyd iterations do not degrade within-cluster cosine, assignment is total") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val vecs = Tables.embeddings(s, sf)
+    val k = 8
+    def init = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val d0 = queries.KMeansOps.distortion(s, vecs, init)
+    val c1 = queries.KMeansOps.lloydStep(vecs, init)
+    val d1 = queries.KMeansOps.distortion(s, vecs, c1)
+    assert(d1 >= d0 - 1e-9, s"one Lloyd step degraded cosine: $d0 -> $d1")
+    val assigned = queries.KMeansOps.kmeans(s, vecs, k, 2).collect()
+    assert(assigned.length == vecs.count(), "every vector must be assigned")
+    val cells = assigned.map(_.getAs[Long]("cell")).distinct
+    assert(cells.length > 1 && cells.forall(c => c >= 0 && c < k))
+  }
+
   test("centroidsAvg matches the ordered-fold kernel within 1e-9 on the same input") {
     import org.apache.spark.sql.functions.col
     val bounded = Tables.embeddings(spark, sf).filter(col("vec_id") < 256)
