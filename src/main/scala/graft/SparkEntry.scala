@@ -124,6 +124,23 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
+  /** Hex-prefix→BIGINT nibble arithmetic over an arbitrary hex string
+    * expression `h` (same per-nibble form as [[duckHashDraw]]).
+    */
+  private def duckHexValue(h: String, chars: Int): String =
+    (1 to chars).map { i =>
+      val weight = 1L << (4 * (chars - i))
+      s"(strpos('0123456789abcdef', substr($h,$i,1)) - 1) * $weight"
+    }.mkString("(", " + ", ")")
+
+  /** MinHash function i over a `shingles` list column: md5 once per
+    * shingle, 15-hex-char prefix read as a 60-bit BIGINT, list_min —
+    * mirroring DedupOps.signatures' `conv(substring(md5(...),1,15))`.
+    */
+  private def duckMinhash(i: Int): String =
+    s"list_min(list_transform([substr(md5('$i:' || x),1,15) for x in shingles], " +
+      s"h -> ${duckHexValue("h", 15)}))"
+
   /** DuckDB-dialect oracle SQL, one per oracle-checkable query key.
     * Column names and types are aligned with the Spark outputs
     * (counts/epochs as BIGINT, doubles rounded identically).
@@ -466,22 +483,19 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // MinHash values are the first 15 hex chars of the seeded md5 read
+    // as a 60-bit BIGINT (see DedupOps.signatures for why long, not
+    // hex-string): md5 once per (seed, shingle), then the hex→int
+    // nibble arithmetic of duckHashDraw applied to the 15-char prefix.
     "q_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3
-        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
-        |    ELSE [text] END AS shingles
-        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents))
-        |SELECT doc_id,
-        |  list_min([substr(md5('1:' || x),1,16) for x in shingles]) AS h1,
-        |  list_min([substr(md5('2:' || x),1,16) for x in shingles]) AS h2,
-        |  list_min([substr(md5('3:' || x),1,16) for x in shingles]) AS h3,
-        |  list_min([substr(md5('4:' || x),1,16) for x in shingles]) AS h4,
-        |  list_min([substr(md5('5:' || x),1,16) for x in shingles]) AS h5,
-        |  list_min([substr(md5('6:' || x),1,16) for x in shingles]) AS h6,
-        |  list_min([substr(md5('7:' || x),1,16) for x in shingles]) AS h7,
-        |  list_min([substr(md5('8:' || x),1,16) for x in shingles]) AS h8
-        |FROM sh ORDER BY doc_id""".stripMargin,
+      s"""WITH sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 3
+         |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+         |    ELSE [text] END AS shingles
+         |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents))
+         |SELECT doc_id,
+         |${(1 to 8).map(i => s"  ${duckMinhash(i)} AS h$i").mkString(",\n")}
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(w) >= 3
@@ -490,18 +504,11 @@ object SparkEntry {
         |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
         |sig AS (
         |  SELECT doc_id,
-        |    list_min([substr(md5('1:' || x),1,16) for x in shingles]) AS h1,
-        |    list_min([substr(md5('2:' || x),1,16) for x in shingles]) AS h2,
-        |    list_min([substr(md5('3:' || x),1,16) for x in shingles]) AS h3,
-        |    list_min([substr(md5('4:' || x),1,16) for x in shingles]) AS h4,
-        |    list_min([substr(md5('5:' || x),1,16) for x in shingles]) AS h5,
-        |    list_min([substr(md5('6:' || x),1,16) for x in shingles]) AS h6,
-        |    list_min([substr(md5('7:' || x),1,16) for x in shingles]) AS h7,
-        |    list_min([substr(md5('8:' || x),1,16) for x in shingles]) AS h8
+        |SIG_COLUMNS
         |  FROM sh),
         |bands AS (
-        |  SELECT doc_id, h1||h2||h3||h4 AS band FROM sig
-        |  UNION ALL SELECT doc_id, h5||h6||h7||h8 FROM sig),
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -509,7 +516,9 @@ object SparkEntry {
         |SELECT doc_a, doc_b,
         |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 10) AS jaccard
         |FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3

@@ -9,18 +9,16 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * buffer, registered via `functions.udaf` as `minhash8(shingle)`.
   *
   * Semantically identical to the expression pipeline in
-  * DedupOps.q_minhash (min over `substr(md5(seed || ':' || shingle),
-  * 1, 16)` per seed — asserted equal in tests); the aggregate form
-  * computes all 8 minima in one pass over the exploded shingles with a
-  * 128-byte buffer, merging partial buffers element-wise — map-side
-  * combine keeps shuffle volume at one signature per doc per
-  * partition.
+  * DedupOps.q_minhash (min over the 60-bit value of
+  * `substr(md5(seed || ':' || shingle), 1, 15)` per seed — asserted
+  * equal in tests); the aggregate form computes all 8 minima in one
+  * pass over the exploded shingles with a 64-byte buffer, merging
+  * partial buffers element-wise — map-side combine keeps shuffle
+  * volume at one signature per doc per partition.
   */
-object MinHashAggregator extends Aggregator[String, Array[String], Array[String]] {
+object MinHashAggregator extends Aggregator[String, Array[Long], Array[Long]] {
 
   private val NumHashes = 8
-  // lexicographic top: above every 16-char lowercase-hex string
-  private val Top = "\uffff"
 
   // MessageDigest is not thread-safe and not serializable — one per
   // executor thread, lazily.
@@ -28,43 +26,46 @@ object MinHashAggregator extends Aggregator[String, Array[String], Array[String]
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private def hash16(seed: Int, x: String): String = {
+  /** The first 15 hex chars of md5(seed:x) as a 60-bit long — the
+    * first 7 digest bytes plus the high nibble of the 8th, matching
+    * `conv(substring(md5(...), 1, 15), 16, 10)`.
+    */
+  private def hash60(seed: Int, x: String): Long = {
     val d = md5.get()
     d.reset()
     val bytes = d.digest(s"$seed:$x".getBytes("UTF-8"))
-    // first 8 bytes -> 16 hex chars, matching substr(md5(...), 1, 16)
-    val sb = new StringBuilder(16)
+    var v = 0L
     var i = 0
-    while (i < 8) { sb.append(f"${bytes(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+    while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    (v << 4) | ((bytes(7) & 0xffL) >>> 4)
   }
 
-  override def zero: Array[String] = Array.fill(NumHashes)(Top)
+  override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
 
-  override def reduce(b: Array[String], x: String): Array[String] = {
+  override def reduce(b: Array[Long], x: String): Array[Long] = {
     if (x == null) return b // match the expression pipeline: min() skips nulls
     var i = 0
     while (i < NumHashes) {
-      val h = hash16(i + 1, x)
+      val h = hash60(i + 1, x)
       if (h < b(i)) b(i) = h
       i += 1
     }
     b
   }
 
-  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
     a
   }
 
-  override def finish(r: Array[String]): Array[String] = r
+  override def finish(r: Array[Long]): Array[Long] = r
 
-  override def bufferEncoder: Encoder[Array[String]] = ExpressionEncoderHelper.arrayString
-  override def outputEncoder: Encoder[Array[String]] = ExpressionEncoderHelper.arrayString
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
 }
 
 private object ExpressionEncoderHelper {
-  val arrayString: Encoder[Array[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  val arrayLong: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

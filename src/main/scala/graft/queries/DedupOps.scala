@@ -84,9 +84,16 @@ object DedupOps {
     * shuffle carries only partial per-doc minima (map-side combine), so
     * shuffle volume is O(docs), not O(shingles), at any scale.
     *
-    * MinHash value = first 16 hex chars of a seeded md5; lexicographic
-    * min on fixed-width lowercase hex == numeric min, identically in
-    * Spark and DuckDB.
+    * MinHash value = the first 15 hex chars of a seeded md5 read as a
+    * 60-bit BIGINT (the `conv`↔nibble-arithmetic bridge SampleOps
+    * .hashDraw already proves engine-portable). LONG, not the hex
+    * string, deliberately: `min(string)` has an immutable aggregation
+    * buffer, which forces SortAggregate — a per-partition sort of the
+    * entire exploded shingle stream — while `min(long)` plans
+    * codegen'd partial HashAggregate; the shuffle rows also shrink
+    * ~4×. 15 chars (not 16) keeps the value inside a signed long's
+    * positive range so numeric min == unsigned hex min on both
+    * engines.
     */
   def q_minhash(s: SparkSession, d: String): DataFrame =
     signatures(s, d).orderBy("doc_id")
@@ -96,7 +103,8 @@ object DedupOps {
     * the cache and immediately destroyed by the band join's shuffle).
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    signaturesWith(s, d, i => x => substring(md5(concat(lit(s"$i:"), x)), 1, 16))
+    signaturesWith(s, d,
+      i => x => conv(substring(md5(concat(lit(s"$i:"), x)), 1, 15), 16, 10).cast("long"))
 
   /** The one signature scaffold both hash variants share: fan-out →
     * explode shingles → 8 codegen'd scalar hashes → map-side-combined
@@ -150,8 +158,8 @@ object DedupOps {
     // pair count, not the corpus.
     val bands = signatures(s, d).select(col("doc_id"),
       explode(array(
-        concat(col("h1"), col("h2"), col("h3"), col("h4")),
-        concat(col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
+        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
+        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
     val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
     // Exact-Jaccard confirmation, with the shingle lineage consumed
     // exactly ONCE: each pair explodes into its two member ids, joins

@@ -18,11 +18,11 @@ class AggregatorSpec extends AnyFunSuite {
         explode(graft.queries.DedupOps.shingles3(col("text"))).as("x"))
     val viaUdaf = exploded.groupBy("doc_id")
       .agg(minhash8(col("x")).as("sig"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toVector).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toVector).toMap
     val viaExprs = graft.queries.DedupOps.q_minhash(spark, sf)
       .filter(col("doc_id") < 50)
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        (1 to 8).map(i => r.getAs[String](s"h$i")).toVector).toMap
+        (1 to 8).map(i => r.getAs[Long](s"h$i")).toVector).toMap
     assert(viaUdaf == viaExprs)
   }
 

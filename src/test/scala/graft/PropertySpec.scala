@@ -110,7 +110,7 @@ class PropertySpec extends AnyFunSuite {
       val sigs = graft.queries.DedupOps.q_minhash(spark, tmp).collect()
       val s0 = sigs.find(_.getLong(0) == 0L).get
       val s1 = sigs.find(_.getLong(0) == 1L).get
-      (1 to 8).foreach(i => assert(s0.getAs[String](s"h$i") == s1.getAs[String](s"h$i")))
+      (1 to 8).foreach(i => assert(s0.getAs[Long](s"h$i") == s1.getAs[Long](s"h$i")))
     }
   }
 }

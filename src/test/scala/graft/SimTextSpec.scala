@@ -89,11 +89,12 @@ class SimTextSpec extends AnyFunSuite {
     val s1 = q("q_minhash").collect()
     val s2 = q("q_minhash").collect()
     assert(s1.sameElements(s2))
-    // every signature column is a 16-char lowercase hex string
+    // every signature column is a 60-bit value (15 hex chars): always
+    // non-negative and under 2^60
     s1.take(20).foreach { r =>
       (1 to 8).foreach { i =>
-        val h = r.getAs[String](s"h$i")
-        assert(h.length == 16 && h.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+        val h = r.getAs[Long](s"h$i")
+        assert(h >= 0L && h < (1L << 60))
       }
     }
   }
