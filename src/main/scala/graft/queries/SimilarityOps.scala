@@ -89,38 +89,40 @@ object SimilarityOps {
     val k = 16
     val nprobe = 4
     val e = embeddings(s, d)
-    val centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    // E-step: nearest centroid per vector. Argmax as a map-side-combined
-    // `max_by` aggregation — constant per-group state (one best-so-far
-    // struct), so the shuffle carries n combined rows instead of the
-    // n·K sorted assignment rows a window would move. Tie-break on the
-    // SMALLEST cent_id via -cent_id inside the max key.
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        expr("cosine_sim(embedding, cv)").as("cos_c"))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("cent_id"), col("embedding")),
-        struct(col("cos_c"), (-col("cent_id")).as("tb"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cent_id").as("cell"))
-    // queries probe their nprobe nearest cells: bounded top-nprobe via
-    // a collect-sort-slice over the K centroid scores (per-group state
-    // ≤ K rows by construction — K is the coarse codebook, not data).
-    // qv is joined back from the 10-row query frame rather than carried
-    // through the aggregate.
+    // The K-row coarse codebook is a MODEL, not data: collect it once
+    // (K×dim floats, kilobytes — the same "model is a broadcast
+    // literal" stance as the LSH planes and KMeansOps' driver-side
+    // centroid table) so the E-step needs no crossJoin and no
+    // aggregation at all.
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    if (cents.isEmpty) // degenerate corpus: nothing to quantize against
+      return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("cosine"), col("vec_id").as("rank")).limit(0)
+    // Per-row scores against every centroid literal: array_max over
+    // (cos, -cent_id) structs = argmax with ties to the SMALLEST
+    // cent_id. A pure scan-stage projection — the E-step moves ZERO
+    // rows: no crossJoin blow-up, no shuffle, each cosine a codegen'd
+    // primitive loop against a literal vector.
+    def scoresFor(v: org.apache.spark.sql.Column) = array(cents.map { case (id, cv) =>
+      struct(call_function("cosine_sim", v, typedLit(cv)).as("c"),
+        lit(-id).as("negid"))
+    }: _*)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+        array_max(scoresFor(col("embedding"))).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("cell"))
+    // queries probe their nprobe nearest cells: sort the K-entry score
+    // array per row and slice — still row-local, still zero-shuffle
+    // (sort_array on a K-literal array, not an aggregation).
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("cent_id"),
-        expr("cosine_sim(qv, cv)").as("cos_c"))
-      .groupBy("query_id")
-      .agg(slice(
-        sort_array(collect_list(struct((-col("cos_c")).as("neg"), col("cent_id")))),
-        1, nprobe).as("cells"))
-      .select(col("query_id"), explode(col("cells.cent_id")).as("cell"))
-      .join(q, Seq("query_id"))
+    val probes = q.select(col("query_id"), col("qv"),
+        slice(reverse(array_sort(scoresFor(col("qv")))), 1, nprobe).as("top"))
+      .select(col("query_id"), col("qv"), explode(col("top.negid")).as("negid"))
+      .select(col("query_id"), col("qv"), (-col("negid")).as("cell"))
     // search only the probed cells; top-5 via the bounded-heap
     // TopKAggregator (≤ 5 pairs per query cross the final shuffle)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
