@@ -81,9 +81,15 @@ object Main {
     // reports progress, not sequence.
     val nTasks = tables("events").rdd.getNumPartitions
     val done = new java.util.concurrent.atomic.AtomicInteger
+    val extractStage = new java.util.concurrent.atomic.AtomicInteger(-1)
     val progress = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        // the count() job runs two stages; the extraction is the FIRST
+        // (lowest stage id — it must finish before the count-agg stage
+        // starts), and only its tasks are repo work
+        extractStage.compareAndSet(-1, e.stageId)
+        if (e.stageId != extractStage.get()) return
         val k = done.incrementAndGet()
         System.err.print(s"\r# extracting: $k/$nTasks repo tasks")
         if (k == nTasks) System.err.println()

@@ -46,19 +46,34 @@ object KMeansOps {
         x => x.getField("m").cast("float")).as("cv"))
   }
 
-  /** E-step only: (vec_id, embedding, cell) with cell = argmax cosine
-    * centroid, ties to the smallest cent_id.
+  /** Per-row (cosine, -cent_id) score array against a COLLECTED
+    * codebook — `array_max` of it is argmax with ties to the smallest
+    * cent_id. Shared with SimilarityOps.q_sim_ivf: the codebook is a
+    * model literal (K×dim floats, kilobytes), so assignment fuses into
+    * the scan stage with zero shuffle and zero aggregation.
     */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        expr("cosine_sim(embedding, cv)").as("cos_c"))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("cent_id"), col("embedding")),
-        struct(col("cos_c"), (-col("cent_id")).as("tb"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cent_id").as("cell"))
+  private[queries] def centroidScores(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column =
+    array(cents.map { case (id, cv) =>
+      struct(call_function("cosine_sim", v, typedLit(cv)).as("c"),
+        lit(-id).as("negid"))
+    }: _*)
+
+  /** E-step only: (vec_id, embedding, cell) with cell = argmax cosine
+    * centroid, ties to the smallest cent_id. Collects the K-row
+    * centroid table into score literals (see [[centroidScores]]).
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession) // idempotent
+    val cents = centroids.collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assign() needs a non-empty centroid table")
+    vectors.select(col("vec_id"), col("embedding"),
+        array_max(centroidScores(col("embedding"), cents)).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("cell"))
+  }
 
   /** Train k centroids with `iters` Lloyd iterations from the
     * deterministic first-k-by-id init, returning the final assignment

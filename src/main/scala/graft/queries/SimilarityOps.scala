@@ -107,10 +107,7 @@ object SimilarityOps {
     // cent_id. A pure scan-stage projection — the E-step moves ZERO
     // rows: no crossJoin blow-up, no shuffle, each cosine a codegen'd
     // primitive loop against a literal vector.
-    def scoresFor(v: org.apache.spark.sql.Column) = array(cents.map { case (id, cv) =>
-      struct(call_function("cosine_sim", v, typedLit(cv)).as("c"),
-        lit(-id).as("negid"))
-    }: _*)
+    def scoresFor(v: org.apache.spark.sql.Column) = KMeansOps.centroidScores(v, cents)
     val assigned = e.select(col("vec_id"), col("embedding"),
         array_max(scoresFor(col("embedding"))).as("best"))
       .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("cell"))
