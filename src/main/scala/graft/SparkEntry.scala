@@ -124,22 +124,26 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
-  /** Hex-prefix→BIGINT nibble arithmetic over an arbitrary hex string
-    * expression `h` (same per-nibble form as [[duckHashDraw]]).
+  /** Hex-window→BIGINT nibble arithmetic over a hex string expression
+    * `h`, reading `chars` nibbles starting at 1-based `from` (same
+    * per-nibble form as [[duckHashDraw]]).
     */
-  private def duckHexValue(h: String, chars: Int): String =
-    (1 to chars).map { i =>
-      val weight = 1L << (4 * (chars - i))
-      s"(strpos('0123456789abcdef', substr($h,$i,1)) - 1) * $weight"
+  private def duckHexValue(h: String, from: Int, chars: Int): String =
+    (0 until chars).map { i =>
+      val weight = 1L << (4 * (chars - 1 - i))
+      s"(strpos('0123456789abcdef', substr($h,${from + i},1)) - 1) * $weight"
     }.mkString("(", " + ", ")")
 
-  /** MinHash function i over a `shingles` list column: md5 once per
-    * shingle, 15-hex-char prefix read as a 60-bit BIGINT, list_min —
-    * mirroring DedupOps.signatures' `conv(substring(md5(...),1,15))`.
+  /** MinHash function i over a `shingles` list column, mirroring
+    * DedupOps.signatures' digest reuse: seeded digest (i+1)/2, 60-bit
+    * hex window at char 1 (odd i) or 17 (even i), list_min.
     */
-  private def duckMinhash(i: Int): String =
-    s"list_min(list_transform([substr(md5('$i:' || x),1,15) for x in shingles], " +
-      s"h -> ${duckHexValue("h", 15)}))"
+  private def duckMinhash(i: Int): String = {
+    val seed = (i + 1) / 2
+    val off = if (i % 2 == 1) 1 else 17
+    s"list_min(list_transform([md5('$seed:' || x) for x in shingles], " +
+      s"h -> ${duckHexValue("h", off, 15)}))"
+  }
 
   /** DuckDB-dialect oracle SQL, one per oracle-checkable query key.
     * Column names and types are aligned with the Spark outputs

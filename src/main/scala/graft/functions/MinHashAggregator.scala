@@ -26,29 +26,34 @@ object MinHashAggregator extends Aggregator[String, Array[Long], Array[Long]] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** The first 15 hex chars of md5(seed:x) as a 60-bit long — the
-    * first 7 digest bytes plus the high nibble of the 8th, matching
-    * `conv(substring(md5(...), 1, 15), 16, 10)`.
+  /** A 60-bit window of the digest starting at byte `off` — 7 full
+    * bytes plus the next byte's high nibble, matching
+    * `conv(substring(hex, 2*off+1, 15), 16, 10)`.
     */
-  private def hash60(seed: Int, x: String): Long = {
-    val d = md5.get()
-    d.reset()
-    val bytes = d.digest(s"$seed:$x".getBytes("UTF-8"))
+  private def window60(bytes: Array[Byte], off: Int): Long = {
     var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
-    (v << 4) | ((bytes(7) & 0xffL) >>> 4)
+    var i = off
+    while (i < off + 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    (v << 4) | ((bytes(off + 7) & 0xffL) >>> 4)
   }
 
   override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
 
   override def reduce(b: Array[Long], x: String): Array[Long] = {
     if (x == null) return b // match the expression pipeline: min() skips nulls
-    var i = 0
-    while (i < NumHashes) {
-      val h = hash60(i + 1, x)
-      if (h < b(i)) b(i) = h
-      i += 1
+    // digest reuse, as in DedupOps.signatures: 4 seeded md5s, two
+    // 60-bit draws each (hex chars 1-15 and 17-31 = byte offsets 0, 8)
+    var seed = 1
+    while (seed <= NumHashes / 2) {
+      val d = md5.get()
+      d.reset()
+      val bytes = d.digest(s"$seed:$x".getBytes("UTF-8"))
+      val i1 = 2 * (seed - 1)
+      val h1 = window60(bytes, 0)
+      val h2 = window60(bytes, 8)
+      if (h1 < b(i1)) b(i1) = h1
+      if (h2 < b(i1 + 1)) b(i1 + 1) = h2
+      seed += 1
     }
     b
   }

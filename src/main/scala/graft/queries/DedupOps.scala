@@ -101,10 +101,29 @@ object DedupOps {
   /** Unsorted signature table — the internal form (q_dedup_minhash
     * consumes this so the presentation sort isn't materialized into
     * the cache and immediately destroyed by the band join's shuffle).
+    *
+    * Digest reuse: an md5 digest is 128 bits and a minhash draw only
+    * needs 60, so each seeded digest yields TWO independent values
+    * (hex chars 1-15 and 17-31) — 4 md5 calls per shingle instead of
+    * 8, halving the dominant hash cost. The digests are materialized
+    * in an explicit projection below the aggregation so the sharing is
+    * structural, not left to codegen subexpression elimination.
+    * (signaturesFast keeps the one-hash-per-function scaffold: a
+    * 64-bit xxhash64 has no spare bits to split.)
     */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    signaturesWith(s, d,
-      i => x => conv(substring(md5(concat(lit(s"$i:"), x)), 1, 15), 16, 10).cast("long"))
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val exploded = fanOut(s, documents(s, d))
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
+    val withDigests = exploded.select(
+      col("doc_id") +:
+        (1 to 4).map(i => md5(concat(lit(s"$i:"), col("x"))).as(s"d$i")): _*)
+    val mins = (1 to 8).map { i =>
+      val seed = (i + 1) / 2           // digest 1..4, used twice
+      val off = if (i % 2 == 1) 1 else 17 // hex window within the digest
+      min(conv(substring(col(s"d$seed"), off, 15), 16, 10).cast("long")).as(s"h$i")
+    }
+    withDigests.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   /** The one signature scaffold both hash variants share: fan-out →
     * explode shingles → 8 codegen'd scalar hashes → map-side-combined
