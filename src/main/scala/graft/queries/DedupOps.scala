@@ -76,15 +76,16 @@ object DedupOps {
 
   /** 8-function MinHash signature per document.
     *
-    * Shape: explode shingles → 8 codegen'd scalar md5s per shingle row
-    * → hash-agg min per doc. A per-row `transform(...)` higher-order
-    * function computes the same values but runs *interpreted* (Spark
-    * HOF lambdas are outside whole-stage codegen) — measured ~4×
-    * slower. The explode pipelines inside the scan stage; the single
-    * shuffle carries only partial per-doc minima (map-side combine), so
+    * Shape: explode shingles → 4 codegen'd scalar md5s per shingle row
+    * (each digest feeding two draws — see [[signatures]]) → hash-agg
+    * min per doc. A per-row `transform(...)` higher-order function
+    * computes the same values but runs *interpreted* (Spark HOF
+    * lambdas are outside whole-stage codegen) — measured ~4× slower.
+    * The explode pipelines inside the scan stage; the single shuffle
+    * carries only partial per-doc minima (map-side combine), so
     * shuffle volume is O(docs), not O(shingles), at any scale.
     *
-    * MinHash value = the first 15 hex chars of a seeded md5 read as a
+    * MinHash value = a 15-hex-char window of a seeded md5 read as a
     * 60-bit BIGINT (the `conv`↔nibble-arithmetic bridge SampleOps
     * .hashDraw already proves engine-portable). LONG, not the hex
     * string, deliberately: `min(string)` has an immutable aggregation
@@ -125,12 +126,12 @@ object DedupOps {
     withDigests.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** The one signature scaffold both hash variants share: fan-out →
+  /** Signature scaffold for one-hash-per-function variants: fan-out →
     * explode shingles → 8 codegen'd scalar hashes → map-side-combined
     * min per doc. `hashFn(i)` builds minhash function i's per-shingle
-    * hash column — the ONLY thing the md5 (oracle) and xxhash64 (scale)
-    * forms differ in, so shape changes (fan-out policy, shingling, a
-    * future salt) land once.
+    * hash column. Used by [[signaturesFast]] (xxhash64); the md5 form
+    * ([[signatures]]) diverged when it adopted digest reuse, which
+    * needs a digest projection this per-function shape can't express.
     */
   private def signaturesWith(
       s: SparkSession, d: String, hashFn: Int => Column => Column): DataFrame = {
