@@ -29,40 +29,42 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * pair once.
   */
 final class BoundedCollectAggregator(cap: Int)
-    extends Aggregator[Long, Array[Long], Array[Long]] {
+    extends Aggregator[Long, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
   require(cap > 0, s"cap must be positive, got $cap")
 
-  // state: unsorted id array, length ≤ cap+1; length == cap+1 is the
-  // saturated "overflowed" marker and stops absorbing input
-  override def zero: Array[Long] = Array.empty
+  import scala.collection.mutable.ArrayBuffer
 
-  override def reduce(b: Array[Long], x: Long): Array[Long] = {
-    if (b.length > cap) b
-    else {
-      val out = java.util.Arrays.copyOf(b, b.length + 1)
-      out(b.length) = x
-      out
-    }
+  // state: unsorted id buffer, length ≤ cap+1; length == cap+1 is the
+  // saturated "overflowed" marker and stops absorbing input. A
+  // growable buffer keeps appends amortized O(1) — an immutable array
+  // copied per element would do O(cap²) copying inside every
+  // degenerate bucket before it saturates. Objects live unserialized
+  // under ObjectHashAggregate; the encoder only runs at the exchange.
+  override def zero: ArrayBuffer[Long] = ArrayBuffer.empty
+
+  override def reduce(b: ArrayBuffer[Long], x: Long): ArrayBuffer[Long] = {
+    if (b.length <= cap) b += x
+    b
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
     if (a.length > cap) a
     else if (b.length > cap) b
     else {
-      val n = math.min(cap + 1, a.length + b.length)
-      val out = java.util.Arrays.copyOf(a, n)
-      var i = a.length; var j = 0
-      while (i < n) { out(i) = b(j); i += 1; j += 1 }
-      out
+      // append until saturation; once over the cap the bucket finishes
+      // empty regardless, so dropped tail elements are immaterial
+      var i = 0
+      while (i < b.length && a.length <= cap) { a += b(i); i += 1 }
+      a
     }
   }
 
-  override def finish(r: Array[Long]): Array[Long] =
+  override def finish(r: ArrayBuffer[Long]): Array[Long] =
     if (r.length > cap) Array.empty
-    else { java.util.Arrays.sort(r); r }
+    else { val out = r.toArray; java.util.Arrays.sort(out); out }
 
-  override def bufferEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[scala.collection.mutable.ArrayBuffer[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

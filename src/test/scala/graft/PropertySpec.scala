@@ -47,6 +47,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BoundedCollectAggregator equals the exact model under arbitrary partitioning") {
+    val idsGen = Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct)
+    forAll(idsGen, Gen.chooseNum(1, 8)) { (ids, cap) =>
+      val a = new graft.functions.BoundedCollectAggregator(cap)
+      val bufs = ids.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+        .map { case (_, xs) => xs.map(_._1).foldLeft(a.zero)(a.reduce) }
+      val merged = bufs.foldLeft(a.zero)(a.merge)
+      val expect = if (ids.length > cap) Nil else ids.sorted
+      assert(a.finish(merged).toList == expect,
+        s"cap=$cap n=${ids.length}")
+    }
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     forAll(docsGen) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
