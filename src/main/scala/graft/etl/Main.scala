@@ -22,7 +22,8 @@ object Main {
     if (args.isEmpty) {
       System.err.println(
         "usage: graft.etl.Main <root> --out <dir> [--config <toml>] " +
-          "[--max-depth N] [--recursive] [--shards N] [--num-threads N] [--clear]")
+          "[--max-depth N] [--recursive] [--shards N] [--num-threads N] [--clear]\n" +
+          "       (--database is accepted as an alias for --out, matching the reference CLI)")
       sys.exit(2)
     }
     val root = Paths.get(args(0))
@@ -44,6 +45,9 @@ object Main {
     while (i < args.length) {
       args(i) match {
         case "--out"         => out = value("--out"); i += 2
+        // reference flag name (analyzer.rs:32-62): same meaning, the
+        // target is a table directory here rather than a .db file
+        case "--database"    => out = value("--database"); i += 2
         case "--config"      => configPath = Some(value("--config")); i += 2
         case "--max-depth"   => maxDepth = value("--max-depth").toInt; maxDepthSet = true; i += 2
         case "--recursive"   => recursive = true; i += 1 // analyzer.rs:32-62 parity

@@ -141,6 +141,24 @@ class SimTextSpec extends AnyFunSuite {
       s"got $pairs") // big-bucket pairs gone, solo produces none
   }
 
+  test("dedup family survives degenerate texts: empty, single-word, exact duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""), (1L, "solo"), (2L, "solo"),              // empty + exact dup single-word
+      (3L, "a b c d e"), (4L, "a b c d e"), (5L, "")     // exact dup multi-word + empty dup
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mh-edge").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sigs = graft.queries.DedupOps.q_minhash(spark, tmp).collect()
+    assert(sigs.length == 6) // every doc signs, even the empty ones
+    val pairs = graft.queries.DedupOps.q_dedup_minhash(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    // exact duplicates must surface with jaccard 1.0
+    assert(pairs.contains((1L, 2L, 1.0)), s"got $pairs")
+    assert(pairs.contains((3L, 4L, 1.0)), s"got $pairs")
+    assert(pairs.contains((0L, 5L, 1.0)), s"got $pairs") // the two empties duplicate each other
+  }
+
   test("signaturesFast: xxhash64 minima are deterministic and near-dup-sensitive like md5's") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
