@@ -55,7 +55,7 @@ object KMeansOps {
   private[queries] def centroidScores(
       v: org.apache.spark.sql.Column,
       cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column =
-    array(cents.map { case (id, cv) =>
+    array(cents.toIndexedSeq.map { case (id, cv) =>
       struct(call_function("cosine_sim", v, typedLit(cv)).as("c"),
         lit(-id).as("negid"))
     }: _*)

@@ -147,7 +147,7 @@ object SimilarityOps {
 
   /** +1.0 or -1.0: the sign of plane component (table t, bit b, dim j). */
   def lshPlaneSign(t: Int, b: Int, j: Int): Float = {
-    val h = scala.util.hashing.MurmurHash3.productHash((t, b, j, 42))
+    val h = scala.util.hashing.MurmurHash3.caseClassHash((t, b, j, 42))
     if (h % 2 == 0) 1.0f else -1.0f
   }
 
