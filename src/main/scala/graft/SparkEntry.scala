@@ -31,6 +31,7 @@ object SparkEntry {
     "q_join_anti"      -> (Relational.q_join_anti _),
     "q_join_range"     -> (Relational.q_join_range _),
     "q_join_outer"     -> (Relational.q_join_outer _),
+    "q_join_skew"      -> (Relational.q_join_skew _),
     "q_join_asof"      -> (Windows.q_join_asof _),
     "q_sql_report"     -> (Relational.q_sql_report _),
     // §2.4 aggregations
@@ -210,6 +211,12 @@ object SparkEntry {
         |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
         |FROM rich FULL OUTER JOIN oagg ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    // the salted join must be RESULT-identical to the plain join — the
+    // salt is a physical rewrite, so the oracle doesn't mention it
+    "q_join_skew" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

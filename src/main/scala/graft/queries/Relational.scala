@@ -129,6 +129,19 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Salted equi-join (graft.plans.SkewJoin) declared end-to-end: the
+    * hot-key mitigation for joins where ONE key exceeds a task even
+    * after AQE skew-splitting. Salting is exact — each left row meets
+    * each matching right row exactly once — so the oracle is simply
+    * the PLAIN inner join: the physical (key, salt) rewrite must be
+    * invisible in the result.
+    */
+  def q_join_skew(s: SparkSession, d: String): DataFrame =
+    graft.plans.SkewJoin.saltedInnerJoin(
+        orders(s, d), customer(s, d), "o_custkey", "c_custkey", salts = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
   /** Non-equi (range) join against a tiny bucket table (SURVEY.md §2.3).
     * The literal side is rows, so Spark plans BroadcastNestedLoopJoin —
     * correct here because the build side is O(1). For a large bucket
