@@ -55,10 +55,33 @@ object KMeansOps {
   private[queries] def centroidScores(
       v: org.apache.spark.sql.Column,
       cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column =
-    array(cents.toIndexedSeq.map { case (id, cv) =>
+    array(centroidScoreStructs(v, cents): _*)
+
+  private def centroidScoreStructs(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Long, Array[Float])]): Seq[org.apache.spark.sql.Column] =
+    cents.toIndexedSeq.map { case (id, cv) =>
       struct(call_function("cosine_sim", v, typedLit(cv)).as("c"),
         lit(-id).as("negid"))
-    }: _*)
+    }
+
+  /** Nearest-centroid cell id for a vector column — `greatest` over the
+    * (cosine, -cent_id) score structs, NOT `array_max` over an array of
+    * them: ArrayMax on struct elements is CodegenFallback, and one
+    * fallback expression evicts the entire projection (all K cosine
+    * loops with it) from whole-stage codegen — measured ~10× slower
+    * per row. `greatest` compares structs with generated code, so the
+    * E-step stays a fused codegen'd scan. Ties go to the smallest
+    * cent_id via the -id field, as everywhere else.
+    */
+  private[queries] def nearestCell(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column = {
+    val scored = centroidScoreStructs(v, cents)
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored: _*)
+    -best.getField("negid")
+  }
 
   /** E-step only: (vec_id, embedding, cell) with cell = argmax cosine
     * centroid, ties to the smallest cent_id. Collects the K-row
@@ -71,8 +94,7 @@ object KMeansOps {
       .sortBy(_._1)
     require(cents.nonEmpty, "assign() needs a non-empty centroid table")
     vectors.select(col("vec_id"), col("embedding"),
-        array_max(centroidScores(col("embedding"), cents)).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("cell"))
+      nearestCell(col("embedding"), cents).as("cell"))
   }
 
   /** Train k centroids with `iters` Lloyd iterations from the

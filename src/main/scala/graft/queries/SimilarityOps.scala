@@ -102,22 +102,21 @@ object SimilarityOps {
     if (cents.isEmpty) // degenerate corpus: nothing to quantize against
       return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0.0).as("cosine"), col("vec_id").as("rank")).limit(0)
-    // Per-row scores against every centroid literal: array_max over
-    // (cos, -cent_id) structs = argmax with ties to the SMALLEST
-    // cent_id. A pure scan-stage projection — the E-step moves ZERO
-    // rows: no crossJoin blow-up, no shuffle, each cosine a codegen'd
-    // primitive loop against a literal vector.
-    def scoresFor(v: org.apache.spark.sql.Column) = KMeansOps.centroidScores(v, cents)
+    // Per-row argmax against the centroid literals
+    // (KMeansOps.nearestCell — `greatest` over (cos, -cent_id) structs,
+    // codegen'd; see its scaladoc for why not array_max). A pure
+    // scan-stage projection — the E-step moves ZERO rows: no crossJoin
+    // blow-up, no shuffle, each cosine a codegen'd primitive loop
+    // against a literal vector.
     val assigned = e.select(col("vec_id"), col("embedding"),
-        array_max(scoresFor(col("embedding"))).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("cell"))
+      KMeansOps.nearestCell(col("embedding"), cents).as("cell"))
     // queries probe their nprobe nearest cells: sort the K-entry score
-    // array per row and slice — still row-local, still zero-shuffle
-    // (sort_array on a K-literal array, not an aggregation).
+    // array per row and slice — row-local, zero-shuffle, and only the
+    // 10 query rows pay the interpreted array-of-structs sort.
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = q.select(col("query_id"), col("qv"),
-        slice(reverse(array_sort(scoresFor(col("qv")))), 1, nprobe).as("top"))
+        slice(reverse(array_sort(KMeansOps.centroidScores(col("qv"), cents))), 1, nprobe).as("top"))
       .select(col("query_id"), col("qv"), explode(col("top.negid")).as("negid"))
       .select(col("query_id"), col("qv"), (-col("negid")).as("cell"))
     // search only the probed cells; top-5 via the bounded-heap
