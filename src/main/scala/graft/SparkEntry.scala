@@ -94,6 +94,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_simhash"       -> (DedupOps.q_simhash _),
+    "q_dedup_simhash" -> ((s, d) => DedupOps.q_dedup_simhash(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
@@ -658,16 +659,37 @@ object SparkEntry {
     // Bit b of the simhash = bit b%4 of hex nibble b/4 of md5(word) —
     // identical strings, identical md5s, identical bits in both engines.
     "q_simhash" -> {
-      val votes = (0 until 32).map { b =>
+      val votes = (0 until 63).map { b =>
         s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx,${b / 4 + 1},1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
       }.mkString(",\n")
-      val bits = (0 until 32).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val bits = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
       s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
-         |h AS (SELECT doc_id, substr(md5(word),1,8) AS hx FROM w),
+         |h AS (SELECT doc_id, substr(md5(word),1,16) AS hx FROM w),
          |v AS (SELECT doc_id,
          |$votes
          |FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+    },
+    // banding is pure pruning (pigeonhole: <=3 differing bits leave at
+    // least one of 4 bytes equal), so the oracle can skip it and take
+    // ALL pairs within the Hamming threshold — same result by theory,
+    // and the hash-match proves the banded path loses no pairs
+    "q_dedup_simhash" -> {
+      val votes = (0 until 63).map { b =>
+        s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx,${b / 4 + 1},1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n")
+      val bits = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |h AS (SELECT doc_id, substr(md5(word),1,16) AS hx FROM w),
+         |v AS (SELECT doc_id,
+         |$votes
+         |FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM s a, s b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_dedup_embed" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -227,14 +227,25 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash per document. Bits derive from the first 8 hex
+  /** 63-bit SimHash per document. Bits derive from the first 16 hex
     * chars of md5(word) — engine-portable, so the DuckDB oracle can
-    * reproduce the hash bit-for-bit (the earlier xxhash64 form was
-    * Spark-only and could only get a rows-only check). At production
-    * scale the same plan runs with xxhash64 — one hash call instead of
-    * md5+conv, same explode→codegen-agg shape.
+    * reproduce the hash bit-for-bit. 63 bits, not 64, keeps the sign
+    * bit clear so band shifts and thresholds behave identically on
+    * both engines; not 32, because a narrow simhash over a corpus with
+    * a shared vocabulary collapses (at sf0.1, 32 bits put 5000
+    * nearly-all-distinct docs into so few values that 83k pairs
+    * collided exactly — 63 bits cuts that by half and spreads the
+    * hamming histogram). At production scale the same plan runs with
+    * xxhash64 — one hash call instead of md5+conv, same
+    * explode→codegen-agg shape.
     */
-  def q_simhash(s: SparkSession, d: String): DataFrame = {
+  def q_simhash(s: SparkSession, d: String): DataFrame =
+    simhashes(s, d).orderBy("doc_id")
+
+  /** Unsorted (doc_id, simhash) table shared by the signature query
+    * and the banded dedup below.
+    */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
     // Same explode→codegen-agg shape as q_minhash (a 32×aggregate()
     // HOF stack would run interpreted): one md5 per distinct word,
     // then 32 codegen'd conditional sums; votes(bit) = Σ ±1, simhash
@@ -243,15 +254,40 @@ object DedupOps {
     val hashed = fanOut(s, documents(s, d))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("word"))
-      .select(col("doc_id"), substring(md5(col("word")), 1, 8).as("hx"))
+      .select(col("doc_id"), substring(md5(col("word")), 1, 16).as("hx"))
     def nib(i: Int) = conv(substring(col("hx"), i + 1, 1), 16, 10).cast("int")
-    val votes = (0 until 32).map(b =>
+    val votes = (0 until 63).map(b =>
       sum(when(shiftright(nib(b / 4), b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    val simhash = (0 until 32)
+    val simhash = (0 until 63)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: band the 63-bit simhash into 4 slices
+    * (16+16+16+15 bits), take same-band doc pairs as candidates,
+    * confirm with the exact Hamming distance. Pigeonhole gives
+    * GUARANTEED recall up to Hamming ≤ 3: such a pair differs in at
+    * most 3 of the 4 bands, so at least one band matches — banding
+    * prunes the n² pair space with zero false negatives (unlike
+    * MinHash-LSH's probabilistic recall). Same scale shape as the
+    * other dedups: only (band, doc_id) shuffles, candidatePairs caps
+    * degenerate bands, and the simhash table re-joins by id for the
+    * cheap bit_count confirm.
+    */
+  def q_dedup_simhash(s: SparkSession, d: String, maxHamming: Int = 1): DataFrame = {
+    val sigs = simhashes(s, d)
+    // band i value lives in its own keyspace: i << 32 | slice
+    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(i =>
+      shiftright(col("simhash"), 16 * i).bitwiseAND(0xffff) + lit(i.toLong << 32)): _*)).as("band"))
+    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 }
