@@ -265,26 +265,50 @@ object DedupOps {
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 63-bit simhash into 4 slices
-    * (16+16+16+15 bits), take same-band doc pairs as candidates,
+  /** SimHash near-dup pairs: band the 63-bit simhash into exactly
+    * maxHamming+1 slices, take same-band doc pairs as candidates,
     * confirm with the exact Hamming distance. Pigeonhole gives
-    * GUARANTEED recall up to Hamming ≤ 3: such a pair differs in at
-    * most 3 of the 4 bands, so at least one band matches — banding
-    * prunes the n² pair space with zero false negatives (unlike
-    * MinHash-LSH's probabilistic recall). Same scale shape as the
-    * other dedups: only (band, doc_id) shuffles, candidatePairs caps
-    * degenerate bands, and the simhash table re-joins by id for the
-    * cheap bit_count confirm.
+    * GUARANTEED recall: a pair within the threshold differs in at most
+    * maxHamming bands, so at least one of the maxHamming+1 bands
+    * matches — banding prunes the n² pair space with zero false
+    * negatives (unlike MinHash-LSH's probabilistic recall).
+    *
+    * The band count is the MINIMUM the guarantee needs, deliberately:
+    * fewer, wider bands are more discriminative, and on a
+    * shared-vocabulary corpus that is the difference between a
+    * candidate set near the confirmed set and a quadratic blow-up
+    * (sf0.1, threshold 1: two 31/32-bit bands give 179k candidates
+    * for 57k confirmed pairs; four 16-bit bands gave 2.76M).
+    * Same scale shape as the other dedups: only (band, doc_id)
+    * shuffles, candidatePairs caps degenerate bands, and the simhash
+    * table re-joins by id for the cheap bit_count confirm.
     */
   def q_dedup_simhash(s: SparkSession, d: String, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8, s"maxHamming out of range: $maxHamming")
     val sigs = simhashes(s, d)
-    // band i value lives in its own keyspace: i << 32 | slice
-    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(i =>
-      shiftright(col("simhash"), 16 * i).bitwiseAND(0xffff) + lit(i.toLong << 32)): _*)).as("band"))
+    val nBands = maxHamming + 1
+    val width = 63 / nBands // last band takes the remainder bits
+    // band i value lives in its own keyspace: i << 40 | slice
+    val bands = sigs.select(col("doc_id"), explode(array((0 until nBands).map { i =>
+      val slice =
+        if (i == nBands - 1) shiftright(col("simhash"), width * i)
+        else shiftright(col("simhash"), width * i).bitwiseAND((1L << width) - 1)
+      slice + lit(i.toLong << 40)
+    }: _*)).as("band"))
     val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    // Hamming confirm with the simhash lineage consumed ONCE more (the
+    // banding pass above is the other) — the same pair-side explode +
+    // single join + regroup as q_dedup_minhash's Jaccard, but here the
+    // regrouped payload is a fixed-width long, so the aggregate stays
+    // hash-based. A two-sided join would recompute the vote
+    // aggregation a third time.
+    val sides = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    sides.join(sigs, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("simhash"))).as("sim_a"),
+        max(when(col("doc_id") === col("doc_b"), col("simhash"))).as("sim_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
