@@ -157,6 +157,29 @@ class SimTextSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L, 1.0)), s"got $pairs")
     assert(pairs.contains((3L, 4L, 1.0)), s"got $pairs")
     assert(pairs.contains((0L, 5L, 1.0)), s"got $pairs") // the two empties duplicate each other
+    // the SimHash path must surface the same exact duplicates at hamming 0
+    val hp = graft.queries.DedupOps.q_dedup_simhash(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
+    assert(hp.contains((1L, 2L, 0L)), s"got $hp")
+    assert(hp.contains((3L, 4L, 0L)), s"got $hp")
+    assert(hp.contains((0L, 5L, 0L)), s"got $hp")
+  }
+
+  test("q_dedup_simhash: near-identical docs pair, disjoint-vocab docs do not") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("sh-pairs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // 1 word changed out of 60: expect a small hamming distance — use a
+    // loose threshold so the test pins semantics, not hash specifics
+    val pairs = graft.queries.DedupOps.q_dedup_simhash(spark, tmp, maxHamming = 7)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      s"disjoint-vocab doc paired: $pairs")
   }
 
   test("signaturesFast: xxhash64 minima are deterministic and near-dup-sensitive like md5's") {
