@@ -44,6 +44,17 @@ object Sinks {
   def readJson(spark: SparkSession, path: String, schemaDDL: String): DataFrame =
     spark.read.schema(schemaDDL).json(path)
 
+  /** ORC round-trip — the other columnar format Spark ships natively.
+    * Same pushdown/pruning properties as parquet (predicate pushdown,
+    * column pruning, per-stripe statistics), so it's a drop-in
+    * interchange target for warehouses standardized on ORC.
+    */
+  def writeOrc(df: DataFrame, out: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(out)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Persist `df` as a table bucketed (and sorted) on `key` —
     * subsequent equi-joins between tables bucketed identically require
     * no shuffle (SortMergeJoin reads buckets directly).

@@ -21,6 +21,13 @@ class SinksSpec extends AnyFunSuite {
     assert(backJson.count() == orders.count())
     assert(backCsv.agg(sum("o_orderkey")).head.getLong(0) ==
       orders.agg(sum("o_orderkey")).head.getLong(0))
+    // ORC round-trips schema-complete (self-describing like parquet)
+    Sinks.writeOrc(orders, s"$tmp/orc")
+    val backOrc = Sinks.readOrc(spark, s"$tmp/orc")
+    assert(backOrc.schema == orders.schema)
+    assert(backOrc.count() == orders.count())
+    assert(backOrc.agg(sum("o_orderkey")).head.getLong(0) ==
+      orders.agg(sum("o_orderkey")).head.getLong(0))
   }
 
   test("date-partitioned parquet prunes partitions on the filter") {
