@@ -255,9 +255,18 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("word"))
       .select(col("doc_id"), substring(md5(col("word")), 1, 16).as("hx"))
-    def nib(i: Int) = conv(substring(col("hx"), i + 1, 1), 16, 10).cast("int")
+      // decode the hex ONCE into two longs (chars 1-15 and 16) and
+      // read bits with shifts — 2 string convs per row instead of 16.
+      // Char 1 is the most significant nibble of `lo`, so bit b of
+      // nibble j = char b/4+1 sits at lo bit 4*(14 - b/4) + b%4.
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 15), 16, 10).cast("long").as("lo"),
+        conv(substring(col("hx"), 16, 1), 16, 10).cast("long").as("hi"))
+    def bitOf(b: Int) =
+      if (b < 60) shiftright(col("lo"), 4 * (14 - b / 4) + b % 4).bitwiseAND(1)
+      else shiftright(col("hi"), b - 60).bitwiseAND(1)
     val votes = (0 until 63).map(b =>
-      sum(when(shiftright(nib(b / 4), b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+      sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"v$b"))
     val simhash = (0 until 63)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
