@@ -274,6 +274,28 @@ object DedupOps {
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
+  /** Production-scale simhash variant: one xxhash64 per word (its low
+    * 63 bits vote directly) instead of md5 + hex decode — the same
+    * explode→codegen-agg shape with ~4× cheaper hashing, mirroring
+    * [[signaturesFast]]. Not DuckDB-reproducible (xxhash64 is
+    * Spark-specific), so the oracle-checked [[q_simhash]] keeps md5;
+    * swap this in when the corpus, not the oracle, is the point.
+    */
+  def simhashesFast(s: SparkSession, d: String): DataFrame = {
+    val hashed = fanOut(s, documents(s, d))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+    def bitOf(b: Int) = shiftright(col("h"), b).bitwiseAND(1)
+    val votes = (0 until 63).map(b =>
+      sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val simhash = (0 until 63)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
   /** SimHash near-dup pairs: band the 63-bit simhash into exactly
     * maxHamming+1 slices, take same-band doc pairs as candidates,
     * confirm with the exact Hamming distance. Pigeonhole gives

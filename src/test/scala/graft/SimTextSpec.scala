@@ -182,6 +182,24 @@ class SimTextSpec extends AnyFunSuite {
       s"disjoint-vocab doc paired: $pairs")
   }
 
+  test("simhashesFast: xxhash64 simhash is deterministic and near-dup-sensitive like md5's") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("shf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def sigs() = graft.queries.DedupOps.simhashesFast(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val a = sigs()
+    assert(a == sigs()) // deterministic across runs
+    a.values.foreach(v => assert(v >= 0L, "sign bit must stay clear"))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(a(0L), a(1L)) < hamming(a(0L), a(2L)),
+      s"near=${hamming(a(0L), a(1L))} far=${hamming(a(0L), a(2L))}")
+  }
+
   test("signaturesFast: xxhash64 minima are deterministic and near-dup-sensitive like md5's") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
