@@ -30,6 +30,7 @@ object SparkEntry {
     "q_join_semi"      -> (Relational.q_join_semi _),
     "q_join_anti"      -> (Relational.q_join_anti _),
     "q_join_range"     -> (Relational.q_join_range _),
+    "q_join_range_binned" -> (Relational.q_join_range_binned _),
     "q_join_outer"     -> (Relational.q_join_outer _),
     "q_join_skew"      -> (Relational.q_join_skew _),
     "q_join_asof"      -> (Windows.q_join_asof _),
@@ -189,6 +190,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q_join_range" ->
+      """SELECT tier, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events JOIN (VALUES ('low',0.0,50.0),('mid',50.0,200.0),('high',200.0,1000.0))
+        |  AS t(tier,lo,hi) ON value >= lo AND value < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    // binned rewrite must be result-identical to the plain range join
+    "q_join_range_binned" ->
       """SELECT tier, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events JOIN (VALUES ('low',0.0,50.0),('mid',50.0,200.0),('high',200.0,1000.0))
         |  AS t(tier,lo,hi) ON value >= lo AND value < hi

@@ -161,6 +161,24 @@ object Relational {
       .orderBy("tier")
   }
 
+  /** The range join above, through the binned equi-join rewrite
+    * (graft.plans.RangeJoin) — the scale path for a ranges table too
+    * big to broadcast. Same oracle as a plain range join: the rewrite
+    * must be invisible in the result, exactly like q_join_skew's salt.
+    */
+  def q_join_range_binned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq(
+      ("low", 0.0, 50.0),
+      ("mid", 50.0, 200.0),
+      ("high", 200.0, 1000.0)).toDF("tier", "lo", "hi")
+    graft.plans.RangeJoin.binnedRangeJoin(
+        events(s, d), "value", buckets, "lo", "hi", binWidth = 50.0)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), money(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy("tier")
+  }
+
   /** Flagship hash aggregation — TPC-H Q1 shape (SURVEY.md §2.4 A1:
     * per-commit diff-stat sums generalized). Tungsten HashAggregateExec
     * with partial (map-side) + final aggregation: only 4-group partial
