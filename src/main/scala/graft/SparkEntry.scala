@@ -515,6 +515,11 @@ object SparkEntry {
          |SELECT doc_id,
          |${(1 to 8).map(i => s"  ${duckMinhash(i)} AS h$i").mkString(",\n")}
          |FROM sh ORDER BY doc_id""".stripMargin,
+    // Carries no maxBucket cap (same caveat as q_sim_lsh /
+    // q_dedup_simhash): parity holds while no band bucket exceeds
+    // candidatePairs' 10k ceiling — an overflowed bucket would make
+    // the Spark side drop pairs the oracle keeps. Cap drop semantics
+    // are unit-tested separately.
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(w) >= 3
@@ -677,10 +682,16 @@ object SparkEntry {
          |FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
     },
-    // banding is pure pruning (pigeonhole: <=3 differing bits leave at
-    // least one of 4 bytes equal), so the oracle can skip it and take
-    // ALL pairs within the Hamming threshold — same result by theory,
-    // and the hash-match proves the banded path loses no pairs
+    // banding is pure pruning (pigeonhole: maxHamming+1 bands — here
+    // 2 bands for the default threshold 1, so a pair differing in <=1
+    // bit leaves at least one band equal), so the oracle can skip it
+    // and take ALL pairs within the Hamming threshold — same result by
+    // theory, and the hash-match proves the banded path loses no
+    // pairs. Like q_sim_lsh's oracle, this SQL carries no maxBucket
+    // cap: parity holds while no band bucket exceeds candidatePairs'
+    // 10k ceiling (an overflowed bucket would make the Spark side drop
+    // pairs the oracle keeps; the cap's drop semantics are unit-tested
+    // separately).
     "q_dedup_simhash" -> {
       val votes = (0 until 63).map { b =>
         s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx,${b / 4 + 1},1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"

@@ -86,22 +86,44 @@ object Main {
     val nTasks = tables("events").rdd.getNumPartitions
     val done = new java.util.concurrent.atomic.AtomicInteger
     val extractStage = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val ourStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val progress = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // scope to OUR count() jobs (job group set below) so a
+        // concurrently-running job can't be misattributed. AQE may
+        // split the count into several jobs, and a job's declared
+        // stageInfos can include stages that never run tasks
+        // (skipped/cached parents) — so collect the candidate set here
+        // and let the first real task-end pick the extraction stage:
+        // extraction is upstream of the count-agg, so its tasks finish
+        // first within the group.
+        if (e.properties != null &&
+            "graft-extract" == e.properties.getProperty("spark.jobGroup.id"))
+          e.stageInfos.foreach(si => ourStages.add(si.stageId))
+      }
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        // the count() job runs two stages; the extraction is the FIRST
-        // (lowest stage id — it must finish before the count-agg stage
-        // starts), and only its tasks are repo work
+        // successful ends only: failed/speculative attempts would
+        // overshoot the k/nTasks display and print the newline early
+        if (!ourStages.contains(e.stageId) ||
+          e.taskInfo == null || !e.taskInfo.successful) return
         extractStage.compareAndSet(-1, e.stageId)
         if (e.stageId != extractStage.get()) return
         val k = done.incrementAndGet()
-        System.err.print(s"\r# extracting: $k/$nTasks repo tasks")
-        if (k == nTasks) System.err.println()
+        if (k <= nTasks) {
+          System.err.print(s"\r# extracting: $k/$nTasks repo tasks")
+          if (k == nTasks) System.err.println()
+        }
       }
     }
     spark.sparkContext.addSparkListener(progress)
+    spark.sparkContext.setJobGroup("graft-extract", "git extraction progress")
     try tables("events").count()
-    finally spark.sparkContext.removeSparkListener(progress)
+    finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(progress)
+    }
     GitEtl.write(tables, out)
     val report = GitEtl.report(tables)
     tables("events").unpersist()

@@ -201,6 +201,11 @@ object DedupOps {
         // over {sh, NULL} selects it deterministically
         max(when(col("doc_id") === col("doc_a"), col("sh"))).as("sh_a"),
         max(when(col("doc_id") === col("doc_b"), col("sh"))).as("sh_b"))
+      // explicit invariant: a pair whose member id is ever missing from
+      // the shingle table (possible only if documents admitted null
+      // text) must drop, as the old two-sided inner join did — not
+      // emit a null-jaccard row
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(
         col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -270,8 +275,10 @@ object DedupOps {
     // 21-bit counters pack into one long and 63 votes need 21 sum()
     // buffers plus a count instead of 63. Smaller aggregation state,
     // and the generated plan (compiled for both simhash queries) is a
-    // third the size. Lane headroom: 2^21 distinct words per document
-    // — far past any real document's distinct-word count.
+    // third the size. Lane headroom: at most 2^21 − 1 distinct words
+    // per document (a lane's Σbit can equal n, and exactly 2^21 would
+    // carry into the adjacent lane) — far past any real document's
+    // distinct-word count; docs beyond it belong on [[simhashesFast]].
     val lanes = (0 until 21).map { g =>
       (0 until 3).map(j => bitOf(3 * g + j) * lit(1L << (21 * j))).reduce(_ + _).as(s"p$g")
     }
@@ -354,6 +361,8 @@ object DedupOps {
       .agg(
         max(when(col("doc_id") === col("doc_a"), col("simhash"))).as("sim_a"),
         max(when(col("doc_id") === col("doc_b"), col("simhash"))).as("sim_b"))
+      // same missing-member invariant as q_dedup_minhash's regroup
+      .filter(col("sim_a").isNotNull && col("sim_b").isNotNull)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
