@@ -69,6 +69,50 @@ final class BoundedCollectAggregator(cap: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** Tagged variant of [[BoundedCollectAggregator]]: collects
+  * (id, payload) pairs with the same cap/overflow-to-empty semantics,
+  * sorted by id in `finish`. Lets a small fixed-width payload (e.g. a
+  * 63-bit simhash) ride the bucket collection so the confirm step
+  * needs NO join back to the signature lineage — at corpus scale that
+  * join's other side is a full recompute of the signature aggregation,
+  * the dominant term. Shuffle rows grow by 8 bytes; a second
+  * corpus-wide pass disappears.
+  */
+final class BoundedCollectPairsAggregator(cap: Int)
+    extends Aggregator[(Long, Long),
+      scala.collection.mutable.ArrayBuffer[(Long, Long)], Array[(Long, Long)]] {
+  require(cap > 0, s"cap must be positive, got $cap")
+
+  import scala.collection.mutable.ArrayBuffer
+
+  override def zero: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
+
+  override def reduce(b: ArrayBuffer[(Long, Long)], x: (Long, Long)): ArrayBuffer[(Long, Long)] = {
+    if (b.length <= cap) b += x
+    b
+  }
+
+  override def merge(
+      a: ArrayBuffer[(Long, Long)], b: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+    if (a.length > cap) a
+    else if (b.length > cap) b
+    else {
+      var i = 0
+      while (i < b.length && a.length <= cap) { a += b(i); i += 1 }
+      a
+    }
+  }
+
+  override def finish(r: ArrayBuffer[(Long, Long)]): Array[(Long, Long)] =
+    if (r.length > cap) Array.empty
+    else r.toArray.sortBy(_._1)
+
+  override def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+  override def outputEncoder: Encoder[Array[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
+}
+
 object BoundedCollectAggregator {
   /** Untyped handle: `bounded(10000)(col("doc_id"))` → sorted
     * `array<long>`, or empty if the group exceeded the cap.
@@ -76,4 +120,12 @@ object BoundedCollectAggregator {
   def bounded(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(
       new BoundedCollectAggregator(cap), Encoders.scalaLong)
+
+  /** Tagged handle: `boundedPairs(10000)(col("doc_id"), col("simhash"))`
+    * → `array<struct<_1,_2>>` sorted by `_1`, or empty past the cap.
+    */
+  def boundedPairs(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new BoundedCollectPairsAggregator(cap),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
 }

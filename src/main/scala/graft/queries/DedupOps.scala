@@ -64,6 +64,30 @@ object DedupOps {
         explode(filter(col("ids"), x => x > col(aName))).as(bName))
       .distinct()
 
+  /** [[candidatePairs]] with a fixed-width payload riding each id
+    * (same cap semantics, pairs ordered by id): emits
+    * (aName, bName) STRUCT columns `{_1: id, _2: payload}`. When the
+    * confirm step only needs a small per-doc value (a simhash long),
+    * carrying it through the bucket shuffle costs 8 bytes/row and
+    * saves BOTH a join back to the signature table and — the dominant
+    * term — a full recompute of the signature lineage that join's
+    * other side would be (no cross-branch reuse without a persist).
+    */
+  private[graft] def candidatePairsTagged(
+      bucketed: DataFrame, bucket: String, id: String, tag: String,
+      aName: String, bName: String, maxBucket: Int = 10000): DataFrame =
+    bucketed.groupBy(bucket)
+      .agg(graft.functions.BoundedCollectAggregator
+        .boundedPairs(maxBucket)(col(id), col(tag)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as(aName), col("ids"))
+      .select(col(aName),
+        explode(filter(col("ids"),
+          x => x.getField("_1") > col(aName).getField("_1"))).as(bName))
+      // a doc's payload is functionally determined by its id, so
+      // distinct over the two structs IS distinct over the id pair
+      .distinct()
+
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).
     */
@@ -337,34 +361,28 @@ object DedupOps {
     */
   def q_dedup_simhash(s: SparkSession, d: String, maxHamming: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8, s"maxHamming out of range: $maxHamming")
-    val sigs = simhashes(s, d)
     val nBands = maxHamming + 1
     val width = 63 / nBands // last band takes the remainder bits
     // band i value lives in its own keyspace: i << 40 | slice
-    val bands = sigs.select(col("doc_id"), explode(array((0 until nBands).map { i =>
-      val slice =
-        if (i == nBands - 1) shiftright(col("simhash"), width * i)
-        else shiftright(col("simhash"), width * i).bitwiseAND((1L << width) - 1)
-      slice + lit(i.toLong << 40)
-    }: _*)).as("band"))
-    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
-    // Hamming confirm with the simhash lineage consumed ONCE more (the
-    // banding pass above is the other) — the same pair-side explode +
-    // single join + regroup as q_dedup_minhash's Jaccard, but here the
-    // regrouped payload is a fixed-width long, so the aggregate stays
-    // hash-based. A two-sided join would recompute the vote
-    // aggregation a third time.
-    val sides = cand.select(col("doc_a"), col("doc_b"),
-      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    sides.join(sigs, Seq("doc_id"))
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        max(when(col("doc_id") === col("doc_a"), col("simhash"))).as("sim_a"),
-        max(when(col("doc_id") === col("doc_b"), col("simhash"))).as("sim_b"))
-      // same missing-member invariant as q_dedup_minhash's regroup
-      .filter(col("sim_a").isNotNull && col("sim_b").isNotNull)
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+    val bands = simhashes(s, d).select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map { i =>
+        val slice =
+          if (i == nBands - 1) shiftright(col("simhash"), width * i)
+          else shiftright(col("simhash"), width * i).bitwiseAND((1L << width) - 1)
+        slice + lit(i.toLong << 40)
+      }: _*)).as("band"))
+    // Hamming confirm with ZERO extra passes: the simhash long rides
+    // the bucket collection (candidatePairsTagged), so each candidate
+    // pair already carries both hashes — no join back to the signature
+    // table, whose other side would RECOMPUTE the whole vote
+    // aggregation (no cross-branch reuse without a persist). The vote
+    // aggregation — the corpus-scale term — now runs exactly once.
+    candidatePairsTagged(bands, "band", "doc_id", "simhash", "a", "b")
+      .select(
+        col("a").getField("_1").as("doc_a"),
+        col("b").getField("_1").as("doc_b"),
+        bit_count(col("a").getField("_2").bitwiseXOR(col("b").getField("_2")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch timing harness: run one declared query N times and print
+  * per-run seconds (first run = cold plan+codegen, rest warm).
+  * `runMain graft.tools.TimeOne q_minhash [n] [sfDir]`
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val n = if (args.length > 1) args(1).toInt else 3
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val fn = graft.SparkEntry.queries(name)
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val rows = fn(spark, sfDir).count()
+      println(f"[timeone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

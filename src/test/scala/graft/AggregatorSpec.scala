@@ -38,6 +38,29 @@ class AggregatorSpec extends AnyFunSuite {
     assert(out("ok") == (91L to 100L), "surviving bucket must be sorted and exact")
   }
 
+  test("BoundedCollectPairsAggregator: payload rides the id, id-sorted, overflow empties") {
+    val df = (1L to 100L).map(i => (if (i <= 90) "big" else "ok", i, i * 10))
+      .toDF("k", "id", "tag").repartition(8)
+    val out = df.groupBy("k")
+      .agg(graft.functions.BoundedCollectAggregator.boundedPairs(20)(col("id"), col("tag")).as("ids"))
+      .collect().map(r => r.getAs[String]("k") -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(out("big").isEmpty, "over-cap bucket must finish empty")
+    assert(out("ok").map(r => (r.getLong(0), r.getLong(1))) ==
+      (91L to 100L).map(i => (i, i * 10)), "id-sorted with the paired payload intact")
+  }
+
+  test("candidatePairsTagged emits each unordered pair once with both payloads") {
+    // two buckets sharing a pair: (1,2) appears in both, must dedup
+    val rows = Seq(("b1", 1L, 11L), ("b1", 2L, 22L), ("b1", 3L, 33L),
+      ("b2", 1L, 11L), ("b2", 2L, 22L)).toDF("band", "doc_id", "simhash")
+    val pairs = graft.queries.DedupOps
+      .candidatePairsTagged(rows, "band", "doc_id", "simhash", "a", "b")
+      .select(col("a").getField("_1"), col("a").getField("_2"),
+        col("b").getField("_1"), col("b").getField("_2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pairs == Set((1L, 11L, 2L, 22L), (1L, 11L, 3L, 33L), (2L, 22L, 3L, 33L)))
+  }
+
   test("mapGroupsWithState accumulates per-user stats across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import java.sql.Timestamp
