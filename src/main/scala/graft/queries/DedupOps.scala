@@ -359,7 +359,15 @@ object DedupOps {
     * shuffles, candidatePairs caps degenerate bands, and the simhash
     * table re-joins by id for the cheap bit_count confirm.
     */
-  def q_dedup_simhash(s: SparkSession, d: String, maxHamming: Int = 1): DataFrame = {
+  def q_dedup_simhash(s: SparkSession, d: String, maxHamming: Int = 1): DataFrame =
+    simhashPairs(s, d, maxHamming).orderBy("doc_a", "doc_b")
+
+  /** Unsorted (doc_a, doc_b, hamming) near-dup pairs — the internal
+    * form ClusterOps consumes (its component loop re-shuffles the
+    * pairs immediately, so the presentation sort would be wasted).
+    */
+  private[graft] def simhashPairs(
+      s: SparkSession, d: String, maxHamming: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8, s"maxHamming out of range: $maxHamming")
     val nBands = maxHamming + 1
     val width = 63 / nBands // last band takes the remainder bits
@@ -384,6 +392,5 @@ object DedupOps {
         bit_count(col("a").getField("_2").bitwiseXOR(col("b").getField("_2")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 }
