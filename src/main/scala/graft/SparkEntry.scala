@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupOps, EmbedOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
+import graft.queries.{ClusterOps, DedupOps, EmbedOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_simhash"       -> (DedupOps.q_simhash _),
     "q_dedup_simhash" -> ((s, d) => DedupOps.q_dedup_simhash(s, d)),
+    "q_dup_clusters"  -> (ClusterOps.q_dup_clusters _),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
@@ -114,6 +115,24 @@ object SparkEntry {
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_resize"   -> ((s, d) => Multimodal.resizeMeta(s, d)),
   )
+
+  /** DuckDB CTE block `w,h,v,s` computing the 63-bit SimHash per
+    * document — bit b of the simhash = bit b%4 of hex nibble b/4 of
+    * md5(word), identical in both engines. Shared by the q_simhash /
+    * q_dedup_simhash / q_dup_clusters oracles.
+    */
+  private def duckSimhashCtes: String = {
+    val votes = (0 until 63).map { b =>
+      s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx,${b / 4 + 1},1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n")
+    val bits = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, substr(md5(word),1,16) AS hx FROM w),
+       |v AS (SELECT doc_id,
+       |$votes
+       |FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v)""".stripMargin
+  }
 
   /** Integer value of the first `chars` hex chars of md5(doc_id) in
     * DuckDB SQL — mirrors SampleOps.hashDraw (Spark `conv`) nibble for
@@ -670,18 +689,9 @@ object SparkEntry {
         |FROM kept GROUP BY fp ORDER BY doc_id""".stripMargin,
     // Bit b of the simhash = bit b%4 of hex nibble b/4 of md5(word) —
     // identical strings, identical md5s, identical bits in both engines.
-    "q_simhash" -> {
-      val votes = (0 until 63).map { b =>
-        s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx,${b / 4 + 1},1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
-      }.mkString(",\n")
-      val bits = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
-         |h AS (SELECT doc_id, substr(md5(word),1,16) AS hx FROM w),
-         |v AS (SELECT doc_id,
-         |$votes
-         |FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
-    },
+    "q_simhash" ->
+      s"""WITH $duckSimhashCtes
+         |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin,
     // banding is pure pruning (pigeonhole: maxHamming+1 bands — here
     // 2 bands for the default threshold 1, so a pair differing in <=1
     // bit leaves at least one band equal), so the oracle can skip it
@@ -692,23 +702,39 @@ object SparkEntry {
     // 10k ceiling (an overflowed bucket would make the Spark side drop
     // pairs the oracle keeps; the cap's drop semantics are unit-tested
     // separately).
-    "q_dedup_simhash" -> {
-      val votes = (0 until 63).map { b =>
-        s"  sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx,${b / 4 + 1},1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
-      }.mkString(",\n")
-      val bits = (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
-         |h AS (SELECT doc_id, substr(md5(word),1,16) AS hx FROM w),
-         |v AS (SELECT doc_id,
-         |$votes
-         |FROM h GROUP BY doc_id),
-         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v)
+    "q_dedup_simhash" ->
+      s"""WITH $duckSimhashCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM s a, s b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components in SQL: recursive min-label propagation.
+    // Seed every edge-incident node with the min of its closed
+    // neighborhood; the recursive step flows any neighbor's label
+    // across an edge; UNION dedups so the iteration reaches a fixpoint
+    // over the finite label set. The component minimum m seeds itself
+    // (all its neighbors are larger) and propagates along every path,
+    // so min(label) per node is exactly the component min — the same
+    // labels star-contraction converges to. Singletons (no pair) get
+    // cluster_id = doc_id via the left join, as in the query.
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $duckSimhashCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a, s b
+         |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |lab(node, label) AS (
+         |  SELECT u, least(u, min(v)) FROM e GROUP BY u
+         |  UNION
+         |  SELECT e.u, l.label FROM e JOIN lab l ON e.v = l.node),
+         |lbl AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+         |base AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM base ORDER BY doc_id""".stripMargin,
     "q_dedup_embed" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

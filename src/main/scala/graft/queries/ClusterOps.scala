@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution: turn near-dup PAIRS (the output of the
   * MinHash/SimHash LSH family) into connected components, so the
@@ -22,11 +21,17 @@ import org.apache.spark.storage.StorageLevel
   * centers are the component minima; near-dup graphs (dense clusters,
   * tiny diameter) converge in 2-3 rounds.
   *
-  * Each round's edge set is persisted and the superseded one released
-  * — iterative lineage otherwise re-executes the whole prefix per
-  * action, which is exponential recompute. On a cluster the same loop
-  * would reliable-checkpoint every few rounds to cut driver-side
-  * lineage growth; local runs keep it in memory/disk.
+  * Each round's edge set is CHECKPOINTED (localCheckpoint), not
+  * merely persisted: every round references the previous edge set
+  * several times (the symmetrized union alone doubles it), so without
+  * plan truncation the logical plan GROWS EXPONENTIALLY across rounds
+  * — by round ~10 merely formatting the plan string OOMs the driver,
+  * long before any data size matters. A persist caches row data but
+  * leaves the analyzed plan nested; a checkpoint replaces the plan
+  * with a leaf. On a cluster the equivalent is `checkpoint()` to
+  * reliable storage (localCheckpoint trades executor-loss tolerance
+  * for speed — fine in a single JVM); superseded checkpoint RDDs are
+  * freed by the ContextCleaner once unreferenced.
   */
 object ClusterOps {
 
@@ -41,14 +46,27 @@ object ClusterOps {
     */
   def connectedComponents(
       edges: DataFrame, a: String, b: String, maxIter: Int = 25): DataFrame = {
+    // Per-round invariant checksum: (count, sum(hi), sum(lo)). Both
+    // sides of the convergence test are DISTINCT edge sets, so equal
+    // checksums make set inequality a hash collision — vanishingly
+    // rare — and the exact `except` (a full shuffle-heavy anti-join)
+    // only runs to CONFIRM an equality the checksums already suggest.
+    // Unequal checksums prove inequality outright, so non-final rounds
+    // pay one aggregate instead of count + except.
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("hi"), sum("lo")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     // normalize: (hi, lo) with hi > lo, self-loops dropped, distinct
     var cur = edges
       .select(col(a).cast("long").as("p"), col(b).cast("long").as("q"))
       .filter(col("p") =!= col("q"))
       .select(greatest(col("p"), col("q")).as("hi"), least(col("p"), col("q")).as("lo"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var curCount = cur.count()
+      .localCheckpoint(true)
+    var curSum = checksum(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -73,23 +91,31 @@ object ClusterOps {
         .unionAll(joined.filter(col("lo") =!= col("m"))
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextCount = next.count()
-      // both sides are distinct sets: equal counts + empty one-sided
-      // difference <=> set equality (exact, runs on persisted data)
-      converged = nextCount == curCount && next.except(cur).isEmpty
-      cur.unpersist()
+        .localCheckpoint(true) // truncate lineage: see scaladoc
+      val nextSum = checksum(next)
+      // both sides are distinct sets: equal checksums + empty
+      // one-sided difference <=> set equality (exact, on checkpointed
+      // data); differing checksums skip the except entirely
+      converged = nextSum == curSum && next.except(cur).isEmpty
       cur = next
-      curCount = nextCount
+      curSum = nextSum
       it += 1
     }
-    // star forest: every edge points a member at its component min
-    val labels = cur.select(col("hi").as("node"), col("lo").as("label"))
+    // star forest: every edge points a member at its component min.
+    // If maxIter exhausted before convergence, cur may NOT be a star
+    // forest yet (a node can still carry edges to several provisional
+    // minima) — without the defensive min below, a caller's join on
+    // `node` would silently duplicate rows. Warn loudly and resolve
+    // each node to its smallest label; near-dup graphs converge in
+    // 2-3 rounds so this path indicates maxIter was set far too low.
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"connectedComponents: not converged after $maxIter rounds; " +
+          "labels resolved defensively via min() and may not be component minima")
+    cur.select(col("hi").as("node"), col("lo").as("label"))
       .unionAll(cur.select(col("lo").as("node"), col("lo").as("label")))
-      .distinct()
+      .groupBy("node").agg(min(col("label")).as("label"))
       .localCheckpoint(true) // shallow plan for callers
-    cur.unpersist()
-    labels
   }
 
   /** Declared query: duplicate clusters of the `documents` table from
@@ -110,8 +136,14 @@ object ClusterOps {
     val base = documents(s, d).select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    val sizes = base.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    base.join(sizes, "cluster_id")
+    // sizes via a count window, not groupBy+join: `base` (a documents
+    // scan + labels join) is consumed ONCE — Spark has no cross-branch
+    // CSE, so the agg/join form would run the scan and join twice per
+    // action. One shuffle on cluster_id either way; window partitions
+    // are true cluster sizes (bounded by the largest dup cluster, the
+    // same ceiling every dedup consumer already accepts).
+    base.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.queries.ClusterOps: connected components (alternating
+  * large-star/small-star contraction) and the declared
+  * q_dup_clusters query; exact values at sf are DuckDB-oracle-checked
+  * (recursive min-label propagation over the same simhash pair list).
+  */
+class ClusterSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.queries.ClusterOps
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def labelsOf(df: DataFrame, maxIter: Int = 25): Map[Long, Long] =
+    ClusterOps.connectedComponents(df, "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain transitivity: A~B, B~C collapses to one component labeled min") {
+    val got = labelsOf(edges((1L, 2L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("two disjoint components each take their own minimum as label") {
+    val got = labelsOf(edges((5L, 6L), (6L, 7L), (10L, 11L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("self-loops and duplicate/reversed edges do not corrupt labels") {
+    val got = labelsOf(edges((4L, 4L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    // pure self-loop node 4 is dropped (no real edge); chain collapses
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star graph (hub 0) and a long path both converge within maxIter") {
+    val star = labelsOf(edges((1 to 20).map(i => (0L, i.toLong)): _*))
+    assert(star.size == 21 && star.values.forall(_ == 0L))
+    // path 0-1-2-...-15: worst case for label propagation, O(log^2 n)
+    // rounds for star contraction
+    val path = labelsOf(edges((0 until 15).map(i => (i.toLong, i + 1L)): _*))
+    assert(path.size == 16 && path.values.forall(_ == 0L))
+  }
+
+  test("labels are unique per node even when maxIter exhausts early") {
+    // one round cannot finish a 16-node path; the defensive min keeps
+    // the contract "one row per node" (labels may not be component
+    // minima yet — that is the documented degraded mode)
+    val df = ClusterOps.connectedComponents(
+      edges((0 until 15).map(i => (i.toLong, i + 1L)): _*), "a", "b", maxIter = 1)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.length == 16)
+  }
+
+  test("q_dup_clusters: every doc labeled, canonical member present, sizes consistent") {
+    val rows = SparkEntry.queries("q_dup_clusters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = rows.map(_.getAs[Long]("doc_id"))
+    assert(docs.distinct.length == docs.length, "one row per doc_id")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      // cluster id is the minimum member => the canonical doc is a member
+      assert(members.map(_.getAs[Long]("doc_id")).min == cid)
+      // declared size equals actual membership for every member row
+      members.foreach(m => assert(m.getAs[Long]("cluster_size") == members.length.toLong))
+    }
+    // clusters must at least cover the confirmed near-dup pairs
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
+    val label = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach { p =>
+      assert(label(p.getAs[Long]("doc_a")) == label(p.getAs[Long]("doc_b")),
+        s"pair ${p.getAs[Long]("doc_a")}~${p.getAs[Long]("doc_b")} split across clusters")
+    }
+  }
+}
