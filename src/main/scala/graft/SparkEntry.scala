@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ClusterOps, DedupOps, EmbedOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
+import graft.queries.{ClusterOps, DedupOps, EmbedOps, KMeansOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,10 +110,12 @@ object SparkEntry {
     "q_embed_stats"    -> (EmbedOps.q_embed_stats _),
     "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
+    "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_resize"   -> ((s, d) => Multimodal.resizeMeta(s, d)),
+    "q_media_decode"   -> ((s, d) => Multimodal.q_media_decode(s, d)),
   )
 
   /** DuckDB CTE block `w,h,v,s` computing the 63-bit SimHash per
@@ -612,6 +614,23 @@ object SparkEntry {
         |  CAST(floor((doc_id % 4 * 90 + 180) * least(doc_id % 4 * 160 + 320, 640)
         |       / (doc_id % 4 * 160 + 320)) AS INT) AS out_height
         |FROM documents ORDER BY media_id""".stripMargin,
+    // REAL codec round-trip (Multimodal.q_media_decode): Spark encodes
+    // a deterministic 16x16 PNG per id with ImageIO, decodes it back,
+    // and sums the raster channels; the oracle computes the closed form
+    // channel(x,y,c) = (id*37 + x*5 + y*11 + c*3) % 256 directly —
+    // DuckDB never sees bytes, so a hash match proves the codec path.
+    // Integer sums: no float parity caveats.
+    "q_media_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, g1.x, g2.y
+        |  FROM documents, generate_series(0, 15) g1(x), generate_series(0, 15) g2(y)
+        |  WHERE doc_id < 64)
+        |SELECT media_id,
+        |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(sum((media_id*37 + x*5 + y*11) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((media_id*37 + x*5 + y*11 + 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((media_id*37 + x*5 + y*11 + 6) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
     "q_embed_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
@@ -639,6 +658,41 @@ object SparkEntry {
         |  round(list_sum(list(v ORDER BY vec_id)) / count(*), 6) AS centroid,
         |  count(*) AS n
         |FROM pe GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+    // Two Lloyd iterations, k=8, bounded window, first-k init — the
+    // Spark side's ordered-fold M-step (round 6 → REAL) makes the
+    // inter-iteration centroids bit-identical in both engines, so the
+    // E-step argmax (cosine DESC, cent_id — DuckDB ranked window vs
+    // Spark's greatest over (c, -id) structs) agrees exactly, as
+    // q_sim_ivf already proves for cosine ranking.
+    "q_embed_train" -> {
+      val iters = 2
+      val stepCtes = (1 to iters).map { i =>
+        val prev = if (i == 1) "c0" else s"c${i - 1}"
+        s"""s$i AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.cv) AS c
+           |  FROM v, $prev c),
+           |a$i AS (SELECT vec_id, cent_id AS cell FROM (
+           |    SELECT vec_id, cent_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+           |    FROM s$i) WHERE rn = 1),
+           |pe$i AS (SELECT a.cell, v.vec_id,
+           |    CAST(generate_subscripts(v.e,1) - 1 AS BIGINT) AS dim, unnest(v.e) AS val
+           |  FROM a$i a JOIN v USING (vec_id)),
+           |m$i AS (SELECT cell, dim,
+           |    CAST(round(list_sum(list(val ORDER BY vec_id)) / count(*), 6) AS REAL) AS m
+           |  FROM pe$i GROUP BY cell, dim),
+           |c$i AS (SELECT cell AS cent_id, list(m::DOUBLE ORDER BY dim) AS cv
+           |  FROM m$i GROUP BY cell)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 256),
+         |c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+         |$stepCtes,
+         |sf AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.cv) AS c
+         |  FROM v, c$iters c)
+         |SELECT vec_id, cell, round(c, 6) AS cosine FROM (
+         |  SELECT vec_id, cent_id AS cell, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM sf) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     // Deterministic hash draw shared by the sampling oracles: integer
     // value of the first N hex chars of md5(doc_id), via per-nibble
     // strpos arithmetic (DuckDB has no base-16 conv()).

@@ -205,35 +205,42 @@ object DedupOps {
         concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
         concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
     val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
-    // Exact-Jaccard confirmation, with the shingle lineage consumed
-    // exactly ONCE: each pair explodes into its two member ids, joins
-    // the shingle table a single time, and a bounded regroup (state =
-    // two shingle arrays per pair) reassembles both sides. The earlier
-    // two-sided join consumed the shingle scan twice and had to persist
-    // it — a leak for library callers, and at 100 TB a corpus-wide
-    // shingle cache doesn't fit anywhere anyway. Here nothing is
-    // cached: docs are scanned twice total (signature pass + this one),
-    // and only candidate pairs' shingles ride the regroup shuffle.
-    val sh = fanOut(s, documents(s, d))
-      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+    // Exact-Jaccard confirmation, with BOTH expensive lineages consumed
+    // exactly ONCE and shingling done only where it's needed: each pair
+    // explodes into its two member ids, joins the raw documents scan a
+    // single time (AQE broadcasts the tiny candidate side, so the scan
+    // streams and only matching texts survive), and a bounded regroup
+    // (state = two texts per pair) reassembles both sides; the
+    // 3-gram shingle sets are then computed POST-shuffle, once per pair
+    // side. The earlier form shingled the ENTIRE corpus into string
+    // arrays before the join — O(docs) shingling plus a ~3×-larger
+    // join payload (a doc's overlapping 3-gram array outweighs its
+    // text) to confirm a candidate set that is a minuscule fraction of
+    // the corpus. Nothing is cached: docs are scanned twice total
+    // (signature pass + this text ride-along), and only candidate
+    // pairs' texts ride the regroup shuffle. A doc appearing in many
+    // pairs is re-shingled per pair — bounded by candidatePairs' cap
+    // and far cheaper than shingling every non-candidate doc.
     val sides = cand.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    sides.join(sh, Seq("doc_id"))
+    val shA = array_distinct(shingles3(col("t_a")))
+    val shB = array_distinct(shingles3(col("t_b")))
+    sides.join(documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
       .agg(
         // exactly one of the two member rows matches each side; max
-        // over {sh, NULL} selects it deterministically
-        max(when(col("doc_id") === col("doc_a"), col("sh"))).as("sh_a"),
-        max(when(col("doc_id") === col("doc_b"), col("sh"))).as("sh_b"))
+        // over {text, NULL} selects it deterministically
+        max(when(col("doc_id") === col("doc_a"), col("text"))).as("t_a"),
+        max(when(col("doc_id") === col("doc_b"), col("text"))).as("t_b"))
       // explicit invariant: a pair whose member id is ever missing from
-      // the shingle table (possible only if documents admitted null
-      // text) must drop, as the old two-sided inner join did — not
-      // emit a null-jaccard row
-      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      // the documents table (possible only if documents admitted null
+      // text) must drop, as a two-sided inner join would — not emit a
+      // null-jaccard row
+      .filter(col("t_a").isNotNull && col("t_b").isNotNull)
       .select(
         col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 10).as("jaccard"))
+        round(size(array_intersect(shA, shB)).cast("double") /
+          size(array_union(shA, shB)), 10).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -76,11 +76,20 @@ object KMeansOps {
     */
   private[queries] def nearestCell(
       v: org.apache.spark.sql.Column,
-      cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column = {
+      cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column =
+    bestScore(v, cents)._2
+
+  /** (max cosine, argmax cent_id) as two columns sharing one
+    * `greatest` struct comparison — callers needing both (e.g. the
+    * training query's final assignment) pay for one scan, not two.
+    */
+  private[queries] def bestScore(
+      v: org.apache.spark.sql.Column,
+      cents: Array[(Long, Array[Float])]): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val scored = centroidScoreStructs(v, cents)
     val best =
       if (scored.length == 1) scored.head else greatest(scored: _*)
-    -best.getField("negid")
+    (best.getField("c"), -best.getField("negid"))
   }
 
   /** E-step only: (vec_id, embedding, cell) with cell = argmax cosine
@@ -116,6 +125,66 @@ object KMeansOps {
     }
     assign(vectors, cent)
       .select(col("vec_id"), col("cell"))
+  }
+
+  /** Declared query: the Lloyd loop under the DuckDB oracle. Fixed
+    * k=8, iters=2 over a BOUNDED id window (vec_id < maxVecs — the
+    * same bounded-verification stance as q_embed_centroid and the
+    * other oracle kernels), deterministic first-k init, output =
+    * final (vec_id, cell, cosine-to-assigned-centroid).
+    *
+    * Cross-engine determinism, piece by piece:
+    *  - E-step: the production codegen'd literal-model scan
+    *    ([[nearestCell]]); cosine_sim is bit-identical to DuckDB's
+    *    list_cosine_similarity (q_sim_ivf's hash-match proves it), and
+    *    ties break to the smallest cent_id on both sides.
+    *  - M-step: per-(cell, dim) mean via the ORDERED fold
+    *    (q_embed_centroid's kernel — `list_sum(list(v ORDER BY
+    *    vec_id))` in DuckDB), because plain avg() sums in partition
+    *    order and the last float bits would diverge; then round(,6)
+    *    and cast to float, so both engines carry bit-identical
+    *    centroids into the next iteration. Per-group fold state is
+    *    ≤ maxVecs rows by construction. The production path
+    *    ([[kmeans]]: order-free avg(), constant aggregation state,
+    *    any scale) is pinned to this kernel by the unit suite.
+    */
+  def q_embed_train(s: SparkSession, d: String, k: Int = 8, iters: Int = 2,
+      maxVecs: Int = 256): DataFrame = {
+    VectorFunctions.register(s)
+    val vecs = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < maxVecs) // bounded verification window
+      .select(col("vec_id"), col("embedding"))
+    def collectCents(df: DataFrame): Array[(Long, Array[Float])] =
+      df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+    var cents = collectCents(vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+    if (cents.isEmpty) // degenerate corpus: no seeds, nothing to train
+      return vecs.select(col("vec_id"), col("vec_id").as("cell"),
+        lit(0.0).as("cosine")).limit(0)
+    (1 to iters).foreach { _ =>
+      val assigned = vecs.select(col("vec_id"), col("embedding"),
+        nearestCell(col("embedding"), cents).as("cell"))
+      val next = assigned
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(
+          sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("xs"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          round(aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"), 6)
+            .cast("float").as("m"))
+        .groupBy(col("cell").as("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cv"))
+      cents = collectCents(next) // K rows, kilobytes — the model
+    }
+    val (bestCos, bestCell) = bestScore(col("embedding"), cents)
+    vecs.select(col("vec_id"), bestCell.as("cell"),
+        round(bestCos, 6).as("cosine"))
+      .orderBy("vec_id")
   }
 
   /** Mean within-cluster cosine — the quality metric the unit test

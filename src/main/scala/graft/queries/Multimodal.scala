@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, plus
   * decode/feature-extract/frame-sample stages.
   *
-  * The actual codec step is STUBBED — no image/audio libraries exist in
-  * this container — with a deterministic fake (hash-derived features),
-  * clearly marked below. Everything around it is real and tested: the
-  * media schema, the binary column handling, the batched
-  * `mapPartitions` decode boundary (the Scala analog of
-  * `mapInPandas` — an iterator of rows in, an iterator of decoded rows
-  * out, so a real decoder amortizes model/codec init per partition, not
-  * per row), partitioning, and the explode-shaped frame sampling.
+  * The IMAGE codec is REAL (`javax.imageio`, bundled in every JVM):
+  * [[decodeImage]] handles PNG/JPEG/GIF/BMP, and [[q_media_decode]]
+  * proves the full encode→decode round trip against a DuckDB oracle
+  * that recomputes the expected raster arithmetically. Audio/video
+  * decode remains STUBBED — no such codecs exist in this container —
+  * with a deterministic fake (hash-derived features), clearly marked
+  * below. Everything around both is real and tested: the media schema,
+  * the binary column handling, the batched `mapPartitions` decode
+  * boundary (the Scala analog of `mapInPandas` — an iterator of rows
+  * in, an iterator of decoded rows out, so the decoder amortizes
+  * model/codec init per partition, not per row), partitioning, and the
+  * explode-shaped frame sampling.
   */
 object Multimodal {
 
@@ -43,11 +47,16 @@ object Multimodal {
 
   /** Batched decode + feature extraction over the binary column.
     *
-    * ==== STUB ====
-    * `fakeDecode` stands in for a real codec (JPEG decode, PCM frame
-    * read, ...): it derives 8 deterministic floats from the payload
-    * bytes. A real implementation replaces ONLY this function; the
-    * partition-batched iterator plumbing around it is production-shaped.
+    * The IMAGE path is real: payloads that decode under `javax.imageio`
+    * (PNG/JPEG/GIF/BMP — the codecs bundled in every JVM) produce
+    * actual raster features ([[decodeImageFeatures]]; the round-trip is
+    * oracle-proven by [[q_media_decode]]). Audio/video payloads — and
+    * image rows whose bytes aren't a decodable image, which is every
+    * row of the text-derived [[mediaTable]], keeping this query
+    * deterministic — fall back to the STUBBED `fakeDecode` (no
+    * audio/video codecs exist in this container). The partition-batched
+    * iterator plumbing is production-shaped either way: codec handles
+    * and model weights init once per partition, not per row.
     */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -58,7 +67,10 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init happens HERE (codec handles, model weights)
         rows.map { r =>
-          MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, fakeDecode(r.bytes))
+          val feats =
+            (if (r.kind == "image") decodeImageFeatures(r.bytes) else None)
+              .getOrElse(fakeDecode(r.bytes))
+          MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, feats)
         }
       }
       .toDF()
@@ -78,6 +90,109 @@ object Multimodal {
         col("feat_idx").cast("long").as("feat_idx"),
         round(col("feat_value").cast("double"), 6).as("feat_value"))
       .orderBy("media_id", "feat_idx")
+
+  // ---- Real image codec (javax.imageio — bundled in every JVM) ----
+
+  /** Real image decode: width, height, and EXACT per-channel (R, G, B)
+    * pixel sums from an encoded PNG/JPEG/GIF/BMP payload. Returns None
+    * when the payload is not a decodable image (ImageIO yields null),
+    * so callers can route non-image bytes elsewhere. `getRGB`
+    * normalizes every raster layout to packed sRGB ints, so the stats
+    * are representation-independent; integer sums keep the result
+    * float-free (means divide downstream, where rounding is explicit).
+    */
+  private[graft] def decodeImage(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sr, sg, sb)
+    }
+  }
+
+  /** [[decodeImage]] reshaped to the 8-float feature contract of
+    * [[mediaFeatures]]: (w, h, n_px, meanR, meanG, meanB, meanLuma, 0).
+    */
+  private[graft] def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeImage(bytes).map { case (w, h, sr, sg, sb) =>
+      val n = w.toLong * h
+      val (mr, mg, mb) = (sr.toFloat / n, sg.toFloat / n, sb.toFloat / n)
+      Array(w.toFloat, h.toFloat, n.toFloat, mr, mg, mb,
+        0.299f * mr + 0.587f * mg + 0.114f * mb, 0f)
+    }
+
+  /** Deterministic PNG payload: a w×h TYPE_INT_RGB image whose channel
+    * values follow the closed form
+    * `channel(x, y, c) = (id*37 + x*5 + y*11 + c*3) mod 256` (c = 0/1/2
+    * for R/G/B), encoded with ImageIO. PNG is lossless and getRGB is
+    * exact for TYPE_INT_RGB, so a decode recovers these values bit-for-
+    * bit — which lets [[q_media_decode]]'s DuckDB oracle check a REAL
+    * encode→decode round trip against pure arithmetic.
+    */
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Int = ((id * 37 + x * 5 + y * 11 + c * 3) % 256).toInt
+        im.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  final case class DecodedStats(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Declared query: REAL image decode under the DuckDB oracle. Spark
+    * synthesizes a deterministic 16×16 PNG per document id (bounded
+    * window, the repo's standard oracle stance), round-trips it through
+    * the actual ImageIO encoder+decoder executor-side, and emits the
+    * decoded dimensions plus exact per-channel pixel sums; DuckDB
+    * reproduces the same numbers from the closed form alone (it never
+    * sees the bytes). A hash match therefore proves the codec path —
+    * encode, decode, raster traversal — not just the plumbing. Integer
+    * sums, so no float-parity caveats apply. Codec init is amortized
+    * per PARTITION (the mapPartitions boundary), the shape a real
+    * corpus decode needs.
+    */
+  def q_media_decode(s: SparkSession, d: String, maxDocs: Int = 64,
+      w: Int = 16, h: Int = 16): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < maxDocs)
+      .as[Long]
+      .mapPartitions { ids =>
+        // per-partition codec init lives here (ImageIO caches readers)
+        ids.map { id =>
+          val (dw, dh, sr, sg, sb) = decodeImage(encodePng(id, w, h))
+            .getOrElse(sys.error(s"PNG round-trip failed for media_id=$id"))
+          DecodedStats(id, dw, dh, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
 
   /** STUB decoder: 8 floats from a rolling polynomial hash of the
     * payload — deterministic, so tests can assert exact values.

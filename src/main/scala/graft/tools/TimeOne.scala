@@ -19,8 +19,12 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val fn = graft.SparkEntry.queries(name)
+    // JVM/codegen warmup; NonFatal only — an OOM here must surface
+    try graft.SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => () }
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; known queries: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()

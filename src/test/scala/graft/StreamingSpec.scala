@@ -223,4 +223,43 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Int]("out_height") - (r.getAs[Int]("height") * scale).toInt) <= 1)
     }
   }
+
+  test("real codec: PNG encode->ImageIO decode recovers exact closed-form pixels") {
+    // hand-computed expectation, independent of both encodePng and
+    // decodeImage internals
+    def expectSum(id: Long, c: Int): Long =
+      (for (x <- 0 until 16; y <- 0 until 16)
+        yield (id * 37 + x * 5 + y * 11 + c * 3) % 256).sum
+    for (id <- Seq(0L, 7L, 63L)) {
+      val bytes = Multimodal.encodePng(id, 16, 16)
+      // a real PNG container, not a stub: magic bytes
+      assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+      val Some((w, h, sr, sg, sb)) = Multimodal.decodeImage(bytes)
+      assert((w, h) == (16, 16))
+      assert(sr == expectSum(id, 0), s"sum_r id=$id")
+      assert(sg == expectSum(id, 1), s"sum_g id=$id")
+      assert(sb == expectSum(id, 2), s"sum_b id=$id")
+    }
+  }
+
+  test("real codec: non-image payloads decode to None, image rows fall back cleanly") {
+    assert(Multimodal.decodeImage("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    // a decodable image payload yields the real feature shape:
+    // (w, h, n_px, meanR, meanG, meanB, luma, 0)
+    val feats = Multimodal.decodeImageFeatures(Multimodal.encodePng(5L, 8, 4)).get
+    assert(feats.length == 8 && feats(0) == 8f && feats(1) == 4f && feats(2) == 32f)
+    assert(feats(3) >= 0f && feats(3) <= 255f)
+  }
+
+  test("q_media_decode: one row per bounded doc, dims decoded from the container") {
+    val rows = SparkEntry.queries("q_media_decode")(spark, sf).collect()
+    val expected = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 64).count()
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16)
+      assert(r.getAs[Long]("sum_r") > 0)
+    }
+  }
 }
