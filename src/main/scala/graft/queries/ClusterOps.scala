@@ -43,21 +43,65 @@ object ClusterOps {
     * intermediates are unpersisted before returning (the checkpointed
     * result itself is freed by the ContextCleaner when the DataFrame
     * is garbage-collected).
+    *
+    * `localFinishEdges`: once the contracted edge set fits under this
+    * HARD cap (default 10k edges ≈ 160 KB — model-sized, same stance
+    * as the collected k-means codebook), the remaining rounds finish
+    * as driver-side union-find. Star contraction shrinks the edge set
+    * geometrically, so at any corpus scale the tail rounds schedule
+    * five-stage distributed jobs over kilobytes — O(log² n) rounds of
+    * pure latency that a microsecond local pass replaces exactly. The
+    * cap bounds driver memory explicitly; 0 disables the finish (used
+    * by tests to exercise the distributed fixed point).
     */
   def connectedComponents(
-      edges: DataFrame, a: String, b: String, maxIter: Int = 25): DataFrame = {
-    // Per-round invariant checksum: (count, sum(hi), sum(lo)). Both
-    // sides of the convergence test are DISTINCT edge sets, so equal
-    // checksums make set inequality a hash collision — vanishingly
-    // rare — and the exact `except` (a full shuffle-heavy anti-join)
-    // only runs to CONFIRM an equality the checksums already suggest.
-    // Unequal checksums prove inequality outright, so non-final rounds
-    // pay one aggregate instead of count + except.
-    def checksum(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum("hi"), sum("lo")).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+      edges: DataFrame, a: String, b: String, maxIter: Int = 25,
+      localFinishEdges: Long = 10000): DataFrame = {
+    // Convergence = the EXACT fixed point, detected directly: a
+    // normalized (hi > lo) edge set is a star forest — every edge
+    // points a member at its star's root — iff no node appears as both
+    // a hi and a lo (no chains) and no hi carries two parents. Star
+    // forests are precisely the fixed points of the
+    // large-star∘small-star round (members have no larger neighbors so
+    // large-star re-emits the star; each member's smaller neighborhood
+    // is exactly its root so small-star does too), and in a normalized
+    // star forest each root is its component's minimum, which is the
+    // label set we return. Testing the fixed point STRUCTURALLY beats
+    // the next==cur comparison two ways: no shuffle-heavy except(),
+    // and the loop exits the round the forest forms instead of paying
+    // one more full round to observe "nothing changed" — for the
+    // near-dup clique graphs banding produces, that halves the rounds
+    // (isolated pairs/stars are a forest after round 0 and skip the
+    // loop entirely). One bounded aggregation per check: per-node
+    // (hi-degree, lo-degree) counts, violations filtered, isEmpty.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("hi").as("n"), lit(1L).as("h"), lit(0L).as("l"))
+        .unionAll(df.select(col("lo").as("n"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy("n").agg(sum("h").as("nh"), sum("l").as("nl"))
+        .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") > 0))
+        .isEmpty
+    // Driver union-find over the collected residual edge set: union by
+    // MINIMUM root (the smaller root absorbs, so each tree's root IS
+    // the component minimum) + path compression on find. Exact — the
+    // same labels the distributed fixed point would reach.
+    def localFinish(df: DataFrame): DataFrame = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      df.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        parent.getOrElseUpdate(ra min rb, ra min rb)
+      }
+      val sp = df.sparkSession
+      import sp.implicits._
+      parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
+        .localCheckpoint(true) // same shallow-plan contract as the distributed path
     }
     // normalize: (hi, lo) with hi > lo, self-loops dropped, distinct
     var cur = edges
@@ -66,21 +110,37 @@ object ClusterOps {
       .select(greatest(col("p"), col("q")).as("hi"), least(col("p"), col("q")).as("lo"))
       .distinct()
       .localCheckpoint(true)
-    var curSum = checksum(cur)
-    var converged = false
+    if (localFinishEdges > 0 && cur.count() <= localFinishEdges)
+      return localFinish(cur)
+    var converged = isStarForest(cur)
     var it = 0
     while (!converged && it < maxIter) {
       // large-star: every node u connects its strictly-larger
       // neighbors to the minimum of its closed neighborhood. The
       // per-node minimum is a plain hash-agg (bounded state), joined
-      // back — never a neighborhood collection.
+      // back — never a neighborhood collection. Emission-set algebra
+      // keeps the join at |E| rows: {(v, m(u)) : v ∈ N(u), v > u} is
+      // exactly {(hi, m(lo)) : (hi, lo) ∈ E} — each larger-neighbor
+      // pair (v, u) IS a normalized edge — so instead of symmetrizing
+      // to 2|E|, joining, and filtering v > u, join the edge list
+      // itself against the min table on `lo`. The min aggregation
+      // still reads the symmetric view (m(u) needs both directions),
+      // but its output is already hash-partitioned on the join key, so
+      // the join adds one exchange for `cur` only. m(lo) ≤ lo < hi, so
+      // (hi, m(lo)) stays normalized.
       val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
         .unionAll(cur.select(col("lo").as("u"), col("hi").as("v")))
       val minsL = sym.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = sym.join(minsL, "u")
-        .filter(col("v") > col("u")) // v > u >= m, so (v, m) stays normalized
-        .select(col("v").as("hi"), col("m").as("lo"))
+        .select(col("u").as("lo"), least(col("mn"), col("u")).as("m"))
+      // One explicit hash(hi) exchange serves the next THREE operators:
+      // the dedup (ClusteredDistribution(hi, lo) is satisfied by
+      // HashPartitioning(hi) — equal pairs co-locate), the small-star
+      // min aggregation (grouped by hi), and the small-star join (both
+      // sides end up hash(hi)-partitioned). Without it each would plan
+      // its own exchange.
+      val ls = cur.join(minsL, "lo")
+        .select(col("hi"), col("m").as("lo"))
+        .repartition(col("hi"))
         .distinct()
       // small-star: every node connects its smaller neighbors (and
       // itself) to the minimum among them. Edges are already directed
@@ -92,13 +152,13 @@ object ClusterOps {
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint(true) // truncate lineage: see scaladoc
-      val nextSum = checksum(next)
-      // both sides are distinct sets: equal checksums + empty
-      // one-sided difference <=> set equality (exact, on checkpointed
-      // data); differing checksums skip the except entirely
-      converged = nextSum == curSum && next.except(cur).isEmpty
       cur = next
-      curSum = nextSum
+      // each round contracts the set geometrically — re-check the cap
+      // (count is free: `next` is checkpoint-materialized) before
+      // paying another distributed round or even the star-test job
+      if (localFinishEdges > 0 && cur.count() <= localFinishEdges)
+        return localFinish(cur)
+      converged = isStarForest(cur)
       it += 1
     }
     // star forest: every edge points a member at its component min.

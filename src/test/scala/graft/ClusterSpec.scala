@@ -17,8 +17,10 @@ class ClusterSpec extends AnyFunSuite {
     pairs.toDF("a", "b")
   }
 
+  // localFinishEdges = 0: exercise the DISTRIBUTED fixed point (the
+  // local union-find finish would otherwise absorb these tiny graphs)
   private def labelsOf(df: DataFrame, maxIter: Int = 25): Map[Long, Long] =
-    ClusterOps.connectedComponents(df, "a", "b", maxIter)
+    ClusterOps.connectedComponents(df, "a", "b", maxIter, localFinishEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chain transitivity: A~B, B~C collapses to one component labeled min") {
@@ -51,10 +53,23 @@ class ClusterSpec extends AnyFunSuite {
     // the contract "one row per node" (labels may not be component
     // minima yet — that is the documented degraded mode)
     val df = ClusterOps.connectedComponents(
-      edges((0 until 15).map(i => (i.toLong, i + 1L)): _*), "a", "b", maxIter = 1)
+      edges((0 until 15).map(i => (i.toLong, i + 1L)): _*), "a", "b",
+      maxIter = 1, localFinishEdges = 0)
     val rows = df.collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
     assert(rows.length == 16)
+  }
+
+  test("driver union-find finish equals the distributed fixed point") {
+    // chains, a clique, disjoint pieces, reversed/dup edges — one graph
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 8L), (8L, 7L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (40L, 41L), (41L, 40L), (50L, 60L))
+    val dist = labelsOf(edges(g: _*)) // localFinishEdges = 0
+    val local = ClusterOps.connectedComponents(edges(g: _*), "a", "b",
+        localFinishEdges = 1000) // whole graph under the cap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local(4L) == 1L && local(7L) == 7L && local(22L) == 20L && local(60L) == 50L)
   }
 
   test("q_dup_clusters: every doc labeled, canonical member present, sizes consistent") {
