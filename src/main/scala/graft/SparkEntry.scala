@@ -42,6 +42,7 @@ object SparkEntry {
     "q_agg_approx"   -> (Relational.q_agg_approx _),
     "q_sketch_merge" -> (SketchOps.q_sketch_merge _),
     "q_sketch_exact" -> (SketchOps.q_sketch_exact _),
+    "q_sketch_kmv"   -> (SketchOps.q_sketch_kmv _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
     "q_agg_groupset" -> (Relational.q_agg_groupset _),
     "q_percentile"   -> (Relational.q_percentile _),
@@ -90,6 +91,8 @@ object SparkEntry {
     "q_lang_id"      -> (TextOps.q_lang_id _),
     "q_text_quality" -> (TextOps.q_text_quality _),
     "q_fingerprint"  -> (TextOps.q_fingerprint _),
+    "q_text_clean"   -> (TextOps.q_text_clean _),
+    "q_repetition"   -> (TextOps.q_repetition _),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -97,6 +100,7 @@ object SparkEntry {
     "q_simhash"       -> (DedupOps.q_simhash _),
     "q_dedup_simhash" -> ((s, d) => DedupOps.q_dedup_simhash(s, d)),
     "q_dup_clusters"  -> (ClusterOps.q_dup_clusters _),
+    "q_contamination" -> (DedupOps.q_contamination _),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
@@ -275,6 +279,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT -1, CAST(sum(exact_distinct) AS BIGINT) FROM pn
         |ORDER BY c_nationkey""".stripMargin,
+    // KMV sketch: fully deterministic, so unlike HLL the whole
+    // build→merge→estimate pipeline is hash-verified. The rank window
+    // reproduces KmvAggregator's k smallest distinct 60-bit hashes.
+    "q_sketch_kmv" ->
+      s"""WITH h AS (
+         |  SELECT c_nationkey, ${duckHexValue("m", 1, 15)} AS hv
+         |  FROM (SELECT c_nationkey,
+         |          md5('kmv:' || CAST(c_custkey AS VARCHAR)) AS m
+         |        FROM customer)),
+         |pn AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, hv,
+         |         row_number() OVER (PARTITION BY c_nationkey ORDER BY hv) AS rn
+         |  FROM (SELECT DISTINCT c_nationkey, hv FROM h)),
+         |gl AS (
+         |  SELECT CAST(-1 AS BIGINT) AS c_nationkey, hv,
+         |         row_number() OVER (ORDER BY hv) AS rn
+         |  FROM (SELECT DISTINCT hv FROM h)),
+         |agg AS (
+         |  SELECT c_nationkey,
+         |    CAST(count(*) FILTER (WHERE rn <= 32) AS BIGINT) AS n_kept,
+         |    max(hv) FILTER (WHERE rn <= 32) AS kth_min
+         |  FROM (SELECT * FROM pn UNION ALL SELECT * FROM gl) GROUP BY 1)
+         |SELECT c_nationkey, n_kept, kth_min,
+         |  CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE round(31.0 * 1152921504606846976.0 / kth_min, 4) END
+         |    AS approx_distinct
+         |FROM agg ORDER BY c_nationkey""".stripMargin,
     "q_agg_rollup" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         |  coalesce(o_orderpriority,'ALL') AS priority,
@@ -523,6 +554,62 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors q_text_clean's rule order exactly: URL strip → email
+    // strip → lower → drop non-alphanumerics → collapse blanks → trim
+    "q_text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_replace(
+        |          regexp_replace(text, 'https?://[^ ]+', ' ', 'g'),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g')),
+        |        '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+        |  length(text) - length(clean_text) AS n_removed_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+        |      ELSE [] END AS g2,
+        |    CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [] END AS g3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |SELECT doc_id, len(w) AS n_words,
+        |  round(CASE WHEN len(w) > 0
+        |    THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+        |    ELSE 0 END, 10) AS dup_word_frac,
+        |  round(CASE WHEN len(g2) > 0
+        |    THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |    ELSE 0 END, 10) AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) > 0
+        |    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |    ELSE 0 END, 10) AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // same benchmark slice (doc_id % 100 < 2) and 5-gram fallback-to-
+    // full-text rule as DedupOps.q_contamination
+    "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+        |    THEN [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)]
+        |    ELSE [text] END) AS gs
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 100 < 2),
+        |corpus AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 100 >= 2),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM corpus JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM g WHERE doc_id % 100 >= 2) d
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // MinHash values are the first 15 hex chars of the seeded md5 read
     // as a 60-bit BIGINT (see DedupOps.signatures for why long, not
     // hex-string): md5 once per (seed, shingle), then the hex→int

@@ -263,6 +263,46 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 5-word n-gram with a held-out benchmark set (here: the
+    * deterministic doc_id %% 100 < 2 slice stands in for an eval
+    * suite). The canonical pre-training hygiene pass (GPT-3 appendix C
+    * / PaLM style n-gram overlap).
+    *
+    * Scale shape: the benchmark side is SMALL by construction (eval
+    * suites are thousands of docs, not billions), so its distinct
+    * n-gram set broadcasts; the corpus side explodes its distinct
+    * n-grams inside the scan stage and the broadcast hash join + one
+    * map-side-combined count per doc is the only shuffle — O(hit docs)
+    * rows, no corpus-wide pairing ever materializes. Short documents
+    * (< 5 words) fall back to their full text as the single n-gram, so
+    * exact short-text collisions still flag.
+    */
+  def q_contamination(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    def grams(text: Column): Column = {
+      val w = split(text, " ")
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array(text))
+    }
+    val docs = documents(s, d).select(col("doc_id"),
+      array_distinct(grams(col("text"))).as("gs"))
+    val bench = docs.filter(col("doc_id") % 100 < 2)
+      .select(explode(col("gs")).as("g")).distinct()
+    val corpus = docs.filter(col("doc_id") % 100 >= 2)
+    val hits = corpus.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** 63-bit SimHash per document. Bits derive from the first 16 hex
     * chars of md5(word) — engine-portable, so the DuckDB oracle can
     * reproduce the hash bit-for-bit. 63 bits, not 64, keeps the sign

@@ -43,6 +43,46 @@ object SketchOps {
       .orderBy("c_nationkey")
   }
 
+  /** K-Minimum-Values distinct sketch (KmvAggregator) under the FULL
+    * hash-match oracle — the deterministic counterpart to
+    * [[q_sketch_merge]]'s HLL: per-nation bounded-state sketches built
+    * in one pass, then a union level that merges the finished sketch
+    * ARRAYS (KmvMergeAggregator) into the global (-1) row without
+    * rescanning customer. Hash = the engine-portable 60-bit md5 window
+    * (the minhash bridge); estimate = (k-1)·2^60 / kth_min once the
+    * sketch saturates, exact n_kept below that. DuckDB reproduces the
+    * identical minima with a rank window, so build, merge, AND
+    * estimate are hash-verified — no rows-only concession.
+    */
+  def q_sketch_kmv(s: SparkSession, d: String): DataFrame = {
+    val k = 32
+    val hashed = customer(s, d).select(
+      col("c_nationkey"),
+      conv(substring(md5(concat(lit("kmv:"), col("c_custkey"))), 1, 15), 16, 10)
+        .cast("long").as("hv"))
+    val perNation = hashed.groupBy("c_nationkey")
+      .agg(graft.functions.KmvAggregator.kmv(k)(col("hv")).as("sk"))
+    val global = perNation
+      .agg(graft.functions.KmvAggregator.kmvMerge(k)(col("sk")).as("sk"))
+      .select(lit(-1L).as("c_nationkey"), col("sk"))
+    val twoTo60 = 1152921504606846976.0 // 2^60, exact in a double
+    perNation
+      .select(col("c_nationkey").cast("long").as("c_nationkey"), col("sk"))
+      .unionAll(global)
+      .select(
+        col("c_nationkey"),
+        size(col("sk")).cast("long").as("n_kept"),
+        // the size guards keep element_at off the empty-input global
+        // row (ANSI would fault on index 0)
+        when(size(col("sk")) > 0, element_at(col("sk"), size(col("sk"))))
+          .as("kth_min"),
+        when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(round(
+            lit((k - 1) * twoTo60) / element_at(col("sk"), lit(k)).cast("double"), 4))
+          .as("approx_distinct"))
+      .orderBy("c_nationkey")
+  }
+
   /** Exact twin of [[q_sketch_merge]]'s verified surface: per-nation
     * distinct counts plus the (-1) all-nations row, same shape minus
     * the sketch estimate. This keys the hash-verifiable half of the

@@ -113,6 +113,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Text normalization — the standard first stage of a training-data
+    * pipeline: strip URLs/emails, lowercase, drop non-alphanumerics,
+    * collapse whitespace. Pure per-row regexp projections (codegen'd,
+    * zero shuffle); the removal counters let a pipeline monitor how
+    * much each rule fires without a second pass.
+    */
+  def q_text_clean(s: SparkSession, d: String): DataFrame = {
+    val urlPat   = "https?://[^ ]+"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val stripped  = regexp_replace(regexp_replace(col("text"), urlPat, " "), emailPat, " ")
+    val lowered   = lower(stripped)
+    val depunct   = regexp_replace(lowered, "[^a-z0-9 ]", "")
+    val collapsed = trim(regexp_replace(depunct, " +", " "))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        collapsed.as("clean_text"),
+        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        (length(col("text")) - length(collapsed)).cast("long").as("n_removed_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition scoring (the Gopher-style quality rule family):
+    * fraction of duplicated words / 2-grams / 3-grams per document.
+    * High duplicate-n-gram fractions flag boilerplate and degenerate
+    * generations. Per-row array expressions only — at 100 TB this is a
+    * zero-shuffle scan projection; there is no corpus-wide state.
+    */
+  def q_repetition(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    def grams(n: Int): Column =
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(typedLit(Seq.empty[String]))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round((size(g) - size(array_distinct(g))).cast("double") / size(g), 10))
+        .otherwise(lit(0.0))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        dupFrac(w).as("dup_word_frac"),
+        dupFrac(grams(2)).as("dup_2gram_frac"),
+        dupFrac(grams(3)).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: exact content hash plus a normalized
     * (sorted bag-of-words) hash — the key for shuffle-based exact and
     * order-insensitive dedup. md5 is engine-portable; at scale xxhash64

@@ -159,6 +159,40 @@ class AggregatorSpec extends AnyFunSuite {
     assert(rows.forall(!_.isNullAt(0))) // coalesced key never null
   }
 
+  test("KmvAggregator keeps the k smallest distinct values; merge level equals a flat build") {
+    import spark.implicits._
+    // duplicated values spread over 8 partitions: dedup and the k cap
+    // must both survive partial merges
+    val pairs = (1L to 500L).map(i => (i % 5, i % 200))
+    val df = pairs.toDF("g", "v").repartition(8)
+    val kmv = graft.functions.KmvAggregator.kmv(16)
+    val per = df.groupBy("g").agg(kmv(col("v")).as("sk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exact = pairs.distinct.groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).distinct.sorted.take(16).toSeq }
+    per.foreach { case (g, sk) => assert(sk == exact(g), s"group $g: $sk") }
+    // union level over finished sketch arrays == one flat sketch
+    val merged = df.groupBy("g").agg(kmv(col("v")).as("sk"))
+      .agg(graft.functions.KmvAggregator.kmvMerge(16)(col("sk")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(merged == pairs.map(_._2).distinct.sorted.take(16).toSeq)
+  }
+
+  test("q_sketch_kmv: unsaturated rows are exact, saturated estimates track the truth") {
+    val exact = SparkEntry.queries("q_sketch_exact")(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_nationkey") -> r.getAs[Long]("exact_distinct")).toMap
+    val rows = SparkEntry.queries("q_sketch_kmv")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("c_nationkey")).toSet == exact.keySet)
+    rows.foreach { r =>
+      val nk  = r.getAs[Long]("n_kept")
+      val est = r.getAs[Double]("approx_distinct")
+      val ex  = exact(r.getAs[Long]("c_nationkey"))
+      if (nk < 32) assert(est == ex.toDouble, s"unsaturated sketch must be exact: $r")
+      else assert(math.abs(est - ex) / ex < 0.6, // ~3σ for k=32
+        s"nation ${r.getAs[Long]("c_nationkey")}: estimate $est vs exact $ex")
+    }
+  }
+
   test("IVF results carry exact cosines and consistent ranks") {
     val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)

@@ -30,7 +30,8 @@ class EmptyInputSpec extends AnyFunSuite {
   // input: count=0, sum=null — standard SQL semantics
   // (q_sketch_merge's union row is a global aggregate too)
   private val globalAggs =
-    Set("q_agg_count", "q_agg_distinct", "q_agg_approx", "q_sketch_merge", "q_sketch_exact")
+    Set("q_agg_count", "q_agg_distinct", "q_agg_approx", "q_sketch_merge",
+      "q_sketch_exact", "q_sketch_kmv")
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events

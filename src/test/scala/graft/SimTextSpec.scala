@@ -246,4 +246,55 @@ class SimTextSpec extends AnyFunSuite {
       assert(qs >= 0.0 && qs <= 1.0)
     }
   }
+
+  test("q_contamination: benchmark 5-gram overlap flags, short-text fallback flags, clean stays clean") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon" // exactly one 5-gram
+    val docs = Seq(
+      (0L,   s"$shared zeta eta"),              // benchmark (id % 100 < 2)
+      (1L,   "tiny"),                           // benchmark, short-text fallback
+      (102L, s"pre $shared post"),              // corpus: shares the 5-gram
+      (103L, "six seven eight nine ten eleven"),// corpus: clean
+      (104L, "tiny")                            // corpus: exact short-text match
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("contam").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q_contamination")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out.keySet == Set(102L, 103L, 104L), "output must be corpus docs only")
+    assert(out(102L)._1 >= 1 && out(102L)._2, s"shared 5-gram must flag: $out")
+    assert(out(103L) == ((0L, false)), s"clean doc flagged: $out")
+    assert(out(104L) == ((1L, true)), s"short-text fallback must flag: $out")
+  }
+
+  test("q_repetition: duplicate word/2-gram/3-gram fractions match hand computation") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a a b"), (1L, "x y z"), (2L, "solo")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("repet").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.q_repetition(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("dup_word_frac"),
+          r.getAs[Double]("dup_2gram_frac"), r.getAs[Double]("dup_3gram_frac"))).toMap
+    // "a a a b": 4 words/2 distinct; 2-grams [a a, a a, a b]; 3-grams [a a a, a a b]
+    assert(out(0L) == ((4L, 0.5, 0.3333333333, 0.0)), s"got ${out(0L)}")
+    assert(out(1L) == ((3L, 0.0, 0.0, 0.0)), s"got ${out(1L)}")
+    // single word: no n-grams exist, fractions define to 0
+    assert(out(2L) == ((1L, 0.0, 0.0, 0.0)), s"got ${out(2L)}")
+  }
+
+  test("q_text_clean: urls/emails stripped, lowercased, whitespace collapsed, counters fire") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Visit https://example.com/x NOW or mail Bob@Example.org !!"),
+      (1L, "plain text stays put")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("clean").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.q_text_clean(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_urls"), r.getAs[Long]("n_emails"))).toMap
+    assert(out(0L) == (("visit now or mail", 1L, 1L)), s"got ${out(0L)}")
+    assert(out(1L) == (("plain text stays put", 0L, 0L)), s"got ${out(1L)}")
+  }
 }
