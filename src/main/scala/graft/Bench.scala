@@ -24,6 +24,16 @@ object Bench {
         catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache() // release per-query persist()s, untimed
+      // Untimed full GC between queries (default ON; SPARK_GRAFT_BENCH_GC
+      // =false disables). Spark frees shuffle files, broadcast blocks and
+      // checkpoint RDDs only when the ContextCleaner sees their owners
+      // garbage-collected; across ~90 queries in one 8g-heap JVM nothing
+      // forces that GC, the debris accumulates in unified memory, and
+      // late queries measurably degrade (tail queries ran 3-6x slower by
+      // query ~60 without this). Same rationale as Spark's own
+      // spark.cleaner.periodicGC.interval for long-lived drivers — done
+      // between queries so the pause never lands inside a timed region.
+      if (!sys.env.get("SPARK_GRAFT_BENCH_GC").contains("false")) System.gc()
       // a failed query must not read as a (fast) success — negate it so
       // the JSON shows the failure and drags the total down visibly
       name -> (if (ok) secs else -secs)
