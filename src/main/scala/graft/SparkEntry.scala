@@ -120,6 +120,7 @@ object SparkEntry {
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_resize"   -> ((s, d) => Multimodal.resizeMeta(s, d)),
     "q_media_decode"   -> ((s, d) => Multimodal.q_media_decode(s, d)),
+    "q_media_frame_meta" -> ((s, d) => Multimodal.q_media_frame_meta(s, d)),
   )
 
   /** DuckDB CTE block `w,h,v,s` computing the 63-bit SimHash per
@@ -718,6 +719,24 @@ object SparkEntry {
         |  CAST(sum((media_id*37 + x*5 + y*11 + 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((media_id*37 + x*5 + y*11 + 6) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // frame boundaries verified on the TEXT view of the ASCII payloads
+    // (DuckDB can't slice BLOBs): substr chars == substring bytes here
+    "q_media_frame_meta" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |i AS (
+        |  SELECT media_id, text,
+        |         unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS frame_no
+        |  FROM v),
+        |f AS (
+        |  SELECT media_id, frame_no,
+        |         substr(text, CAST(frame_no*64 + 1 AS BIGINT), 64) AS frame
+        |  FROM i)
+        |SELECT media_id, frame_no,
+        |  length(frame) AS n_bytes, md5(frame) AS frame_md5,
+        |  CAST(ascii(frame) AS BIGINT) AS first_byte
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
     "q_embed_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

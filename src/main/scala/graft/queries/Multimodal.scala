@@ -226,6 +226,26 @@ object Multimodal {
       .orderBy("media_id", "frame_no")
   }
 
+  /** Frame-sampling under the oracle: [[frameSample]]'s slicing with
+    * the binary frames reduced to scalars (byte length, md5, first
+    * byte) so DuckDB can verify the boundaries exactly. The media
+    * payloads here are text-derived and ASCII by construction, so the
+    * oracle slices the TEXT column with substr — one character per
+    * byte — and md5s the same bytes; a hash match proves frame count,
+    * offsets, and content agree. (The production frame payloads stay
+    * binary in [[frameSample]]; DuckDB just can't slice BLOBs, so the
+    * rows-only check remains there and the boundary math is proven
+    * here.)
+    */
+  def q_media_frame_meta(s: SparkSession, d: String, frameBytes: Int = 64): DataFrame =
+    frameSample(s, d, frameBytes)
+      .select(
+        col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"),
+        ascii(col("frame_bytes").cast("string")).cast("long").as("first_byte"))
+      .orderBy("media_id", "frame_no")
+
   /** Metadata "resize": pure struct rewrite (the cheap half of an image
     * resize pipeline — the pixel work would live in mediaFeatures'
     * decode stage).

@@ -216,6 +216,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame meta: scalars agree with the binary frames they summarize") {
+    val metas = Multimodal.q_media_frame_meta(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_no")) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[String]("frame_md5"), r.getAs[Long]("first_byte"))).toMap
+    val frames = Multimodal.frameSample(spark, sf).collect()
+    assert(frames.length == metas.size)
+    frames.foreach { f =>
+      val bytes = f.getAs[Array[Byte]]("frame_bytes")
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      val got = metas((f.getAs[Long]("media_id"), f.getAs[Int]("frame_no").toLong))
+      assert(got == ((bytes.length.toLong, md, bytes.head.toLong)),
+        s"media ${f.getAs[Long]("media_id")} frame ${f.getAs[Int]("frame_no")}")
+    }
+  }
+
   test("resize meta: aspect ratio preserved, width capped") {
     Multimodal.resizeMeta(spark, sf).collect().foreach { r =>
       assert(r.getAs[Int]("out_width") <= 640)
