@@ -100,6 +100,7 @@ object SparkEntry {
     "q_simhash"       -> (DedupOps.q_simhash _),
     "q_dedup_simhash" -> ((s, d) => DedupOps.q_dedup_simhash(s, d)),
     "q_dup_clusters"  -> (ClusterOps.q_dup_clusters _),
+    "q_dedup_resolve" -> (ClusterOps.q_dedup_resolve _),
     "q_contamination" -> (DedupOps.q_contamination _),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
@@ -895,6 +896,28 @@ object SparkEntry {
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM base ORDER BY doc_id""".stripMargin,
+    // same label propagation; keep only canonical rows (doc_id ==
+    // cluster minimum) — the surviving corpus after near-dup dedup
+    "q_dedup_resolve" ->
+      s"""WITH RECURSIVE $duckSimhashCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a, s b
+         |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |lab(node, label) AS (
+         |  SELECT u, least(u, min(v)) FROM e GROUP BY u
+         |  UNION
+         |  SELECT e.u, l.label FROM e JOIN lab l ON e.v = l.node),
+         |lbl AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+         |base AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node),
+         |sized AS (SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM base)
+         |SELECT doc_id, cluster_size AS n_members,
+         |  cluster_size - 1 AS n_dropped
+         |FROM sized WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
     "q_dedup_embed" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -190,7 +190,15 @@ object ClusterOps {
     * shuffle O(docs) rows of two longs. Nothing holds a cluster in
     * one buffer.
     */
-  def q_dup_clusters(s: SparkSession, d: String): DataFrame = {
+  def q_dup_clusters(s: SparkSession, d: String): DataFrame =
+    clustered(s, d)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+
+  /** Shared (doc_id, cluster_id, cluster_size) assignment behind
+    * [[q_dup_clusters]] and [[q_dedup_resolve]].
+    */
+  private def clustered(s: SparkSession, d: String): DataFrame = {
     val pairs = DedupOps.simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(pairs, "doc_a", "doc_b")
     val base = documents(s, d).select(col("doc_id"))
@@ -203,8 +211,22 @@ object ClusterOps {
     // are true cluster sizes (bounded by the largest dup cluster, the
     // same ceiling every dedup consumer already accepts).
     base.withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
   }
+
+  /** The dedup RESOLUTION step — the surviving corpus after near-dup
+    * clustering: one row per KEPT document (its cluster's minimum
+    * doc_id; singletons keep themselves), with how many near-dups the
+    * cluster dropped. This is the table a pipeline actually joins
+    * against its corpus to materialize the deduplicated training set;
+    * `sum(n_dropped)` is the dedup yield number an operator reports.
+    * Same plan as [[q_dup_clusters]] plus one filter — the canonical
+    * marker `doc_id == cluster_id` needs no extra shuffle.
+    */
+  def q_dedup_resolve(s: SparkSession, d: String): DataFrame =
+    clustered(s, d)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size").cast("long").as("n_members"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped"))
+      .orderBy("doc_id")
 }

@@ -92,4 +92,18 @@ class ClusterSpec extends AnyFunSuite {
         s"pair ${p.getAs[Long]("doc_a")}~${p.getAs[Long]("doc_b")} split across clusters")
     }
   }
+
+  test("q_dedup_resolve: exactly the cluster minima survive, drop counts add up") {
+    val clusters = SparkEntry.queries("q_dup_clusters")(spark, sf).collect()
+    val resolved = SparkEntry.queries("q_dedup_resolve")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_dropped"))).toMap
+    val byCluster = clusters.groupBy(_.getAs[Long]("cluster_id"))
+    assert(resolved.keySet == byCluster.keySet, "kept set must be the cluster minima")
+    byCluster.foreach { case (cid, members) =>
+      assert(resolved(cid) == ((members.length.toLong, members.length.toLong - 1)), s"cluster $cid")
+    }
+    // conservation: kept + dropped == corpus
+    assert(resolved.values.map(_._1).sum == clusters.length.toLong)
+  }
 }
