@@ -51,6 +51,7 @@ object ClusterProbe {
             .partitionBy(col("cluster_id"))).as("cluster_size"))
           .orderBy("doc_id").count()
       }
+      System.gc() // free superseded checkpoint blocks between reps
     }
     spark.stop()
   }
