@@ -21,7 +21,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // queries may persist() internals
+      finally {
+        spark.catalog.clearCache() // queries may persist() internals
+        // let the ContextCleaner reclaim checkpoint/broadcast/shuffle
+        // state promptly — 88 queries in one session otherwise
+        // accumulate debris that slows the tail (see Bench.scala)
+        System.gc()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
