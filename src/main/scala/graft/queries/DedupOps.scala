@@ -73,20 +73,32 @@ object DedupOps {
     * term — a full recompute of the signature lineage that join's
     * other side would be (no cross-branch reuse without a persist).
     */
+  /** `dedup = false` skips the cross-band `distinct()` — callers that
+    * can decide band ownership per pair from the payloads alone (see
+    * [[simhashPairs]]'s first-matching-band filter) replace that full
+    * shuffle of every candidate pair with a map-side predicate.
+    * `keepBucket = true` carries the bucket column through for exactly
+    * that decision (only meaningful with `dedup = false`: distinct
+    * over (bucket, pair) would NOT dedup pairs across buckets).
+    */
   private[graft] def candidatePairsTagged(
       bucketed: DataFrame, bucket: String, id: String, tag: String,
-      aName: String, bName: String, maxBucket: Int = 10000): DataFrame =
-    bucketed.groupBy(bucket)
+      aName: String, bName: String, maxBucket: Int = 10000,
+      dedup: Boolean = true, keepBucket: Boolean = false): DataFrame = {
+    require(!(dedup && keepBucket), "keepBucket requires dedup = false")
+    val keep = if (keepBucket) Seq(col(bucket)) else Nil
+    val exploded = bucketed.groupBy(bucket)
       .agg(graft.functions.BoundedCollectAggregator
         .boundedPairs(maxBucket)(col(id), col(tag)).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as(aName), col("ids"))
-      .select(col(aName),
+      .select(keep :+ explode(col("ids")).as(aName) :+ col("ids"): _*)
+      .select(keep :+ col(aName) :+
         explode(filter(col("ids"),
-          x => x.getField("_1") > col(aName).getField("_1"))).as(bName))
-      // a doc's payload is functionally determined by its id, so
-      // distinct over the two structs IS distinct over the id pair
-      .distinct()
+          x => x.getField("_1") > col(aName).getField("_1"))).as(bName): _*)
+    // a doc's payload is functionally determined by its id, so
+    // distinct over the two structs IS distinct over the id pair
+    if (dedup) exploded.distinct() else exploded
+  }
 
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).
@@ -432,7 +444,35 @@ object DedupOps {
     // table, whose other side would RECOMPUTE the whole vote
     // aggregation (no cross-branch reuse without a persist). The vote
     // aggregation — the corpus-scale term — now runs exactly once.
-    candidatePairsTagged(bands, "band", "doc_id", "simhash", "a", "b")
+    //
+    // Cross-band dedup WITHOUT a distinct: each pair is emitted only
+    // from its FIRST matching band — both simhashes are in hand, so
+    // "no earlier band also matched" is a codegen'd filter. The
+    // distinct this replaces is a full exchange of every candidate
+    // pair; on a dense-duplicate corpus (8× probe: 3.8M confirmed
+    // pairs) that shuffle is a dominant term. Overflow nuance: a pair
+    // whose first matching band overflowed the bucket cap is dropped
+    // even if a later band's bucket was small (the distinct form kept
+    // any surviving copy) — both are explicit cap semantics, and the
+    // oracle-parity caveat (no bucket may overflow) is unchanged.
+    val cand = candidatePairsTagged(bands, "band", "doc_id", "simhash", "a", "b",
+      dedup = false, keepBucket = true)
+    def sliceOf(sim: Column, j: Int): Column =
+      if (j == nBands - 1) shiftright(sim, width * j)
+      else shiftright(sim, width * j).bitwiseAND((1L << width) - 1)
+    // band ids fit under bit 40 only when slices do (nBands >= 2);
+    // with a single band no cross-band duplicate can exist anyway
+    val firstMatch =
+      if (nBands == 1) lit(true)
+      else {
+        val bandIdx = shiftright(col("band"), 40)
+        (0 until nBands).map { j =>
+          when(lit(j.toLong) < bandIdx,
+            sliceOf(col("a").getField("_2"), j) =!= sliceOf(col("b").getField("_2"), j))
+            .otherwise(lit(true))
+        }.reduce(_ && _)
+      }
+    cand.filter(firstMatch)
       .select(
         col("a").getField("_1").as("doc_a"),
         col("b").getField("_1").as("doc_b"),
