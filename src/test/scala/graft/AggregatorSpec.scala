@@ -61,6 +61,42 @@ class AggregatorSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 11L, 2L, 22L), (1L, 11L, 3L, 33L), (2L, 22L, 3L, 33L)))
   }
 
+  test("candidatePairsTagged dedup=false keeps per-band copies with the bucket attached") {
+    val rows = Seq(("b1", 1L, 11L), ("b1", 2L, 22L), ("b1", 3L, 33L),
+      ("b2", 1L, 11L), ("b2", 2L, 22L)).toDF("band", "doc_id", "simhash")
+    val raw = graft.queries.DedupOps
+      .candidatePairsTagged(rows, "band", "doc_id", "simhash", "a", "b",
+        dedup = false, keepBucket = true)
+      .select(col("band"), col("a").getField("_1"), col("b").getField("_1"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the shared pair (1,2) must appear once per band; keepBucket says which
+    assert(raw.toSet == Set(("b1", 1L, 2L), ("b1", 1L, 3L), ("b1", 2L, 3L), ("b2", 1L, 2L)))
+    assert(raw.length == 4, "no distinct applied")
+    // misuse guard: distinct over (bucket, pair) would not dedup pairs
+    val e = intercept[IllegalArgumentException](graft.queries.DedupOps
+      .candidatePairsTagged(rows, "band", "doc_id", "simhash", "a", "b", keepBucket = true))
+    assert(e.getMessage.contains("keepBucket requires dedup = false"))
+  }
+
+  test("simhashPairs first-band emission equals a distinct over all band collisions") {
+    // near-identical docs land in shared bands; the filter form must
+    // produce exactly the distinct pair set, each pair exactly once
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, base),
+      (3L, ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")),
+      (4L, (1 to 60).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("fband").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.distinct.length == pairs.length, s"duplicate pair emitted: ${pairs.toSeq}")
+    // the identical trio collides in BOTH bands — exactly the case the
+    // first-band filter must emit once
+    assert(pairs.toSet.intersect(Set((0L, 1L), (0L, 2L), (1L, 2L))).size == 3,
+      s"identical docs must pair: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "disjoint-vocab doc paired")
+  }
+
   test("mapGroupsWithState accumulates per-user stats across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import java.sql.Timestamp
