@@ -67,10 +67,14 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init happens HERE (codec handles, model weights)
         rows.map { r =>
+          // a NULL payload (e.g. a null source document) is an empty
+          // one — real corpora contain them and a decode NPE would
+          // abort the whole stage
+          val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
           val feats =
-            (if (r.kind == "image") decodeImageFeatures(r.bytes) else None)
-              .getOrElse(fakeDecode(r.bytes))
-          MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, feats)
+            (if (r.kind == "image") decodeImageFeatures(bytes) else None)
+              .getOrElse(fakeDecode(bytes))
+          MediaFeatures(r.media_id, r.kind, bytes.length.toLong, feats)
         }
       }
       .toDF()

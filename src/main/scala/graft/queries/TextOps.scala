@@ -39,7 +39,10 @@ object TextOps {
         // oracle's regexp_split_to_array semantics by construction
         size(split(col("text"), "\\s+", -1)).cast("long").as("n_ws_tokens"),
         size(bpe).cast("long").as("n_bpe_tokens"),
-        round(length(col("text")).cast("double") / size(bpe), 10).as("chars_per_token"))
+        // zero-token documents have no defined chars/token — null, not
+        // an ANSI divide-by-zero abort
+        when(size(bpe) > 0,
+          round(length(col("text")).cast("double") / size(bpe), 10)).as("chars_per_token"))
       .orderBy("doc_id")
   }
 
@@ -79,10 +82,15 @@ object TextOps {
     val nPunct = (length(text) -
       length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("double")
     val len    = length(text).cast("double")
+    // len guard: an EMPTY document (len 0) is a legitimate corpus
+    // value, and under ANSI the unguarded division aborts the whole
+    // job from inside any filter using this score. Zero punctuation
+    // ratio is the natural reading; identical results for len > 0.
+    val punctRatio = when(len > 0, nPunct / len).otherwise(lit(0.0))
     round(
       lit(0.4) * (nStop / nWords) +
       lit(0.3) * least(nWords / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - nPunct / len), 10)
+      lit(0.3) * (lit(1.0) - punctRatio), 10)
   }
 
   /** Order-insensitive content fingerprint (sorted bag of words) — the
@@ -108,7 +116,8 @@ object TextOps {
         col("doc_id"),
         size(words).cast("long").as("n_words"),
         round(nStop / nWords, 10).as("stopword_ratio"),
-        round(nPunct / len, 10).as("punct_ratio"),
+        // same empty-document guard as qualityScore
+        when(len > 0, round(nPunct / len, 10)).otherwise(lit(0.0)).as("punct_ratio"),
         qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }

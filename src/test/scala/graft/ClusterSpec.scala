@@ -93,6 +93,41 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("random graphs: distributed labels equal a reference union-find (both paths)") {
+    // deterministic pseudo-random graphs (fixed seed — reproducible),
+    // checked against an independent local union-find
+    val rnd = new scala.util.Random(20260813L)
+    def reference(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keys.map(n => n -> find(n)).toMap
+    }
+    (1 to 5).foreach { trial =>
+      val n = 10 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(3 * n)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val expect = reference(pairs)
+        val dist = labelsOf(edges(pairs: _*))
+        assert(dist == expect, s"trial $trial (distributed): n=$n m=$m")
+        val local = ClusterOps
+          .connectedComponents(edges(pairs: _*), "a", "b", localFinishEdges = 100000)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(local == expect, s"trial $trial (local finish): n=$n m=$m")
+      }
+    }
+  }
+
   test("q_dedup_resolve: exactly the cluster minima survive, drop counts add up") {
     val clusters = SparkEntry.queries("q_dup_clusters")(spark, sf).collect()
     val resolved = SparkEntry.queries("q_dedup_resolve")(spark, sf).collect()

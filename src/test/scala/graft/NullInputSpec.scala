@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real corpora contain NULL and empty documents; every text-family
+  * operator must run over them without crashing (SQL null semantics:
+  * null rows flow through projections as nulls, never match joins,
+  * and fall out of explodes). Complements EmptyInputSpec (0-row
+  * tables) with null/empty VALUES inside populated tables.
+  */
+class NullInputSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("null-docs").toString
+    val docs = Seq[(Long, String, String, String, Long)](
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L),
+      (1L, null, "en", "src0", 0L),
+      (2L, "", "en", "src1", 0L),
+      (3L, "alpha beta gamma delta epsilon zeta", "fr", "src1", 35L),
+      (102L, "the quick brown fox jumps over the lazy dog", "en", "src2", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private val documentQueries = Seq(
+    "q_text_stats", "q_tokens", "q_lang_id", "q_text_quality",
+    "q_fingerprint", "q_text_clean", "q_repetition", "q_contamination",
+    "q_minhash", "q_dedup_minhash", "q_ngram_jaccard",
+    "q_simhash", "q_dedup_simhash", "q_dup_clusters", "q_dedup_resolve",
+    "q_sample_hash", "q_sample_reservoir", "q_pipeline_prep",
+    "q_pack_sequences", "q_media_features", "q_media_frames",
+    "q_media_resize", "q_media_frame_meta", "q_media_decode")
+
+  test("every documents-family query survives NULL and empty text values") {
+    documentQueries.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n >= 0, name) // reaching here means no crash; count forces execution
+    }
+  }
+
+  test("null text flows as null scalars, never as matches") {
+    // fingerprints of the null doc are null, not a hash of ""
+    val fp = SparkEntry.queries("q_fingerprint")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp_exact")).toMap
+    assert(fp(1L) == null, "null text must fingerprint to null")
+    assert(fp(2L) != null, "empty text is a real (hashable) value")
+    // the exact duplicate pair (0, 102) must still surface through the
+    // simhash path despite null/empty rows in the corpus
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 102L)), s"exact dup lost among null rows: $pairs")
+  }
+}
