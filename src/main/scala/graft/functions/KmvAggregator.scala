@@ -111,6 +111,21 @@ final class KmvMergeAggregator(k: Int)
 }
 
 object KmvAggregator {
+  /** The engine-portable 60-bit hash the column pipelines compute as
+    * `conv(substring(md5(concat('kmv:', v)), 1, 15), 16, 10)` —
+    * executor-side Scala form, so streaming state (StatefulOps
+    * .streamingDistinct) and batch sketches agree bit-for-bit.
+    */
+  def hash60(value: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(("kmv:" + value).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = the high 60 bits of the first 8 bytes
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+
   /** Build handle: `kmv(64)(col("hv"))` → sorted `array<long>` of the
     * ≤ 64 smallest distinct inputs.
     */

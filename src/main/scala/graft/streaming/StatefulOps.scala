@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom arbitrary-state streaming (SURVEY.md §2.10 / spark guide:
@@ -38,6 +38,44 @@ object StatefulOps {
           }
           state.update(next)
           UserStats(user, next.n, next.total, next.maxValue, next.total > 1000.0)
+      }
+  }
+
+  final case class KeyDistinct(key: String, n_kept: Long, approx_distinct: Double)
+
+  /** Streaming distinct-count per key with BOUNDED state: the KMV
+    * sketch (functions.KmvAggregator) maintained across micro-batches
+    * via mapGroupsWithState — O(k) longs per key forever, no matter
+    * how many distinct values stream past. Uses the same 60-bit md5
+    * hash as the batch `q_sketch_kmv`, so a streaming sketch equals
+    * the batch sketch of the same values bit-for-bit (tested), and a
+    * batch backfill can seed streaming state directly. Same NoTimeout
+    * caveat as [[runningUserStats]]: production keys come and go, so
+    * an event-time timeout bounds the KEY population; the per-key
+    * state is already hard-bounded here.
+    */
+  def streamingDistinct(
+      rows: Dataset[(String, String)], k: Int = 32): Dataset[KeyDistinct] = {
+    implicit val stateEnc: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    implicit val outEnc: Encoder[KeyDistinct] = Encoders.product[KeyDistinct]
+    val agg = new graft.functions.KmvAggregator(k)
+    rows
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, vs: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val buf = scala.collection.mutable.ArrayBuffer
+            .from(state.getOption.getOrElse(Array.empty[Long]))
+          vs.foreach(v => agg.reduce(buf, graft.functions.KmvAggregator.hash60(v._2)))
+          val sk = agg.finish(buf)
+          state.update(sk)
+          val est =
+            if (sk.length < k) sk.length.toDouble
+            else {
+              val twoTo60 = 1152921504606846976.0
+              math.rint((k - 1) * twoTo60 / sk(k - 1) * 10000) / 10000
+            }
+          KeyDistinct(key, sk.length.toLong, est)
       }
   }
 }

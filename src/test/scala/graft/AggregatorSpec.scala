@@ -195,6 +195,40 @@ class AggregatorSpec extends AnyFunSuite {
     assert(rows.forall(!_.isNullAt(0))) // coalesced key never null
   }
 
+  test("streamingDistinct: bounded KMV state across micro-batches equals a flat sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.KmvAggregator
+    val k = 32
+    val input = MemoryStream[(String, String)]
+    val q = StatefulOps.streamingDistinct(input.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("update").start()
+    // batch 1: 20 distinct under key a (below k: exact), 40 under b
+    input.addData((1 to 20).map(i => ("a", s"v$i")) ++ (1 to 40).map(i => ("b", s"w$i")): _*)
+    q.processAllAvailable()
+    // batch 2: overlap + new values; state must carry over and dedup
+    input.addData((11 to 30).map(i => ("a", s"v$i")) ++ (30 to 80).map(i => ("b", s"w$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("kmv_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rs) => key -> rs.last }
+    // reference: flat sketch over the distinct union, same hash + estimator
+    def expected(values: Seq[String]): (Long, Double) = {
+      val hs = values.map(KmvAggregator.hash60).distinct.sorted.take(k)
+      val est =
+        if (hs.length < k) hs.length.toDouble
+        else math.rint((k - 1) * 1152921504606846976.0 / hs(k - 1) * 10000) / 10000
+      (hs.length.toLong, est)
+    }
+    val expA = expected((1 to 30).map(i => s"v$i"))
+    val expB = expected((1 to 80).map(i => s"w$i"))
+    assert((last("a").getAs[Long]("n_kept"), last("a").getAs[Double]("approx_distinct")) == expA)
+    assert((last("b").getAs[Long]("n_kept"), last("b").getAs[Double]("approx_distinct")) == expB)
+    assert(expA._2 == 30.0, "key a is below k: estimate must be exact")
+    val errB = math.abs(expB._2 - 80.0) / 80.0
+    assert(errB < 0.6, s"key b estimate off: ${expB._2}")
+  }
+
   test("KmvAggregator keeps the k smallest distinct values; merge level equals a flat build") {
     import spark.implicits._
     // duplicated values spread over 8 partitions: dedup and the k cap
