@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the text-pipeline operators over
+  * generated adversarial inputs (one Spark job per property, many
+  * rows per job — not one job per sample).
+  */
+class TextInvariantSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // deterministic mix of clean text, punctuation soup, urls/emails,
+  // unicode, repeats, and whitespace runs
+  private lazy val dir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("the", "a", "of", "and", "Fox!", "HTTPS://X.y/z",
+      "bob@example.com", "naïve", "café", "...", "a-b", "(x)", "  ", "42",
+      "http://long.example.org/path?q=1", "WORD", "word", "!!!")
+    val texts = (0 until 200).map { i =>
+      (0 until 1 + rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "srcX", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("textinv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("q_text_clean is idempotent: cleaning already-clean text changes nothing") {
+    import spark.implicits._
+    val once = graft.queries.TextOps.q_text_clean(spark, dir)
+      .select(col("doc_id"), col("clean_text"))
+    // round-trip the cleaned text through a second documents table
+    val tmp2 = java.nio.file.Files.createTempDirectory("textinv2").toString
+    once.select(col("doc_id"), col("clean_text").as("text"),
+        lit("en").as("lang"), lit("s").as("source"), length(col("clean_text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val twice = graft.queries.TextOps.q_text_clean(spark, tmp2)
+      .select(col("doc_id"), col("clean_text").as("clean2"))
+    val diff = once.join(twice, "doc_id")
+      .filter(col("clean_text") =!= col("clean2")).collect()
+    assert(diff.isEmpty, s"not idempotent: ${diff.take(3).mkString("; ")}")
+    // and the second pass removes zero characters
+    val removed = graft.queries.TextOps.q_text_clean(spark, tmp2)
+      .agg(sum(col("n_removed_chars"))).collect().head.getLong(0)
+    assert(removed == 0L, s"second clean still removed $removed chars")
+  }
+
+  test("repetition fractions are bounded and consistent with distinct counts") {
+    graft.queries.TextOps.q_repetition(spark, dir).collect().foreach { r =>
+      Seq("dup_word_frac", "dup_2gram_frac", "dup_3gram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v < 1.0, s"doc ${r.getAs[Long]("doc_id")} $c=$v")
+      }
+      assert(r.getAs[Long]("n_words") >= 1)
+    }
+  }
+
+  test("contamination output covers exactly the corpus slice, hits imply the flag") {
+    val rows = graft.queries.DedupOps.q_contamination(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 100 >= 2, "benchmark doc leaked into output")
+      assert((r.getAs[Long]("n_hits") > 0) == r.getAs[Boolean]("contaminated"))
+    }
+  }
+}
