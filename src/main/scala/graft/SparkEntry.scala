@@ -527,7 +527,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
-        |  round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\w+|[^\w\s]')), 10) AS chars_per_token
+        |  CASE WHEN len(regexp_extract_all(text, '\w+|[^\w\s]')) > 0 THEN
+        |    round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\w+|[^\w\s]')), 10)
+        |  END AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, lang,
@@ -539,18 +541,22 @@ object SparkEntry {
         |       WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
         |       WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the CASE length(text) = 0 guards mirror the Spark side's empty-
+    // document handling (0.0 punct ratio; NULL text stays NULL)
     "q_text_quality" ->
       """SELECT doc_id,
         |  len(string_split(text,' ')) AS n_words,
         |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
         |        / len(string_split(text,' ')), 10) AS stopword_ratio,
-        |  round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-        |        / length(text), 10) AS punct_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |          / length(text), 10) END AS punct_ratio,
         |  round(0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
         |               / len(string_split(text,' ')))
         |      + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
-        |      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-        |               / length(text)), 10) AS quality_score
+        |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |               / length(text) END), 10) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_exact,

@@ -116,8 +116,18 @@ object KmvAggregator {
     * executor-side Scala form, so streaming state (StatefulOps
     * .streamingDistinct) and batch sketches agree bit-for-bit.
     */
+  // per-thread digest (same pattern as MinHashAggregator): hash60 runs
+  // once per streamed row, so per-call getInstance would be hot-path
+  // allocation for nothing
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def hash60(value: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     val d = md.digest(("kmv:" + value).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = the high 60 bits of the first 8 bytes
     var acc = 0L

@@ -103,11 +103,20 @@ object DedupOps {
   /** Word 3-shingles of `text` as an array column (no explode — stays
     * row-local until a join needs it).
     */
-  def shingles3(text: Column): Column = {
+  def shingles3(text: Column): Column = shinglesN(text, 3)
+
+  /** Word n-grams of `text` as an array column; documents shorter than
+    * n words fall back to the whole text as the single shingle, so
+    * short-text exact matches still collide. The single source for
+    * every n-gram builder (shingles3, q_contamination, q_repetition's
+    * no-fallback variant).
+    */
+  def shinglesN(text: Column, n: Int, fallbackToText: Boolean = true): Column = {
     val w = split(text, " ")
-    when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3), i => concat_ws(" ", slice(w, i + 1, lit(3)))))
-      .otherwise(array(text))
+    val grams = transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    when(size(w) >= n, grams)
+      .otherwise(if (fallbackToText) array(text) else typedLit(Seq.empty[String]))
   }
 
   /** 8-function MinHash signature per document.
@@ -291,15 +300,8 @@ object DedupOps {
     * exact short-text collisions still flag.
     */
   def q_contamination(s: SparkSession, d: String): DataFrame = {
-    val n = 5
-    def grams(text: Column): Column = {
-      val w = split(text, " ")
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(array(text))
-    }
     val docs = documents(s, d).select(col("doc_id"),
-      array_distinct(grams(col("text"))).as("gs"))
+      array_distinct(shinglesN(col("text"), 5)).as("gs"))
     val bench = docs.filter(col("doc_id") % 100 < 2)
       .select(explode(col("gs")).as("g")).distinct()
     val corpus = docs.filter(col("doc_id") % 100 >= 2)

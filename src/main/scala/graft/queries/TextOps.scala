@@ -82,11 +82,13 @@ object TextOps {
     val nPunct = (length(text) -
       length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", ""))).cast("double")
     val len    = length(text).cast("double")
-    // len guard: an EMPTY document (len 0) is a legitimate corpus
-    // value, and under ANSI the unguarded division aborts the whole
-    // job from inside any filter using this score. Zero punctuation
-    // ratio is the natural reading; identical results for len > 0.
-    val punctRatio = when(len > 0, nPunct / len).otherwise(lit(0.0))
+    // len === 0 guard (not len > 0 with an otherwise): an EMPTY
+    // document (len 0) is a legitimate corpus value, and under ANSI
+    // the unguarded division aborts the whole job from inside any
+    // filter using this score — while a NULL document must stay NULL
+    // through the projection (null-in, null-out), which the otherwise
+    // branch's null arithmetic preserves. Identical for len > 0.
+    val punctRatio = when(len === 0, lit(0.0)).otherwise(nPunct / len)
     round(
       lit(0.4) * (nStop / nWords) +
       lit(0.3) * least(nWords / 100.0, lit(1.0)) +
@@ -97,7 +99,11 @@ object TextOps {
     * near-exact dedup key; shared with the pipeline/streaming dedup.
     */
   def normalizedFp(text: Column): Column =
-    md5(concat_ws(" ", array_sort(split(text, " "))))
+    // concat_ws SKIPS null arguments (never returns null), which would
+    // fingerprint a NULL document as md5("") — the empty document's
+    // hash. Null documents must stay null (and never collide with
+    // genuinely empty ones).
+    when(text.isNotNull, md5(concat_ws(" ", array_sort(split(text, " ")))))
 
   /** Quality scoring: length, punctuation ratio, stopword ratio →
     * weighted score. The standard cheap pre-filter before expensive
@@ -116,8 +122,8 @@ object TextOps {
         col("doc_id"),
         size(words).cast("long").as("n_words"),
         round(nStop / nWords, 10).as("stopword_ratio"),
-        // same empty-document guard as qualityScore
-        when(len > 0, round(nPunct / len, 10)).otherwise(lit(0.0)).as("punct_ratio"),
+        // same empty-document guard as qualityScore (null-preserving)
+        when(len === 0, lit(0.0)).otherwise(round(nPunct / len, 10)).as("punct_ratio"),
         qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
@@ -154,9 +160,7 @@ object TextOps {
   def q_repetition(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
     def grams(n: Int): Column =
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(typedLit(Seq.empty[String]))
+      graft.queries.DedupOps.shinglesN(col("text"), n, fallbackToText = false)
     def dupFrac(g: Column): Column =
       when(size(g) > 0,
         round((size(g) - size(array_distinct(g))).cast("double") / size(g), 10))

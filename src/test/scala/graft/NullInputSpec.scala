@@ -52,5 +52,14 @@ class NullInputSpec extends AnyFunSuite {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((0L, 102L)), s"exact dup lost among null rows: $pairs")
+    // empty text scores 0.0 ratios; NULL text stays NULL end to end
+    val tq = SparkEntry.queries("q_text_quality")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(tq(1L).isNullAt(tq(1L).fieldIndex("punct_ratio")), "null text must keep null ratio")
+    assert(tq(2L).getAs[Double]("punct_ratio") == 0.0, "empty text is ratio 0.0")
+    val tok = SparkEntry.queries("q_tokens")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(tok(2L).isNullAt(tok(2L).fieldIndex("chars_per_token")),
+      "zero-token doc has undefined chars/token")
   }
 }
