@@ -62,4 +62,30 @@ class NullInputSpec extends AnyFunSuite {
     assert(tok(2L).isNullAt(tok(2L).fieldIndex("chars_per_token")),
       "zero-token doc has undefined chars/token")
   }
+
+  private lazy val embDir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("null-emb").toString
+    val dim = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat / 3f)
+    val rows = (0L until 20L).map(i => (i, vec(i.toInt), (i % 4).toInt)) ++ Seq(
+      (20L, null.asInstanceOf[Array[Float]], 0),    // null vector
+      (21L, Array.fill(dim)(0f), 1),                // zero vector
+      (22L, Array.empty[Float], 2))                 // empty vector
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  private val embeddingQueries = Seq(
+    "q_embed_stats", "q_embed_quant", "q_embed_centroid", "q_embed_train",
+    "q_sim_topk", "q_dedup_embed", "q_sim_lsh", "q_sim_ivf")
+
+  test("every embedding-family query survives null, zero, and empty vectors") {
+    embeddingQueries.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, embDir).count()
+      assert(n >= 0, name)
+    }
+  }
 }
