@@ -27,6 +27,28 @@ object PlanAudit {
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
 
+  /** CodegenFallback expression classes per query. A fallback
+    * expression evicts its whole projection from whole-stage codegen —
+    * the round-4 q_sim_ivf lesson (array_max over structs silently ran
+    * the 16-cosine E-step interpreted, ~5× slower). Some fallbacks are
+    * deliberate (higher-order-function lambdas in per-row text ops,
+    * documented at their call sites); the SPEC pins the allowed class
+    * set so any NEW fallback class appearing in any plan fails
+    * `sbt test` and forces a conscious decision.
+    */
+  def fallbackClasses(spark: SparkSession, sfDir: String): Map[String, Set[String]] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      spark.catalog.clearCache()
+      val classes = plan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+            e.getClass.getSimpleName
+        })
+      }.flatten.toSet
+      if (classes.nonEmpty) Some(name -> classes) else None
+    }.toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
@@ -37,6 +59,10 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val bad = flaggedQueries(spark, sfDir)
     bad.foreach(n => println(s"FLAG $n: CartesianProduct"))
+    val fb = fallbackClasses(spark, sfDir)
+    fb.values.flatten.groupBy(identity).toSeq.sortBy(-_._2.size).foreach {
+      case (cls, qs) => println(s"fallback $cls in ${qs.size} plans")
+    }
     println(s"audited ${graft.SparkEntry.queries.size} plans, ${bad.size} flagged")
     spark.stop()
   }

@@ -19,4 +19,28 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(flagged.isEmpty, s"cartesian products in: ${flagged.mkString(", ")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("no declared query carries a CodegenFallback expression (scanner self-checked)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // self-check with an expression that is still CodegenFallback in
+    // Spark 4.1 (`reflect`; the round-4 offender array_max-over-structs
+    // gained codegen since, which is why the inventory pins empty).
+    // spark.range, not a local Seq: ConvertToLocalRelation would
+    // evaluate a projection over local rows at optimize time and leave
+    // no expression in the physical plan to scan
+    val probe = spark.range(2)
+      .select(expr("reflect('java.lang.String', 'valueOf', id)").as("m"))
+    val seen = probe.queryExecution.executedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+          e.getClass.getSimpleName
+      })
+    }.flatten
+    assert(seen.nonEmpty, "fallback scanner failed to detect a known CodegenFallback")
+    // pin: the whole declared inventory is fallback-free today; a new
+    // fallback class appearing anywhere needs a conscious decision
+    val fb = graft.tools.PlanAudit.fallbackClasses(spark, sf)
+    assert(fb.isEmpty, s"new CodegenFallback expressions: $fb")
+  }
 }
