@@ -93,6 +93,7 @@ object SparkEntry {
     "q_fingerprint"  -> (TextOps.q_fingerprint _),
     "q_text_clean"   -> (TextOps.q_text_clean _),
     "q_repetition"   -> (TextOps.q_repetition _),
+    "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -558,6 +559,20 @@ object SparkEntry {
         |               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
         |               / length(text) END), 10) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // NOT EXISTS, not NOT IN: a NULL fingerprint (null doc) must be
+    // ADMITTED (null never equals anything), matching left_anti
+    "q_dedup_incr" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         ELSE md5(array_to_string(list_sort(string_split(text,' ')), ' ')) END AS fp
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0' AND fp IS NOT NULL),
+        |b AS (SELECT * FROM fp WHERE source <> 'src0')
+        |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_batch_dups
+        |FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = b.fp)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_normalized

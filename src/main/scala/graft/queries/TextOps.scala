@@ -175,6 +175,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental (cross-corpus) dedup — the daily-ingest shape: admit
+    * only documents from the NEW batch (here: source != 'src0' stands
+    * in for today's crawl) whose normalized fingerprint appears
+    * neither in the EXISTING corpus (source = 'src0') nor earlier
+    * within the batch itself (min doc_id is the batch canonical).
+    *
+    * Scale shape: the existing corpus contributes only DISTINCT
+    * fingerprints to an anti join keyed on the fp hash — one shuffle
+    * each side, no text moves; the within-batch dedup is the same
+    * one-shuffle min-groupBy as q_dedup. At 100 TB the existing-corpus
+    * fingerprint set is a fraction of corpus bytes (16B hashes), and
+    * an established pipeline would keep it materialized, making the
+    * daily increment's cost O(batch), not O(corpus).
+    */
+  def q_dedup_incr(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d)
+      .select(col("doc_id"), col("source"), normalizedFp(col("text")).as("fp"))
+    val existing = fp.filter(col("source") === "src0").select("fp")
+      .filter(col("fp").isNotNull).distinct()
+    val batch = fp.filter(col("source") =!= "src0")
+    batch.join(existing, Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
+      .select(col("doc_id"), col("fp"), col("n_batch_dups"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: exact content hash plus a normalized
     * (sorted bag-of-words) hash — the key for shuffle-based exact and
     * order-insensitive dedup. md5 is engine-portable; at scale xxhash64

@@ -284,6 +284,24 @@ class SimTextSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 0.0, 0.0, 0.0)), s"got ${out(2L)}")
   }
 
+  test("q_dedup_incr: corpus matches blocked, batch dups collapse, new docs admitted") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "seen before", "src0"),        // existing corpus
+      (1L, "also seen", "src0"),
+      (10L, "seen before", "srcNew"),     // batch: duplicates the corpus -> blocked
+      (11L, "brand new words", "srcNew"), // batch: new -> admitted
+      (12L, "brand new words", "srcNew"), // batch dup of 11 -> collapsed into it
+      (13L, "words new brand", "srcNew")  // word-order variant: same normalized fp
+    ).map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("incr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.q_dedup_incr(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_batch_dups")).toMap
+    assert(out == Map(11L -> 3L), s"got $out") // 11,12,13 collapse; 10 blocked
+  }
+
   test("q_text_clean: urls/emails stripped, lowercased, whitespace collapsed, counters fire") {
     import spark.implicits._
     val docs = Seq(
