@@ -43,6 +43,7 @@ object SparkEntry {
     "q_sketch_merge" -> (SketchOps.q_sketch_merge _),
     "q_sketch_exact" -> (SketchOps.q_sketch_exact _),
     "q_sketch_kmv"   -> (SketchOps.q_sketch_kmv _),
+    "q_approx_pct"   -> (SketchOps.q_approx_pct _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
     "q_agg_groupset" -> (Relational.q_agg_groupset _),
     "q_percentile"   -> (Relational.q_percentile _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_text_clean"   -> (TextOps.q_text_clean _),
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
+    "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -282,6 +284,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT -1, CAST(sum(exact_distinct) AS BIGINT) FROM pn
         |ORDER BY c_nationkey""".stripMargin,
+    // histogram-sketch percentiles: 64 mergeable bin counts +
+    // deterministic linear interpolation, so the whole estimate chain
+    // is hash-verified (unlike t-digest/KLL)
+    "q_approx_pct" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(CAST(l_extendedprice AS DOUBLE) / 1718.75) AS BIGINT), 63) AS bin
+        |  FROM lineitem),
+        |h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+        |c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+        |             sum(n) OVER () AS total FROM h),
+        |p AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS p)
+        |SELECT p, round(bin * 1718.75 +
+        |         1718.75 * (p * total - (cum - n)) / n, 4) AS approx_value
+        |FROM p JOIN c ON c.cum >= p.p * c.total AND c.cum - c.n < p.p * c.total
+        |ORDER BY p""".stripMargin,
     // KMV sketch: fully deterministic, so unlike HLL the whole
     // build→merge→estimate pipeline is hash-verified. The rank window
     // reproduces KmvAggregator's k smallest distinct 60-bit hashes.
@@ -559,6 +576,25 @@ object SparkEntry {
         |               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
         |               / length(text) END), 10) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // rank on the ROUNDED score (then term) so float-tail ties cannot
+    // order differently across engines
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM w WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term,
+        |         round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     // NOT EXISTS, not NOT IN: a NULL fingerprint (null doc) must be
     // ADMITTED (null never equals anything), matching left_anti
     "q_dedup_incr" ->

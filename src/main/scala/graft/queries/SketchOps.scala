@@ -83,6 +83,42 @@ object SketchOps {
       .orderBy("c_nationkey")
   }
 
+  /** Approximate percentiles from an equi-width histogram sketch —
+    * the mergeable quantile structure: 64 bin COUNTS are the entire
+    * distributed state (they merge by addition across partitions,
+    * partitions of partitions, or days of a rolling window), and the
+    * estimate interpolates linearly inside the target bin. Exact
+    * `percentile_cont` (q_percentile) needs a full sort or large
+    * sketch; at 100 TB the histogram path aggregates to 64 longs and
+    * its map-side partials never exceed that. Deterministic end to
+    * end — bins, cumulative sums, and interpolation are integer/double
+    * arithmetic — so unlike t-digest/KLL the whole estimate sits
+    * under the hash-match oracle.
+    */
+  def q_approx_pct(s: SparkSession, d: String): DataFrame = {
+    val bins = 64
+    val width = 110000.0 / bins // 1718.75, exact in a double
+    val price = col("l_extendedprice").cast("double")
+    val hist = lineitem(s, d)
+      .select(least(floor(price / width), lit(bins - 1)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum", sum("n").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("n").over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ps = s.createDataFrame(Seq(Tuple1(0.5), Tuple1(0.95), Tuple1(0.99))).toDF("p")
+    cum.crossJoin(broadcast(ps))
+      .filter(col("cum") >= col("p") * col("total") &&
+        col("cum") - col("n") < col("p") * col("total"))
+      .select(col("p"),
+        round(col("bin") * width +
+          lit(width) * (col("p") * col("total") - (col("cum") - col("n"))) / col("n"), 4)
+          .as("approx_value"))
+      .orderBy("p")
+  }
+
   /** Exact twin of [[q_sketch_merge]]'s verified surface: per-nation
     * distinct counts plus the (-1) all-nations row, same shape minus
     * the sketch estimate. This keys the hash-verifiable half of the

@@ -175,6 +175,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document (smoothed idf = ln((N+1)/(df+1))).
+    * The classic relevance/keyword-extraction operator a curation
+    * pipeline runs for topic balance and quality diagnostics.
+    *
+    * Scale shape: explode → one (doc, term) count shuffle (map-side
+    * combined); document frequencies aggregate the (doc, term) pairs
+    * again on term only — O(vocab) rows; the score join is term-keyed
+    * (vocabulary is Zipf-bounded, no corpus-row joins); per-doc top-5
+    * is a doc-partitioned window over ≤ |doc vocab| scored rows. N is
+    * a driver-side scalar (one count — model-sized, like the k-means
+    * codebook). Ties rank on the ROUNDED score then term, so ordering
+    * is engine-stable.
+    */
+  def q_tfidf(s: SparkSession, d: String, topK: Int = 5): DataFrame = {
+    val n = documents(s, d).count()
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank").cast("long").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Incremental (cross-corpus) dedup — the daily-ingest shape: admit
     * only documents from the NEW batch (here: source != 'src0' stands
     * in for today's crawl) whose normalized fingerprint appears

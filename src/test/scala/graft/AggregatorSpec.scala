@@ -263,6 +263,21 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_approx_pct: histogram estimates land within one bin width of exact") {
+    val approx = SparkEntry.queries("q_approx_pct")(spark, sf).collect()
+      .map(r => r.getAs[Double]("p") -> r.getAs[Double]("approx_value")).toMap
+    assert(approx.keySet == Set(0.5, 0.95, 0.99))
+    val prices = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val width = 110000.0 / 64
+    approx.foreach { case (p, est) =>
+      val exact = prices(math.min(prices.length - 1, (p * prices.length).toInt))
+      assert(math.abs(est - exact) <= width,
+        s"p$p: approx $est vs exact $exact (bin width $width)")
+    }
+  }
+
   test("IVF results carry exact cosines and consistent ranks") {
     val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)

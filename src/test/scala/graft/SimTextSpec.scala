@@ -284,6 +284,32 @@ class SimTextSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 0.0, 0.0, 0.0)), s"got ${out(2L)}")
   }
 
+  test("q_tfidf: rare terms outrank ubiquitous ones, ranks contiguous and ordered") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "common common common unicorn"),
+      (1L, "common words here"),
+      (2L, "common words there")
+    ).map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.queries.TextOps.q_tfidf(spark, tmp).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+    // "unicorn" (df=1) must outrank "common" (df=3, idf=0) in doc 0
+    val doc0 = byDoc(0L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("term"))
+    assert(doc0.head == "unicorn", s"got ${doc0.toSeq}")
+    // a term in every document has idf ln(4/4) = 0 -> score 0
+    val common = rows.filter(_.getAs[String]("term") == "common")
+    assert(common.nonEmpty && common.forall(_.getAs[Double]("tfidf") == 0.0))
+  }
+
   test("q_dedup_incr: corpus matches blocked, batch dups collapse, new docs admitted") {
     import spark.implicits._
     val docs = Seq(
