@@ -596,7 +596,9 @@ object SparkEntry {
         |SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     // NOT EXISTS, not NOT IN: a NULL fingerprint (null doc) must be
-    // ADMITTED (null never equals anything), matching left_anti
+    // ADMITTED (null never equals anything), matching left_anti — and
+    // admitted null docs stay INDIVIDUAL rows (GROUP BY would collapse
+    // unrelated null docs into one), mirroring the Spark split
     "q_dedup_incr" ->
       """WITH fp AS (
         |  SELECT doc_id, source,
@@ -607,8 +609,12 @@ object SparkEntry {
         |b AS (SELECT * FROM fp WHERE source <> 'src0')
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_batch_dups
         |FROM b
-        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = b.fp)
-        |GROUP BY fp ORDER BY doc_id""".stripMargin,
+        |WHERE fp IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = b.fp)
+        |GROUP BY fp
+        |UNION ALL
+        |SELECT doc_id, fp, 1 AS n_batch_dups FROM b WHERE fp IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp_normalized
@@ -703,7 +709,12 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+        |-- shingles = [NULL] iff text IS NULL (the short-text fallback
+        |-- wraps the raw text): null-text docs leave dsh, so the inner
+        |-- join drops their pairs — mirroring the Spark regroup's
+        |-- t_a/t_b IS NOT NULL invariant (a null doc confirms nothing)
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL))
         |SELECT doc_a, doc_b,
         |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 10) AS jaccard
         |FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b

@@ -189,15 +189,18 @@ object TextOps {
     * is engine-stable.
     */
   def q_tfidf(s: SparkSession, d: String, topK: Int = 5): DataFrame = {
-    val n = documents(s, d).count()
+    // N stays IN the DAG as a broadcast one-row aggregate (not a
+    // driver-side count()): construction stays planning-only, and the
+    // corpus is not scanned an extra time for a scalar
+    val nDf = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val tf = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
     scored.withColumn("rank", row_number().over(w))
@@ -226,9 +229,16 @@ object TextOps {
     val existing = fp.filter(col("source") === "src0").select("fp")
       .filter(col("fp").isNotNull).distinct()
     val batch = fp.filter(col("source") =!= "src0")
-    batch.join(existing, Seq("fp"), "left_anti")
+    // null fingerprints (null documents) admit INDIVIDUALLY: groupBy
+    // treats NULLs as one group, which would silently collapse
+    // unrelated null docs into each other — they share no content
+    val admitted = batch.join(existing, Seq("fp"), "left_anti")
+    val grouped = admitted.filter(col("fp").isNotNull)
       .groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
+    val nulls = admitted.filter(col("fp").isNull)
+      .select(col("fp"), col("doc_id"), lit(1L).as("n_batch_dups"))
+    grouped.unionByName(nulls)
       .select(col("doc_id"), col("fp"), col("n_batch_dups"))
       .orderBy("doc_id")
   }

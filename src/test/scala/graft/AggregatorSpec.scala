@@ -272,7 +272,12 @@ class AggregatorSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).sorted
     val width = 110000.0 / 64
     approx.foreach { case (p, est) =>
-      val exact = prices(math.min(prices.length - 1, (p * prices.length).toInt))
+      // rank definition matching the histogram's cum >= p*total: the
+      // ceil(p*N)-th element (1-based) — NOT floor-index, which for
+      // integral p*N points at the next element, possibly across an
+      // empty-bin gap
+      val k = math.max(1, math.ceil(p * prices.length).toInt)
+      val exact = prices(k - 1)
       assert(math.abs(est - exact) <= width,
         s"p$p: approx $est vs exact $exact (bin width $width)")
     }

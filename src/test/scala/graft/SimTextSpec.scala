@@ -318,14 +318,19 @@ class SimTextSpec extends AnyFunSuite {
       (10L, "seen before", "srcNew"),     // batch: duplicates the corpus -> blocked
       (11L, "brand new words", "srcNew"), // batch: new -> admitted
       (12L, "brand new words", "srcNew"), // batch dup of 11 -> collapsed into it
-      (13L, "words new brand", "srcNew")  // word-order variant: same normalized fp
-    ).map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      (13L, "words new brand", "srcNew"),  // word-order variant: same normalized fp
+      (14L, null.asInstanceOf[String], "srcNew"), // null docs admit INDIVIDUALLY
+      (15L, null.asInstanceOf[String], "srcNew")
+    ).map { case (i, t, src) =>
+      (i, t, "en", src, Option(t).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("incr").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = graft.queries.TextOps.q_dedup_incr(spark, tmp).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_batch_dups")).toMap
-    assert(out == Map(11L -> 3L), s"got $out") // 11,12,13 collapse; 10 blocked
+    // 11,12,13 collapse; 10 blocked; the two null docs are unrelated
+    // content and must each survive as their own row
+    assert(out == Map(11L -> 3L, 14L -> 1L, 15L -> 1L), s"got $out")
   }
 
   test("q_text_clean: urls/emails stripped, lowercased, whitespace collapsed, counters fire") {
