@@ -59,9 +59,15 @@ object DedupOps {
     bucketed.groupBy(bucket)
       .agg(graft.functions.BoundedCollectAggregator.bounded(maxBucket)(col(id)).as("ids"))
       .filter(size(col("ids")) > 1) // singletons and overflowed buckets
-      .select(explode(col("ids")).as(aName), col("ids"))
+      // pair emission via posexplode + slice, not filter(ids, _ > a):
+      // the bucket arrays arrive SORTED, so "strictly greater ids" is
+      // exactly the suffix after this position — and slice is a
+      // codegen'd expression while the HOF filter lambda runs
+      // interpreted per (element, row), the inner loop of the
+      // quadratic pair explosion
+      .select(posexplode(col("ids")).as(Seq("pos", aName)), col("ids"))
       .select(col(aName),
-        explode(filter(col("ids"), x => x > col(aName))).as(bName))
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as(bName))
       .distinct()
 
   /** [[candidatePairs]] with a fixed-width payload riding each id
@@ -91,10 +97,11 @@ object DedupOps {
       .agg(graft.functions.BoundedCollectAggregator
         .boundedPairs(maxBucket)(col(id), col(tag)).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(keep :+ explode(col("ids")).as(aName) :+ col("ids"): _*)
+      // same codegen'd posexplode+slice pair emission as
+      // [[candidatePairs]] (arrays sorted by _1)
+      .select(keep :+ posexplode(col("ids")).as(Seq("pos", aName)) :+ col("ids"): _*)
       .select(keep :+ col(aName) :+
-        explode(filter(col("ids"),
-          x => x.getField("_1") > col(aName).getField("_1"))).as(bName): _*)
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as(bName): _*)
     // a doc's payload is functionally determined by its id, so
     // distinct over the two structs IS distinct over the id pair
     if (dedup) exploded.distinct() else exploded
