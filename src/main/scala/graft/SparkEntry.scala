@@ -111,6 +111,7 @@ object SparkEntry {
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
     // §2.11 training-data selection (deterministic hash sampling)
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
+    "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -871,6 +872,21 @@ object SparkEntry {
     // Deterministic hash draw shared by the sampling oracles: integer
     // value of the first N hex chars of md5(doc_id), via per-nibble
     // strpos arithmetic (DuckDB has no base-16 conv()).
+    "q_sample_weighted" -> {
+      val draw4 = duckHashDraw(4)
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, $draw4 % 1000 AS bucket,
+         |    CAST(floor(100.0 + 900.0 * round(
+         |      0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+         |             / len(string_split(text,' ')))
+         |    + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |             / length(text) END), 10)) AS BIGINT) AS keep_rate
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, keep_rate
+         |FROM q WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin
+    },
     "q_sample_hash" -> {
       val draw4 = duckHashDraw(4)
       s"""SELECT doc_id, lang, source, $draw4 % 1000 AS bucket

@@ -44,6 +44,26 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted deterministic sampling: a document's admission
+    * probability is proportional to its quality score (floor 10%, so
+    * low-quality strata stay measurable) — the quality-weighted mixing
+    * step a curation pipeline runs between scoring and training-set
+    * assembly. Keep iff hash(doc_id) mod 1000 < 100 + 900·quality.
+    *
+    * Same scale shape as [[q_sample_hash]]: a pure per-row scan filter
+    * (score + draw are both row-local expressions), zero shuffle, no
+    * driver state, reproducible across reruns and engines.
+    */
+  def q_sample_weighted(s: SparkSession, d: String): DataFrame = {
+    val quality = graft.queries.TextOps.qualityScore(col("text"))
+    val bucket = hashDraw(col("doc_id"), 4) % 1000
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        floor(lit(100.0) + lit(900.0) * quality).cast("long").as("keep_rate"))
+      .filter(col("bucket") < col("keep_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Bounded per-group sample ("reservoir" with a deterministic
     * priority): per language, keep the k docs with the smallest
     * hash(doc_id) — a uniform-ish, reproducible k-per-group sample.

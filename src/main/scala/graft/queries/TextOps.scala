@@ -197,6 +197,11 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df joins back against tf, so the (doc, term) aggregation's
+    // lineage computes twice per action (no cross-branch CSE without a
+    // persist) — deliberate: the tf table is token-scale, and caching
+    // token-scale state is exactly what a 100 TB corpus cannot afford;
+    // two passes over the explode+agg beat one materialization
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term").crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("term"),
