@@ -150,6 +150,21 @@ object SparkEntry {
     * DuckDB SQL — mirrors SampleOps.hashDraw (Spark `conv`) nibble for
     * nibble.
     */
+  /** The weighted quality score in DuckDB SQL — mirrors
+    * TextOps.qualityScore EXACTLY, including the empty-text guard
+    * (null text stays null via null arithmetic). One source for every
+    * oracle that emits or filters on the score (q_text_quality,
+    * q_pipeline_prep, q_sample_weighted), so a formula tweak cannot
+    * drift the copies apart.
+    */
+  private def duckQualityScore: String =
+    """round(0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+      |               / len(string_split(text,' ')))
+      |      + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
+      |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+      |               / length(text) END), 10)""".stripMargin
+
   private def duckHashDraw(chars: Int): String = {
     val h = s"substr(md5(CAST(doc_id AS VARCHAR)),1,$chars)"
     (1 to chars).map { i =>
@@ -563,20 +578,15 @@ object SparkEntry {
     // the CASE length(text) = 0 guards mirror the Spark side's empty-
     // document handling (0.0 punct ratio; NULL text stays NULL)
     "q_text_quality" ->
-      """SELECT doc_id,
-        |  len(string_split(text,' ')) AS n_words,
-        |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
-        |        / len(string_split(text,' ')), 10) AS stopword_ratio,
-        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |    round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-        |          / length(text), 10) END AS punct_ratio,
-        |  round(0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
-        |               / len(string_split(text,' ')))
-        |      + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
-        |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-        |               / length(text) END), 10) AS quality_score
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  len(string_split(text,' ')) AS n_words,
+         |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+         |        / len(string_split(text,' ')), 10) AS stopword_ratio,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |    round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |          / length(text), 10) END AS punct_ratio,
+         |  $duckQualityScore AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // rank on the ROUNDED score (then term) so float-tail ties cannot
     // order differently across engines
     "q_tfidf" ->
@@ -876,13 +886,7 @@ object SparkEntry {
       val draw4 = duckHashDraw(4)
       s"""WITH q AS (
          |  SELECT doc_id, lang, $draw4 % 1000 AS bucket,
-         |    CAST(floor(100.0 + 900.0 * round(
-         |      0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
-         |             / len(string_split(text,' ')))
-         |    + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
-         |    + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
-         |             / length(text) END), 10)) AS BIGINT) AS keep_rate
+         |    CAST(floor(100.0 + 900.0 * $duckQualityScore) AS BIGINT) AS keep_rate
          |  FROM documents)
          |SELECT doc_id, lang, bucket, keep_rate
          |FROM q WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin
@@ -917,16 +921,12 @@ object SparkEntry {
         |  (shard << 40) + CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_pipeline_prep" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang,
-        |    round(0.4 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
-        |                 / len(string_split(text,' ')))
-        |        + 0.3 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
-        |        + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-        |                 / length(text)), 10) AS quality,
-        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
-        |    md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp
-        |  FROM documents),
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    $duckQualityScore AS quality,
+         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |    md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp
+         |  FROM documents),
         |kept AS (SELECT * FROM scored
         |  WHERE quality >= 0.45 AND lang IN ('en','fr','de','es'))
         |SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(quality) AS quality,

@@ -68,6 +68,12 @@ object DedupOps {
       .select(posexplode(col("ids")).as(Seq("pos", aName)), col("ids"))
       .select(col(aName),
         explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as(bName))
+      // strictness guard: position-based emission would turn a
+      // duplicated id within one bucket array into a self-pair (the
+      // old value filter excluded it). Uniqueness holds for current
+      // callers, but a codegen'd comparison keeps the contract
+      // explicit rather than a comment-only precondition.
+      .filter(col(aName) < col(bName))
       .distinct()
 
   /** [[candidatePairs]] with a fixed-width payload riding each id
@@ -102,6 +108,8 @@ object DedupOps {
       .select(keep :+ posexplode(col("ids")).as(Seq("pos", aName)) :+ col("ids"): _*)
       .select(keep :+ col(aName) :+
         explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as(bName): _*)
+      // same self-pair strictness guard as [[candidatePairs]]
+      .filter(col(aName).getField("_1") < col(bName).getField("_1"))
     // a doc's payload is functionally determined by its id, so
     // distinct over the two structs IS distinct over the id pair
     if (dedup) exploded.distinct() else exploded
