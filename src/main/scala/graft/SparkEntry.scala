@@ -93,6 +93,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.q_text_quality _),
     "q_fingerprint"  -> (TextOps.q_fingerprint _),
     "q_text_clean"   -> (TextOps.q_text_clean _),
+    "q_corpus_report" -> (TextOps.q_corpus_report _),
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
@@ -587,6 +588,17 @@ object SparkEntry {
          |          / length(text), 10) END AS punct_ratio,
          |  $duckQualityScore AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_report" ->
+      s"""WITH per AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    sum(len(regexp_split_to_array(text, '\\s+'))) AS n_tokens,
+         |    round(avg($duckQualityScore), 6) AS mean_quality
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT sum(n_docs) AS total_docs FROM per)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share,
+         |  mean_quality
+         |FROM per, t ORDER BY lang, source""".stripMargin,
     // rank on the ROUNDED score (then term) so float-tail ties cannot
     // order differently across engines
     "q_tfidf" ->

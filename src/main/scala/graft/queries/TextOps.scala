@@ -175,6 +175,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus composition report — the per-(lang, source) "report card"
+    * every pipeline run emits: document and token counts, share of
+    * corpus, mean quality. One map-side-combined hash aggregation over
+    * row-local expressions; the share join is against the one-row
+    * total (broadcast).
+    */
+  def q_corpus_report(s: SparkSession, d: String): DataFrame = {
+    val toks = size(split(col("text"), "\\s+", -1)).cast("long")
+    val per = documents(s, d)
+      .select(col("lang"), col("source"), toks.as("n_toks"),
+        qualityScore(col("text")).as("q"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        round(avg(col("q")), 6).as("mean_quality"))
+    val total = per.agg(sum(col("n_docs")).as("total_docs"))
+    per.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("doc_share"),
+        col("mean_quality"))
+      .orderBy("lang", "source")
+  }
+
   /** TF-IDF top terms per document (smoothed idf = ln((N+1)/(df+1))).
     * The classic relevance/keyword-extraction operator a curation
     * pipeline runs for topic balance and quality diagnostics.
