@@ -370,13 +370,32 @@ object SparkEntry {
         |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)*10000000 + o_orderkey) AS top_order,
         |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)*10000000 + o_orderkey) AS bottom_order
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // exact integer moments (2-decimal values → exact fixed-point
+    // longs; sums associative in any order), closed forms on exact
+    // integers, double arithmetic only in the final sqrt/divide —
+    // mirrors Relational.q_stats_agg op for op. The builtin
+    // stddev_samp/var_samp/corr merge float partials whose tails are
+    // summation-order-dependent in BOTH engines.
     "q_stats_agg" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-        |  round(var_samp(l_discount), 6) AS var_disc,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-        |  round(avg(l_tax), 6) AS avg_tax
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dsc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx, sum(y) AS sy, sum(y*y) AS syy,
+        |    sum(x*y) AS sxy, sum(dsc) AS sd, sum(dsc*dsc) AS sdd, sum(tax) AS st
+        |  FROM f GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1))) / 100.0, 4) AS sd_qty,
+        |  round(CAST(n*sdd - sd*sd AS DOUBLE) / (n*(n-1)) / 1e4, 6) AS var_disc,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |        / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS qty_price_corr,
+        |  round(CAST(st AS DOUBLE) / n / 100.0, 6) AS avg_tax
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q_bit_fn" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS low_byte,
@@ -389,9 +408,13 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
+    // scalar mean as exact fixed-point sum / count (mirrors the Spark
+    // side; avg(double) would be summation-order-dependent)
     "q_subquery" ->
       """SELECT o_orderkey,
-        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS rel_price
+        |  round(o_totalprice /
+        |    (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |       / count(*) / 100.0 FROM orders), 6) AS rel_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
@@ -588,16 +611,22 @@ object SparkEntry {
          |          / length(text), 10) END AS punct_ratio,
          |  $duckQualityScore AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // mean_quality mirrors the Spark side's fixed-point form: sum of
+    // round(q*1e10) BIGINTs (exact, order-independent — q is already
+    // 10-decimal) divided once, NOT round(avg(double),6) whose last
+    // digit depends on summation order in both engines
     "q_corpus_report" ->
       s"""WITH per AS (
          |  SELECT lang, source, count(*) AS n_docs,
          |    sum(len(regexp_split_to_array(text, '\\s+'))) AS n_tokens,
-         |    round(avg($duckQualityScore), 6) AS mean_quality
+         |    sum(CAST(round(($duckQualityScore) * 1e10) AS BIGINT)) AS q_sum_fp,
+         |    count($duckQualityScore) AS n_q
          |  FROM documents GROUP BY 1, 2),
          |t AS (SELECT sum(n_docs) AS total_docs FROM per)
          |SELECT lang, source, n_docs, n_tokens,
          |  round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share,
-         |  mean_quality
+         |  CASE WHEN n_q > 0
+         |    THEN round(CAST(q_sum_fp AS DOUBLE) / n_q / 1e10, 6) END AS mean_quality
          |FROM per, t ORDER BY lang, source""".stripMargin,
     // rank on the ROUNDED score (then term) so float-tail ties cannot
     // order differently across engines

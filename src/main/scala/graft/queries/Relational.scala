@@ -418,19 +418,54 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** Statistical aggregates: stddev/variance/correlation. Rounded at 4
-    * decimals — both engines use numerically stable one-pass updates
-    * whose results agree far beyond that precision at this scale.
+  /** Statistical aggregates: stddev/variance/correlation/mean.
+    *
+    * Oracle-determinism kernel: the builtin `stddev_samp`/`var_samp`/
+    * `corr` merge (n, mean, M2) partials Welford-style, so their
+    * float tails depend on partial-aggregation order — run-to-run in
+    * Spark and engine-to-engine vs DuckDB (the same trap that flaked
+    * q_corpus_report in round 6). Here every moment is an EXACT
+    * integer: values are 2-decimal money/quantity columns, so
+    * `round(x*100)` is an exact fixed-point long in both engines,
+    * and sums of longs/decimals are associative in any order. The
+    * classic closed forms (n·Σx² − (Σx)², n·Σxy − ΣxΣy) are then
+    * computed on exact integers — no cancellation error — and only
+    * the final sqrt/divide runs in (deterministic) double arithmetic.
+    * RelationalSpec pins this kernel to the builtins within 1e-9; at
+    * 100 TB the one-pass builtins remain the production path (same
+    * single-shuffle plan), this form is what goes under a bit-exact
+    * cross-engine contract.
     */
-  def q_stats_agg(s: SparkSession, d: String): DataFrame =
+  def q_stats_agg(s: SparkSession, d: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def fx(c: Column): Column = round(c * 100).cast("long")
+    // per-row products fit comfortably in a long (≤ ~5e10); the SUMS
+    // are decimal(38,0) — Σy² alone overflows int64 by sf0.1
+    def sumd(c: Column): Column = sum(c.cast(dec38))
+    val n    = col("n").cast(dec38)
+    val varQ = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    val varD = (n * col("sdd") - col("sd") * col("sd")).cast("double")
+    val covN = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val nn1  = col("n") * (col("n") - 1)
     lineitem(s, d)
+      .select(col("l_returnflag"),
+        fx(col("l_quantity")).as("x"), fx(col("l_extendedprice")).as("y"),
+        fx(col("l_discount")).as("dsc"), fx(col("l_tax")).as("tax"))
       .groupBy("l_returnflag")
-      .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_discount")), 6).as("var_disc"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
-        round(avg(col("l_tax")), 6).as("avg_tax"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("x")).as("sx"), sumd(col("x") * col("x")).as("sxx"),
+        sumd(col("y")).as("sy"), sumd(col("y") * col("y")).as("syy"),
+        sumd(col("x") * col("y")).as("sxy"),
+        sumd(col("dsc")).as("sd"), sumd(col("dsc") * col("dsc")).as("sdd"),
+        sumd(col("tax")).as("st"))
+      .select(col("l_returnflag"),
+        round(sqrt(varQ / nn1) / 100.0, 4).as("sd_qty"),
+        round(varD / nn1 / 1e4, 6).as("var_disc"),
+        round(covN / (sqrt(varQ) * sqrt(varY)), 4).as("qty_price_corr"),
+        round(col("st").cast("double") / col("n") / 100.0, 6).as("avg_tax"))
       .orderBy("l_returnflag")
+  }
 
   /** Bitwise function battery. */
   def q_bit_fn(s: SparkSession, d: String): DataFrame =
@@ -458,9 +493,15 @@ object Relational {
     */
   def q_subquery(s: SparkSession, d: String): DataFrame = {
     orders(s, d).createOrReplaceTempView("graft_sq_orders")
+    // the scalar mean is an exact fixed-point sum divided once (not
+    // avg(double), whose float tail is summation-order-dependent);
+    // the per-row division then runs on a bit-identical scalar in
+    // both engines
     s.sql(
       """SELECT o_orderkey,
-        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM graft_sq_orders), 6) AS rel_price
+        |  round(o_totalprice /
+        |    (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |       / count(*) / 100.0 FROM graft_sq_orders), 6) AS rel_price
         |FROM graft_sq_orders ORDER BY o_orderkey""".stripMargin)
   }
 

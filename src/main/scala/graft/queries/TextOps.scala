@@ -180,6 +180,17 @@ object TextOps {
     * corpus, mean quality. One map-side-combined hash aggregation over
     * row-local expressions; the share join is against the one-row
     * total (broadcast).
+    *
+    * mean_quality is deliberately NOT `avg(double)`: floating-point
+    * summation order differs run-to-run with task scheduling (partial
+    * aggregation) and engine-to-engine, so a group mean within an ulp
+    * of a 0.5e-6 rounding boundary would flip the last digit
+    * nondeterministically (this was CORRECTNESS_r06's one red row).
+    * The score is already rounded to 10 decimals, so `round(q*1e10)`
+    * is an exact integer; summing longs is associative and exact in
+    * any order, and the single final division is bit-deterministic in
+    * both engines. Null scores (null documents) are excluded from both
+    * the sum and the divisor, matching avg()'s null semantics.
     */
   def q_corpus_report(s: SparkSession, d: String): DataFrame = {
     val toks = size(split(col("text"), "\\s+", -1)).cast("long")
@@ -188,12 +199,15 @@ object TextOps {
         qualityScore(col("text")).as("q"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
-        round(avg(col("q")), 6).as("mean_quality"))
+        sum(round(col("q") * 1e10).cast("long")).as("q_sum_fp"),
+        count(col("q")).as("n_q"))
     val total = per.agg(sum(col("n_docs")).as("total_docs"))
     per.crossJoin(broadcast(total))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_docs").cast("double") / col("total_docs"), 6).as("doc_share"),
-        col("mean_quality"))
+        when(col("n_q") > 0,
+          round(col("q_sum_fp").cast("double") / col("n_q") / 1e10, 6))
+          .as("mean_quality"))
       .orderBy("lang", "source")
   }
 

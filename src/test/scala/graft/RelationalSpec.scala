@@ -47,6 +47,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_agg: exact-moment kernel matches the float builtins within 1e-9") {
+    // the oracle kernel computes stddev/var/corr/mean from exact
+    // integer moments (order-independent); the builtins remain the
+    // production path at scale — pin the two within float noise so a
+    // formula drift in either form fails loudly
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_discount")).as("var_disc"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        avg(col("l_tax")).as("avg_tax"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val kernel = q("q_stats_agg").collect()
+    assert(kernel.nonEmpty)
+    // kernel columns are rounded for the oracle (4 or 6 decimals), so
+    // the bound is half the rounding quantum plus float noise
+    val quantum = Map("sd_qty" -> 5e-5, "var_disc" -> 5e-7,
+      "qty_price_corr" -> 5e-5, "avg_tax" -> 5e-7)
+    kernel.foreach { r =>
+      val b = builtin(r.getAs[String]("l_returnflag"))
+      for (c <- Seq("sd_qty", "var_disc", "qty_price_corr", "avg_tax"))
+        assert(math.abs(r.getAs[Double](c) - b.getAs[Double](c)) < quantum(c) + 1e-9,
+          s"$c: kernel=${r.getAs[Double](c)} builtin=${b.getAs[Double](c)}")
+    }
+  }
+
   test("q_agg_count matches direct count") {
     val n = q("q_agg_count").collect().head.getAs[Long]("n_rows")
     assert(n == Tables.lineitem(spark, sf).count())
