@@ -96,6 +96,7 @@ object SparkEntry {
     "q_corpus_report" -> (TextOps.q_corpus_report _),
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
+    "q_dedup_incr_idx" -> (TextOps.q_dedup_incr_idx _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
@@ -199,7 +200,7 @@ object SparkEntry {
     * Column names and types are aligned with the Spark outputs
     * (counts/epochs as BIGINT, doubles rounded identically).
     */
-  def oracleSql: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_quantity > 30
@@ -1118,4 +1119,11 @@ object SparkEntry {
         |  WHERE a.vec_id <> p.query_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** Twin keys whose results must be bit-identical to another key's —
+    * one oracle text serves both (the materialized-fp-index read path
+    * must reproduce the in-DAG recompute exactly).
+    */
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_dedup_incr_idx" -> oracleSqlBase("q_dedup_incr"))
 }

@@ -4,17 +4,51 @@ import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Which hash function the dedup family's signature stages use.
+  *
+  * - [[HashFamily.Md5]] (default): engine-portable — the DuckDB oracle
+  *   reproduces every signature bit-for-bit. The correctness path.
+  * - [[HashFamily.Xxh64]]: one 64-bit xxhash64 call where md5 needs a
+  *   digest + hex decode — measured ~3.5× cheaper hashing (HashBench:
+  *   minhash cold 1.63s md5 vs 0.46s xxh64 at sf0.1), and the win
+  *   grows with corpus size since hashing is the only per-token term.
+  *   Not DuckDB-reproducible, so not for oracle runs.
+  *
+  * Selected per-session via `spark.conf.set("spark.graft.hashFamily",
+  * "xxh64")` — every public dedup query ([[DedupOps.q_minhash]],
+  * [[DedupOps.q_dedup_minhash]], [[DedupOps.q_simhash]],
+  * [[DedupOps.q_dedup_simhash]] and the ClusterOps consumers of
+  * [[DedupOps.simhashPairs]]) picks it up; unset means md5. The two
+  * families produce different signature VALUES but the same pair
+  * decisions wherever the decision isn't a near-threshold coin flip
+  * (exact duplicates collide under any hash; HashFamilySpec pins
+  * this on a fixture). Near-threshold pairs are family-sensitive by
+  * construction — LSH recall is probabilistic in the hash draw.
+  */
+sealed trait HashFamily
+object HashFamily {
+  case object Md5 extends HashFamily
+  case object Xxh64 extends HashFamily
+  def fromConf(s: SparkSession): HashFamily =
+    s.conf.getOption("spark.graft.hashFamily").getOrElse("md5") match {
+      case "md5"                => Md5
+      case "xxh64" | "xxhash64" => Xxh64
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.hashFamily must be md5 or xxh64, got: $other")
+    }
+}
+
 /** Near-duplicate detection family for a training-data pipeline
   * (builder north star). Exact dedup is in Relational.q_dedup; here:
   * MinHash signatures, MinHash-LSH candidate pairs, SimHash, and
   * n-gram Jaccard.
   *
-  * Hashing is md5-based so the DuckDB oracle can reproduce signatures
-  * bit-for-bit (md5 is engine-portable; Spark's murmur `hash()` and
-  * DuckDB's `hash()` are not compatible). At production scale the same
-  * plans run with `xxhash64` for ~4× cheaper hashing — the plan shape
-  * (explode-free array exprs, one self-join on the band key) is
-  * unchanged.
+  * Hashing is md5-based by default so the DuckDB oracle can reproduce
+  * signatures bit-for-bit (md5 is engine-portable; Spark's murmur
+  * `hash()` and DuckDB's `hash()` are not compatible). At production
+  * scale set `spark.graft.hashFamily=xxh64` ([[HashFamily]]) for ~3.5×
+  * cheaper hashing — the plan shape (explode-free array exprs, one
+  * grouped explode on the band key) is identical in both families.
   */
 object DedupOps {
 
@@ -157,9 +191,21 @@ object DedupOps {
     * engines.
     */
   def q_minhash(s: SparkSession, d: String): DataFrame =
-    signatures(s, d).orderBy("doc_id")
+    signatures(s, d, HashFamily.fromConf(s)).orderBy("doc_id")
 
-  /** Unsorted signature table — the internal form (q_dedup_minhash
+  /** Unsorted signature table, dispatched on the session's
+    * [[HashFamily]] — both branches emit the same (doc_id, h1..h8)
+    * schema and the same explode → codegen'd hash → map-side-combined
+    * min plan, so downstream band logic is family-blind.
+    */
+  private[graft] def signatures(
+      s: SparkSession, d: String, family: HashFamily): DataFrame =
+    family match {
+      case HashFamily.Md5   => signaturesMd5(s, d)
+      case HashFamily.Xxh64 => signaturesFast(s, d)
+    }
+
+  /** Unsorted md5 signature table — the internal form (q_dedup_minhash
     * consumes this so the presentation sort isn't materialized into
     * the cache and immediately destroyed by the band join's shuffle).
     *
@@ -172,7 +218,7 @@ object DedupOps {
     * (signaturesFast keeps the one-hash-per-function scaffold: a
     * 64-bit xxhash64 has no spare bits to split.)
     */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private def signaturesMd5(s: SparkSession, d: String): DataFrame = {
     val exploded = fanOut(s, documents(s, d))
       .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
     val withDigests = exploded.select(
@@ -211,8 +257,9 @@ object DedupOps {
     * hashing with the SAME plan shape (explode → codegen'd scalar hash
     * → map-side-combined min), so every scale property of the md5 form
     * carries over. Not DuckDB-reproducible (xxhash64 is Spark-specific),
-    * which is why the oracle-checked q_minhash keeps md5; swap this in
-    * when the corpus, not the oracle, is the point.
+    * which is why the oracle default stays md5; select it with
+    * `spark.conf.set("spark.graft.hashFamily", "xxh64")` when the
+    * corpus, not the oracle, is the point ([[HashFamily]]).
     */
   def signaturesFast(s: SparkSession, d: String): DataFrame =
     signaturesWith(s, d, i => x => xxhash64(lit(i), x))
@@ -227,7 +274,17 @@ object DedupOps {
     * failure mode — mitigated by more/narrower bands or by salting the
     * giant buckets.
     */
-  def q_dedup_minhash(s: SparkSession, d: String): DataFrame = {
+  def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
+    dedupMinhash(s, d, HashFamily.fromConf(s))
+
+  /** [[q_dedup_minhash]] with an explicit [[HashFamily]] — the family
+    * only drives candidate GENERATION (which band values collide); the
+    * confirm step's exact Jaccard is computed from raw text and is
+    * family-independent, so any pair surfaced by either family carries
+    * the same jaccard value.
+    */
+  private[graft] def dedupMinhash(
+      s: SparkSession, d: String, family: HashFamily): DataFrame = {
     // Candidate pairs via a grouped explode per band (same shape as
     // SimilarityOps.q_sim_lsh): the signature lineage — 8 md5-min
     // passes over every shingle — is consumed exactly ONCE, so no
@@ -236,7 +293,7 @@ object DedupOps {
     // the signatures to stop an 8× recompute). Band skew is bounded by
     // band width (64 hex chars); a pathological bucket caps at its own
     // pair count, not the corpus.
-    val bands = signatures(s, d).select(col("doc_id"),
+    val bands = signatures(s, d, family).select(col("doc_id"),
       explode(array(
         concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
         concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
@@ -345,12 +402,21 @@ object DedupOps {
     * explode→codegen-agg shape.
     */
   def q_simhash(s: SparkSession, d: String): DataFrame =
-    simhashes(s, d).orderBy("doc_id")
+    simhashes(s, d, HashFamily.fromConf(s)).orderBy("doc_id")
 
   /** Unsorted (doc_id, simhash) table shared by the signature query
-    * and the banded dedup below.
+    * and the banded dedup below, dispatched on [[HashFamily]] — both
+    * branches emit a 63-bit non-negative simhash long, so band
+    * slicing and Hamming confirm downstream are family-blind.
     */
-  private def simhashes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashes(
+      s: SparkSession, d: String, family: HashFamily): DataFrame =
+    family match {
+      case HashFamily.Md5   => simhashesMd5(s, d)
+      case HashFamily.Xxh64 => simhashesFast(s, d)
+    }
+
+  private def simhashesMd5(s: SparkSession, d: String): DataFrame = {
     // Same explode→codegen-agg shape as q_minhash (a 32×aggregate()
     // HOF stack would run interpreted): one md5 per distinct word,
     // then 32 codegen'd conditional sums; votes(bit) = Σ ±1, simhash
@@ -399,8 +465,9 @@ object DedupOps {
     * 63 bits vote directly) instead of md5 + hex decode — the same
     * explode→codegen-agg shape with ~4× cheaper hashing, mirroring
     * [[signaturesFast]]. Not DuckDB-reproducible (xxhash64 is
-    * Spark-specific), so the oracle-checked [[q_simhash]] keeps md5;
-    * swap this in when the corpus, not the oracle, is the point.
+    * Spark-specific), so the oracle default stays md5; select it with
+    * `spark.conf.set("spark.graft.hashFamily", "xxh64")` when the
+    * corpus, not the oracle, is the point ([[HashFamily]]).
     */
   def simhashesFast(s: SparkSession, d: String): DataFrame = {
     val hashed = fanOut(s, documents(s, d))
@@ -443,12 +510,17 @@ object DedupOps {
     * pairs immediately, so the presentation sort would be wasted).
     */
   private[graft] def simhashPairs(
-      s: SparkSession, d: String, maxHamming: Int = 1): DataFrame = {
+      s: SparkSession, d: String, maxHamming: Int = 1): DataFrame =
+    simhashPairs(s, d, maxHamming, HashFamily.fromConf(s))
+
+  private[graft] def simhashPairs(
+      s: SparkSession, d: String, maxHamming: Int,
+      family: HashFamily): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8, s"maxHamming out of range: $maxHamming")
     val nBands = maxHamming + 1
     val width = 63 / nBands // last band takes the remainder bits
     // band i value lives in its own keyspace: i << 40 | slice
-    val bands = simhashes(s, d).select(col("doc_id"), col("simhash"),
+    val bands = simhashes(s, d, family).select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { i =>
         val slice =
           if (i == nBands - 1) shiftright(col("simhash"), width * i)

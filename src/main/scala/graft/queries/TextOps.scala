@@ -269,11 +269,24 @@ object TextOps {
       .select(col("doc_id"), col("source"), normalizedFp(col("text")).as("fp"))
     val existing = fp.filter(col("source") === "src0").select("fp")
       .filter(col("fp").isNotNull).distinct()
-    val batch = fp.filter(col("source") =!= "src0")
+    dedupIncrCore(fp.filter(col("source") =!= "src0"), existing)
+  }
+
+  /** The incremental-dedup kernel shared by the in-DAG recompute form
+    * ([[q_dedup_incr]]) and the materialized-index read path
+    * ([[dedupIncrAgainst]]): admit batch rows whose fp is absent from
+    * `existingFp`, keep the earliest doc per fp within the batch.
+    *
+    * `existingFp` joins as given — an anti join is insensitive to
+    * duplicate or null build-side keys (null never equi-matches), so
+    * an already-distinct index passes through without paying a
+    * re-distinct shuffle.
+    */
+  private def dedupIncrCore(batch: DataFrame, existingFp: DataFrame): DataFrame = {
     // null fingerprints (null documents) admit INDIVIDUALLY: groupBy
     // treats NULLs as one group, which would silently collapse
     // unrelated null docs into each other — they share no content
-    val admitted = batch.join(existing, Seq("fp"), "left_anti")
+    val admitted = batch.join(existingFp.select("fp"), Seq("fp"), "left_anti")
     val grouped = admitted.filter(col("fp").isNotNull)
       .groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
@@ -282,6 +295,37 @@ object TextOps {
     grouped.unionByName(nulls)
       .select(col("doc_id"), col("fp"), col("n_batch_dups"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental dedup against a MATERIALIZED fingerprint index — the
+    * shape a daily-ingest pipeline actually runs at 100 TB: the
+    * existing corpus contributes a persisted 16 B/doc hash table
+    * ([[graft.sources.Sinks.writeFpIndex]]), not a re-read + re-hash
+    * of its full text, so each increment costs O(batch + index scan).
+    * `batch` must carry (doc_id, text); result ≡ [[q_dedup_incr]]
+    * whenever the index equals the in-DAG existing-fp set (pinned by
+    * SinksSpec's round-trip and the oracle-checked
+    * `q_dedup_incr_idx` twin).
+    */
+  def dedupIncrAgainst(batch: DataFrame, index: DataFrame): DataFrame =
+    dedupIncrCore(
+      batch.select(col("doc_id"), normalizedFp(col("text")).as("fp")), index)
+
+  /** [[q_dedup_incr]]'s materialized-index twin under the SAME oracle:
+    * writes the existing corpus's fp index to a scratch path
+    * (the once-per-corpus step), then runs the batch through
+    * [[dedupIncrAgainst]] — so the driver hash-verifies the entire
+    * write-index → read-index → anti-join pipeline, not just the
+    * in-DAG recompute it stands in for.
+    */
+  def q_dedup_incr_idx(s: SparkSession, d: String): DataFrame = {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-fp-index").resolve("fp").toString
+    graft.sources.Sinks.writeFpIndex(
+      documents(s, d).filter(col("source") === "src0"), idxPath)
+    dedupIncrAgainst(
+      documents(s, d).filter(col("source") =!= "src0"),
+      graft.sources.Sinks.readFpIndex(s, idxPath))
   }
 
   /** Document fingerprinting: exact content hash plus a normalized

@@ -108,6 +108,27 @@ object Sinks {
       .option("dbtable", table)
       .load()
 
+  /** Materialized fingerprint index — the incremental-dedup companion
+    * table a daily-ingest pipeline maintains: one 32-hex-char md5 per
+    * DISTINCT normalized fingerprint in the corpus. At 100 TB the
+    * index is a small fraction of corpus bytes (16 B of hash vs full
+    * text per doc), so re-deriving it every run — what the in-DAG
+    * `q_dedup_incr` does for the oracle — re-reads and re-hashes the
+    * whole corpus for a batch-sized question. Write this once, append
+    * each batch's admitted fingerprints (`SaveMode.Append`), and each
+    * increment's cost is O(batch + index scan), never O(corpus).
+    * Read path: [[graft.queries.TextOps.dedupIncrAgainst]].
+    */
+  def writeFpIndex(
+      corpus: DataFrame, out: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    corpus.select(graft.queries.TextOps.normalizedFp(col("text")).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
+      .write.mode(mode).parquet(out)
+
+  def readFpIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** The reference's full `.db` contract: repositories / logs /
     * changed_files written into one embedded database
     * (analyzer.rs:146-188). Tables are written single-partition because

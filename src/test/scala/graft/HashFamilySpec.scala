@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{DedupOps, HashFamily}
+
+/** The md5 (oracle) and xxhash64 (scale) hash families must produce
+  * the SAME pair decisions on decision-unambiguous inputs — exact
+  * duplicates collide under any hash function (identical shingle sets
+  * → identical minhash signatures; identical word sets → identical
+  * simhash), and clearly-distinct documents share no bands. Signature
+  * VALUES differ by design; what a caller switching
+  * `spark.graft.hashFamily` for throughput must be able to rely on is
+  * the decisions. Near-threshold pairs are excluded deliberately:
+  * LSH recall is probabilistic in the hash draw, so families may
+  * legitimately disagree there.
+  */
+class HashFamilySpec extends AnyFunSuite {
+  import TestSpark._
+
+  // 4 exact-duplicate groups + distinct filler docs with disjoint
+  // vocabularies (no shared 3-gram shingles, far-apart word sets)
+  private lazy val dir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hashfam-docs").toString
+    def doc(seed: Int): String =
+      (0 until 40).map(i => s"w${seed}_$i").mkString(" ")
+    val dups = Seq(
+      (0L, doc(100)), (1L, doc(100)),            // pair (0,1)
+      (2L, doc(200)), (3L, doc(200)), (4L, doc(200)), // pairs (2,3),(2,4),(3,4)
+      (5L, doc(300)), (6L, doc(300)),            // pair (5,6)
+      (7L, doc(400)), (8L, doc(400)))            // pair (7,8)
+    val filler = (20L until 40L).map(i => (i, doc(i.toInt)))
+    (dups ++ filler)
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private val expectedPairs = Set(
+    (0L, 1L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 6L), (7L, 8L))
+
+  test("minhash-LSH pair decisions are identical across hash families") {
+    val byFamily = Seq(HashFamily.Md5, HashFamily.Xxh64).map { fam =>
+      DedupOps.dedupMinhash(spark, dir, fam).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    }
+    assert(byFamily.head.map(p => (p._1, p._2)) == expectedPairs)
+    // full-row equality: the confirm jaccard is computed from raw
+    // text, so surfaced pairs carry identical values in both families
+    assert(byFamily.head == byFamily.last)
+  }
+
+  test("simhash banded pair decisions are identical across hash families") {
+    val byFamily = Seq(HashFamily.Md5, HashFamily.Xxh64).map { fam =>
+      DedupOps.simhashPairs(spark, dir, 1, fam).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("hamming"))).toSet
+    }
+    // exact duplicates: hamming 0 in BOTH families (identical word
+    // sets hash identically whatever the function)
+    assert(byFamily.head == byFamily.last)
+    assert(byFamily.head.map(p => (p._1, p._2)) == expectedPairs)
+    assert(byFamily.head.forall(_._3 == 0L))
+  }
+
+  test("hashFamily conf switch reaches the public queries") {
+    try {
+      spark.conf.set("spark.graft.hashFamily", "xxh64")
+      val fast = SparkEntry.queries("q_dedup_minhash")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(fast == expectedPairs)
+    } finally spark.conf.unset("spark.graft.hashFamily")
+    val oracle = SparkEntry.queries("q_dedup_minhash")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(oracle == expectedPairs)
+  }
+
+  test("unknown hashFamily value fails loudly") {
+    try {
+      spark.conf.set("spark.graft.hashFamily", "murmur3")
+      intercept[IllegalArgumentException] {
+        HashFamily.fromConf(spark)
+      }
+    } finally spark.conf.unset("spark.graft.hashFamily")
+  }
+}

@@ -94,6 +94,32 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readJdbc(spark, url, "logs").count() == 2)
   }
 
+  test("fp index round-trips and the index path equals the recompute form") {
+    import graft.queries.TextOps
+    val d = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("fp-index").resolve("fp").toString
+    val existing = Tables.documents(spark, d).filter(col("source") === "src0")
+    Sinks.writeFpIndex(existing, tmp)
+    val idx = Sinks.readFpIndex(spark, tmp)
+    // round-trip: the index IS the distinct non-null fp set
+    assert(idx.columns.toSeq == Seq("fp"))
+    val expectedFps = existing
+      .select(TextOps.normalizedFp(col("text")).as("fp"))
+      .filter(col("fp").isNotNull).distinct().count()
+    assert(idx.count() == expectedFps)
+    // the materialized-index read path reproduces the in-DAG
+    // recompute form row for row (sf0.01, per round-6 VERDICT item 3)
+    val viaIndex = TextOps.dedupIncrAgainst(
+      Tables.documents(spark, d).filter(col("source") =!= "src0"), idx)
+    assert(viaIndex.exceptAll(TextOps.q_dedup_incr(spark, d)).isEmpty)
+    assert(TextOps.q_dedup_incr(spark, d).exceptAll(viaIndex).isEmpty)
+    // append mode: a second batch's fps extend the index
+    Sinks.writeFpIndex(
+      Tables.documents(spark, d).filter(col("source") =!= "src0"),
+      tmp, org.apache.spark.sql.SaveMode.Append)
+    assert(Sinks.readFpIndex(spark, tmp).count() >= expectedFps)
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of one hot key + a uniform tail
