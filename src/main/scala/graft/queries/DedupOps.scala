@@ -487,10 +487,25 @@ object DedupOps {
   /** SimHash near-dup pairs: band the 63-bit simhash into exactly
     * maxHamming+1 slices, take same-band doc pairs as candidates,
     * confirm with the exact Hamming distance. Pigeonhole gives
-    * GUARANTEED recall: a pair within the threshold differs in at most
-    * maxHamming bands, so at least one of the maxHamming+1 bands
-    * matches — banding prunes the n² pair space with zero false
-    * negatives (unlike MinHash-LSH's probabilistic recall).
+    * guaranteed recall *up to the bucket cap*: a pair within the
+    * threshold differs in at most maxHamming bands, so at least one of
+    * the maxHamming+1 bands matches — banding prunes the n² pair space
+    * with zero false negatives (unlike MinHash-LSH's probabilistic
+    * recall) PROVIDED no bucket the pair lands in overflows
+    * `candidatePairs`' maxBucket cap. Two cap caveats, both deliberate
+    * skew ceilings rather than accidents: (1) a pair whose every
+    * matching band sits in an overflowed (≥ maxBucket) bucket is shed
+    * with the bucket; (2) under the first-matching-band filter below, a
+    * pair is owned by its FIRST matching band — if that band's bucket
+    * overflowed, the pair drops even when a later matching band's
+    * bucket was small (the pre-round-6 cross-band `distinct()` form
+    * kept any surviving copy, at the price of a full candidate-pair
+    * exchange). An overflowed band means ≥ maxBucket docs share a
+    * 31-bit slice — a hash-collision class, not a near-dup community —
+    * and shedding its quadratic pair work is the cap's purpose; recall
+    * on corpora with no overflowing bucket (the oracle fixtures, and
+    * any corpus after the cap-sized communities are handled upstream)
+    * is exactly the pigeonhole guarantee.
     *
     * The band count is the MINIMUM the guarantee needs, deliberately:
     * fewer, wider bands are more discriminative, and on a
@@ -509,18 +524,25 @@ object DedupOps {
     * form ClusterOps consumes (its component loop re-shuffles the
     * pairs immediately, so the presentation sort would be wasted).
     */
+  /** `family = null` (the default) resolves from the session conf at
+    * call time — a sentinel, not an API value, kept because Scala
+    * default expressions can't reference earlier parameters of the
+    * same list. `fullRecall = true` restores the pre-round-6
+    * cross-band `distinct()` ownership: a pair survives if ANY of its
+    * matching bands' buckets is under the cap, not just the first —
+    * the opt-in for recall-critical callers on skewed corpora, at the
+    * price of a full exchange of every candidate pair. Identical
+    * output whenever no bucket overflows (SimTextSpec pins this).
+    */
   private[graft] def simhashPairs(
-      s: SparkSession, d: String, maxHamming: Int = 1): DataFrame =
-    simhashPairs(s, d, maxHamming, HashFamily.fromConf(s))
-
-  private[graft] def simhashPairs(
-      s: SparkSession, d: String, maxHamming: Int,
-      family: HashFamily): DataFrame = {
+      s: SparkSession, d: String, maxHamming: Int = 1,
+      family: HashFamily = null, fullRecall: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8, s"maxHamming out of range: $maxHamming")
+    val fam = Option(family).getOrElse(HashFamily.fromConf(s))
     val nBands = maxHamming + 1
     val width = 63 / nBands // last band takes the remainder bits
     // band i value lives in its own keyspace: i << 40 | slice
-    val bands = simhashes(s, d, family).select(col("doc_id"), col("simhash"),
+    val bands = simhashes(s, d, fam).select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { i =>
         val slice =
           if (i == nBands - 1) shiftright(col("simhash"), width * i)
@@ -544,15 +566,20 @@ object DedupOps {
     // even if a later band's bucket was small (the distinct form kept
     // any surviving copy) — both are explicit cap semantics, and the
     // oracle-parity caveat (no bucket may overflow) is unchanged.
-    val cand = candidatePairsTagged(bands, "band", "doc_id", "simhash", "a", "b",
-      dedup = false, keepBucket = true)
+    val cand =
+      if (fullRecall)
+        candidatePairsTagged(bands, "band", "doc_id", "simhash", "a", "b")
+      else
+        candidatePairsTagged(bands, "band", "doc_id", "simhash", "a", "b",
+          dedup = false, keepBucket = true)
     def sliceOf(sim: Column, j: Int): Column =
       if (j == nBands - 1) shiftright(sim, width * j)
       else shiftright(sim, width * j).bitwiseAND((1L << width) - 1)
     // band ids fit under bit 40 only when slices do (nBands >= 2);
     // with a single band no cross-band duplicate can exist anyway
+    // (fullRecall's distinct already owns cross-band dedup)
     val firstMatch =
-      if (nBands == 1) lit(true)
+      if (fullRecall || nBands == 1) lit(true)
       else {
         val bandIdx = shiftright(col("band"), 40)
         (0 until nBands).map { j =>

@@ -73,7 +73,13 @@ object StatefulOps {
             if (sk.length < k) sk.length.toDouble
             else {
               val twoTo60 = 1152921504606846976.0
-              math.rint((k - 1) * twoTo60 / sk(k - 1) * 10000) / 10000
+              // BigDecimal HALF_UP at scale 4 — exactly Spark's
+              // round(x, 4), which the batch q_sketch_kmv applies.
+              // math.rint would be half-to-even: on an exact .00005
+              // boundary the streaming and batch estimates would
+              // diverge, breaking the documented bit-for-bit parity
+              BigDecimal((k - 1) * twoTo60 / sk(k - 1))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
             }
           KeyDistinct(key, sk.length.toLong, est)
       }

@@ -217,7 +217,11 @@ class AggregatorSpec extends AnyFunSuite {
       val hs = values.map(KmvAggregator.hash60).distinct.sorted.take(k)
       val est =
         if (hs.length < k) hs.length.toDouble
-        else math.rint((k - 1) * 1152921504606846976.0 / hs(k - 1) * 10000) / 10000
+        // HALF_UP at scale 4 = Spark's round(x, 4) = the batch
+        // q_sketch_kmv estimate — streaming/batch parity covers the
+        // estimate, not just the sketch array
+        else BigDecimal((k - 1) * 1152921504606846976.0 / hs(k - 1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       (hs.length.toLong, est)
     }
     val expA = expected((1 to 30).map(i => s"v$i"))
@@ -227,6 +231,37 @@ class AggregatorSpec extends AnyFunSuite {
     assert(expA._2 == 30.0, "key a is below k: estimate must be exact")
     val errB = math.abs(expB._2 - 80.0) / 80.0
     assert(errB < 0.6, s"key b estimate off: ${expB._2}")
+  }
+
+  test("streaming KMV rows equal the batch q_sketch_kmv rows (SURVEY §2.10 parity invariant)") {
+    // the strongest streaming correctness claim in the repo: the
+    // stateful stream over the SAME values produces the batch
+    // operator's exact output — sketch size AND rounded estimate —
+    // because both share hash60 and (since the HALF_UP fix) the same
+    // rounding. A batch backfill can therefore seed streaming state
+    // with no estimate drift at the handoff.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = SparkEntry.queries("q_sketch_kmv")(spark, sf).collect()
+      .filter(_.getAs[Long]("c_nationkey") >= 0) // drop the global merge row
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Double]("approx_distinct")))).toMap
+    val pairs = Tables.customer(spark, sf).select("c_nationkey", "c_custkey")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSeq
+    val input = MemoryStream[(String, String)]
+    val q = StatefulOps.streamingDistinct(input.toDS(), 32)
+      .writeStream.format("memory").queryName("kmv_parity").outputMode("update").start()
+    val (b1, b2) = pairs.splitAt(pairs.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_parity").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rs) =>
+        key.toLong -> ((rs.last.getAs[Long]("n_kept"), rs.last.getAs[Double]("approx_distinct"))) }
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (key, got) =>
+      assert(got == batch(key), s"nation $key: streaming $got != batch ${batch(key)}")
+    }
   }
 
   test("KmvAggregator keeps the k smallest distinct values; merge level equals a flat build") {

@@ -333,6 +333,19 @@ class SimTextSpec extends AnyFunSuite {
     assert(out == Map(11L -> 3L, 14L -> 1L, 15L -> 1L), s"got $out")
   }
 
+  test("simhashPairs fullRecall path equals the first-matching-band path when no bucket overflows") {
+    import graft.queries.{DedupOps, HashFamily}
+    def pairs(fullRecall: Boolean) =
+      DedupOps.simhashPairs(spark, sf, 1, HashFamily.Md5, fullRecall = fullRecall)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+        .toSet
+    val first = pairs(fullRecall = false)
+    val full  = pairs(fullRecall = true)
+    assert(first == full,
+      s"paths diverge without an overflowed bucket: only-first=${first -- full}, only-full=${full -- first}")
+  }
+
   test("q_text_clean: urls/emails stripped, lowercased, whitespace collapsed, counters fire") {
     import spark.implicits._
     val docs = Seq(
