@@ -97,6 +97,7 @@ object SparkEntry {
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
     "q_dedup_incr_idx" -> (TextOps.q_dedup_incr_idx _),
+    "q_lm_score"     -> (TextOps.q_lm_score _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
@@ -114,6 +115,7 @@ object SparkEntry {
     // §2.11 training-data selection (deterministic hash sampling)
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
+    "q_sample_balance"   -> (SampleOps.q_sample_balance _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -933,6 +935,42 @@ object SparkEntry {
          |SELECT doc_id, lang, bucket, keep_rate
          |FROM q WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin
     },
+    // uniform language rebalancing: integer counts, one exact floor
+    // division for the rate, the shared md5 draw — fully deterministic
+    "q_sample_balance" -> {
+      val draw4 = duckHashDraw(4)
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |t AS (SELECT min(n_lang) AS target_n FROM c),
+         |r AS (SELECT lang, CAST(floor(target_n * 1000.0 / n_lang) AS BIGINT) AS keep_rate
+         |      FROM c, t),
+         |d AS (SELECT doc_id, lang, $draw4 % 1000 AS bucket FROM documents)
+         |SELECT doc_id, lang, bucket, keep_rate
+         |FROM d JOIN r USING (lang)
+         |WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin
+    },
+    // per-token log-probs are 1e-9 fixed-point longs BEFORE the
+    // per-doc sum (exact, order-independent — the q_corpus_report
+    // rule); ln runs on exact integer ratios; unscored (null/empty)
+    // docs keep NULL columns through the left join
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0),
+        |c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |lp AS (
+        |  SELECT tok.doc_id,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / n_total) * 1e9) AS BIGINT) AS lp_fp
+        |  FROM tok JOIN c USING (word), n),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_scored_tokens, sum(lp_fp) AS s
+        |  FROM lp GROUP BY 1)
+        |SELECT d.doc_id, n_scored_tokens,
+        |  round(CAST(s AS DOUBLE) / n_scored_tokens / 1e9, 6) AS mean_logp,
+        |  round(exp(-(CAST(s AS DOUBLE) / n_scored_tokens / 1e9)), 4) AS ppl_proxy
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_sample_hash" -> {
       val draw4 = duckHashDraw(4)
       s"""SELECT doc_id, lang, source, $draw4 % 1000 AS bucket

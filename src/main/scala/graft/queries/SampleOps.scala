@@ -64,6 +64,37 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus rebalancing to uniform language shares — the multilingual
+    * mixing step: every language is deterministically downsampled to
+    * the SMALLEST language's document count (keep_rate per mille =
+    * floor(1000·target/n_lang), target = min group size), so the
+    * sampled corpus is share-balanced without an operator-supplied
+    * rate table ([[q_sample_hash]] is the hand-tuned-rates cousin).
+    *
+    * Scale shape: one map-side-combined count per language (O(langs)
+    * rows), a one-row min, and a broadcast rate join over the scan —
+    * the corpus itself is touched by exactly one pass plus the
+    * per-row hash-draw filter. Deterministic end to end: counts are
+    * integers, the rate division is a single floor on exact operands,
+    * and the draw is the md5 bridge — reruns keep their selections.
+    */
+  def q_sample_balance(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("target_n"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col("lang"),
+        floor(col("target_n") * lit(1000.0) / col("n_lang"))
+          .cast("long").as("keep_rate"))
+    val bucket = hashDraw(col("doc_id"), 4) % 1000
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("keep_rate"))
+      .select("doc_id", "lang", "bucket", "keep_rate")
+      .orderBy("doc_id")
+  }
+
   /** Bounded per-group sample ("reservoir" with a deterministic
     * priority): per language, keep the k docs with the smallest
     * hash(doc_id) — a uniform-ish, reproducible k-per-group sample.

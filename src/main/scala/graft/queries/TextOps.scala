@@ -328,6 +328,53 @@ object TextOps {
       graft.sources.Sinks.readFpIndex(s, idxPath))
   }
 
+  /** Unigram-LM quality scoring — the CCNet-style perplexity filter
+    * shape: score each document by the mean log-probability of its
+    * tokens under a unigram language model, here the corpus's own
+    * empirical distribution (p(w) = count(w) / total tokens). Low
+    * mean-logp (high perplexity proxy) flags documents whose token
+    * distribution diverges from the corpus — gibberish, boilerplate,
+    * wrong-language fragments. In production the model side is a
+    * *reference* corpus's frequency table (Wikipedia in CCNet); the
+    * plan is identical — only the count table's source changes.
+    *
+    * Scale shape (the q_tfidf family): explode tokens → one map-side-
+    * combined word-count shuffle (O(vocab) output, Zipf-bounded) →
+    * term-keyed join back (no corpus-row joins) → one per-doc regroup.
+    * The token-scale lineage computes twice (count pass + score pass)
+    * — deliberate, same trade as q_tfidf: caching token-scale state is
+    * what a 100 TB corpus cannot afford.
+    *
+    * Oracle determinism: per-token log-probs are rounded to 1e-9
+    * fixed-point longs BEFORE the per-doc sum, so the aggregation is
+    * exact and order-independent (the §5.3 rule; a raw sum(double) of
+    * per-token logs would be summation-order-dependent in both
+    * engines). ln runs on exact integer ratios, and a cross-engine
+    * 1-ulp libm difference dies against the 1e-9 quantum. Null and
+    * empty documents score NULL (no tokens), preserved via the left
+    * join back to the corpus.
+    */
+  def q_lm_score(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val lpFp = round(
+      log(col("cnt").cast("double") / col("n_total")) * 1e9).cast("long")
+    val perDoc = tok.join(counts, "word").crossJoin(broadcast(total))
+      .select(col("doc_id"), lpFp.as("lp_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored_tokens"), sum(col("lp_fp")).as("s"))
+    val meanLogp = col("s").cast("double") / col("n_scored_tokens") / 1e9
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_scored_tokens"),
+        round(meanLogp, 6).as("mean_logp"),
+        round(exp(-meanLogp), 4).as("ppl_proxy"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: exact content hash plus a normalized
     * (sorted bag-of-words) hash — the key for shuffle-based exact and
     * order-insensitive dedup. md5 is engine-portable; at scale xxhash64

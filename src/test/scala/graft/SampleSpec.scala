@@ -23,6 +23,30 @@ class SampleSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // deterministic
   }
 
+  test("q_sample_balance: smallest language keeps everything, rates follow the floor formula") {
+    import TestSpark._
+    val counts = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val target = counts.values.min
+    val out = SparkEntry.queries("q_sample_balance")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every emitted rate is exactly floor(1000·target/n_lang), and
+    // every kept row's draw is under its rate
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val expectRate = math.floor(target * 1000.0 / counts(lang)).toLong
+      assert(r.getAs[Long]("keep_rate") == expectRate, s"$lang rate")
+      assert(r.getAs[Long]("bucket") < expectRate)
+    }
+    // the smallest language's rate is 1000: ALL its docs survive
+    val minLang = counts.minBy(_._2)._1
+    val keptMin = out.count(_.getAs[String]("lang") == minLang)
+    assert(keptMin == counts(minLang), s"smallest lang $minLang must keep all docs")
+    // deterministic: a rerun selects the identical rows
+    val rerun = SparkEntry.queries("q_sample_balance")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == rerun.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
   test("q_sample_reservoir: exactly min(k, group size) per language, contiguous ranks, sorted draws") {
     val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -29,6 +29,33 @@ class TextInvariantSpec extends AnyFunSuite {
     tmp
   }
 
+  test("q_lm_score matches a hand-computed unigram model on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq[(Long, String)](
+      (0L, "a a b"), (1L, "a b"), (2L, null), (3L, ""))
+      .map { case (i, t) => (i, t, "en", "s", Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("lm").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.q_lm_score(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // corpus: a×3, b×2, N=5 — per-token fp = round(ln(c/N)·1e9)
+    def fp(c: Long): Long = math.round(math.log(c / 5.0) * 1e9)
+    def mean(fps: Seq[Long]): Double =
+      BigDecimal(fps.sum.toDouble / fps.length / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L).getAs[Double]("mean_logp") == mean(Seq(fp(3), fp(3), fp(2))))
+    assert(out(1L).getAs[Double]("mean_logp") == mean(Seq(fp(3), fp(2))))
+    // doc 0 is richer in the frequent token — strictly better score
+    assert(out(0L).getAs[Double]("mean_logp") > out(1L).getAs[Double]("mean_logp"))
+    // null and empty documents: no scored tokens, NULL columns survive
+    // the left join (never 0 / NaN)
+    for (id <- Seq(2L, 3L); c <- Seq("n_scored_tokens", "mean_logp", "ppl_proxy"))
+      assert(out(id).isNullAt(out(id).fieldIndex(c)), s"doc $id $c")
+    // ppl proxy inverts the score ordering
+    assert(out(0L).getAs[Double]("ppl_proxy") < out(1L).getAs[Double]("ppl_proxy"))
+  }
+
   test("q_text_clean is idempotent: cleaning already-clean text changes nothing") {
     import spark.implicits._
     val once = graft.queries.TextOps.q_text_clean(spark, dir)
