@@ -116,6 +116,7 @@ object SparkEntry {
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
     "q_sample_balance"   -> (SampleOps.q_sample_balance _),
+    "q_chunk"            -> (SampleOps.q_chunk _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -935,6 +936,24 @@ object SparkEntry {
          |SELECT doc_id, lang, bucket, keep_rate
          |FROM q WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin
     },
+    // sliding-window chunking: DuckDB 1-based inclusive list slicing
+    // w[a:b] == Spark slice(w, a, b-a+1); chunk count mirrors the
+    // Spark floor form token for token; NULL text yields no rows on
+    // both engines (range(NULL) / sequence(NULL))
+    "q_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, w,
+        |    unnest(range(0, CASE WHEN n <= 32 THEN 1
+        |      ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1 END)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+        |  least(32, n - chunk_idx*24) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // uniform language rebalancing: integer counts, one exact floor
     // division for the rate, the shared md5 draw — fully deterministic
     "q_sample_balance" -> {

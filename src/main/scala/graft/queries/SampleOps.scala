@@ -162,6 +162,50 @@ object SampleOps {
   def q_pack_sequences(s: SparkSession, d: String, budget: Int = 512): DataFrame =
     packSequences(s, d, budget, Some(8))
 
+  /** Sliding-window document chunking — the embedding/RAG prep step:
+    * cut each document into fixed `window`-token chunks advancing by
+    * `stride` tokens (overlap = window − stride), so every token is
+    * covered and context straddles chunk boundaries. A document with
+    * ≤ window tokens is one chunk; the final chunk keeps the tail
+    * (shorter than window, never empty).
+    *
+    * Scale shape: pure row-local array expressions (sequence →
+    * transform → explode) inside the scan stage — zero shuffle, zero
+    * state; output rows ≈ tokens/stride. The explode pipelines into
+    * whatever consumes the chunks (an embedding UDF, a writer), so
+    * chunking never materializes the corpus twice. NULL documents
+    * produce no chunks (null flows through sequence/explode).
+    */
+  def chunkDocs(s: SparkSession, d: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val w = split(col("text"), " ")
+    val n = size(w)
+    // chunks = 1 for n <= window, else 1 + ceil((n-window)/stride) —
+    // the float division is on exact small ints (deterministic), and
+    // the form mirrors the oracle SQL token for token
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(floor((n - window + (stride - 1)).cast("double") / stride)
+        .cast("int") + 1)
+    documents(s, d)
+      .select(col("doc_id"), n.as("n"), w.as("w"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("chunk_idx") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), col("n") - col("chunk_idx") * stride)
+          .cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Oracle-pinned form of [[chunkDocs]] (window 32, stride 24) — the
+    * declared `q_chunk` key.
+    */
+  def q_chunk(s: SparkSession, d: String): DataFrame = chunkDocs(s, d)
+
   /** Composed corpus-prep pipeline — the end-to-end shape a training
     * mix actually runs: quality gate → language allow-list → exact
     * near-order-insensitive dedup (min doc per normalized fingerprint)

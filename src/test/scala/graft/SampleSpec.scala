@@ -47,6 +47,34 @@ class SampleSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == rerun.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("q_chunk: contiguous stride coverage reconstructs every document exactly") {
+    import TestSpark._
+    val (window, stride) = (32, 24)
+    val chunks = SparkEntry.queries("q_chunk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.sortBy(_.getAs[Long]("chunk_idx")) }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.keySet == texts.keySet)
+    chunks.foreach { case (id, rs) =>
+      val words = texts(id).split(" ", -1)
+      // chunk indexes contiguous from 0; count matches the formula
+      assert(rs.map(_.getAs[Long]("chunk_idx")).toSeq == (0L until rs.length).toSeq)
+      val expectChunks =
+        if (words.length <= window) 1
+        else 1 + math.ceil((words.length - window).toDouble / stride).toInt
+      assert(rs.length == expectChunks, s"doc $id chunk count")
+      // reconstruction: first `stride` tokens of each non-final chunk
+      // plus the whole final chunk = the original document
+      val rebuilt = (rs.init.map(_.getAs[String]("chunk_text").split(" ", -1).take(stride))
+        :+ rs.last.getAs[String]("chunk_text").split(" ", -1)).flatten
+      assert(rebuilt.sameElements(words), s"doc $id reconstruction")
+      // every chunk except the last is exactly `window` tokens
+      rs.init.foreach(r => assert(r.getAs[Long]("n_chunk_tokens") == window))
+      assert(rs.last.getAs[Long]("n_chunk_tokens") == words.length - (rs.length - 1) * stride)
+    }
+  }
+
   test("q_sample_reservoir: exactly min(k, group size) per language, contiguous ranks, sorted draws") {
     val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
