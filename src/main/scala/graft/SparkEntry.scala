@@ -108,6 +108,7 @@ object SparkEntry {
     "q_dup_clusters"  -> (ClusterOps.q_dup_clusters _),
     "q_dedup_resolve" -> (ClusterOps.q_dedup_resolve _),
     "q_contamination" -> (DedupOps.q_contamination _),
+    "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
@@ -714,6 +715,30 @@ object SparkEntry {
         |    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
         |    ELSE 0 END, 10) AS dup_3gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    // winnowing: 4-gram hash60 values (15-nibble md5 bridge), windows
+    // of 4, leftmost-min selection with 0-based gram positions —
+    // list_position finds the first (leftmost) occurrence, matching
+    // Spark's (h, p) struct-min tie rule; short docs fall back to one
+    // whole-text gram like q_contamination
+    "q_winnow" -> {
+      val h60 = duckHexValue("md5(x)", 1, 15)
+      s"""WITH t AS (
+         |  SELECT doc_id, CASE WHEN len(w) >= 4
+         |    THEN [array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]
+         |    ELSE [text] END AS gs
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+         |        WHERE text IS NOT NULL)),
+         |h AS (SELECT doc_id, [$h60 for x in gs] AS hs FROM t),
+         |wdw AS (SELECT doc_id, hs,
+         |        unnest(range(0, greatest(len(hs) - 3, 1))) AS j FROM h),
+         |sel AS (SELECT doc_id,
+         |         CAST(j + list_position(hs[j+1 : j+4], list_min(hs[j+1 : j+4])) - 1
+         |              AS BIGINT) AS pos,
+         |         list_min(hs[j+1 : j+4]) AS fp
+         |        FROM wdw)
+         |SELECT DISTINCT doc_id, pos, fp FROM sel
+         |ORDER BY doc_id, pos""".stripMargin
+    },
     // same benchmark slice (doc_id % 100 < 2) and 5-gram fallback-to-
     // full-text rule as DedupOps.q_contamination
     "q_contamination" ->

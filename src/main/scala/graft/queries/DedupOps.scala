@@ -356,6 +356,50 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing positional fingerprints (the MOSS algorithm; Schleimer
+    * et al. 2003): hash every word k-gram, then in each window of
+    * `win` consecutive k-gram hashes select the minimum (leftmost on
+    * ties) and record it WITH its gram position. The winnowing
+    * guarantee: any shared substring of ≥ win+k−1 words between two
+    * documents yields at least one identical (fp) selection in both —
+    * so joining fingerprint tables localizes WHERE documents overlap,
+    * the primitive behind exact-substring contamination localization
+    * (Lee et al. 2022 dedup) that whole-document hashes (q_minhash,
+    * q_simhash) cannot provide. Density is ~2/(win+1) of grams —
+    * a bounded, position-carrying sample.
+    *
+    * Scale shape: entirely row-local array expressions (k-grams →
+    * per-gram md5 hash60 → windowed struct-min → array_distinct)
+    * pipelined in the scan stage, then one explode — zero shuffle,
+    * O(tokens) work, fingerprint output ≈ 2·tokens/(win+1) rows. The
+    * downstream overlap join shuffles only (fp, doc, pos) triples.
+    * Short docs (< k words) fall back to a single whole-text gram,
+    * so exact short-text matches still fingerprint.
+    */
+  def q_winnow(s: SparkSession, d: String, k: Int = 4, win: Int = 4): DataFrame = {
+    val hashes = transform(shinglesN(col("text"), k),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    // (hash, 0-based position) structs: struct ordering is
+    // field-by-field, so array_min = smallest hash, leftmost on ties
+    val hp = transform(hashes, (h, i) => struct(h.as("h"), i.cast("long").as("p")))
+    val nWin = greatest(size(col("hp")) - (win - 1), lit(1))
+    documents(s, d)
+      // a NULL document has no fingerprints — without this filter the
+      // [null]-gram fallback would emit a (pos 0, fp null) row, and
+      // null rows in a fingerprint table poison downstream overlap
+      // joins (null never equi-matches, but the rows inflate counts)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), hp.as("hp"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), nWin - 1),
+          j => array_min(slice(col("hp"), j + 1, lit(win))))).as("sel"))
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"),
+        col("s").getField("p").as("pos"),
+        col("s").getField("h").as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 5-word n-gram with a held-out benchmark set (here: the
     * deterministic doc_id %% 100 < 2 slice stands in for an eval

@@ -346,6 +346,35 @@ class SimTextSpec extends AnyFunSuite {
       s"paths diverge without an overflowed bucket: only-first=${first -- full}, only-full=${full -- first}")
   }
 
+  test("q_winnow: shared >= win+k-1 word substrings share a fingerprint; disjoint docs share none") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words >= 4+4-1
+    val docs = Seq(
+      (0L, s"one two three $shared four five six"),
+      (1L, s"$shared totally different tail words here"),
+      (2L, "unrelated vocabulary entirely separate tokens nothing common whatsoever"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = graft.queries.DedupOps.q_winnow(spark, tmp).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(r =>
+        (r.getAs[Long]("fp"), r.getAs[Long]("pos"))).toSet }
+    val common01 = fps(0L).map(_._1) intersect fps(1L).map(_._1)
+    assert(common01.nonEmpty, "winnowing guarantee: shared 8-word run must share a fingerprint")
+    assert((fps(0L).map(_._1) intersect fps(2L).map(_._1)).isEmpty)
+    assert((fps(1L).map(_._1) intersect fps(2L).map(_._1)).isEmpty)
+    // localization: every shared fingerprint's position points INTO
+    // the shared region of each document (grams 3..7 in doc 0 — the
+    // shared run starts at word 3 and contributes 4-grams 3..7; grams
+    // 0..4 in doc 1)
+    common01.foreach { fp =>
+      fps(0L).filter(_._1 == fp).foreach { case (_, p) => assert(p >= 3 && p <= 7, s"doc0 pos $p") }
+      fps(1L).filter(_._1 == fp).foreach { case (_, p) => assert(p <= 4, s"doc1 pos $p") }
+    }
+  }
+
   test("q_text_clean: urls/emails stripped, lowercased, whitespace collapsed, counters fire") {
     import spark.implicits._
     val docs = Seq(
