@@ -109,6 +109,7 @@ object SparkEntry {
     "q_dedup_resolve" -> (ClusterOps.q_dedup_resolve _),
     "q_contamination" -> (DedupOps.q_contamination _),
     "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
+    "q_overlap"       -> ((s, d) => DedupOps.q_overlap(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
@@ -170,6 +171,32 @@ object SparkEntry {
       |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
       |               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
       |               / length(text) END), 10)""".stripMargin
+
+  /** The winnowing fingerprint table as a reusable CTE chain ending in
+    * `wfp(doc_id, pos, fp)` — shared by the q_winnow and q_overlap
+    * oracles so the selection logic cannot drift between them. Mirrors
+    * DedupOps.winnowFps: word 4-grams (whole-text fallback under 4
+    * words, NULL docs contribute nothing), hash60 per gram, windows of
+    * 4, leftmost-min selection, 0-based gram positions.
+    */
+  private lazy val duckWinnowFps: String = {
+    val h60 = duckHexValue("md5(x)", 1, 15)
+    s"""t AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 4
+       |    THEN [array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]
+       |    ELSE [text] END AS gs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+       |        WHERE text IS NOT NULL)),
+       |h AS (SELECT doc_id, [$h60 for x in gs] AS hs FROM t),
+       |wdw AS (SELECT doc_id, hs,
+       |        unnest(range(0, greatest(len(hs) - 3, 1))) AS j FROM h),
+       |sel AS (SELECT doc_id,
+       |         CAST(j + list_position(hs[j+1 : j+4], list_min(hs[j+1 : j+4])) - 1
+       |              AS BIGINT) AS pos,
+       |         list_min(hs[j+1 : j+4]) AS fp
+       |        FROM wdw),
+       |wfp AS (SELECT DISTINCT doc_id, pos, fp FROM sel)""".stripMargin
+  }
 
   private def duckHashDraw(chars: Int): String = {
     val h = s"substr(md5(CAST(doc_id AS VARCHAR)),1,$chars)"
@@ -720,25 +747,24 @@ object SparkEntry {
     // list_position finds the first (leftmost) occurrence, matching
     // Spark's (h, p) struct-min tie rule; short docs fall back to one
     // whole-text gram like q_contamination
-    "q_winnow" -> {
-      val h60 = duckHexValue("md5(x)", 1, 15)
-      s"""WITH t AS (
-         |  SELECT doc_id, CASE WHEN len(w) >= 4
-         |    THEN [array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)]
-         |    ELSE [text] END AS gs
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
-         |        WHERE text IS NOT NULL)),
-         |h AS (SELECT doc_id, [$h60 for x in gs] AS hs FROM t),
-         |wdw AS (SELECT doc_id, hs,
-         |        unnest(range(0, greatest(len(hs) - 3, 1))) AS j FROM h),
-         |sel AS (SELECT doc_id,
-         |         CAST(j + list_position(hs[j+1 : j+4], list_min(hs[j+1 : j+4])) - 1
-         |              AS BIGINT) AS pos,
-         |         list_min(hs[j+1 : j+4]) AS fp
-         |        FROM wdw)
-         |SELECT DISTINCT doc_id, pos, fp FROM sel
-         |ORDER BY doc_id, pos""".stripMargin
-    },
+    "q_winnow" ->
+      s"""WITH $duckWinnowFps
+         |SELECT doc_id, pos, fp FROM wfp
+         |ORDER BY doc_id, pos""".stripMargin,
+    // overlap localization over the winnow table: fps in 2..10 docs
+    // only (df<2 can't pair, df>10 is a stop-phrase cap), self-join on
+    // fp, span aggregation per ordered doc pair
+    "q_overlap" ->
+      s"""WITH $duckWinnowFps,
+         |rare AS (SELECT fp FROM wfp GROUP BY fp
+         |         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |f2 AS (SELECT wfp.* FROM wfp JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(DISTINCT a.fp) AS n_shared,
+         |  min(a.pos) AS a_from, max(a.pos) AS a_to,
+         |  min(b.pos) AS b_from, max(b.pos) AS b_to
+         |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     // same benchmark slice (doc_id % 100 < 2) and 5-gram fallback-to-
     // full-text rule as DedupOps.q_contamination
     "q_contamination" ->

@@ -376,7 +376,15 @@ object DedupOps {
     * Short docs (< k words) fall back to a single whole-text gram,
     * so exact short-text matches still fingerprint.
     */
-  def q_winnow(s: SparkSession, d: String, k: Int = 4, win: Int = 4): DataFrame = {
+  def q_winnow(s: SparkSession, d: String, k: Int = 4, win: Int = 4): DataFrame =
+    winnowFps(s, d, k, win).orderBy("doc_id", "pos")
+
+  /** Unsorted winnowing fingerprint table — the internal form
+    * [[q_overlap]] consumes (its joins re-shuffle immediately, so the
+    * presentation sort would be wasted).
+    */
+  private[graft] def winnowFps(
+      s: SparkSession, d: String, k: Int = 4, win: Int = 4): DataFrame = {
     val hashes = transform(shinglesN(col("text"), k),
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
     // (hash, 0-based position) structs: struct ordering is
@@ -397,7 +405,38 @@ object DedupOps {
       .select(col("doc_id"),
         col("s").getField("p").as("pos"),
         col("s").getField("h").as("fp"))
-      .orderBy("doc_id", "pos")
+  }
+
+  /** Cross-document overlap localization — the consumer of
+    * [[q_winnow]]'s fingerprint table: documents sharing winnowed
+    * fingerprints, with how many they share and WHERE (the position
+    * span on each side). This is the report an exact-substring
+    * decontamination pass acts on: n_shared ≥ 2 with a tight span is
+    * a copied passage; the spans say what to cut.
+    *
+    * Scale shape: fingerprints whose document frequency is outside
+    * [2, maxDocs] are dropped FIRST (df ≤ 1 can't pair; df > maxDocs
+    * is a stop-phrase whose pair count grows quadratically — same cap
+    * stance as candidatePairs' maxBucket), so the self-join runs on
+    * the rare-fp slice only: one fp-keyed shuffle, pair emission
+    * bounded by maxDocs per fingerprint, one (doc_a, doc_b) regroup.
+    * No corpus text moves — only (fp, doc, pos) triples.
+    */
+  def q_overlap(s: SparkSession, d: String, maxDocs: Int = 10): DataFrame = {
+    val fp = winnowFps(s, d)
+    val rare = fp.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocs)
+      .select("fp")
+    val f2 = fp.join(rare, "fp")
+    f2.as("a").join(f2.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(
+        countDistinct(col("a.fp")).as("n_shared"),
+        min(col("a.pos")).as("a_from"), max(col("a.pos")).as("a_to"),
+        min(col("b.pos")).as("b_from"), max(col("b.pos")).as("b_to"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any

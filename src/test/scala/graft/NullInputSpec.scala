@@ -28,7 +28,7 @@ class NullInputSpec extends AnyFunSuite {
   private val documentQueries = Seq(
     "q_text_stats", "q_tokens", "q_lang_id", "q_text_quality",
     "q_fingerprint", "q_text_clean", "q_repetition", "q_contamination",
-    "q_minhash", "q_dedup_minhash", "q_ngram_jaccard", "q_winnow",
+    "q_minhash", "q_dedup_minhash", "q_ngram_jaccard", "q_winnow", "q_overlap",
     "q_simhash", "q_dedup_simhash", "q_dup_clusters", "q_dedup_resolve",
     "q_sample_hash", "q_sample_weighted", "q_sample_balance",
     "q_sample_reservoir", "q_pipeline_prep", "q_lm_score", "q_chunk",

@@ -373,6 +373,15 @@ class SimTextSpec extends AnyFunSuite {
       fps(0L).filter(_._1 == fp).foreach { case (_, p) => assert(p >= 3 && p <= 7, s"doc0 pos $p") }
       fps(1L).filter(_._1 == fp).foreach { case (_, p) => assert(p <= 4, s"doc1 pos $p") }
     }
+    // q_overlap reports exactly the (0,1) pair, spans inside the
+    // shared regions, and doc 2 in no pair
+    val overlaps = graft.queries.DedupOps.q_overlap(spark, tmp).collect()
+    assert(overlaps.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == Set((0L, 1L)))
+    val o = overlaps.head
+    assert(o.getAs[Long]("n_shared") == common01.size)
+    assert(o.getAs[Long]("a_from") >= 3 && o.getAs[Long]("a_to") <= 7)
+    assert(o.getAs[Long]("b_to") <= 4)
   }
 
   test("q_text_clean: urls/emails stripped, lowercased, whitespace collapsed, counters fire") {
