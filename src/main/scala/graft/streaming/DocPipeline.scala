@@ -53,4 +53,34 @@ object DocPipeline {
     dedupNormalized(qualityGate(docs, minQuality, keepPerMille))
       .select(col("ts"), col("doc_id"), col("lang"), col("quality"),
         size(split(col("text"), "\\s+", -1)).cast("long").as("n_tokens"))
+
+  /** Streaming incremental dedup against a MATERIALIZED fingerprint
+    * index — the streaming twin of `TextOps.dedupIncrAgainst`, the
+    * shape a continuous-ingest pipeline actually runs: admit only
+    * stream documents whose normalized fingerprint is absent from the
+    * persisted corpus index ([[graft.sources.Sinks.writeFpIndex]])
+    * AND not seen earlier in the stream within the watermark horizon.
+    *
+    * Scale shape: the stream-static `left_anti` join re-plans the
+    * index side per micro-batch (so a nightly index refresh is picked
+    * up without restarting the query) and broadcasts it when small;
+    * within-stream dedup state is watermark-bounded exactly like
+    * [[dedupNormalized]]. Between index refreshes, a fingerprint
+    * first seen on the stream is deduped by the watermark state; the
+    * index append (batch-side `writeFpIndex(…, Append)`) closes the
+    * loop for horizons beyond the watermark.
+    */
+  def dedupIncrStream(docs: DataFrame, index: DataFrame): DataFrame = {
+    val candidates = docs
+      .withColumn("fp", TextOps.normalizedFp(col("text")))
+      .join(index.select("fp"), Seq("fp"), "left_anti")
+    // null fingerprints (null documents) admit INDIVIDUALLY — the
+    // within-stream dedup would otherwise collapse unrelated null
+    // docs into one (they share no content), same rule as the batch
+    // q_dedup_incr split
+    candidates.filter(col("fp").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .unionByName(candidates.filter(col("fp").isNull))
+  }
 }

@@ -51,6 +51,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.collect().head.getAs[Double]("quality") == batchQ)
   }
 
+  test("streaming incremental dedup: index blocks, stream dedups, nulls admit individually") {
+    // persisted index carries doc "known"'s fingerprint
+    val known = "alpha beta gamma delta"
+    val tmpIdx = java.nio.file.Files.createTempDirectory("sidx").resolve("fp").toString
+    graft.sources.Sinks.writeFpIndex(
+      Seq((0L, known)).toDF("doc_id", "text"), tmpIdx)
+    val index = graft.sources.Sinks.readFpIndex(spark, tmpIdx)
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(ts("2024-01-01 10:00:00"), 1L, "en", known),                 // blocked by index
+      Doc(ts("2024-01-01 10:01:00"), 2L, "en", "delta gamma beta alpha"), // permutation → blocked
+      Doc(ts("2024-01-01 10:02:00"), 3L, "en", "fresh new document"),  // admitted
+      Doc(ts("2024-01-01 10:03:00"), 4L, "en", "new fresh document"),  // in-stream dup of 3
+      Doc(ts("2024-01-01 10:04:00"), 5L, "en", null),                  // null: admitted
+      Doc(ts("2024-01-01 10:05:00"), 6L, "en", null))                  // null: ALSO admitted
+    val out = runToCompletion(
+      graft.streaming.DocPipeline.dedupIncrStream(input.toDF(), index),
+      "incr_stream", "append")
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(3L, 5L, 6L), s"kept=$kept")
+  }
+
   test("tumbling window streaming agg matches batch on the same data") {
     val input = MemoryStream[Ev]
     val evs = Seq(
