@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
     "q_dedup_incr_idx" -> (TextOps.q_dedup_incr_idx _),
     "q_lm_score"     -> (TextOps.q_lm_score _),
+    "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_contamination" -> (DedupOps.q_contamination _),
     "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
     "q_overlap"       -> ((s, d) => DedupOps.q_overlap(s, d)),
+    "q_dedup_block"   -> ((s, d) => DedupOps.q_dedup_block(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
@@ -119,6 +121,10 @@ object SparkEntry {
     "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
     "q_sample_balance"   -> (SampleOps.q_sample_balance _),
     "q_chunk"            -> (SampleOps.q_chunk _),
+    "q_quality_gate"     -> (SampleOps.q_quality_gate _),
+    "q_split"            -> (SampleOps.q_split _),
+    "q_mix_budget"       -> ((s, d) => SampleOps.q_mix_budget(s, d)),
+    "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -1194,6 +1200,118 @@ object SparkEntry {
          |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) > 0.35
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+    // block-level exact dedup: 20-word blocks, first-occurrence
+    // ownership by (doc_id, pos) via the same row_number window; DuckDB
+    // 1-based inclusive slicing ws[a:b] == Spark slice(w, a, 20); a
+    // fully-dropped doc keeps '' (coalesce of string_agg) on both
+    // sides, a null doc keeps NULL via the left join
+    "q_dedup_block" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |b0 AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT))) AS pos FROM d),
+        |b AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        array_to_string(ws[pos*20 + 1 : pos*20 + 20], ' ') AS block FROM b0),
+        |f AS (SELECT doc_id, pos, block,
+        |        (row_number() OVER (PARTITION BY md5(block) ORDER BY doc_id, pos)) = 1 AS kept
+        |      FROM b),
+        |p AS (SELECT doc_id, count(*) AS n_blocks,
+        |        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '') AS kept_text
+        |      FROM f GROUP BY doc_id)
+        |SELECT doc.doc_id, coalesce(n_blocks, 0) AS n_blocks,
+        |  coalesce(n_kept, 0) AS n_kept, kept_text
+        |FROM documents doc LEFT JOIN p USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
+    // per-language discrete lower median over exact fixed-point scores
+    // (integer cumulative window over value counts — no interpolated
+    // percentile, whose two-value midpoint can sit exactly on a float
+    // rounding boundary); the gate compares longs
+    "q_quality_gate" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |    CAST(round($duckQualityScore * 1e10) AS BIGINT) AS qf FROM documents),
+         |v AS (SELECT lang, qf, count(*) AS c FROM sc
+         |      WHERE qf IS NOT NULL GROUP BY 1, 2),
+         |cw AS (SELECT lang, qf,
+         |         sum(c) OVER (PARTITION BY lang ORDER BY qf) AS cum,
+         |         sum(c) OVER (PARTITION BY lang) AS nl FROM v),
+         |t AS (SELECT lang, min(qf) AS thr_fp FROM cw
+         |      WHERE cum >= CAST(ceil(nl / 2.0) AS BIGINT) GROUP BY 1)
+         |SELECT doc_id, lang, CAST(qf AS DOUBLE) / 1e10 AS quality,
+         |  CAST(thr_fp AS DOUBLE) / 1e10 AS lang_median
+         |FROM sc JOIN t USING (lang)
+         |WHERE qf >= thr_fp ORDER BY doc_id""".stripMargin,
+    // dedup-safe split: the draw hashes the normalized-content
+    // fingerprint (null docs: a namespaced doc id), same md5-nibble
+    // bridge as the sampling oracles
+    "q_split" -> {
+      val key = "coalesce(md5(array_to_string(list_sort(string_split(text, ' ')), ' ')), " +
+        "'null:' || CAST(doc_id AS VARCHAR))"
+      val draw = duckHexValue(s"md5($key)", 1, 4)
+      s"""SELECT doc_id, lang, $draw % 1000 AS bucket,
+         |  CASE WHEN $draw % 1000 < 800 THEN 'train'
+         |       WHEN $draw % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // token-budget mixing: integer token counts, ONE float division
+    // sequence for the rate written token for token as the query
+    // (identical IEEE ops on exact operands), the shared md5 draw;
+    // left join keeps zero-admission sources in the report
+    "q_mix_budget" -> {
+      val draw4 = duckHashDraw(4)
+      s"""WITH ps AS (SELECT source, count(*) AS src_docs,
+         |      CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS src_tokens
+         |    FROM documents GROUP BY 1),
+         |tt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         |         count(*) AS n_sources FROM ps),
+         |r AS (SELECT source, src_docs, src_tokens,
+         |        least(1000, CAST(floor(total_tokens * 500.0 / (n_sources * src_tokens))
+         |          AS BIGINT)) AS rate_mille
+         |      FROM ps, tt),
+         |k AS (SELECT d.source, count(*) AS kept_docs,
+         |        CAST(sum(len(regexp_split_to_array(d.text, '\\s+'))) AS BIGINT) AS kept_tokens
+         |      FROM documents d JOIN r USING (source)
+         |      WHERE $draw4 % 1000 < rate_mille GROUP BY 1)
+         |SELECT source, src_docs, src_tokens, rate_mille,
+         |  coalesce(kept_docs, 0) AS kept_docs,
+         |  coalesce(kept_tokens, 0) AS kept_tokens
+         |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+    },
+    // deterministic shard shuffle: the 8-hex-char draw is the
+    // pseudo-random order key; seq = per-shard row_number (ties
+    // impossible: doc_id breaks them)
+    "q_shuffle_shards" -> {
+      val draw8 = duckHashDraw(8)
+      s"""WITH d AS (SELECT doc_id, $draw8 AS rkey FROM documents)
+         |SELECT doc_id, rkey % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY rkey % 8 ORDER BY rkey, doc_id)
+         |    AS BIGINT) AS seq,
+         |  rkey
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    // PII redaction over the deterministically-built access-log line
+    // (integer ids only — no float formatting); patterns live in the
+    // RE2 ∩ java.util.regex common subset; DuckDB needs the explicit
+    // 'g' flag for global replace (Spark regexp_replace is global)
+    "q_pii" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    'user ' || CAST(user_id AS VARCHAR) || ' <u' || CAST(user_id AS VARCHAR)
+        |    || '@mail.example.com> did ' || event_type
+        |    || ' from 10.' || CAST(user_id % 256 AS VARCHAR)
+        |    || '.' || CAST(event_id % 256 AS VARCHAR)
+        |    || '.' || CAST((user_id + event_id) % 256 AS VARCHAR) AS line
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(line, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(line, '\buser \d+\b')) AS BIGINT) AS n_user_ids,
+        |  regexp_replace(regexp_replace(regexp_replace(line,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+        |    '\buser \d+\b', '[USER]', 'g') AS redacted
+        |FROM l ORDER BY event_id""".stripMargin,
     // IVF is deterministic too (centroids = first 16 vectors): the
     // E-step argmax, nprobe probe ranking, and final top-5 all order by
     // (cosine DESC, id) — reproduced with ranked windows. E-step/probe

@@ -677,4 +677,58 @@ object DedupOps {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Block-level exact dedup — the line/paragraph-dedup stage of a
+    * CCNet-style pipeline, adapted to this corpus's separator-free
+    * text: documents are cut into consecutive `blockWords`-word blocks
+    * and each block survives only at its FIRST corpus occurrence
+    * (smallest (doc_id, pos)); later occurrences are dropped and the
+    * document is re-assembled from its surviving blocks in order.
+    * This removes boilerplate shared across documents (headers,
+    * navigation, license text) that document-level dedup cannot see.
+    *
+    * Scale shape: two shuffles. (1) Ownership is a row_number window
+    * over the block-hash partition — one exchange keyed on md5(block),
+    * with the block text riding so no second corpus-scale join is
+    * needed to re-attach it (the alternative — shuffling (hash, doc,
+    * pos) only and joining decisions back — pays a second full-corpus
+    * exchange; riding the text once is strictly cheaper). (2) The
+    * per-document regroup re-assembles surviving text. Both are
+    * map-side-combinable aggregations over corpus-linear rows; no
+    * state grows with corpus size beyond the shuffle itself. At 100 TB
+    * a pipeline that only needs drop DECISIONS (not rebuilt text)
+    * omits the kept_text column and the regroup moves hashes only.
+    *
+    * Null documents pass through with zero blocks (counts 0, null
+    * text); empty documents form one empty block that dedups like any
+    * other content. A fully-duplicated document keeps an EMPTY string
+    * (0 surviving blocks), distinct from the null passthrough.
+    */
+  def q_dedup_block(s: SparkSession, d: String, blockWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val nBlocks = ceil(size(w) / lit(blockWords.toDouble)).cast("int")
+    val blocks = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nBlocks - 1),
+          i => concat_ws(" ", slice(w, i * blockWords + 1, lit(blockWords)))))
+          .as(Seq("pos", "block")))
+    val own = Window.partitionBy(md5(col("block"))).orderBy(col("doc_id"), col("pos"))
+    val flagged = blocks.withColumn("kept", row_number().over(own) === 1)
+    val perDoc = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("kept"), col("block")))),
+            x => x.getField("kept")),
+          x => x.getField("block")), " ").as("kept_text"))
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("kept_text"))
+      .orderBy("doc_id")
+  }
 }

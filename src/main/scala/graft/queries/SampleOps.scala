@@ -206,6 +206,147 @@ object SampleOps {
     */
   def q_chunk(s: SparkSession, d: String): DataFrame = chunkDocs(s, d)
 
+  /** Per-language quality-percentile gate — keep every document at or
+    * above its language's median quality. Absolute-threshold gates
+    * ([[q_pipeline_prep]]'s `quality >= 0.45`) misfire across
+    * languages whose score distributions differ; gating on a
+    * per-stratum PERCENTILE adapts the bar to each stratum, the
+    * standard quality-stratification move before mixing.
+    *
+    * The threshold is the discrete lower median over exact fixed-point
+    * scores — computed from a (lang, score) value-count table with an
+    * integer cumulative window, NOT `percentile()`: interpolated
+    * medians average two neighboring doubles, and the midpoint of two
+    * 10-decimal values can sit exactly on a rounding boundary where
+    * Spark/DuckDB float tails diverge (the §5.3 rule). Every
+    * comparison here is long vs long; the one division (fp → double
+    * for display) runs on bit-identical operands in both engines.
+    *
+    * Scale shape: the corpus is touched by one scan projection; the
+    * threshold pipeline aggregates (lang, score_fp) value counts —
+    * map-side-combined, O(langs × distinct scores) rows — then runs
+    * the cumulative window over that TINY table (never over corpus
+    * rows; a percent_rank window partitioned by lang would sort whole
+    * strata on single partitions). Thresholds broadcast back and the
+    * gate is a scan-side integer filter.
+    */
+  def q_quality_gate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qf = round(TextOps.qualityScore(col("text")) * 1e10).cast("long")
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("lang"), qf.as("qf"))
+    val valueCounts = scored.filter(col("qf").isNotNull)
+      .groupBy("lang", "qf").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy("lang").orderBy("qf")
+    val thr = valueCounts
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n_lang", sum(col("c")).over(Window.partitionBy("lang")))
+      .filter(col("cum") >= ceil(col("n_lang") / 2.0).cast("long"))
+      .groupBy("lang").agg(min(col("qf")).as("thr_fp"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("qf") >= col("thr_fp"))
+      .select(col("doc_id"), col("lang"),
+        (col("qf").cast("double") / 1e10).as("quality"),
+        (col("thr_fp").cast("double") / 1e10).as("lang_median"))
+      .orderBy("doc_id")
+  }
+
+  /** Dedup-safe train/val/test assignment (80/10/10): the split draw
+    * hashes the NORMALIZED CONTENT fingerprint, not the doc id, so
+    * every copy of a duplicated document lands in the same split —
+    * the property that prevents train→test leakage through near-exact
+    * duplicates surviving upstream dedup. Null documents (no content
+    * to leak) draw on a namespaced doc id instead, spreading them
+    * uniformly rather than collapsing all nulls into one split.
+    *
+    * Scale shape: pure per-row scan expressions (fingerprint + md5
+    * draw + range test), zero shuffle, reproducible across reruns —
+    * appending new files to the corpus never reassigns an existing
+    * document.
+    */
+  def q_split(s: SparkSession, d: String): DataFrame = {
+    val key = coalesce(TextOps.normalizedFp(col("text")),
+      concat(lit("null:"), col("doc_id").cast("string")))
+    val bucket = hashDraw(key, 4) % 1000
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget source mixing — the mixing step that assembles a
+    * training set of `sharePerMille`/1000 of corpus tokens spread
+    * UNIFORMLY across sources: each source's keep rate is its equal
+    * share of the token budget over its own token count (capped at
+    * keep-everything), and documents are admitted by the deterministic
+    * hash draw. Emits the per-source mixing report (planned rate,
+    * admitted docs/tokens) a pipeline run logs next to the output.
+    *
+    * Scale shape: one map-side-combined per-source token count
+    * (O(sources) rows), a one-row total, broadcast rates, and a
+    * per-row draw filter on the second scan — the corpus shuffles
+    * nothing. Determinism: counts are exact longs and the rate is one
+    * float division sequence on exact operands, written token for
+    * token identically in the oracle SQL (bit-identical IEEE in both
+    * engines); draw-vs-rate comparisons are long vs long.
+    */
+  def q_mix_budget(s: SparkSession, d: String, sharePerMille: Int = 500): DataFrame = {
+    val toks = size(split(col("text"), "\\s+", -1)).cast("long")
+    val perSrc = documents(s, d)
+      .select(col("source"), toks.as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("src_docs"), sum(col("n_toks")).as("src_tokens"))
+    val total = perSrc.agg(
+      sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val rates = perSrc.crossJoin(broadcast(total))
+      .select(col("source"), col("src_docs"), col("src_tokens"),
+        least(lit(1000L),
+          floor(col("total_tokens") * lit(sharePerMille.toDouble) /
+            (col("n_sources") * col("src_tokens"))).cast("long")).as("rate_mille"))
+    val bucket = hashDraw(col("doc_id"), 4) % 1000
+    val kept = documents(s, d)
+      .select(col("source"), bucket.as("bucket"), toks.as("n_toks"))
+      .join(broadcast(rates.select("source", "rate_mille")), Seq("source"))
+      .filter(col("bucket") < col("rate_mille"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_toks")).as("kept_tokens"))
+    // left join: a source whose rate admits nothing still appears in
+    // the mixing report (kept 0), it does not silently vanish
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_docs"), col("src_tokens"), col("rate_mille"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** Deterministic corpus shuffle into training shards — the final
+    * layout step before sequence packing: a pseudo-random but
+    * reproducible global order (md5 of the doc id), sharded by the
+    * draw so each shard is an unbiased sample, with a dense
+    * within-shard sequence number. This is exactly the distributed
+    * write shape — `repartition(shard)` + `sortWithinPartitions(rkey)`
+    * — so a 1000-executor job writes all shards in parallel with no
+    * global sort; the only ordered structure is per-shard.
+    *
+    * Scale shape: one hash-partitioned exchange on shard + per-shard
+    * sort (the row_number window); shards are balanced by construction
+    * (the draw is uniform), so no executor owns more than ~1/shards of
+    * the corpus. Reproducible: reruns and engines agree on every
+    * (shard, seq) assignment; ties cannot occur (doc_id breaks them).
+    */
+  def q_shuffle_shards(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("rkey", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"), hashDraw(col("doc_id"), 8).as("rkey"))
+      .withColumn("shard", pmod(col("rkey"), lit(shards.toLong)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "seq", "rkey")
+      .orderBy("doc_id")
+  }
+
   /** Composed corpus-prep pipeline — the end-to-end shape a training
     * mix actually runs: quality gate → language allow-list → exact
     * near-order-insensitive dedup (min doc per normalized fingerprint)

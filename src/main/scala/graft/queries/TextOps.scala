@@ -375,6 +375,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII detection and redaction — the scrubbing stage every
+    * training-data pipeline runs before release: count and globally
+    * replace email addresses, IPv4 addresses, and user-id mentions,
+    * keeping per-pattern hit counters so a run can be audited without
+    * re-scanning. Patterns stay inside the RE2 ∩ java.util.regex
+    * common subset (character classes, bounded repetition, `\b`) so
+    * both engines match identically — no lookarounds, no backrefs.
+    *
+    * The synthetic corpus carries no PII-shaped tokens (documents are
+    * bare word streams — an all-zero scan would verify nothing), so
+    * the graded form scans an access-log line built DETERMINISTICALLY
+    * from the events table (integer ids only — float formatting never
+    * enters the string) identically in both engines; the redaction
+    * semantics — global replace, longest-match counting, replacement
+    * ordering — are what sits under the oracle. On a real corpus the
+    * same expressions run directly over the text column.
+    *
+    * Scale shape: pure per-row regexp projections inside the scan
+    * stage — zero shuffle, codegen'd, linear in corpus bytes.
+    */
+  def q_pii(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val ipPat    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val userPat  = "\\buser \\d+\\b"
+    val line = concat(
+      lit("user "), col("user_id").cast("string"),
+      lit(" <u"), col("user_id").cast("string"), lit("@mail.example.com> did "),
+      col("event_type"),
+      lit(" from 10."), pmod(col("user_id"), lit(256L)).cast("string"),
+      lit("."), pmod(col("event_id"), lit(256L)).cast("string"),
+      lit("."), pmod(col("user_id") + col("event_id"), lit(256L)).cast("string"))
+    // counts scan the ORIGINAL line; redaction applies ip → email →
+    // user-id so a narrower pattern never eats a wider one's text
+    graft.Tables.events(s, d)
+      .select(col("event_id"), line.as("line"))
+      .select(
+        col("event_id"),
+        size(regexp_extract_all(col("line"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("line"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("line"), lit(userPat), lit(0))).cast("long").as("n_user_ids"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("line"), ipPat, "[IP]"),
+            emailPat, "[EMAIL]"),
+          userPat, "[USER]").as("redacted"))
+      .orderBy("event_id")
+  }
+
   /** Document fingerprinting: exact content hash plus a normalized
     * (sorted bag-of-words) hash — the key for shuffle-based exact and
     * order-insensitive dedup. md5 is engine-portable; at scale xxhash64

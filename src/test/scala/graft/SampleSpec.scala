@@ -130,6 +130,110 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quality_gate: every kept doc meets its language median, medians are real scores") {
+    val out = SparkEntry.queries("q_quality_gate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("quality") >= r.getAs[Double]("lang_median"),
+        s"doc ${r.getAs[Long]("doc_id")} below its gate")
+    }
+    // the lower median keeps at least half of each language's docs,
+    // and never more than all of them
+    val counts = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length >= counts(lang) / 2, s"$lang kept under half")
+      assert(rs.length <= counts(lang), s"$lang kept over total")
+      // one threshold per language
+      assert(rs.map(_.getAs[Double]("lang_median")).distinct.length == 1)
+    }
+  }
+
+  test("q_split: content-keyed, duplicates co-assigned, 80/10/10 shape") {
+    val out = SparkEntry.queries("q_split")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length == docs, "split must assign every document")
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 1000)
+      val expect = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(r.getAs[String]("split") == expect)
+    }
+    // rough shape: train is the large bucket
+    val dist = out.groupBy(_.getAs[String]("split")).map { case (k, v) => k -> v.length }
+    assert(dist("train") > dist.getOrElse("val", 0) + dist.getOrElse("test", 0))
+  }
+
+  test("q_split: duplicate and reordered content always lands in the same split") {
+    import spark.implicits._
+    // the sf fixture has no duplicated documents, so the leakage
+    // property needs its own corpus: exact copies, a word-reordered
+    // copy (same normalized fingerprint), fresh text, and null docs
+    val docs = Seq[(Long, String)](
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),   // exact copy of 0
+      (2L, "delta gamma beta alpha"),   // reordered copy of 0
+      (3L, "a completely different document"),
+      (4L, null),
+      (5L, null))                       // nulls draw independently
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val tmp = java.nio.file.Files.createTempDirectory("splitdup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q_split")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[Long]("bucket")))).toMap
+    assert(out.size == 6)
+    // all three content-equal docs share bucket AND split
+    assert(out(0L) == out(1L), s"exact copies split apart: ${out(0L)} vs ${out(1L)}")
+    assert(out(0L) == out(2L), s"reordered copy split apart: ${out(0L)} vs ${out(2L)}")
+    // null docs draw on namespaced ids — distinct keys, so (with this
+    // fixture) distinct buckets rather than one collapsed bucket
+    assert(out(4L)._2 != out(5L)._2, "null docs should not share one draw")
+  }
+
+  test("q_mix_budget: rates follow the equal-share formula and admissions respect them") {
+    val out = SparkEntry.queries("q_mix_budget")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalTokens = out.map(_.getAs[Long]("src_tokens")).sum
+    val nSources = out.length.toLong
+    out.foreach { r =>
+      val expect = math.min(1000L,
+        math.floor(totalTokens * 500.0 /
+          (nSources * r.getAs[Long]("src_tokens"))).toLong)
+      assert(r.getAs[Long]("rate_mille") == expect, s"${r.getAs[String]("source")} rate")
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("src_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("src_tokens"))
+      // a full rate (1000) keeps everything
+      if (r.getAs[Long]("rate_mille") == 1000L) {
+        assert(r.getAs[Long]("kept_docs") == r.getAs[Long]("src_docs"))
+        assert(r.getAs[Long]("kept_tokens") == r.getAs[Long]("src_tokens"))
+      }
+    }
+    // deterministic rerun
+    val rerun = SparkEntry.queries("q_mix_budget")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == rerun.map(_.toString).toSeq)
+  }
+
+  test("q_shuffle_shards: shards partition the corpus with dense per-shard sequences") {
+    val out = SparkEntry.queries("q_shuffle_shards")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length == docs, "every document gets a shard slot")
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    out.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      assert(shard >= 0 && shard < 8)
+      assert(r.getAs[Long]("shard") == math.floorMod(r.getAs[Long]("rkey"), 8L))
+    }
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      // seq is dense 1..n within the shard, ordered by (rkey, doc_id)
+      val ordered = rs.sortBy(r => (r.getAs[Long]("rkey"), r.getAs[Long]("doc_id")))
+      assert(ordered.map(_.getAs[Long]("seq")).toSeq == (1L to rs.length),
+        s"shard $shard sequence not dense")
+    }
+  }
+
   test("q_pipeline_prep: quality gate, language allow-list, unique doc ids") {
     val rows = SparkEntry.queries("q_pipeline_prep")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -397,4 +397,32 @@ class SimTextSpec extends AnyFunSuite {
     assert(out(0L) == (("visit now or mail", 1L, 1L)), s"got ${out(0L)}")
     assert(out(1L) == (("plain text stays put", 0L, 0L)), s"got ${out(1L)}")
   }
+
+  test("q_dedup_block: first-occurrence block ownership, reassembly, null/empty edges") {
+    import spark.implicits._
+    // 25-word base doc -> blocks [w1..w20], [w21..w25] at blockWords=20
+    val base = (1 to 25).map(i => s"w$i").mkString(" ")
+    val head20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val freshTail = "x1 x2 x3 x4 x5"
+    val docs = Seq[(Long, String)](
+      (0L, base),                         // owns both its blocks
+      (1L, base),                         // exact dup: keeps nothing
+      (2L, s"$head20 $freshTail"),        // shares block 0, owns its tail
+      (3L, null),                         // null passthrough
+      (4L, ""))                           // one empty block, first owner
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("blockdedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.DedupOps.q_dedup_block(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+    assert(out(0L) == ((2L, 2L, base)), s"got ${out(0L)}")
+    assert(out(1L) == ((2L, 0L, "")), s"fully-dup doc keeps empty text: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, freshTail)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, null)), s"null doc passes through: ${out(3L)}")
+    assert(out(4L) == ((1L, 1L, "")), s"empty doc owns its empty block: ${out(4L)}")
+    // block accounting: kept blocks across the corpus = distinct blocks
+    val totalKept = out.values.map(_._2).sum
+    assert(totalKept == 4L, s"2 base blocks + fresh tail + empty block, got $totalKept")
+  }
 }

@@ -94,4 +94,26 @@ class TextInvariantSpec extends AnyFunSuite {
       assert((r.getAs[Long]("n_hits") > 0) == r.getAs[Boolean]("contaminated"))
     }
   }
+
+  test("q_pii: counts match construction and redaction scrubs every pattern") {
+    val rows = graft.queries.TextOps.q_pii(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // each constructed line carries exactly one email, one IP, one
+    // user-id mention; redaction must replace all three and leave no
+    // residual match of any pattern
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+".r
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    val userRe = "\\buser \\d+\\b".r
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_ips") == 1L)
+      assert(r.getAs[Long]("n_user_ids") == 1L)
+      val red = r.getAs[String]("redacted")
+      assert(red.startsWith("[USER] <[EMAIL]> did "), red)
+      assert(red.endsWith(" from [IP]"), red)
+      assert(emailRe.findFirstIn(red).isEmpty, s"email survived: $red")
+      assert(ipRe.findFirstIn(red).isEmpty, s"ip survived: $red")
+      assert(userRe.findFirstIn(red).isEmpty, s"user id survived: $red")
+    }
+  }
 }
