@@ -390,18 +390,25 @@ object DedupOps {
     // (hash, 0-based position) structs: struct ordering is
     // field-by-field, so array_min = smallest hash, leftmost on ties
     val hp = transform(hashes, (h, i) => struct(h.as("h"), i.cast("long").as("p")))
-    val nWin = greatest(size(col("hp")) - (win - 1), lit(1))
+    // LET-BINDING, not a named column: the window selection references
+    // the gram-hash array once per window, and routing it through a
+    // projection attribute leaves the evaluation subject to plan
+    // rewrites that re-inline the md5 pipeline into every slice —
+    // measured 98s for sf0.1's 270k grams (O(grams²) hashing) vs 3.7s
+    // let-bound. transform over a singleton array binds hp to a lambda
+    // variable, which HOF evaluation materializes exactly once per row.
+    val sel = element_at(
+      transform(array(hp), hpv =>
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(hpv) - (win - 1), lit(1)) - 1),
+          j => array_min(slice(hpv, j + 1, lit(win)))))), 1)
     documents(s, d)
       // a NULL document has no fingerprints — without this filter the
       // [null]-gram fallback would emit a (pos 0, fp null) row, and
       // null rows in a fingerprint table poison downstream overlap
       // joins (null never equi-matches, but the rows inflate counts)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), hp.as("hp"))
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), nWin - 1),
-          j => array_min(slice(col("hp"), j + 1, lit(win))))).as("sel"))
-      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), explode(sel).as("s"))
       .select(col("doc_id"),
         col("s").getField("p").as("pos"),
         col("s").getField("h").as("fp"))
