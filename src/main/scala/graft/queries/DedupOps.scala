@@ -161,11 +161,20 @@ object DedupOps {
     * no-fallback variant).
     */
   def shinglesN(text: Column, n: Int, fallbackToText: Boolean = true): Column = {
-    val w = split(text, " ")
-    val grams = transform(sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", slice(w, i + 1, lit(n))))
-    when(size(w) >= n, grams)
-      .otherwise(if (fallbackToText) array(text) else typedLit(Seq.empty[String]))
+    // LET-BOUND word array (transform over a singleton — see
+    // winnowFps): with `split(text)` written inline, each gram's
+    // slice re-splits the whole document — O(words²) character work
+    // per doc, ruinous on web-length documents even though n-gram
+    // output is linear. Binding the split as a lambda variable makes
+    // HOF evaluation materialize it exactly once per row.
+    element_at(
+      transform(array(split(text, " ")), ws =>
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+          .otherwise(
+            if (fallbackToText) array(text) else typedLit(Seq.empty[String]))),
+      1)
   }
 
   /** 8-function MinHash signature per document.
@@ -713,13 +722,17 @@ object DedupOps {
     */
   def q_dedup_block(s: SparkSession, d: String, blockWords: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = split(col("text"), " ")
-    val nBlocks = ceil(size(w) / lit(blockWords.toDouble)).cast("int")
+    // let-bound word array (see shinglesN): inline, each block's slice
+    // would re-split the whole document — O(words²/blockWords) work
+    val blocksArr = element_at(
+      transform(array(split(col("text"), " ")), ws =>
+        transform(
+          sequence(lit(0),
+            ceil(size(ws) / lit(blockWords.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(ws, i * blockWords + 1, lit(blockWords))))),
+      1)
     val blocks = documents(s, d).filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nBlocks - 1),
-          i => concat_ws(" ", slice(w, i * blockWords + 1, lit(blockWords)))))
-          .as(Seq("pos", "block")))
+      .select(col("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
     val own = Window.partitionBy(md5(col("block"))).orderBy(col("doc_id"), col("pos"))
     val flagged = blocks.withColumn("kept", row_number().over(own) === 1)
     val perDoc = flagged.groupBy("doc_id").agg(
