@@ -100,6 +100,7 @@ object SparkEntry {
     "q_lm_score"     -> (TextOps.q_lm_score _),
     "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
+    "q_vocab"        -> ((s, d) => TextOps.q_vocab(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_quality_gate"     -> (SampleOps.q_quality_gate _),
     "q_split"            -> (SampleOps.q_split _),
     "q_mix_budget"       -> ((s, d) => SampleOps.q_mix_budget(s, d)),
+    "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
@@ -1278,6 +1280,50 @@ object SparkEntry {
          |  coalesce(kept_tokens, 0) AS kept_tokens
          |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
     },
+    // temperature mixing: sqrt weight (α=0.5 — IEEE-correctly-rounded
+    // in both engines, unlike pow), floor fixed-pointing (round
+    // diverges: Spark half-up, DuckDB half-even), exact long
+    // normalizing sum, rate = one double op sequence mirrored token
+    // for token
+    "q_mix_temp" -> {
+      val draw4 = duckHashDraw(4)
+      s"""WITH ps AS (SELECT source, count(*) AS src_docs,
+         |      CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS src_tokens
+         |    FROM documents GROUP BY 1),
+         |w AS (SELECT source, src_docs, src_tokens,
+         |        CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+         |          AS weight_fp FROM ps),
+         |tt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(weight_fp) AS BIGINT) AS w_sum FROM w),
+         |r AS (SELECT source, src_docs, src_tokens, weight_fp,
+         |        least(1000, CAST(floor(CAST(total_tokens AS DOUBLE) * 500.0 * weight_fp /
+         |          (CAST(w_sum AS DOUBLE) * src_tokens)) AS BIGINT)) AS rate_mille
+         |      FROM w, tt),
+         |k AS (SELECT d.source, count(*) AS kept_docs,
+         |        CAST(sum(len(regexp_split_to_array(d.text, '\\s+'))) AS BIGINT) AS kept_tokens
+         |      FROM documents d JOIN r USING (source)
+         |      WHERE $draw4 % 1000 < rate_mille GROUP BY 1)
+         |SELECT source, src_docs, src_tokens, weight_fp, rate_mille,
+         |  coalesce(kept_docs, 0) AS kept_docs,
+         |  coalesce(kept_tokens, 0) AS kept_tokens
+         |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+    },
+    // top-N vocabulary: exact long counts and running sum, one
+    // long/long division per share; (n DESC, term) has no ties (term
+    // unique post-group), so rank and the running-sum frame agree
+    "q_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT term, count(*) AS n FROM t WHERE len(term) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM v),
+        |top AS (SELECT term, n FROM v ORDER BY n DESC, term LIMIT 100),
+        |r AS (SELECT term, CAST(n AS BIGINT) AS n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, term) AS BIGINT) AS cum_n FROM top)
+        |SELECT rank, term, n,
+        |  round(CAST(n AS DOUBLE) / total_tokens, 10) AS share,
+        |  round(CAST(cum_n AS DOUBLE) / total_tokens, 10) AS cum_share
+        |FROM r, tot ORDER BY rank""".stripMargin,
     // deterministic shard shuffle: the 8-hex-char draw is the
     // pseudo-random order key; seq = per-shard row_number (ties
     // impossible: doc_id breaks them)

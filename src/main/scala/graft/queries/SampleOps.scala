@@ -321,6 +321,58 @@ object SampleOps {
       .orderBy("source")
   }
 
+  /** Temperature-based source mixing (α = 0.5) — the multilingual-LM
+    * sampling standard (XLM-R style): source weights ∝ tokens^α, so
+    * high-resource sources are downweighted and the tail upweighted
+    * relative to proportional sampling, without ever inverting the
+    * order. α is fixed at 0.5 because the weight is then `sqrt`,
+    * which IEEE 754 requires to be correctly rounded — bit-identical
+    * in every engine — where general `pow` carries no such guarantee
+    * and would flake an exact-hash oracle.
+    *
+    * Determinism: weights are fixed-pointed with floor (not round —
+    * Spark rounds doubles half-up, DuckDB half-even) so the
+    * normalizing sum is an exact, associative long sum; the rate is
+    * one double expression written token for token as the oracle SQL
+    * (identical IEEE op sequence on exact operands).
+    *
+    * Scale shape: identical to [[q_mix_budget]] — O(sources) agg
+    * rows, one-row total, broadcast rates, per-row draw filter; the
+    * corpus shuffles nothing.
+    */
+  def q_mix_temp(s: SparkSession, d: String, sharePerMille: Int = 500): DataFrame = {
+    val toks = size(split(col("text"), "\\s+", -1)).cast("long")
+    val perSrc = documents(s, d)
+      .select(col("source"), toks.as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("src_docs"), sum(col("n_toks")).as("src_tokens"))
+      .withColumn("weight_fp",
+        floor(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+    val total = perSrc.agg(
+      sum(col("src_tokens")).as("total_tokens"),
+      sum(col("weight_fp")).as("w_sum"))
+    val rates = perSrc.crossJoin(broadcast(total))
+      .select(col("source"), col("src_docs"), col("src_tokens"), col("weight_fp"),
+        least(lit(1000L),
+          floor(col("total_tokens").cast("double") * lit(sharePerMille.toDouble) *
+            col("weight_fp") /
+            (col("w_sum").cast("double") * col("src_tokens"))).cast("long"))
+          .as("rate_mille"))
+    val bucket = hashDraw(col("doc_id"), 4) % 1000
+    val kept = documents(s, d)
+      .select(col("source"), bucket.as("bucket"), toks.as("n_toks"))
+      .join(broadcast(rates.select("source", "rate_mille")), Seq("source"))
+      .filter(col("bucket") < col("rate_mille"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_toks")).as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_docs"), col("src_tokens"),
+        col("weight_fp"), col("rate_mille"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Deterministic corpus shuffle into training shards — the final
     * layout step before sequence packing: a pseudo-random but
     * reproducible global order (md5 of the doc id), sharded by the

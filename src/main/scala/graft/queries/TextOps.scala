@@ -250,6 +250,38 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Top-N vocabulary with cumulative coverage — the vocab-seed /
+    * tokenizer-training diagnostic: unigram counts, Zipf ranks, each
+    * term's share of corpus tokens and the cumulative share covered by
+    * the top-k prefix (the "how big must the vocab be" curve).
+    *
+    * Scale shape: explode → one map-side-combined term count shuffle
+    * (O(vocab) output rows, Zipf-bounded like q_tfidf); the top-N cut
+    * is a TakeOrdered (no global sort materializes the vocab); rank
+    * and cumulative sums then run on the N-row result, and the total
+    * rides as a broadcast one-row aggregate. Determinism: counts are
+    * exact longs, cum_n is an exact long running sum, and each share
+    * is one long/long division; ties in (count, term) cannot exist —
+    * term is unique after the groupBy.
+    */
+  def q_vocab(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = terms.agg(sum(col("n")).as("total_tokens"))
+    val w = Window.orderBy(desc("n"), col("term"))
+    terms.orderBy(desc("n"), col("term")).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("rank"), col("term"), col("n"),
+        round(col("n").cast("double") / col("total_tokens"), 10).as("share"),
+        round(col("cum_n").cast("double") / col("total_tokens"), 10).as("cum_share"))
+      .orderBy("rank")
+  }
+
   /** Incremental (cross-corpus) dedup — the daily-ingest shape: admit
     * only documents from the NEW batch (here: source != 'src0' stands
     * in for today's crawl) whose normalized fingerprint appears

@@ -216,6 +216,35 @@ class SampleSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == rerun.map(_.toString).toSeq)
   }
 
+  test("q_mix_temp: sqrt weights, flattened rates, admissions respect them") {
+    val out = SparkEntry.queries("q_mix_temp")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalTokens = out.map(_.getAs[Long]("src_tokens")).sum
+    val wSum = out.map(_.getAs[Long]("weight_fp")).sum
+    out.foreach { r =>
+      val srcToks = r.getAs[Long]("src_tokens")
+      assert(r.getAs[Long]("weight_fp") ==
+        math.floor(math.sqrt(srcToks.toDouble) * 1e6).toLong)
+      val expect = math.min(1000L,
+        math.floor(totalTokens.toDouble * 500.0 * r.getAs[Long]("weight_fp") /
+          (wSum.toDouble * srcToks)).toLong)
+      assert(r.getAs[Long]("rate_mille") == expect, s"${r.getAs[String]("source")} rate")
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("src_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= srcToks)
+    }
+    // the temperature property: relative to proportional (equal-share)
+    // mixing, a larger source never gets a LARGER rate than a smaller
+    // one — and uncapped rates scale as 1/sqrt(tokens), i.e.
+    // rate * sqrt(tokens) is ~constant across uncapped sources
+    val uncapped = out.filter(_.getAs[Long]("rate_mille") < 1000L)
+    if (uncapped.length >= 2) {
+      val prods = uncapped.map(r =>
+        r.getAs[Long]("rate_mille") * math.sqrt(r.getAs[Long]("src_tokens").toDouble))
+      assert(prods.max / prods.min < 1.2,
+        s"rate*sqrt(tokens) should be near-constant, got ${prods.min}..${prods.max}")
+    }
+  }
+
   test("q_shuffle_shards: shards partition the corpus with dense per-shard sequences") {
     val out = SparkEntry.queries("q_shuffle_shards")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()

@@ -95,6 +95,28 @@ class TextInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_vocab: dense ranks, descending counts, exact cumulative coverage") {
+    val rows = SparkEntry.queries("q_vocab")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length))
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sortBy(-_), "counts must be non-increasing by rank")
+    // cumulative share is monotone and consistent with the per-term share
+    val shares = rows.map(_.getAs[Double]("share"))
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.toSeq == cums.sorted.toSeq, "coverage curve must be monotone")
+    cums.zip(shares.scanLeft(0.0)(_ + _).drop(1)).foreach { case (c, s) =>
+      assert(math.abs(c - s) < 1e-6, s"cum_share $c vs summed shares $s")
+    }
+    // top term verified against an independent count
+    val top = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().orderBy(desc("count"), col("t")).first()
+    assert(rows.head.getAs[String]("term") == top.getString(0))
+    assert(rows.head.getAs[Long]("n") == top.getLong(1))
+  }
+
   test("q_pii: counts match construction and redaction scrubs every pattern") {
     val rows = graft.queries.TextOps.q_pii(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
