@@ -117,6 +117,7 @@ object SparkEntry {
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
+    "q_sim_pq"      -> (SimilarityOps.q_sim_pq _),
     // §2.11 training-data selection (deterministic hash sampling)
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
@@ -1389,6 +1390,39 @@ object SparkEntry {
         |               a.vec_id) AS rank
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
         |  WHERE a.vec_id <> p.query_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // PQ: every per-subspace squared-L2 is an i-ascending fold over 8
+    // positions (list_transform keeps list order; list_sum folds it
+    // left-to-right — the same op sequence as the codegen'd sq_l2),
+    // fixed-pointed to 1e-6 BIGINTs; codes, the ADC integer sum, and
+    // the final ranking are then integer-exact in both engines.
+    "q_sim_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE len(embedding) = 64),
+        |cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT v.vec_id, s.m, c.cid,
+        |    CAST(round(1e6 * list_sum(list_transform(range(1, 9), i ->
+        |      (v.e[s.m*8 + i] - c.cv[s.m*8 + i]) * (v.e[s.m*8 + i] - c.cv[s.m*8 + i])
+        |    ))) AS BIGINT) AS dfp
+        |  FROM v, (SELECT unnest(range(0, 8)) AS m) s, cent c),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dfp, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, m, cid, dfp FROM dist WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.dfp) AS adc_fp
+        |  FROM codes c JOIN qd q ON q.m = c.m AND q.cid = c.code
+        |  WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(adc_fp AS DOUBLE) / 1e6, 6) AS approx_dist, rank
+        |FROM (
+        |  SELECT query_id, neighbor_id, adc_fp,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS rank
+        |  FROM adc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 

@@ -138,6 +138,72 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance over two `array<float>` columns in
+  * double precision — same codegen structure as [[DotProduct]]. The
+  * accumulation is the i-ascending single-accumulator fold, matching
+  * the DuckDB oracle's `list_sum(list_transform(range(...), ...))`
+  * per-position form bit for bit (the PQ oracle depends on this: the
+  * per-subspace distance is fixed-pointed at 1e-6 AFTER this fold, and
+  * all downstream arithmetic is integer-exact).
+  *
+  * Used by [[graft.queries.SimilarityOps.q_sim_pq]], where the encode
+  * stage evaluates m·k of these per row — as one codegen'd call per
+  * (subspace, centroid) the generated code stays within the JIT method
+  * limits that a flattened (m·k·subDim)-term scalar expression tree
+  * would blow past (the same consideration that shaped the LSH
+  * sketch's `dot_product` form).
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.checkFloatArrays(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_l2"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null // see CosineSimilarity
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val a = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $a = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; continue; }
+         |    double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |    $a += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $a; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SparkSessionExtensions hook: inject the vector functions at session
   * build time so every session (including SQL-only users) sees them
   * without an explicit register() call:
@@ -160,6 +226,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => {
         val (l, r) = VectorFunctions.twoArgs("dot_product", exprs); DotProduct(l, r)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("sq_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "sq_l2"),
+      (exprs: Seq[Expression]) => {
+        val (l, r) = VectorFunctions.twoArgs("sq_l2", exprs); SquaredL2(l, r)
       }))
   }
 }
@@ -194,5 +266,7 @@ object VectorFunctions {
       "cosine_sim", exprs => { val (l, r) = twoArgs("cosine_sim", exprs); CosineSimilarity(l, r) }, "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => { val (l, r) = twoArgs("dot_product", exprs); DotProduct(l, r) }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "sq_l2", exprs => { val (l, r) = twoArgs("sq_l2", exprs); SquaredL2(l, r) }, "built-in")
   }
 }

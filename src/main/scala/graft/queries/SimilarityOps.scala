@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.functions.{TopKAggregator, VectorFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over the `embeddings`
@@ -200,5 +200,123 @@ object SimilarityOps {
         round(expr("cosine_sim(va, vb)"), 6).as("cosine"))
       .filter(col("cosine") > 0.35)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** PQ geometry: M subspaces of dim/M dims, K centroids per subspace.
+    * Shared constants so the unit test and the oracle generator agree.
+    */
+  val PqM    = 8  // subspaces (64-dim embeddings → 8 dims each)
+  val PqK    = 16 // codebook entries per subspace → 4-bit codes
+  val PqDims = 64
+  val PqTopK = 5
+
+  /** Product-quantization ANN — the third classic scale path besides
+    * [[q_sim_lsh]] (bucketing) and [[q_sim_ivf]] (coarse partitioning):
+    * compress every vector to M small codes, answer queries from the
+    * codes alone via asymmetric distance computation (ADC), never
+    * touching the raw corpus vectors at query time. Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+    *
+    * Deterministic, oracle-checked pipeline:
+    *  1. Codebook: the first K vectors' subvectors per subspace (the
+    *     same first-k "training" stance as q_sim_ivf; production would
+    *     run per-subspace Lloyd iterations — KMeansOps has the loop).
+    *  2. Encode: per vector and subspace m, the code is the argmin of
+    *     the squared-L2 distance to the K sub-centroids — each distance
+    *     one codegen'd `sq_l2` call against a literal subvector,
+    *     fixed-pointed to 1e-6 longs so the argmin (and everything
+    *     after it) is integer-exact in both engines; ties break to the
+    *     smaller centroid id via `least` over (dist, id) structs.
+    *  3. Query (ADC): each query row precomputes its M×K distance
+    *     table (as fixed-point longs) ONCE; per candidate the
+    *     approximate distance is M table lookups + an integer sum.
+    *  4. Top-k per query by (distance ASC, id ASC) through the
+    *     bounded-heap [[graft.functions.TopKAggregator]].
+    *
+    * Scale shape: the encode is a zero-shuffle scan projection (codes
+    * are 8 ints — a 64-dim float vector compresses 32×, which is the
+    * point: at 100 TB the code table fits where the vectors cannot).
+    * The query side broadcasts 10 rows each carrying a KB-sized
+    * distance table; scoring streams through the code table inside one
+    * codegen stage, and only ≤ k pairs per query per partition cross
+    * the final exchange. Nothing shuffles with the corpus.
+    *
+    * Recall caveat (mirrors the LSH/IVF docstrings): ADC distance is
+    * an approximation — a true neighbor whose quantization error
+    * exceeds the margin to the k-th candidate is missed. The unit
+    * suite pins exact-duplicate vectors to ADC distance 0 (quantization
+    * cannot split identical inputs).
+    */
+  def q_sim_pq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val m = PqM
+    val k = PqK
+    val dims = PqDims
+    val subDim = dims / m
+    // vectors that don't match the PQ geometry can't be encoded —
+    // drop them on BOTH sides (the oracle mirrors len(embedding)=64)
+    val e = embeddings(s, d).filter(size(col("embedding")) === dims)
+    // The codebook is a MODEL (K×dims floats, kilobytes): collect once,
+    // ship as literals — the q_sim_ivf stance.
+    val cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getSeq[Float](1).toArray)
+    if (cents.isEmpty)
+      return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("approx_dist"), col("vec_id").as("rank")).limit(0)
+    def subCent(mi: Int, ki: Int): Array[Float] =
+      cents(ki).slice(mi * subDim, (mi + 1) * subDim)
+    // fixed-point squared-L2 between a subvector column and a literal
+    // sub-centroid: one codegen'd loop, then one deterministic rounding
+    def distFp(sub: Column, mi: Int, ki: Int): Column =
+      round(call_function("sq_l2", sub, typedLit(subCent(mi, ki))) * lit(1e6)).cast("long")
+    // subvectors materialized once per row (m slices), then reused
+    // across all K centroid distances of their subspace
+    val subs = array((0 until m).map(mi =>
+      slice(col("embedding"), mi * subDim + 1, subDim)): _*)
+    // Encode: codes[m] = argmin_k distFp — `least` over (dist, id)
+    // structs, the mirror of KMeansOps.nearestCell's greatest form
+    val codeCols = (0 until m).map { mi =>
+      val sub = element_at(col("subs"), mi + 1)
+      least((0 until k).map { ki =>
+        struct(distFp(sub, mi, ki).as("d"), lit(ki).as("k"))
+      }: _*).getField("k")
+    }
+    // `subs` as a named projection column so the m slices materialize
+    // once per row and are shared across all K distances per subspace
+    val codes = e.withColumn("subs", subs)
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+    // Query side: the per-query M×K ADC table, fixed-point longs
+    val qTab = array((0 until m).map { mi =>
+      val sub = element_at(col("subs"), mi + 1)
+      array((0 until k).map(ki => distFp(sub, mi, ki)): _*)
+    }: _*)
+    val queries = e.filter(col("vec_id") < 10)
+      .withColumn("subs", subs)
+      .select(col("vec_id").as("query_id"), qTab.as("qtab"))
+    // ADC: M table lookups + integer sum per (query, candidate) —
+    // explicit 8-term sum (codegen'd), no lambda in the hot loop
+    val adc = (0 until m).map { mi =>
+      element_at(element_at(col("qtab"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduceLeft(_ + _)
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_fp"))
+      // malformed vectors (null elements) surface as null distances —
+      // unrankable, drop (the cosine family's isNotNull stance)
+      .filter(col("adc_fp").isNotNull)
+    scored.groupBy("query_id")
+      .agg(TopKAggregator.topk(PqTopK)(
+        (-col("adc_fp")).cast("double"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(
+        col("query_id"),
+        col("pair._2").as("neighbor_id"),
+        round((-col("pair._1")) / lit(1e6), 6).as("approx_dist"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
   }
 }

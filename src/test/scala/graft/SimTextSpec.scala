@@ -76,6 +76,70 @@ class SimTextSpec extends AnyFunSuite {
     }
   }
 
+  test("sq_l2 expression matches hand computation; NULL on dimension mismatch") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.5f, -2.0f, 4.0f), Array(2.0f, 3.0f, 0.5f))).toDF("a", "b")
+    val got = df.select(expr("sq_l2(a, b)")).collect().head.getDouble(0)
+    val want = math.pow(1.5 - 2.0, 2) + math.pow(-2.0 - 3.0, 2) + math.pow(4.0 - 0.5, 2)
+    assert(math.abs(got - want) < 1e-12)
+    val mm = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(mm.select(expr("sq_l2(a, b)")).collect().head.isNullAt(0))
+  }
+
+  test("q_sim_pq equals a driver-side PQ reference implementation exactly") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .filter(_._2.length == 64).sortBy(_._1)
+    val m = queries.SimilarityOps.PqM
+    val k = queries.SimilarityOps.PqK
+    val sub = queries.SimilarityOps.PqDims / m
+    val cents = vecs.filter(_._1 < k).map(_._2)
+    // the same fixed-point subspace distance as the query/oracle:
+    // i-ascending double fold, then HALF_UP rounding at 1e-6
+    def dfp(v: Array[Float], c: Array[Float], off: Int): Long = {
+      var acc = 0.0; var i = 0
+      while (i < sub) { val d = v(off + i).toDouble - c(off + i).toDouble; acc += d * d; i += 1 }
+      BigDecimal(acc * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def codesOf(v: Array[Float]): Array[Int] =
+      (0 until m).map(mi => (0 until k).minBy(ki => (dfp(v, cents(ki), mi * sub), ki))).toArray
+    val got = q("q_sim_pq").collect().groupBy(_.getAs[Long]("query_id"))
+    assert(got.size == 10)
+    vecs.filter(_._1 < 10).foreach { case (qid, qv) =>
+      val tab = Array.tabulate(m, k)((mi, ki) => dfp(qv, cents(ki), mi * sub))
+      val expected = vecs.filter(_._1 != qid).map { case (nid, nv) =>
+        val cs = codesOf(nv)
+        (nid, (0 until m).map(mi => tab(mi)(cs(mi))).sum)
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(5)
+      val rows = got(qid).sortBy(_.getAs[Long]("rank"))
+      assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == expected.map(_._1).toSeq,
+        s"query $qid neighbor order diverged")
+      rows.zip(expected).foreach { case (r, (_, adc)) =>
+        val want = BigDecimal(adc / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("approx_dist") == want)
+      }
+    }
+  }
+
+  test("q_sim_pq: identical vectors quantize identically (ADC distance 0 to a duplicate query)") {
+    // quantization cannot split identical inputs: a corpus vector equal
+    // to the query byte-for-byte must surface at rank 1 with distance 0
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 2).toFloat)
+    val other = Array.tabulate(64)(i => (math.cos(i * 3 + 2) * 2).toFloat)
+    val rows = (0L until 20L).map { id =>
+      (id, if (id == 7L) base else if (id < 10L) other.map(v => v + id * 0.01f) else base.map(v => v + (id - 9L) * 0.5f))
+    } :+ ((20L, base)) // vec 20 duplicates query 7
+    val tmp = java.nio.file.Files.createTempDirectory("pq").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = queries.SimilarityOps.q_sim_pq(spark, tmp).collect()
+    val q7 = got.filter(r => r.getAs[Long]("query_id") == 7L && r.getAs[Long]("rank") == 1L).head
+    assert(q7.getAs[Long]("neighbor_id") == 20L)
+    assert(q7.getAs[Double]("approx_dist") == 0.0)
+  }
+
   test("q_sim_lsh candidates are a subset of brute-force near-dups (id<300)") {
     val lsh = q("q_sim_lsh").collect()
       .filter(r => r.getAs[Long]("vec_a") < 300 && r.getAs[Long]("vec_b") < 300)
