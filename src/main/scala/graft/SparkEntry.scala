@@ -97,6 +97,7 @@ object SparkEntry {
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
     "q_dedup_incr_idx" -> (TextOps.q_dedup_incr_idx _),
+    "q_dedup_bloom"  -> (TextOps.q_dedup_bloom _),
     "q_lm_score"     -> (TextOps.q_lm_score _),
     "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
@@ -1431,5 +1432,7 @@ object SparkEntry {
     * must reproduce the in-DAG recompute exactly).
     */
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q_dedup_incr_idx" -> oracleSqlBase("q_dedup_incr"))
+    oracleSqlBase +
+      ("q_dedup_incr_idx" -> oracleSqlBase("q_dedup_incr")) +
+      ("q_dedup_bloom"    -> oracleSqlBase("q_dedup_incr"))
 }

@@ -314,11 +314,16 @@ object TextOps {
     * an already-distinct index passes through without paying a
     * re-distinct shuffle.
     */
-  private def dedupIncrCore(batch: DataFrame, existingFp: DataFrame): DataFrame = {
-    // null fingerprints (null documents) admit INDIVIDUALLY: groupBy
-    // treats NULLs as one group, which would silently collapse
-    // unrelated null docs into each other — they share no content
-    val admitted = batch.join(existingFp.select("fp"), Seq("fp"), "left_anti")
+  private def dedupIncrCore(batch: DataFrame, existingFp: DataFrame): DataFrame =
+    canonicalizeBatch(batch.join(existingFp.select("fp"), Seq("fp"), "left_anti"))
+
+  /** The within-batch half of the incremental-dedup kernel: keep the
+    * earliest doc per fingerprint, count its batch duplicates. Null
+    * fingerprints (null documents) admit INDIVIDUALLY: groupBy treats
+    * NULLs as one group, which would silently collapse unrelated null
+    * docs into each other — they share no content.
+    */
+  private def canonicalizeBatch(admitted: DataFrame): DataFrame = {
     val grouped = admitted.filter(col("fp").isNotNull)
       .groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
@@ -358,6 +363,63 @@ object TextOps {
     dedupIncrAgainst(
       documents(s, d).filter(col("source") =!= "src0"),
       graft.sources.Sinks.readFpIndex(s, idxPath))
+  }
+
+  /** Bloom-prefiltered incremental dedup — [[q_dedup_incr]]'s exact
+    * result through the semi-join-reduction shape Spark's own runtime
+    * row-level filtering uses (`InjectRuntimeFilter`), made explicit
+    * so it can cross a materialization boundary (build once over the
+    * corpus index, probe every daily batch):
+    *
+    *  1. Build ONE bloom filter over the existing corpus's fingerprint
+    *     hashes (`bloom_agg`, map-side partial insert + bitwise-OR
+    *     merge — the only all-to-one traffic is fixed-size bitsets).
+    *     The collected filter is MODEL-sized by construction (numBits
+    *     is a literal cap, 1 MiB here; Spark's own runtime filters cap
+    *     at 8 MiB) — fpp degrades gracefully if the index outgrows it,
+    *     correctness never depends on it (step 3 confirms exactly).
+    *  2. Batch rows whose fp the bloom has definitely NOT seen (no
+    *     false negatives) admit with ZERO join — they never enter the
+    *     exchange. At 100 TB with a mostly-novel daily crawl this is
+    *     almost the whole batch, so the anti-join's probe side shrinks
+    *     from O(batch) to O(dups + fpp·batch).
+    *  3. Might-contain rows pay the exact anti-join — bloom false
+    *     positives are weeded out here, making the final result
+    *     bit-identical to [[q_dedup_incr]] (the driver verifies both
+    *     under the SAME oracle text).
+    *
+    * The batch lineage is read twice (disjoint bloom-predicate
+    * branches of one scan) — deliberate: a parquet re-scan of the
+    * daily increment is cheap next to the wide exchange the prefilter
+    * eliminates, and persisting batch fps is exactly the state a
+    * 100 TB pipeline avoids holding.
+    */
+  def q_dedup_bloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val fp = documents(s, d)
+      .select(col("doc_id"), col("source"), normalizedFp(col("text")).as("fp"))
+    val existing = fp.filter(col("source") === "src0").select("fp")
+      .filter(col("fp").isNotNull).distinct()
+    val batch = fp.filter(col("source") =!= "src0")
+    val bloomRow = existing
+      .agg(call_function("bloom_agg",
+        xxhash64(col("fp")), lit(1000000L), lit(8388608L)).as("bf"))
+      .head()
+    if (bloomRow.isNullAt(0)) {
+      // empty index → everything in the batch is new; no join at all
+      return canonicalizeBatch(batch.select("doc_id", "fp"))
+    }
+    val bloom = bloomRow.getAs[Array[Byte]](0)
+    val contains = call_function("bloom_contains", lit(bloom), xxhash64(col("fp")))
+    // null fps route around the bloom entirely (contains is null-
+    // propagating, and they never equi-match the index anyway)
+    val nulls = batch.filter(col("fp").isNull).select("doc_id", "fp")
+    val definite = batch.filter(col("fp").isNotNull && !contains)
+      .select("doc_id", "fp")
+    val confirmed = batch.filter(col("fp").isNotNull && contains)
+      .join(existing, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    canonicalizeBatch(definite.unionByName(confirmed).unionByName(nulls))
   }
 
   /** Unigram-LM quality scoring — the CCNet-style perplexity filter

@@ -397,6 +397,53 @@ class SimTextSpec extends AnyFunSuite {
     assert(out == Map(11L -> 3L, 14L -> 1L, 15L -> 1L), s"got $out")
   }
 
+  test("q_dedup_bloom is bit-identical to q_dedup_incr (fixture with corpus dups, batch dups, nulls)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "seen before", "src0"),
+      (1L, "also seen", "src0"),
+      (10L, "seen before", "srcNew"),
+      (11L, "brand new words", "srcNew"),
+      (12L, "brand new words", "srcNew"),
+      (13L, "words new brand", "srcNew"),
+      (14L, null.asInstanceOf[String], "srcNew"),
+      (15L, null.asInstanceOf[String], "srcNew")
+    ).map { case (i, t, src) =>
+      (i, t, "en", src, Option(t).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bloom-incr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    for (d <- Seq(tmp, sf)) {
+      val exact = graft.queries.TextOps.q_dedup_incr(spark, d).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[Long]("n_batch_dups"))).toSet
+      val bloom = graft.queries.TextOps.q_dedup_bloom(spark, d).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[Long]("n_batch_dups"))).toSet
+      assert(bloom == exact,
+        s"dir=$d only-bloom=${bloom -- exact} only-exact=${exact -- bloom}")
+    }
+  }
+
+  test("bloom_agg/bloom_contains: every inserted key probes true; novel keys mostly prune") {
+    import spark.implicits._
+    graft.functions.BloomFunctions.register(spark)
+    val inserted = (0L until 1000L).map(i => s"key-$i")
+    val bloom = inserted.toDF("k")
+      .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("k")),
+        org.apache.spark.sql.functions.lit(10000L),
+        org.apache.spark.sql.functions.lit(131072L)))
+      .head().getAs[Array[Byte]](0)
+    import org.apache.spark.sql.functions.{call_function, col, lit, xxhash64}
+    def contains(df: org.apache.spark.sql.DataFrame) =
+      df.filter(call_function("bloom_contains", lit(bloom), xxhash64(col("k")))).count()
+    // no false negatives — the property q_dedup_bloom's exactness rests on
+    assert(contains(inserted.toDF("k")) == 1000L)
+    // novel keys overwhelmingly prefilter out (131072 bits / 1000 keys
+    // => fpp well under 1%; allow slack, but pruning must be real)
+    val novel = (0L until 1000L).map(i => s"other-$i").toDF("k")
+    assert(contains(novel) < 50L, "bloom prunes nothing — prefilter is dead weight")
+  }
+
   test("simhashPairs fullRecall path equals the first-matching-band path when no bucket overflows") {
     import graft.queries.{DedupOps, HashFamily}
     def pairs(fullRecall: Boolean) =
