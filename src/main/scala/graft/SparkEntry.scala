@@ -119,6 +119,7 @@ object SparkEntry {
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
     "q_sim_pq"      -> (SimilarityOps.q_sim_pq _),
+    "q_sim_ivfpq"   -> (SimilarityOps.q_sim_ivfpq _),
     // §2.11 training-data selection (deterministic hash sampling)
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
@@ -1417,6 +1418,71 @@ object SparkEntry {
         |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.dfp) AS adc_fp
         |  FROM codes c JOIN qd q ON q.m = c.m AND q.cid = c.code
         |  WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(adc_fp AS DOUBLE) / 1e6, 6) AS approx_dist, rank
+        |FROM (
+        |  SELECT query_id, neighbor_id, adc_fp,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // IVF-PQ: the q_sim_pq fixed-point machinery composed with a
+    // coarse quantizer. Residuals are exact double subtractions
+    // ((v-cc) identical bits in both engines); every distance is the
+    // same i-ascending fold rounded once to a 1e-6 BIGINT, so cell
+    // assignment, codes, probes, ADC sums, and ranks are all
+    // integer-exact.
+    "q_sim_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE len(embedding) = 64),
+        |cc AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 8),
+        |cd AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(round(1e6 * list_sum(list_transform(range(1, 65), i ->
+        |      (v.e[i] - c.cv[i]) * (v.e[i] - c.cv[i])))) AS BIGINT) AS dfp
+        |  FROM v, cc c),
+        |cell AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dfp, cid) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |res AS (
+        |  SELECT v.vec_id, cell.cell,
+        |    list_transform(range(1, 65), i -> v.e[i] - cc.cv[i]) AS r
+        |  FROM v JOIN cell USING (vec_id) JOIN cc ON cc.cid = cell.cell),
+        |cb AS (SELECT vec_id AS code_id, r AS br FROM res WHERE vec_id < 16),
+        |enc AS (
+        |  SELECT x.vec_id, s.m, b.code_id,
+        |    CAST(round(1e6 * list_sum(list_transform(range(1, 9), i ->
+        |      (x.r[s.m*8 + i] - b.br[s.m*8 + i]) * (x.r[s.m*8 + i] - b.br[s.m*8 + i])
+        |    ))) AS BIGINT) AS dfp
+        |  FROM res x, (SELECT unnest(range(0, 8)) AS m) s, cb b),
+        |codes AS (
+        |  SELECT vec_id, m, code_id AS code FROM (
+        |    SELECT vec_id, m, code_id,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dfp, code_id) AS rn
+        |    FROM enc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dfp, cid) AS rn
+        |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+        |qd AS (
+        |  SELECT p.query_id, p.cell, s.m, b.code_id,
+        |    CAST(round(1e6 * list_sum(list_transform(range(1, 9), i ->
+        |      ((v.e[s.m*8 + i] - cc.cv[s.m*8 + i]) - b.br[s.m*8 + i]) *
+        |      ((v.e[s.m*8 + i] - cc.cv[s.m*8 + i]) - b.br[s.m*8 + i])
+        |    ))) AS BIGINT) AS dfp
+        |  FROM probes p
+        |  JOIN v ON v.vec_id = p.query_id
+        |  JOIN cc ON cc.cid = p.cell,
+        |  (SELECT unnest(range(0, 8)) AS m) s, cb b),
+        |adc AS (
+        |  SELECT q.query_id, ce.vec_id AS neighbor_id, sum(q.dfp) AS adc_fp
+        |  FROM cell ce
+        |  JOIN codes c ON c.vec_id = ce.vec_id
+        |  JOIN qd q ON q.cell = ce.cell AND q.m = c.m AND q.code_id = c.code
+        |  WHERE ce.vec_id <> q.query_id
         |  GROUP BY 1, 2)
         |SELECT query_id, neighbor_id,
         |  round(CAST(adc_fp AS DOUBLE) / 1e6, 6) AS approx_dist, rank

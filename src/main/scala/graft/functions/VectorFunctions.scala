@@ -156,22 +156,43 @@ case class DotProduct(left: Expression, right: Expression)
 case class SquaredL2(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    VectorFunctions.checkFloatArrays(prettyName, left, right)
+  // Unlike cosine_sim/dot_product (float-only), sq_l2 also accepts
+  // array<double> pairs: the IVF-PQ path runs it over RESIDUAL arrays
+  // (float minus float centroid, computed in double so both engines
+  // see identical bits — see q_sim_ivfpq).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def elem(t: DataType): Option[DataType] = t match {
+      case ArrayType(FloatType, _)  => Some(FloatType)
+      case ArrayType(DoubleType, _) => Some(DoubleType)
+      case _ => None
+    }
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<float> or two array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq_l2"
 
   override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null // see CosineSimilarity
+    val f = isFloat
     var acc = 0.0; var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      val d =
+        if (f) x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        else x.getDouble(i) - y.getDouble(i)
       acc += d * d; i += 1
     }
     acc
@@ -183,6 +204,7 @@ case class SquaredL2(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val a = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val get = if (isFloat) "getFloat" else "getDouble"
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -191,7 +213,7 @@ case class SquaredL2(left: Expression, right: Expression)
          |  double $a = 0.0;
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; continue; }
-         |    double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |    double $d = (double) $x.$get($i) - (double) $y.$get($i);
          |    $a += $d * $d;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $a; }

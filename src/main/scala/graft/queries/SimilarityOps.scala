@@ -319,4 +319,140 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** IVF-PQ geometry: coarse cells plus the PQ constants above. */
+  val IvfPqCoarse = 8 // coarse centroids (cells)
+  val IvfPqProbe  = 2 // cells searched per query
+
+  /** The per-cell residual in DOUBLE precision — float inputs cast to
+    * double (exact) and subtracted elementwise, so Spark and the
+    * DuckDB oracle (`v.e[i] - cc.cv[i]` over DOUBLE[] lists) see
+    * bit-identical residual arrays. A when-chain over the K_c literal
+    * centroids: per row exactly one branch evaluates.
+    */
+  private def residualFor(cell: Column, v: Column, coarse: Array[Array[Float]]): Column =
+    coarse.indices.foldLeft(lit(null).cast("array<double>")) { (acc, ci) =>
+      when(cell === ci,
+        zip_with(v.cast("array<double>"), typedLit(coarse(ci).map(_.toDouble)),
+          (x, y) => x - y)).otherwise(acc)
+    }
+
+  /** IVF-PQ — the composed form large-scale ANN actually deploys
+    * (FAISS's IndexIVFPQ; Jégou et al. 2011 §V): an IVF coarse
+    * quantizer prunes the search to `nprobe` cells, and within each
+    * cell candidates are scored from PQ codes of their RESIDUALS
+    * (vector minus its cell centroid) — residual magnitudes are much
+    * smaller than raw vectors, so the same code budget quantizes far
+    * more finely than [[q_sim_pq]]'s raw-vector codes.
+    *
+    * Deterministic, oracle-checked pipeline (the q_sim_pq stances,
+    * composed):
+    *  1. Coarse codebook = first K_c vectors; assignment = fixed-point
+    *     argmin of full-dim `sq_l2` (ties to smaller cell id).
+    *  2. Residuals in double precision ([[residualFor]]).
+    *  3. PQ codebook = the first K residual VECTORS (collected from
+    *     the same DataFrame lineage that encodes the corpus, so
+    *     driver-side arithmetic can't diverge from the DAG's);
+    *     encode = per-subspace fixed-point argmin over double `sq_l2`.
+    *  4. Query: probe the `nprobe` nearest cells (array_sort over the
+    *     K_c-entry (dist, id) structs — row-local, only query rows pay
+    *     it); per probed cell the query's residual yields one M×K ADC
+    *     table; candidates are that cell's members, scored by M
+    *     integer lookups + a sum. Cells partition the corpus, so no
+    *     candidate is scored twice.
+    *  5. Global top-k per query across its probed cells through the
+    *     bounded-heap [[graft.functions.TopKAggregator]].
+    *
+    * Scale shape: encode is a zero-shuffle scan projection (8 int
+    * codes + a cell id per vector). Queries broadcast (nprobe rows per
+    * query, each a KB-sized table); the candidate join hits only
+    * nprobe/K_c of the code table — the IVF pruning [[q_sim_pq]]
+    * lacks — and only ≤ k pairs per query per partition reach the
+    * final exchange. At 100 TB the code table is the only corpus-sized
+    * state and it is 30×+ smaller than the vectors.
+    *
+    * Recall caveat: misses compound — a true neighbor outside the
+    * probed cells (IVF) or with large quantization error (PQ) is lost;
+    * production raises nprobe / re-ranks survivors with exact
+    * distances. The unit suite pins agreement with a driver-side
+    * reference implementation instead of recall targets.
+    */
+  def q_sim_ivfpq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val kc = IvfPqCoarse
+    val nprobe = IvfPqProbe
+    val m = PqM
+    val k = PqK
+    val dims = PqDims
+    val subDim = dims / m
+    val e = embeddings(s, d).filter(size(col("embedding")) === dims)
+    val coarse: Array[Array[Float]] = e.filter(col("vec_id") < kc)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getSeq[Float](1).toArray)
+    if (coarse.isEmpty)
+      return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("approx_dist"), col("vec_id").as("rank")).limit(0)
+    def coarseFp(v: Column, ci: Int): Column =
+      round(call_function("sq_l2", v, typedLit(coarse(ci))) * lit(1e6)).cast("long")
+    val cellCol = least((0 until kc).map(ci =>
+      struct(coarseFp(col("embedding"), ci).as("d"), lit(ci).as("k"))): _*).getField("k")
+    val withRes = e.withColumn("cell", cellCol)
+      .withColumn("res", residualFor(col("cell"), col("embedding"), coarse))
+    // PQ codebook: the first K residuals, read back from the SAME
+    // lineage the encode below runs on — kilobytes, model-sized.
+    val cb: Array[Array[Double]] = withRes.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("res"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getSeq[Double](1).toArray)
+    def cbFp(sub: Column, mi: Int, ki: Int): Column =
+      round(call_function("sq_l2", sub,
+        typedLit(cb(ki).slice(mi * subDim, (mi + 1) * subDim))) * lit(1e6)).cast("long")
+    def subsOf(res: Column): Column =
+      array((0 until m).map(mi => slice(res, mi * subDim + 1, subDim)): _*)
+    val codeCols = (0 until m).map { mi =>
+      val sub = element_at(col("subs"), mi + 1)
+      least((cb.indices).map { ki =>
+        struct(cbFp(sub, mi, ki).as("d"), lit(ki).as("k"))
+      }: _*).getField("k")
+    }
+    val codes = withRes.withColumn("subs", subsOf(col("res")))
+      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+    // Query side: nprobe nearest cells, then one ADC table per
+    // (query, cell) — 10 × nprobe rows total carry all interpreted
+    // array work (sort, residual when-chain, table build)
+    val coarseArr = array((0 until kc).map(ci =>
+      struct(coarseFp(col("embedding"), ci).as("d"), lit(ci).as("k"))): _*)
+    val qtab = array((0 until m).map { mi =>
+      val sub = element_at(col("qsubs"), mi + 1)
+      array(cb.indices.map(ki => cbFp(sub, mi, ki)): _*)
+    }: _*)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(slice(array_sort(coarseArr), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("embedding"), col("probe.k").as("cell"))
+      .withColumn("res", residualFor(col("cell"), col("embedding"), coarse))
+      .withColumn("qsubs", subsOf(col("res")))
+      .select(col("query_id"), col("cell"), qtab.as("qtab"))
+    val adc = (0 until m).map { mi =>
+      element_at(element_at(col("qtab"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduceLeft(_ + _)
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_fp"))
+      .filter(col("adc_fp").isNotNull)
+    scored.groupBy("query_id")
+      .agg(TopKAggregator.topk(PqTopK)(
+        (-col("adc_fp")).cast("double"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(
+        col("query_id"),
+        col("pair._2").as("neighbor_id"),
+        round((-col("pair._1")) / lit(1e6), 6).as("approx_dist"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -122,6 +122,60 @@ class SimTextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_ivfpq equals a driver-side IVF-PQ reference implementation exactly") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .filter(_._2.length == 64).sortBy(_._1)
+    val kc = queries.SimilarityOps.IvfPqCoarse
+    val nprobe = queries.SimilarityOps.IvfPqProbe
+    val m = queries.SimilarityOps.PqM
+    val k = queries.SimilarityOps.PqK
+    val sub = queries.SimilarityOps.PqDims / m
+    val coarse = vecs.filter(_._1 < kc).map(_._2)
+    def fp(acc: Double): Long =
+      BigDecimal(acc * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def dfpFull(v: Array[Float], c: Array[Float]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < 64) { val d = v(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+      fp(acc)
+    }
+    def cellOf(v: Array[Float]): Int = (0 until kc).minBy(ci => (dfpFull(v, coarse(ci)), ci))
+    def resWrt(v: Array[Float], ci: Int): Array[Double] =
+      Array.tabulate(64)(i => v(i).toDouble - coarse(ci)(i).toDouble)
+    val cbR = vecs.filter(_._1 < k).map(t => resWrt(t._2, cellOf(t._2)))
+    def dfpSub(r: Array[Double], b: Array[Double], off: Int): Long = {
+      var acc = 0.0; var i = 0
+      while (i < sub) { val d = r(off + i) - b(off + i); acc += d * d; i += 1 }
+      fp(acc)
+    }
+    def codesOf(r: Array[Double]): Array[Int] =
+      (0 until m).map(mi => cbR.indices.minBy(ki => (dfpSub(r, cbR(ki), mi * sub), ki))).toArray
+    val got = q("q_sim_ivfpq").collect().groupBy(_.getAs[Long]("query_id"))
+    assert(got.size == 10)
+    vecs.filter(_._1 < 10).foreach { case (qid, qv) =>
+      val probed = (0 until kc).sortBy(ci => (dfpFull(qv, coarse(ci)), ci)).take(nprobe)
+      val tabs = probed.map { ci =>
+        val r = resWrt(qv, ci)
+        ci -> Array.tabulate(m, cbR.length)((mi, ki) => dfpSub(r, cbR(ki), mi * sub))
+      }.toMap
+      val expected = vecs.filter(_._1 != qid)
+        .flatMap { case (nid, nv) =>
+          val cell = cellOf(nv)
+          tabs.get(cell).map { tab =>
+            val cs = codesOf(resWrt(nv, cell))
+            (nid, (0 until m).map(mi => tab(mi)(cs(mi))).sum)
+          }
+        }.sortBy { case (nid, adc) => (adc, nid) }.take(5)
+      val rows = got(qid).sortBy(_.getAs[Long]("rank"))
+      assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == expected.map(_._1).toSeq,
+        s"query $qid neighbor order diverged")
+      rows.zip(expected).foreach { case (r, (_, adc)) =>
+        val want = BigDecimal(adc / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("approx_dist") == want)
+      }
+    }
+  }
+
   test("q_sim_pq: identical vectors quantize identically (ADC distance 0 to a duplicate query)") {
     // quantization cannot split identical inputs: a corpus vector equal
     // to the query byte-for-byte must surface at rank 1 with distance 0
