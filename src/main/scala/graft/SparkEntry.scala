@@ -136,6 +136,7 @@ object SparkEntry {
     // §2.11 embedding utilities
     "q_embed_stats"    -> (EmbedOps.q_embed_stats _),
     "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
+    "q_embed_calib"    -> (EmbedOps.q_embed_calib _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
     "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
@@ -939,6 +940,28 @@ object SparkEntry {
         |SELECT vec_id, CAST(generate_subscripts(e,1) - 1 AS BIGINT) AS dim,
         |  CAST(floor(unnest(e) * scale + 0.5) AS BIGINT) AS q
         |FROM s ORDER BY vec_id, dim""".stripMargin,
+    // per-dim calibration: floor(v*1e6+0.5) fixed-point (float grids
+    // DO hit exact .5 ties — k/128 * 1e6 — and engine round() modes
+    // differ); HUGEINT sums mirror Spark's decimal(38,0) exactly
+    "q_embed_calib" ->
+      """WITH x AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT dim, count(*) AS n,
+        |    sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT) * CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS sxx,
+        |    min(v) AS min_val, max(v) AS max_val
+        |  FROM x WHERE v IS NOT NULL GROUP BY dim)
+        |SELECT dim, n,
+        |  round(CAST(sx AS DOUBLE) / n / 1e6, 6) AS mean,
+        |  CASE WHEN n > 1
+        |       THEN round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1))) / 1e6, 6) END AS std,
+        |  min_val, max_val,
+        |  CASE WHEN greatest(abs(min_val), abs(max_val)) > 0
+        |       THEN round(127.0 / greatest(abs(min_val), abs(max_val)), 6) END AS scale
+        |FROM a ORDER BY dim""".stripMargin,
     // list(v ORDER BY vec_id) fixes the accumulation order on both
     // sides — float sums are order-dependent in the last bits
     "q_embed_centroid" ->

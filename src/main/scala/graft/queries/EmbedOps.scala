@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column utilities (builder north star): the vector hygiene
@@ -108,4 +108,50 @@ object EmbedOps {
       .select(col("cell"), col("dim").cast("long").as("dim"),
         round(col("centroid"), 6).as("centroid"), col("n"))
       .orderBy("cell", "dim")
+
+  /** Per-DIMENSION corpus statistics — the calibration table every
+    * static quantizer / whitening transform is fitted from (per-dim
+    * mean, std, extrema, and the symmetric-int8 scale 127/max|v|):
+    * compute once over the corpus, broadcast the 64-row result into
+    * the quantize pass ([[q_embed_quant]] is its per-VECTOR dual).
+    *
+    * Scale shape: posexplode → ONE map-side-combined shuffle keyed on
+    * dim — partial state is (count, two integer sums, min, max) per
+    * dimension, so the exchange carries dims × partitions tiny rows
+    * regardless of corpus size; output is dims rows.
+    *
+    * Determinism (the q_stats_agg kernel + q_embed_quant's tie rule):
+    * values fix-point to longs via floor(v·1e6 + 0.5) — floor, not
+    * round(), because engine .5-tie modes differ and float grids DO
+    * hit exact ties (v = k/128 ⇒ v·1e6 = x.5 exactly). Sums
+    * accumulate as decimal(38,0) (Σx² overflows int64 at corpus
+    * scale; DuckDB's HUGEINT sum mirrors it exactly), the mean/std
+    * are single divisions of exact operands, and min/max are exact
+    * float comparisons — nothing depends on summation order.
+    */
+  def q_embed_calib(s: SparkSession, d: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def sumd(c: Column): Column = sum(c.cast(dec38))
+    val x = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
+    val n = col("n").cast(dec38)
+    val varN = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val nn1 = (col("n") * (col("n") - 1)).cast("double")
+    val maxAbs = greatest(abs(col("min_val")), abs(col("max_val")))
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("v").isNotNull)
+      .select(col("dim"), x.as("x"), col("v").cast("double").as("vd"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sumd(col("x")).as("sx"), sumd(col("x") * col("x")).as("sxx"),
+        min(col("vd")).as("min_val"), max(col("vd")).as("max_val"))
+      .select(
+        col("dim").cast("long").as("dim"),
+        col("n"),
+        round(col("sx").cast("double") / col("n") / 1e6, 6).as("mean"),
+        when(col("n") > 1, round(sqrt(varN / nn1) / 1e6, 6)).as("std"),
+        col("min_val"), col("max_val"),
+        when(maxAbs > 0, round(lit(127.0) / maxAbs, 6)).as("scale"))
+      .orderBy("dim")
+  }
 }

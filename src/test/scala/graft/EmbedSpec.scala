@@ -28,6 +28,28 @@ class EmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("q_embed_calib matches a driver-side per-dimension reference exactly") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(_.getSeq[Float](1)).filter(_ != null)
+    val rows = SparkEntry.queries("q_embed_calib")(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val dim = r.getAs[Long]("dim").toInt
+      val vs = vecs.flatMap(v => if (dim < v.length) Some(v(dim).toDouble) else None)
+      assert(r.getAs[Long]("n") == vs.length)
+      val fx = vs.map(v => math.floor(v * 1e6 + 0.5).toLong)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("mean") == r6(fx.map(BigInt(_)).sum.toDouble / vs.length / 1e6))
+      val n = vs.length.toLong
+      val sx = fx.map(BigInt(_)).sum; val sxx = fx.map(x => BigInt(x) * BigInt(x)).sum
+      val std = math.sqrt((BigInt(n) * sxx - sx * sx).toDouble / (n * (n - 1))) / 1e6
+      assert(r.getAs[Double]("std") == r6(std))
+      assert(r.getAs[Double]("min_val") == vs.min && r.getAs[Double]("max_val") == vs.max)
+      val maxAbs = math.max(math.abs(vs.min), math.abs(vs.max))
+      assert(r.getAs[Double]("scale") == r6(127.0 / maxAbs))
+    }
+  }
+
   test("q_embed_centroid: k*dim cells, group sizes sum to the bounded window") {
     val rows = SparkEntry.queries("q_embed_centroid")(spark, sf).collect()
     assert(rows.length == 8 * 64)

@@ -83,7 +83,7 @@ class NullInputSpec extends AnyFunSuite {
   }
 
   private val embeddingQueries = Seq(
-    "q_embed_stats", "q_embed_quant", "q_embed_centroid", "q_embed_train",
+    "q_embed_stats", "q_embed_quant", "q_embed_calib", "q_embed_centroid", "q_embed_train",
     "q_sim_topk", "q_dedup_embed", "q_sim_lsh", "q_sim_ivf", "q_sim_pq",
     "q_sim_ivfpq")
 
