@@ -102,6 +102,7 @@ object SparkEntry {
     "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
     "q_vocab"        -> ((s, d) => TextOps.q_vocab(s, d)),
+    "q_bpe"          -> ((s, d) => TextOps.q_bpe(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -1350,6 +1351,19 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / total_tokens, 10) AS share,
         |  round(CAST(cum_n AS DOUBLE) / total_tokens, 10) AS cum_share
         |FROM r, tot ORDER BY rank""".stripMargin,
+    // BPE merge-step: pair counting over the distinct vocab, weighted
+    // by word frequency; exact longs, ties (cnt DESC, pair)
+    "q_bpe" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT word, count(*) AS n FROM t WHERE length(word) > 1 GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)), i ->
+        |        substr(word, CAST(i AS INTEGER), 2))) AS pair, n
+        |      FROM w),
+        |a AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY pair)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
+        |  pair, cnt
+        |FROM a ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
     // deterministic shard shuffle: the 8-hex-char draw is the
     // pseudo-random order key; seq = per-shard row_number (ties
     // impossible: doc_id breaks them)

@@ -365,6 +365,37 @@ object TextOps {
       graft.sources.Sinks.readFpIndex(s, idxPath))
   }
 
+  /** BPE merge-step — the inner loop of byte-pair-encoding tokenizer
+    * training (Sennrich et al. 2016): count adjacent character pairs
+    * across the corpus, weighted by word frequency; the top pair is
+    * what a BPE trainer would merge next (the full trainer repeats
+    * this step after rewriting the vocab, an iteration over the SAME
+    * plan against model-sized state).
+    *
+    * Scale shape (the q_vocab/q_tfidf family): the pair scan runs over
+    * the DISTINCT VOCAB (explode → one word-count shuffle, Zipf-
+    * bounded), not the corpus — each word's pairs are extracted once
+    * and weighted by its count, so corpus size only affects the first
+    * map-side-combined count. Top-N is a TakeOrdered; counts are exact
+    * longs; ties order by (cnt DESC, pair).
+    */
+  def q_bpe(s: SparkSession, d: String, topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 1) // a pair needs ≥ 2 chars
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val pairs = words
+      .select(col("n"), explode(
+        expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), col("pair"))
+    pairs.orderBy(desc("cnt"), col("pair")).limit(topN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy("rank")
+  }
+
   /** Bloom-prefiltered incremental dedup — [[q_dedup_incr]]'s exact
     * result through the semi-join-reduction shape Spark's own runtime
     * row-level filtering uses (`InjectRuntimeFilter`), made explicit

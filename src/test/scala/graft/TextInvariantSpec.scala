@@ -95,6 +95,23 @@ class TextInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bpe equals a driver-side pair count; every pair is 2 chars") {
+    val rows = SparkEntry.queries("q_bpe")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length))
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    // independent reference: full pair multiset over the raw corpus
+    val ref = Tables.documents(spark, TestSpark.sf).collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.split(" "))
+      .filter(_.length > 1)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val top = ref.toSeq.sortBy { case (p, c) => (-c, p) }.take(rows.length)
+    assert(rows.map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq == top,
+      "vocab-weighted pair counts must equal the raw corpus pair multiset")
+  }
+
   test("q_vocab: dense ranks, descending counts, exact cumulative coverage") {
     val rows = SparkEntry.queries("q_vocab")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
