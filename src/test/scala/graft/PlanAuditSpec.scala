@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // projection silently evicts whole-stage codegen).
       val allowed = Set(
         "ArrayTransform", "ArrayFilter", "ArraySort", "ArrayAggregate",
+        "ZipWith", // q_sim_ivfpq residual: once per row, linear in dim
         "LambdaFunction", "NamedLambdaVariable",
         "ScalaAggregator",
         "Percentile", "PivotFirst", "CollectSet", "CollectList",
