@@ -103,6 +103,7 @@ object SparkEntry {
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
     "q_vocab"        -> ((s, d) => TextOps.q_vocab(s, d)),
     "q_bpe"          -> ((s, d) => TextOps.q_bpe(s, d)),
+    "q_entropy"      -> (TextOps.q_entropy _),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -1364,6 +1365,26 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
         |  pair, cnt
         |FROM a ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    // char entropy: per-(doc,char) contributions are fixed-point longs
+    // (exact sum, order-free); final H is one deterministic double
+    // expression; + 0.0 normalizes −0.0 at the single-char boundary
+    "q_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents WHERE text IS NOT NULL),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |a AS (SELECT doc_id,
+        |        CAST(sum(n) AS BIGINT) AS n_chars,
+        |        CAST(count(*) AS BIGINT) AS n_uniq_chars,
+        |        sum(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1e12) AS BIGINT)) AS s
+        |      FROM cc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.n_chars, 0) END AS n_chars,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.n_uniq_chars, 0) END AS n_uniq_chars,
+        |  CASE WHEN a.n_chars > 0 THEN
+        |    round(ln(CAST(a.n_chars AS DOUBLE)) - CAST(a.s AS DOUBLE) / 1e12 / a.n_chars, 6) + 0.0
+        |  END AS char_entropy
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // deterministic shard shuffle: the 8-hex-char draw is the
     // pseudo-random order key; seq = per-shard row_number (ties
     // impossible: doc_id breaks them)

@@ -396,6 +396,47 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Character-entropy quality score — the Shannon-entropy filter
+    * large-corpus pipelines use to drop binary junk, boilerplate, and
+    * character-level spam (low entropy = repetitive, high = random
+    * bytes). H = ln N − (1/N)·Σ nᵢ·ln nᵢ over per-character counts.
+    *
+    * Scale shape: ZERO shuffle — per-row sort + one linear fold
+    * (ArrayAggregate, the allowlisted HOF class) over the document's
+    * own characters; a relational chars-explode would shuffle every
+    * byte of a 100 TB corpus on (doc, char). Oracle parity: each run's
+    * contribution is fixed-pointed (`round(n·ln n·1e12)` as long)
+    * so the per-document sum is exact and order-independent; the
+    * oracle computes the same longs relationally. `+ 0.0` normalizes
+    * a possible −0.0 at the single-character boundary (both engines).
+    */
+  def q_entropy(s: SparkSession, d: String): DataFrame = {
+    // split('') leaves a trailing '' artifact in both engines — filter
+    val runFoldSql =
+      """aggregate(
+        |  array_sort(chs),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),
+        |  (acc, c) -> IF(acc.prev IS NULL OR c = acc.prev,
+        |    named_struct('prev', c, 'run', acc.run + CAST(1 AS BIGINT), 's', acc.s),
+        |    named_struct('prev', c, 'run', CAST(1 AS BIGINT),
+        |      's', acc.s + CAST(round(CAST(acc.run AS DOUBLE) * ln(CAST(acc.run AS DOUBLE)) * 1e12) AS BIGINT))),
+        |  acc -> IF(acc.run = CAST(0 AS BIGINT), acc.s,
+        |    acc.s + CAST(round(CAST(acc.run AS DOUBLE) * ln(CAST(acc.run AS DOUBLE)) * 1e12) AS BIGINT)))""".stripMargin
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ''), c -> c <> '')").as("chs"))
+      .select(col("doc_id"),
+        size(col("chs")).cast("long").as("n_chars"),
+        size(array_distinct(col("chs"))).cast("long").as("n_uniq_chars"),
+        expr(runFoldSql).as("s_fp"))
+      .select(col("doc_id"), col("n_chars"), col("n_uniq_chars"),
+        when(col("n_chars") > 0,
+          round(log(col("n_chars").cast("double"))
+            - col("s_fp").cast("double") / 1e12 / col("n_chars"), 6) + lit(0.0))
+          .as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered incremental dedup — [[q_dedup_incr]]'s exact
     * result through the semi-join-reduction shape Spark's own runtime
     * row-level filtering uses (`InjectRuntimeFilter`), made explicit

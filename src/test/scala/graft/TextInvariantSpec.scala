@@ -112,6 +112,36 @@ class TextInvariantSpec extends AnyFunSuite {
       "vocab-weighted pair counts must equal the raw corpus pair multiset")
   }
 
+  test("q_entropy matches a driver-side Shannon entropy; bounds hold") {
+    val rows = SparkEntry.queries("q_entropy")(spark, TestSpark.sf).collect()
+    val texts = Tables.documents(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text"))).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      texts(id) match {
+        case None => assert(r.isNullAt(r.fieldIndex("char_entropy")))
+        case Some(t) =>
+          val n = r.getAs[Long]("n_chars")
+          assert(n == t.length)
+          val uniq = r.getAs[Long]("n_uniq_chars")
+          assert(uniq == t.toSeq.distinct.length)
+          if (n > 0) {
+            val h = r.getAs[Double]("char_entropy")
+            // reference: same fixed-point kernel, driver-side
+            val s = t.groupBy(identity).values
+              .map(g => math.round(g.length.toDouble * math.log(g.length.toDouble) * 1e12))
+              .sum
+            val ref = BigDecimal(math.log(n.toDouble) - s.toDouble / 1e12 / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+            assert(h == ref, s"doc $id")
+            assert(h >= 0.0 && h <= math.log(uniq.toDouble.max(1.0)) + 1e-9,
+              s"entropy out of [0, ln uniq] for doc $id")
+          }
+      }
+    }
+  }
+
   test("q_vocab: dense ranks, descending counts, exact cumulative coverage") {
     val rows = SparkEntry.queries("q_vocab")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
