@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ClusterOps, DedupOps, EmbedOps, KMeansOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
+import graft.queries.{BpeOps, ClusterOps, DedupOps, EmbedOps, KMeansOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -104,6 +104,7 @@ object SparkEntry {
     "q_vocab"        -> ((s, d) => TextOps.q_vocab(s, d)),
     "q_bpe"          -> ((s, d) => TextOps.q_bpe(s, d)),
     "q_entropy"      -> (TextOps.q_entropy _),
+    "q_bpe_train"    -> ((s, d) => BpeOps.q_bpe_train(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -1365,6 +1366,39 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
         |  pair, cnt
         |FROM a ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    // BPE trainer: 8 written-out merge iterations (the q_embed_train
+    // iterative-CTE stance); each m_i is the argmax pair (cnt DESC,
+    // pat ASC), each v_i the vocab after that literal replace
+    "q_bpe_train" -> {
+      val merges = 8
+      val steps = (1 to merges).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""p$i AS (SELECT pat, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, unnest(list_transform(range(1, len(syms)), j ->
+           |      '<' || syms[j] || '><' || syms[j + 1] || '>')) AS pat
+           |    FROM (SELECT n, string_split(substr(r, 2, length(r) - 2), '><') AS syms
+           |          FROM $prev)) GROUP BY pat),
+           |m$i AS (SELECT pat, replace(pat, '><', '') AS mrg, cnt
+           |        FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+           |v$i AS (SELECT n, replace(v.r, m.pat, m.mrg) AS r FROM $prev v, m$i m)"""
+          .stripMargin
+      }.mkString(",\n")
+      val out = (1 to merges).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS step,
+           |  string_split(substr(pat, 2, length(pat) - 2), '><')[1] AS lhs,
+           |  string_split(substr(pat, 2, length(pat) - 2), '><')[2] AS rhs,
+           |  replace(substr(pat, 2, length(pat) - 2), '><', '') AS merged,
+           |  cnt FROM m$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |    WHERE text IS NOT NULL)
+         |  WHERE length(word) > 1 GROUP BY 1),
+         |v0 AS (SELECT n, '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
+         |       FROM w),
+         |$steps
+         |SELECT * FROM ($out) ORDER BY step""".stripMargin
+    },
     // char entropy: per-(doc,char) contributions are fixed-point longs
     // (exact sum, order-free); final H is one deterministic double
     // expression; + 0.0 normalizes −0.0 at the single-char boundary

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** BPE tokenizer training (Sennrich et al. 2016) — the full iterative
+  * merge loop, not just one step ([[TextOps.q_bpe]] is the single
+  * inner step under the same oracle). No analog in the reference
+  * (commit messages are opaque strings — log.rs:17); this is the
+  * operator a training-data pipeline runs to fit its tokenizer on the
+  * corpus it just cleaned.
+  *
+  * Distributed shape (the [[KMeansOps]] stance): per-iteration state
+  * collected to the driver is MODEL-sized — exactly one (pair, count)
+  * row, like Lloyd's K centroids — while the vocab stays distributed.
+  * The word-frequency vocab is built with ONE corpus shuffle and
+  * persisted; each of the K merge iterations then runs a narrow
+  * projection (cheap literal `replace` chain over the persisted base)
+  * plus one O(distinct pairs) aggregation. Corpus size touches only
+  * the initial word count; iteration cost is Zipf-bounded by the
+  * vocabulary, which is why BPE training is tractable at 100 TB.
+  *
+  * Words are represented as bracket-wrapped symbol strings
+  * (`"abc"` → `"<a><b><c>"`), so a merge is a single codegen'd
+  * leftmost-non-overlapping `replace("<a><b>" → "<ab>")` — string
+  * semantics identical in Spark and DuckDB, and structurally safe
+  * because `<`/`>` cannot occur inside a symbol (asserted against the
+  * corpus charset; a caller with angle brackets in text swaps the
+  * bracket pair). Greedy leftmost replace is exactly learn_bpe's merge
+  * order. Ties on pair counts break lexicographically on the
+  * bracketed pair, mirrored in the oracle's ORDER BY.
+  */
+object BpeOps {
+
+  /** One merge-step's pair extraction: `syms` column (symbol array) →
+    * bracketed adjacent pairs. `syms` is a bound attribute, not an
+    * inline expression — the lambda references it for free (the
+    * round-7 let-bind rule).
+    */
+  private val pairsOfSyms =
+    expr("""transform(
+           |  slice(syms, 1, greatest(size(syms) - 1, 0)),
+           |  (x, i) -> concat('<', x, '><', element_at(syms, i + 2), '>'))""".stripMargin)
+
+  /** Train `merges` BPE merges over the corpus vocabulary; returns the
+    * merge table (step, lhs, rhs, merged, cnt) — learn_bpe's
+    * `merges.txt` with counts. Single-character words carry no pairs
+    * and can never be rewritten, so they are dropped from the vocab.
+    */
+  def q_bpe_train(s: SparkSession, d: String, merges: Int = 8): DataFrame = {
+    import s.implicits._
+    val vocab0 = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 1)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("r", concat(lit("<"),
+        array_join(expr("filter(split(word, ''), c -> c <> '')"), "><"), lit(">")))
+      .select(col("n"), col("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var vocab = vocab0
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = vocab
+        .select(col("n"),
+          expr("split(substring(r, 2, length(r) - 2), '><')").as("syms"))
+        .select(col("n"), explode(pairsOfSyms).as("pat"))
+        .groupBy("pat").agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), col("pat"))
+        .limit(1)
+        .collect() // exactly one row — the model update, never data
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pat, cnt) = (top(0).getString(0), top(0).getLong(1))
+        val Array(lhs, rhs) = pat.substring(1, pat.length - 1).split("><")
+        found += ((step.toLong, lhs, rhs, lhs + rhs, cnt))
+        vocab = vocab.withColumn("r",
+          expr(s"replace(r, '$pat', '<$lhs$rhs>')"))
+        step += 1
+      }
+    }
+    vocab0.unpersist()
+    found.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt").orderBy("step")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_bpe_train against an INDEPENDENT driver-side BPE trainer
+  * (list-based greedy merge, no string replace — a different
+  * mechanism than the operator's bracketed-string rewrite, so a
+  * representation bug in either cannot cancel out).
+  */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Reference learn_bpe: vocab as symbol LISTS; merge = greedy
+    * leftmost non-overlapping rewrite; ties (cnt DESC, bracketed-pair
+    * ASC) — the operator's documented order.
+    */
+  private def referenceBpe(words: Seq[String], merges: Int): Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[List[String], Long] = words
+      .filter(_.length > 1)
+      .groupBy(identity).map { case (w, xs) => w.map(_.toString).toList -> xs.length.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, s"<$l><$r>") }
+        out += ((step.toLong, l, r, l + r, cnt))
+        def mergeIn(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if a == l && b == r => (a + b) :: mergeIn(rest)
+          case a :: rest => a :: mergeIn(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.groupMapReduce { case (syms, _) => mergeIn(syms) }(_._2)(_ + _)
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("q_bpe_train equals the independent list-based trainer on sf0.001") {
+    val got = SparkEntry.queries("q_bpe_train")(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"), r.getAs[Long]("cnt"))).toSeq
+    val words = Tables.documents(spark, TestSpark.sf).collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.split(" "))
+      .toSeq
+    val want = referenceBpe(words, merges = 8)
+    assert(got == want)
+    // the loop genuinely iterates: some later merge consumes an
+    // earlier merged symbol (multi-char lhs or rhs)
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      "no merge consumed an earlier merge — the vocab rewrite is dead code")
+  }
+
+  test("q_bpe_train step 1 equals q_bpe's rank-1 pair") {
+    val bpe1 = SparkEntry.queries("q_bpe")(spark, TestSpark.sf).collect()
+      .find(_.getAs[Long]("rank") == 1L).get
+    val train1 = SparkEntry.queries("q_bpe_train")(spark, TestSpark.sf).collect()
+      .find(_.getAs[Long]("step") == 1L).get
+    assert(train1.getAs[String]("merged") == bpe1.getAs[String]("pair"))
+    assert(train1.getAs[Long]("cnt") == bpe1.getAs[Long]("cnt"))
+  }
+
+  test("degenerate corpus (single-char words only) trains zero merges") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe0").toString
+    Seq((1L, "a b c", "en", "s0", 5L), (2L, null.asInstanceOf[String], "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(SparkEntry.queries("q_bpe_train")(spark, tmp).count() == 0L)
+  }
+}
