@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{BpeOps, ClusterOps, DedupOps, EmbedOps, KMeansOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
+import graft.queries.{BpeOps, ClusterOps, DedupOps, EmbedOps, GraphOps, KMeansOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -105,6 +105,7 @@ object SparkEntry {
     "q_bpe"          -> ((s, d) => TextOps.q_bpe(s, d)),
     "q_entropy"      -> (TextOps.q_entropy _),
     "q_bpe_train"    -> ((s, d) => BpeOps.q_bpe_train(s, d)),
+    "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -1398,6 +1399,37 @@ object SparkEntry {
          |       FROM w),
          |$steps
          |SELECT * FROM ($out) ORDER BY step""".stripMargin
+    },
+    // PageRank: all-integer fixed-point iterations — both engines
+    // carry bit-identical longs; positive operands make Spark div and
+    // DuckDB // agree
+    "q_pagerank" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""r$i AS (SELECT node,
+           |  CAST(150000000000 // (SELECT n FROM nn)
+           |       + (85 * s) // 100 AS BIGINT) AS fp
+           |FROM (SELECT e.dst AS node, sum(r.fp // d.deg) AS s
+           |      FROM e JOIN $prev r ON e.src = r.node
+           |             JOIN dg d ON e.src = d.src
+           |      GROUP BY e.dst))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+         |                   's' || CAST(l.l_suppkey AS VARCHAR) AS b
+         |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+         |r0 AS (SELECT src AS node,
+         |         CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS fp
+         |       FROM dg),
+         |$steps
+         |SELECT r.node, d.deg, r.fp AS rank_fp,
+         |  CAST(r.fp AS DOUBLE) / 1e12 AS rank
+         |FROM r$iters r JOIN dg d ON r.node = d.src
+         |ORDER BY r.node""".stripMargin
     },
     // char entropy: per-(doc,char) contributions are fixed-point longs
     // (exact sum, order-free); final H is one deterministic double

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_pagerank against an independent driver-side integer PageRank
+  * over a constructed trading graph, plus structural invariants on
+  * the real fixture data.
+  */
+class PageRankSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Same fixed-point kernel, computed over an in-memory edge list. */
+  private def referencePr(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val n = deg.size.toLong
+    var fp: Map[String, Long] = deg.map { case (node, _) => node -> 1000000000000L / n }
+    (1 to iters).foreach { _ =>
+      val mass = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => fp(src) / deg(src) }.sum
+      }
+      fp = mass.map { case (node, s) => node -> (150000000000L / n + 85L * s / 100L) }
+    }
+    fp
+  }
+
+  test("q_pagerank equals the independent integer kernel on a constructed graph") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pr").toString
+    // orders o1..o4 wire customers {1,2} to suppliers {7,8,9}:
+    // c1-{s7,s8}, c2-{s7,s9}; c2's order o4 repeats s7 (distinct must dedup)
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, 7L), (2L, 8L), (3L, 9L), (4L, 7L), (3L, 7L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = SparkEntry.queries("q_pagerank")(spark, tmp).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
+    val want = referencePr(
+      Seq("c1" -> "s7", "c1" -> "s8", "c2" -> "s7", "c2" -> "s9"), iters = 3)
+    assert(got == want)
+    // s7 (deg 2) must outrank the deg-1 suppliers
+    assert(got("s7") > got("s8") && got("s7") > got("s9"))
+    assert(got("s8") == got("s9"), "symmetric nodes must tie exactly")
+  }
+
+  test("mass is conserved up to integer-floor loss on fixture data") {
+    val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    val total = rows.map(_.getAs[Long]("rank_fp")).sum
+    // each of the 3 iterations floors at most 1 unit per node in the
+    // teleport term, per edge in the contribution, and 1 in damping
+    assert(total <= 1000000000000L && total > 1000000000000L - 200L * n,
+      s"mass $total out of tolerance for $n nodes")
+    rows.foreach(r => assert(r.getAs[Long]("rank_fp") > 0))
+  }
+}
