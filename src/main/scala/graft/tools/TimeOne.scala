@@ -22,6 +22,12 @@ object TimeOne {
     // A/B the dedup hash families: SPARK_GRAFT_HASH_FAMILY=xxh64
     sys.env.get("SPARK_GRAFT_HASH_FAMILY")
       .foreach(spark.conf.set("spark.graft.hashFamily", _))
+    // generic conf passthrough: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // JVM/codegen warmup; NonFatal only — an OOM here must surface
     try graft.SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
