@@ -106,6 +106,7 @@ object SparkEntry {
     "q_entropy"      -> (TextOps.q_entropy _),
     "q_bpe_train"    -> ((s, d) => BpeOps.q_bpe_train(s, d)),
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
+    "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -659,10 +660,11 @@ object SparkEntry {
          |          / length(text), 10) END AS punct_ratio,
          |  $duckQualityScore AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
-    // mean_quality mirrors the Spark side's fixed-point form: sum of
-    // round(q*1e10) BIGINTs (exact, order-independent — q is already
-    // 10-decimal) divided once, NOT round(avg(double),6) whose last
-    // digit depends on summation order in both engines
+    // Fully integer output (r8): the per-group sum is exact fixed-point
+    // BIGINTs (order-independent), and the shares/means are emitted as
+    // ×1e6 fixed-point BIGINTs via round-half-up integer arithmetic
+    // ((2a + d) // (2d)) — no DOUBLE appears anywhere in the result,
+    // so the driver's hash canonicalization of floats can't diverge.
     "q_corpus_report" ->
       s"""WITH per AS (
          |  SELECT lang, source, count(*) AS n_docs,
@@ -672,9 +674,9 @@ object SparkEntry {
          |  FROM documents GROUP BY 1, 2),
          |t AS (SELECT sum(n_docs) AS total_docs FROM per)
          |SELECT lang, source, n_docs, n_tokens,
-         |  round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share,
+         |  (2 * n_docs * 1000000 + total_docs) // (2 * total_docs) AS doc_share_fp,
          |  CASE WHEN n_q > 0
-         |    THEN round(CAST(q_sum_fp AS DOUBLE) / n_q / 1e10, 6) END AS mean_quality
+         |    THEN (2 * q_sum_fp + n_q * 10000) // (2 * n_q * 10000) END AS mean_quality_fp
          |FROM per, t ORDER BY lang, source""".stripMargin,
     // rank on the ROUNDED score (then term) so float-tail ties cannot
     // order differently across engines
@@ -1429,6 +1431,45 @@ object SparkEntry {
          |SELECT r.node, d.deg, r.fp AS rank_fp,
          |  CAST(r.fp AS DOUBLE) / 1e12 AS rank
          |FROM r$iters r JOIN dg d ON r.node = d.src
+         |ORDER BY r.node""".stripMargin
+    },
+    // Directed PageRank with dangling-mass redistribution: suppliers
+    // are sinks (outdeg 0); each step collects their total fp into a
+    // one-row dangling aggregate and every node receives dm // N on
+    // top of its in-edge contributions. Same all-integer fixed-point
+    // contract — final CASTs normalize DuckDB's HUGEINT sums back to
+    // BIGINT so both engines carry identical longs.
+    "q_pagerank_dir" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""d$i AS (SELECT CAST(coalesce(sum(r.fp), 0) AS BIGINT) AS dm
+           |  FROM $prev r JOIN nd ON r.node = nd.node WHERE nd.deg = 0),
+           |r$i AS (SELECT nd.node,
+           |  CAST(150000000000 // (SELECT n FROM nn)
+           |       + (85 * (coalesce(c.s, 0)
+           |                + (SELECT dm FROM d$i) // (SELECT n FROM nn))) // 100
+           |       AS BIGINT) AS fp
+           |FROM nd LEFT JOIN (SELECT e.dst AS node, sum(r.fp // dg.deg) AS s
+           |                   FROM e JOIN $prev r ON e.src = r.node
+           |                          JOIN dg ON e.src = dg.src
+           |                   GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |nd AS (SELECT n.node, CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg
+         |       FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+         |       LEFT JOIN dg ON n.node = dg.src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+         |r0 AS (SELECT node,
+         |         CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS fp
+         |       FROM nd),
+         |$steps
+         |SELECT r.node, nd.deg AS out_deg, r.fp AS rank_fp,
+         |  CAST(r.fp AS DOUBLE) / 1e12 AS rank
+         |FROM r$iters r JOIN nd ON r.node = nd.node
          |ORDER BY r.node""".stripMargin
     },
     // char entropy: per-(doc,char) contributions are fixed-point longs

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver testdata star schema
   * (TESTDATA.md). Scans are plain `spark.read.parquet` so Catalyst
@@ -20,16 +21,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos long and
-    * rebuild a µs timestamp with integral division — `div`, not `/`,
-    * because epoch-nanos (~1.7e18) exceeds double's 2^53 exact-integer
-    * range and a float division would corrupt low-order digits.
+  /** Schema-adaptive events reader. The driver has shipped `events.ts`
+    * in two physical forms so far: TIMESTAMP(NANOS) parquet (rounds 1–6;
+    * Spark 4 rejects it outright with PARQUET_TYPE_ILLEGAL, so we read
+    * it as a raw nanos long and rebuild a µs timestamp) and plain
+    * `timestamp[us]` NTZ (round 7+). Branch on the type Spark actually
+    * observes rather than hard-coding either era:
+    *
+    *   - LongType (nanosAsLong read of TIMESTAMP(NANOS)): integral
+    *     `div 1000` — not `/` — because epoch-nanos (~1.7e18) exceeds
+    *     double's 2^53 exact-integer range and a float division would
+    *     corrupt low-order digits.
+    *   - TimestampNTZType: cast to session-TZ TimestampType. Every
+    *     session in this repo pins spark.sql.session.timeZone=UTC, so
+    *     the cast is value-preserving and downstream `unix_timestamp`/
+    *     `window` semantics match DuckDB's naive-as-UTC reading.
+    *   - TimestampType: already what downstream queries expect.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType           => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

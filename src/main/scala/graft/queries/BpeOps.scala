@@ -48,8 +48,21 @@ object BpeOps {
     * merge table (step, lhs, rhs, merged, cnt) — learn_bpe's
     * `merges.txt` with counts. Single-character words carry no pairs
     * and can never be rewritten, so they are dropped from the vocab.
+    *
+    * Lineage cadence: each merge appends one `replace` projection to
+    * the vocab plan. At the oracle's K=8 that is invisible, but a
+    * tokenizer-real K (30k merges) would stack 30k projections and
+    * kill the analyzer long before the data mattered. Every
+    * `checkpointEvery` merges the vocab is re-materialized via
+    * `localCheckpoint` (the [[graft.queries.ClusterOps]] stance;
+    * `checkpoint()` to reliable storage on a real cluster), truncating
+    * the plan to a scan — the vocab is Zipf-bounded, so the
+    * materialization is O(vocab), never corpus-sized. BpeSpec trains
+    * K=64 with a short cadence to prove the loop survives past the
+    * depth that un-truncated lineage starts visibly degrading.
     */
-  def q_bpe_train(s: SparkSession, d: String, merges: Int = 8): DataFrame = {
+  def q_bpe_train(s: SparkSession, d: String, merges: Int = 8,
+                  checkpointEvery: Int = 64): DataFrame = {
     import s.implicits._
     val vocab0 = documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -79,6 +92,7 @@ object BpeOps {
         found += ((step.toLong, lhs, rhs, lhs + rhs, cnt))
         vocab = vocab.withColumn("r",
           expr(s"replace(r, '$pat', '<$lhs$rhs>')"))
+        if (step % checkpointEvery == 0) vocab = vocab.localCheckpoint()
         step += 1
       }
     }

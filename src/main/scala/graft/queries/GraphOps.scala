@@ -24,10 +24,22 @@ object GraphOps {
     * [[ClusterOps]] stance: each of the K iterations references it,
     * and plan truncation keeps iteration k's lineage one join+agg
     * deep instead of stacking all k (`checkpoint()` to reliable
-    * storage on a real cluster). Each iteration is one shuffle join
-    * (rank table × edges on src — both hash-partitioned on the join
-    * key, so AQE reuses the layout) and one map-side-combined sum on
-    * dst. Nothing data-sized ever reaches the driver.
+    * storage on a real cluster). The rank table is O(nodes) — model-
+    * sized next to the edge list, exactly like the k-means/PQ
+    * codebooks — so each iteration's contrib join BROADCASTS the
+    * ranks: the corpus-sized edge set is never re-shuffled, each
+    * round is one broadcast-hash-join scan of the checkpointed edges
+    * plus one map-side-combined sum on dst (ranks descend from an
+    * aggregation, so Catalyst's stats won't infer the broadcast on
+    * their own — round 7 measured K full edge exchanges, 17.7s,
+    * without the hint). When node count outgrows broadcast (~billions
+    * of nodes at true web scale), the alternative is to bucket BOTH
+    * edges (by src) and ranks (by node) into the same bucketing so
+    * the per-iteration join is co-partitioned with zero exchange on
+    * the edge side and an O(nodes) exchange on the rank side only.
+    * Rank lineage is localCheckpoint'd every [[checkpointEvery]]
+    * iterations (BPE-trainer stance) so tokenizer-real iteration
+    * counts don't stack an analyzer-killing plan.
     *
     * Oracle parity: ranks are fixed-point longs (1e12 = rank 1.0) and
     * EVERY operation is integer arithmetic — contribution = `fp div
@@ -38,7 +50,8 @@ object GraphOps {
     * very first round. Positive operands make Spark's truncating
     * `div` and DuckDB's flooring `//` agree everywhere.
     */
-  def q_pagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+  def q_pagerank(s: SparkSession, d: String, iters: Int = 3,
+                 checkpointEvery: Int = 8): DataFrame = {
     val e0 = orders(s, d).join(lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
@@ -51,13 +64,14 @@ object GraphOps {
     val nDf = deg.agg(count(lit(1)).as("n_nodes"))
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), expr("1000000000000 div n_nodes").as("fp"))
-    (1 to iters).foreach { _ =>
-      val contrib = edgesD.join(ranks, edgesD("src") === ranks("node"))
+    (1 to iters).foreach { i =>
+      val contrib = edgesD.join(broadcast(ranks), edgesD("src") === ranks("node"))
         .select(col("dst"), expr("fp div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("mass"))
       ranks = contrib.crossJoin(broadcast(nDf))
         .select(col("dst").as("node"),
           expr("(150000000000 div n_nodes) + ((85 * mass) div 100)").as("fp"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     // display rank: ONE correctly-rounded IEEE division on exact
     // operands — bit-identical cross-engine. A round(x, 10) here
@@ -65,6 +79,80 @@ object GraphOps {
     // 10, where Spark (HALF_UP) and DuckDB (half-even) disagree.
     ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node"), col("deg"), col("fp").as("rank_fp"),
+        (col("fp").cast("double") / 1e12).as("rank"))
+      .orderBy("node")
+  }
+
+  /** DIRECTED PageRank with dangling-mass redistribution — the shape
+    * the similarity/overlap graphs this operator is advertised for
+    * actually have. Edges point customer→supplier only, so every
+    * supplier is a sink (outdegree 0): without the redistribution
+    * term its mass would silently leak each round and total rank
+    * would decay toward the teleport floor. Per iteration the sink
+    * nodes' total mass is collected into a ONE-ROW aggregate
+    * (broadcast, like every other model-sized scalar in this repo)
+    * and every node receives `dang_mass div N` alongside its edge
+    * contributions:
+    *
+    *   rank' = (1−d)/N + d · (Σ_in rank(src)/outdeg(src) + dang/N)
+    *
+    * Nodes with no in-edges still appear every round via the left
+    * join against the node table — on a sink-heavy graph the
+    * "received nothing" rows are exactly the ones a naive
+    * contrib-only rebuild (like the undirected kernel's) would drop.
+    *
+    * Same all-integer fixed-point contract as [[q_pagerank]] (1e12 =
+    * rank 1.0; div/sum only; positive operands make Spark `div` and
+    * DuckDB `//` agree), same broadcast-ranks iteration join against
+    * a once-checkpointed edge set, same checkpoint-every-N lineage
+    * cadence.
+    */
+  def q_pagerank_directed(s: SparkSession, d: String, iters: Int = 3,
+                          checkpointEvery: Int = 8): DataFrame = {
+    val edges = orders(s, d).join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    directedKernel(edges, iters, checkpointEvery)
+  }
+
+  /** Iteration kernel for [[q_pagerank_directed]], factored out so
+    * PageRankSpec can drive it with a hand-built sink graph and check
+    * the dangling-mass arithmetic against hand-computed fixed-point
+    * values. `edges` is a distinct (src, dst) DataFrame.
+    */
+  private[graft] def directedKernel(edges: DataFrame, iters: Int,
+                                    checkpointEvery: Int): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(outdeg, "src").localCheckpoint()
+    // node table: src ∪ dst, with outdegree 0 for sinks — O(nodes)
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint()
+    val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), expr("1000000000000 div n_nodes").as("fp"))
+    (1 to iters).foreach { i =>
+      val dang = ranks.join(broadcast(nodes.filter(col("deg") === 0)
+          .select(col("node"))), Seq("node"))
+        .agg(coalesce(sum(col("fp")), lit(0L)).as("dang_mass"))
+      val contrib = edgesD.join(broadcast(ranks), edgesD("src") === ranks("node"))
+        .select(col("dst"), expr("fp div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("mass"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(dang))
+        .select(col("node"),
+          expr("(150000000000 div n_nodes) + " +
+            "((85 * (coalesce(mass, 0L) + (dang_mass div n_nodes))) div 100)")
+            .as("fp"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.join(nodes.select(col("node").as("n2"), col("deg")),
+        ranks("node") === col("n2"))
+      .select(col("node"), col("deg").as("out_deg"), col("fp").as("rank_fp"),
         (col("fp").cast("double") / 1e12).as("rank"))
       .orderBy("node")
   }

@@ -67,6 +67,23 @@ class BpeSpec extends AnyFunSuite {
     assert(train1.getAs[Long]("cnt") == bpe1.getAs[Long]("cnt"))
   }
 
+  test("K=64 with a short checkpoint cadence survives and matches the independent trainer") {
+    // tokenizer-real K stacks one replace projection per merge; the
+    // cadence (here every 8 merges → 8 truncations) must neither alter
+    // results nor let the plan depth grow with K
+    val got = graft.queries.BpeOps.q_bpe_train(spark, TestSpark.sf,
+        merges = 64, checkpointEvery = 8).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"), r.getAs[Long]("cnt"))).toSeq
+    val words = Tables.documents(spark, TestSpark.sf).collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.split(" "))
+      .toSeq
+    val want = referenceBpe(words, merges = 64)
+    assert(got == want)
+    assert(got.length == 64, s"corpus exhausted early at ${got.length} merges")
+  }
+
   test("degenerate corpus (single-char words only) trains zero merges") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("bpe0").toString

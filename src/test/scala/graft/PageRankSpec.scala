@@ -45,6 +45,41 @@ class PageRankSpec extends AnyFunSuite {
     assert(got("s8") == got("s9"), "symmetric nodes must tie exactly")
   }
 
+  test("directed kernel redistributes dangling mass on a known sink graph") {
+    import spark.implicits._
+    // a → b, b is a sink. Hand-computed fixed-point after 1 iteration:
+    //   r0 = 5e11 each; dang = fp(b) = 5e11; dang share = 5e11 div 2 = 25e10
+    //   teleport = 150e9 div 2 = 75e9
+    //   a: 75e9 + 85·(0 + 25e10) div 100       = 287_500_000_000
+    //   b: 75e9 + 85·(5e11 + 25e10) div 100    = 712_500_000_000
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val got1 = graft.queries.GraphOps.directedKernel(edges, iters = 1, checkpointEvery = 8)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
+    assert(got1 == Map("a" -> 287500000000L, "b" -> 712500000000L))
+    // without redistribution a would hold only the teleport floor and
+    // total mass would have leaked b's entire share; with it, this tiny
+    // graph conserves mass exactly
+    assert(got1.values.sum == 1000000000000L)
+    // sinks keep participating across iterations: 3 rounds on a chain
+    // with two sinks (x→y, x→z) still sums to ~1.0 up to floor loss
+    val got3 = graft.queries.GraphOps.directedKernel(
+        Seq(("x", "y"), ("x", "z")).toDF("src", "dst"), iters = 3, checkpointEvery = 8)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
+    assert(got3.keySet == Set("x", "y", "z"))
+    val total = got3.values.sum
+    assert(total <= 1000000000000L && total > 1000000000000L - 1000L)
+    assert(got3("y") == got3("z"), "symmetric sinks must tie exactly")
+    assert(got3("y") > got3("x"), "sinks fed by x must outrank the source")
+  }
+
+  test("q_pagerank_dir runs on fixture data with every node present and positive") {
+    val rows = SparkEntry.queries("q_pagerank_dir")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val sinks = rows.filter(_.getAs[Long]("out_deg") == 0L)
+    assert(sinks.nonEmpty, "supplier nodes must appear as sinks")
+    rows.foreach(r => assert(r.getAs[Long]("rank_fp") > 0))
+  }
+
   test("mass is conserved up to integer-floor loss on fixture data") {
     val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
     val n = rows.length
