@@ -43,6 +43,7 @@ object SparkEntry {
     "q_sketch_merge" -> (SketchOps.q_sketch_merge _),
     "q_sketch_exact" -> (SketchOps.q_sketch_exact _),
     "q_sketch_kmv"   -> (SketchOps.q_sketch_kmv _),
+    "q_ngram_cms"    -> ((s, d) => SketchOps.q_ngram_cms(s, d)),
     "q_approx_pct"   -> (SketchOps.q_approx_pct _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
     "q_agg_groupset" -> (Relational.q_agg_groupset _),
@@ -367,6 +368,36 @@ object SparkEntry {
         |ORDER BY p""".stripMargin,
     // KMV sketch: fully deterministic, so unlike HLL the whole
     // build→merge→estimate pipeline is hash-verified. The rank window
+    // Count-Min Sketch over trigrams: the lane hash is the shared
+    // 60-bit md5 window, so DuckDB rebuilds every (lane, bucket)
+    // counter bit-for-bit — sketch build, point estimates, and the
+    // one-sided error column are all hash-verified longs.
+    "q_ngram_cms" -> {
+      val (depth, width, topK) = (4, 1024, 20)
+      s"""WITH w0 AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |            FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+         |      FROM w0),
+         |lanes AS (SELECT unnest(range(0, $depth)) AS j),
+         |gb AS (SELECT g.gram, l.j,
+         |         substr(md5(CAST(l.j AS VARCHAR) || ':' || g.gram), 1, 15) AS h
+         |       FROM g, lanes l),
+         |sketch AS (SELECT j AS lane, ${duckHexValue("h", 1, 15)} % $width AS bucket,
+         |         CAST(count(*) AS BIGINT) AS counter
+         |       FROM gb GROUP BY 1, 2),
+         |exact AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+         |       GROUP BY 1 ORDER BY cnt DESC, gram LIMIT $topK),
+         |pr AS (SELECT e.gram, e.cnt, l.j,
+         |         ${duckHexValue(s"substr(md5(CAST(l.j AS VARCHAR) || ':' || e.gram), 1, 15)", 1, 15)} % $width AS bucket
+         |       FROM exact e, lanes l),
+         |est AS (SELECT pr.gram, pr.cnt, min(s.counter) AS cms_est
+         |       FROM pr JOIN sketch s ON s.lane = pr.j AND s.bucket = pr.bucket
+         |       GROUP BY 1, 2)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, gram) AS rank,
+         |  gram, cnt, cms_est, cms_est - cnt AS cms_err
+         |FROM est ORDER BY rank""".stripMargin
+    },
     // reproduces KmvAggregator's k smallest distinct 60-bit hashes.
     "q_sketch_kmv" ->
       s"""WITH h AS (

@@ -141,4 +141,66 @@ object SketchOps {
       .unionAll(global)
       .orderBy("c_nationkey")
   }
+
+  /** Count-Min Sketch heavy-hitter estimates over corpus trigrams —
+    * the mergeable frequency sketch a 100 TB pipeline uses where an
+    * exact n-gram table is unaffordable. The sketch build is the
+    * scale path: `groupBy(lane, bucket)` over the exploded gram
+    * stream has AT MOST depth×width distinct keys, so hash partial
+    * aggregation collapses every partition to ≤ d·w counters
+    * map-side and the shuffle moves kilobytes regardless of corpus
+    * size — the CMS update rule expressed as a bounded-key
+    * aggregation instead of a custom UDAF (built-in-first: Catalyst
+    * codegens the whole update path). Lane hashes are the repo's
+    * engine-portable 60-bit md5 window, so the sketch is
+    * deterministic and the DuckDB oracle reproduces every counter
+    * bit-for-bit — build, point query, AND error are hash-verified,
+    * unlike the engine-specific HLL binaries in [[q_sketch_merge]].
+    *
+    * The exact top-k candidate branch is a second pass (one
+    * map-side-combined gram count, Zipf-bounded output, TakeOrdered
+    * top-k) — the oracle/diagnostic twin, same two-pass stance as
+    * q_tfidf: at true scale you'd keep only the sketch and feed
+    * candidates from a heavy-hitter stream. The estimate join probes
+    * the ≤ d·w-row sketch broadcast against k×d candidate lanes;
+    * output pins est ≥ exact (CMS one-sided error) with the
+    * overestimate surfaced as cms_err.
+    */
+  def q_ngram_cms(s: SparkSession, d: String, depth: Int = 4,
+                  width: Int = 1024, topK: Int = 20): DataFrame = {
+    // let-bound word array (the round-7 HOF rule) → adjacent trigrams
+    val grams = documents(s, d)
+      .filter(col("text").isNotNull)
+      .withColumn("w", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(explode(expr(
+        """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+          |  (x, i) -> concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3)))"""
+          .stripMargin)).as("gram"))
+    def laneBucket(j: Int) =
+      pmod(conv(substring(md5(concat(lit(s"$j:"), col("gram"))), 1, 15), 16, 10)
+        .cast("long"), lit(width.toLong))
+    // sketch: one pass over the gram stream, bounded-key aggregation
+    val lanes = array((0 until depth).map(j =>
+      struct(lit(j.toLong).as("lane"), laneBucket(j).as("bucket"))): _*)
+    val sketch = grams
+      .select(explode(lanes).as("lb"))
+      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("counter"))
+    // exact candidates: Zipf-bounded count + TakeOrdered top-k
+    val exact = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("gram")).limit(topK)
+    // probe: k×d candidate lanes against the broadcast ≤ d·w sketch
+    val probes = exact.select(col("gram"), col("cnt"), explode(lanes).as("lb"))
+      .select(col("gram"), col("cnt"),
+        col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+    val est = probes.join(broadcast(sketch), Seq("lane", "bucket"))
+      .groupBy("gram").agg(first(col("cnt")).as("cnt"),
+        min(col("counter")).as("cms_est"))
+    est.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), col("gram"))).cast("long").as("rank"),
+        col("gram"), col("cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("cms_err"))
+      .orderBy("rank")
+  }
 }
