@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver testdata star schema
   * (TESTDATA.md). Scans are plain `spark.read.parquet` so Catalyst
@@ -48,5 +48,20 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Defensive on the same axis that broke events in round 7: if a
+    * testdata regeneration ships `embedding` as list<double> (pandas'
+    * default float width) instead of list<float>, normalize back to
+    * the float array every vector operator assumes. A float→float
+    * cast is a no-op projection, so the guard costs nothing today.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _: ArrayType => df.withColumn("embedding",
+        col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has unexpected physical type $other")
+    }
+  }
 }
