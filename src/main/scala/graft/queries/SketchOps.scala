@@ -166,22 +166,33 @@ object SketchOps {
     * output pins est ≥ exact (CMS one-sided error) with the
     * overestimate surfaced as cms_err.
     */
+  /** Adjacent space-delimited trigrams of a non-null `text` column —
+    * let-bound word array (the round-7 HOF rule). Shared by the batch
+    * sketch and [[graft.streaming.StreamingOps.streamingCms]].
+    */
+  private[graft] def trigramRows(docs: DataFrame): DataFrame = docs
+    .filter(col("text").isNotNull)
+    .withColumn("w", expr("filter(split(text, ' '), x -> x <> '')"))
+    .select(explode(expr(
+      """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+        |  (x, i) -> concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3)))"""
+        .stripMargin)).as("gram"))
+
+  /** The d lane/bucket pairs of a `gram` column: lane hash j is the
+    * engine-portable 60-bit md5 window over `"j:gram"`, mod width.
+    */
+  private[graft] def cmsLanes(depth: Int, width: Int) =
+    array((0 until depth).map { j =>
+      struct(lit(j.toLong).as("lane"),
+        pmod(conv(substring(md5(concat(lit(s"$j:"), col("gram"))), 1, 15), 16, 10)
+          .cast("long"), lit(width.toLong)).as("bucket"))
+    }: _*)
+
   def q_ngram_cms(s: SparkSession, d: String, depth: Int = 4,
                   width: Int = 1024, topK: Int = 20): DataFrame = {
-    // let-bound word array (the round-7 HOF rule) → adjacent trigrams
-    val grams = documents(s, d)
-      .filter(col("text").isNotNull)
-      .withColumn("w", expr("filter(split(text, ' '), x -> x <> '')"))
-      .select(explode(expr(
-        """transform(slice(w, 1, greatest(size(w) - 2, 0)),
-          |  (x, i) -> concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3)))"""
-          .stripMargin)).as("gram"))
-    def laneBucket(j: Int) =
-      pmod(conv(substring(md5(concat(lit(s"$j:"), col("gram"))), 1, 15), 16, 10)
-        .cast("long"), lit(width.toLong))
+    val grams = trigramRows(documents(s, d))
+    val lanes = cmsLanes(depth, width)
     // sketch: one pass over the gram stream, bounded-key aggregation
-    val lanes = array((0 until depth).map(j =>
-      struct(lit(j.toLong).as("lane"), laneBucket(j).as("bucket"))): _*)
     val sketch = grams
       .select(explode(lanes).as("lb"))
       .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))

@@ -85,4 +85,23 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming Count-Min Sketch maintenance over a document stream —
+    * the live-ingest corpus monitor. The CMS update rule is already a
+    * bounded-key aggregation (see
+    * [[graft.queries.SketchOps.q_ngram_cms]]), so the streaming state
+    * store IS the sketch: at most depth×width counter rows regardless
+    * of how long the stream runs, updated incrementally per
+    * micro-batch with map-side partial aggregation — no watermark
+    * needed because the state never grows past d·w. Counter-for-
+    * counter parity with the batch sketch over the same documents is
+    * pinned in CmsSpec (same trigram and lane-hash expressions by
+    * construction — they are shared code).
+    */
+  def streamingCms(docs: DataFrame, depth: Int = 4,
+                   width: Int = 1024): DataFrame =
+    graft.queries.SketchOps.trigramRows(docs)
+      .select(explode(graft.queries.SketchOps.cmsLanes(depth, width)).as("lb"))
+      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("counter"))
 }

@@ -44,6 +44,38 @@ class CmsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("cms_err") == 0L))
   }
 
+  test("streaming CMS over two micro-batches equals the batch sketch counter-for-counter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .filter(col("text").isNotNull).select("text")
+      .collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[String]
+    val q = graft.streaming.StreamingOps
+      .streamingCms(input.toDF().withColumnRenamed("value", "text"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val (b1, b2) = texts.splitAt(texts.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getAs[Long]("lane"), r.getAs[Long]("bucket")) -> r.getAs[Long]("counter"))
+      .toMap
+    val batch = graft.queries.SketchOps.trigramRows(
+        Tables.documents(spark, TestSpark.sf))
+      .select(explode(graft.queries.SketchOps.cmsLanes(4, 1024)).as("lb"))
+      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("counter")).collect()
+      .map(r => (r.getAs[Long]("lane"), r.getAs[Long]("bucket")) -> r.getAs[Long]("counter"))
+      .toMap
+    assert(streamed == batch,
+      "streaming sketch must equal batch sketch over the same documents")
+    assert(streamed.size <= 4 * 1024)
+  }
+
   test("sketch state is bounded by depth x width regardless of corpus size") {
     // the sketch subtree aggregates on (lane, bucket) — distinct keys
     // <= 4 x 1024 by construction; verify on the real fixture by
