@@ -106,6 +106,7 @@ object SparkEntry {
     "q_bpe"          -> ((s, d) => TextOps.q_bpe(s, d)),
     "q_entropy"      -> (TextOps.q_entropy _),
     "q_bpe_train"    -> ((s, d) => BpeOps.q_bpe_train(s, d)),
+    "q_bpe_encode"   -> ((s, d) => BpeOps.q_bpe_encode(s, d)),
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
     // §2.11 dedup family
@@ -214,6 +215,34 @@ object SparkEntry {
        |         list_min(hs[j+1 : j+4]) AS fp
        |        FROM wdw),
        |wfp AS (SELECT DISTINCT doc_id, pos, fp FROM sel)""".stripMargin
+  }
+
+  /** Full WITH-body CTE chain deriving the BPE merge tables m1..mK
+    * (pat, mrg, cnt) plus rewritten vocabs v0..vK from the documents
+    * corpus — shared by the q_bpe_train and q_bpe_encode oracles so
+    * the fit the encoder applies is BY CONSTRUCTION the fit the
+    * trainer reports.
+    */
+  private def duckBpeTrainCtes(merges: Int): String = {
+    val steps = (1 to merges).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""p$i AS (SELECT pat, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(syms)), j ->
+         |      '<' || syms[j] || '><' || syms[j + 1] || '>')) AS pat
+         |    FROM (SELECT n, string_split(substr(r, 2, length(r) - 2), '><') AS syms
+         |          FROM $prev)) GROUP BY pat),
+         |m$i AS (SELECT pat, replace(pat, '><', '') AS mrg, cnt
+         |        FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+         |v$i AS (SELECT n, replace(v.r, m.pat, m.mrg) AS r FROM $prev v, m$i m)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |    WHERE text IS NOT NULL)
+       |  WHERE length(word) > 1 GROUP BY 1),
+       |v0 AS (SELECT n, '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
+       |       FROM w),
+       |$steps""".stripMargin
   }
 
   private def duckHashDraw(chars: Int): String = {
@@ -1405,18 +1434,7 @@ object SparkEntry {
     // pat ASC), each v_i the vocab after that literal replace
     "q_bpe_train" -> {
       val merges = 8
-      val steps = (1 to merges).map { i =>
-        val prev = if (i == 1) "v0" else s"v${i - 1}"
-        s"""p$i AS (SELECT pat, CAST(sum(n) AS BIGINT) AS cnt FROM (
-           |    SELECT n, unnest(list_transform(range(1, len(syms)), j ->
-           |      '<' || syms[j] || '><' || syms[j + 1] || '>')) AS pat
-           |    FROM (SELECT n, string_split(substr(r, 2, length(r) - 2), '><') AS syms
-           |          FROM $prev)) GROUP BY pat),
-           |m$i AS (SELECT pat, replace(pat, '><', '') AS mrg, cnt
-           |        FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-           |v$i AS (SELECT n, replace(v.r, m.pat, m.mrg) AS r FROM $prev v, m$i m)"""
-          .stripMargin
-      }.mkString(",\n")
+      val steps = duckBpeTrainCtes(merges)
       val out = (1 to merges).map { i =>
         s"""SELECT CAST($i AS BIGINT) AS step,
            |  string_split(substr(pat, 2, length(pat) - 2), '><')[1] AS lhs,
@@ -1424,14 +1442,33 @@ object SparkEntry {
            |  replace(substr(pat, 2, length(pat) - 2), '><', '') AS merged,
            |  cnt FROM m$i""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH w AS (SELECT word, count(*) AS n FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-         |    WHERE text IS NOT NULL)
-         |  WHERE length(word) > 1 GROUP BY 1),
-         |v0 AS (SELECT n, '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
-         |       FROM w),
-         |$steps
+      s"""WITH $steps
          |SELECT * FROM ($out) ORDER BY step""".stripMargin
+    },
+    // BPE encode: the SAME training CTE chain derives the merge
+    // tables m1..mK; the corpus is then re-tokenized word-by-word by
+    // a K-deep nested replace whose pat/mrg arguments are scalar
+    // subqueries against those CTEs — mirroring the Spark side's
+    // collected-literal replace chain step for step. Token count =
+    // occurrences of '>' (every symbol ends with one).
+    "q_bpe_encode" -> {
+      val merges = 8
+      val applied = (1 to merges).foldLeft("r") { (acc, i) =>
+        s"replace($acc, (SELECT pat FROM m$i), (SELECT mrg FROM m$i))"
+      }
+      s"""WITH ${duckBpeTrainCtes(merges)},
+         |dw AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(word) > 0),
+         |db AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS n_sym,
+         |         '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
+         |       FROM dw),
+         |de AS (SELECT doc_id, n_sym, $applied AS enc FROM db)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_base_symbols,
+         |  CAST(sum(length(enc) - length(replace(enc, '>', ''))) AS BIGINT) AS n_bpe_tokens
+         |FROM de GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // PageRank: all-integer fixed-point iterations — both engines
     // carry bit-identical longs; positive operands make Spark div and

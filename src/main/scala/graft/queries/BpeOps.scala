@@ -99,4 +99,45 @@ object BpeOps {
     vocab0.unpersist()
     found.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt").orderBy("step")
   }
+
+  /** Apply the trained merge table to the corpus — the other half of
+    * the tokenizer loop ([[q_bpe_train]] fits, this encodes). The
+    * merge list is MODEL-sized (K rows), collected once and applied
+    * as a chain of K codegen'd literal `replace`s over each word's
+    * bracketed symbol string: one corpus pass, ZERO shuffle before
+    * the per-doc count aggregation, and the merge literals ride the
+    * closure — the same broadcast-the-model stance as the k-means/PQ
+    * codebooks. Greedy leftmost replace in merge order is exactly
+    * apply_bpe's semantics on the bracketed representation.
+    *
+    * Output per document: word count, base symbol count (pre-merge
+    * characters), and the post-merge BPE token count (each token ends
+    * in `>`, so tokens = occurrences of `>`), all exact longs — the
+    * compression a tokenizer-fit diagnostic actually reads. Single-
+    * char words carry no pairs (never merged) but still count their
+    * one token, unlike training where they can't contribute merges.
+    */
+  def q_bpe_encode(s: SparkSession, d: String, merges: Int = 8): DataFrame = {
+    // model fit: K (pat → merged) rows, in step order
+    val table = q_bpe_train(s, d, merges).collect()
+      .map(r => (s"<${r.getAs[String]("lhs")}><${r.getAs[String]("rhs")}>",
+        s"<${r.getAs[String]("merged")}>"))
+    val words = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
+    val bracketed = concat(lit("<"),
+      array_join(expr("filter(split(word, ''), c -> c <> '')"), "><"), lit(">"))
+    val encoded = table.foldLeft(bracketed) { case (c, (pat, mrg)) =>
+      replace(c, lit(pat), lit(mrg))
+    }
+    words
+      .select(col("doc_id"), length(col("word")).cast("long").as("n_sym"),
+        (length(encoded) - length(replace(encoded, lit(">"), lit(""))))
+          .cast("long").as("n_tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_base_symbols"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
 }

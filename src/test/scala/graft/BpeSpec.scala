@@ -84,6 +84,40 @@ class BpeSpec extends AnyFunSuite {
     assert(got.length == 64, s"corpus exhausted early at ${got.length} merges")
   }
 
+  test("q_bpe_encode equals an independent list-based encoder applying the same merges") {
+    val docs = Tables.documents(spark, TestSpark.sf).collect()
+      .flatMap(r => Option(r.getAs[String]("text")).map(t => r.getAs[Long]("doc_id") -> t))
+      .toMap
+    val merges = referenceBpe(
+      docs.values.flatMap(_.split(" ")).toSeq, merges = 8)
+    // greedy leftmost non-overlapping rewrite, same mechanism as the
+    // trainer's reference (list-based — NOT the operator's bracketed
+    // string replace, so a representation bug cannot cancel out)
+    def encodeLen(word: String): Long = {
+      var syms = word.map(_.toString).toList
+      merges.foreach { case (_, l, r, m, _) =>
+        def go(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => m :: go(rest)
+          case a :: rest => a :: go(rest)
+          case Nil => Nil
+        }
+        syms = go(syms)
+      }
+      syms.length.toLong
+    }
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      id -> ((ws.length.toLong, ws.map(_.length.toLong).sum, ws.map(encodeLen).sum))
+    }
+    val got = SparkEntry.queries("q_bpe_encode")(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_base_symbols"),
+          r.getAs[Long]("n_bpe_tokens")))).toMap
+    assert(got == want)
+    // merges genuinely compress: total BPE tokens < total base symbols
+    assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
+  }
+
   test("degenerate corpus (single-char words only) trains zero merges") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("bpe0").toString
