@@ -410,7 +410,8 @@ object SparkEntry {
          |      FROM w0),
          |lanes AS (SELECT unnest(range(0, $depth)) AS j),
          |gb AS (SELECT g.gram, l.j,
-         |         substr(md5(CAST(l.j AS VARCHAR) || ':' || g.gram), 1, 15) AS h
+         |         substr(md5(CAST(l.j // 2 AS VARCHAR) || ':' || g.gram),
+         |                CASE WHEN l.j % 2 = 0 THEN 1 ELSE 17 END, 15) AS h
          |       FROM g, lanes l),
          |sketch AS (SELECT j AS lane, ${duckHexValue("h", 1, 15)} % $width AS bucket,
          |         CAST(count(*) AS BIGINT) AS counter
@@ -418,7 +419,7 @@ object SparkEntry {
          |exact AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
          |       GROUP BY 1 ORDER BY cnt DESC, gram LIMIT $topK),
          |pr AS (SELECT e.gram, e.cnt, l.j,
-         |         ${duckHexValue(s"substr(md5(CAST(l.j AS VARCHAR) || ':' || e.gram), 1, 15)", 1, 15)} % $width AS bucket
+         |         ${duckHexValue(s"substr(md5(CAST(l.j // 2 AS VARCHAR) || ':' || e.gram), CASE WHEN l.j % 2 = 0 THEN 1 ELSE 17 END, 15)", 1, 15)} % $width AS bucket
          |       FROM exact e, lanes l),
          |est AS (SELECT pr.gram, pr.cnt, min(s.counter) AS cms_est
          |       FROM pr JOIN sketch s ON s.lane = pr.j AND s.bucket = pr.bucket

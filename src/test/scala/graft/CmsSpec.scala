@@ -90,9 +90,7 @@ class CmsSpec extends AnyFunSuite {
           .stripMargin)).as("gram"))
     val nGrams = grams.count()
     val sketchRows = grams
-      .select(explode(array((0 until 4).map(j => struct(lit(j.toLong).as("lane"),
-        pmod(conv(substring(md5(concat(lit(s"$j:"), col("gram"))), 1, 15), 16, 10)
-          .cast("long"), lit(1024L)).as("bucket"))): _*)).as("lb"))
+      .select(explode(graft.queries.SketchOps.cmsLanes(4, 1024)).as("lb"))
       .groupBy("lb.lane", "lb.bucket").count().count()
     assert(nGrams > 4096, "fixture too small to demonstrate the bound")
     assert(sketchRows <= 4L * 1024L)
