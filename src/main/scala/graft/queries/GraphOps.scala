@@ -117,14 +117,14 @@ object GraphOps {
     * a once-checkpointed edge set, same checkpoint-every-N lineage
     * cadence.
     */
-  def q_pagerank_directed(s: SparkSession, d: String, iters: Int = 3,
-                          checkpointEvery: Int = 8): DataFrame = {
+  def q_pagerank_directed(s: SparkSession, d: String,
+                          iters: Int = 3): DataFrame = {
     val edges = orders(s, d).join(lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-    directedKernel(edges, iters, checkpointEvery)
+    directedKernel(edges, iters)
   }
 
   /** Iteration kernel for [[q_pagerank_directed]], factored out so
@@ -132,8 +132,7 @@ object GraphOps {
     * the dangling-mass arithmetic against hand-computed fixed-point
     * values. `edges` is a distinct (src, dst) DataFrame.
     */
-  private[graft] def directedKernel(edges: DataFrame, iters: Int,
-                                    checkpointEvery: Int): DataFrame = {
+  private[graft] def directedKernel(edges: DataFrame, iters: Int): DataFrame = {
     // Same single-extraction discipline as [[q_pagerank]]: degree via
     // a window on the one checkpointed pass; the node table (with
     // outdeg 0 for sinks) derives from the CHECKPOINTED edges — a
@@ -163,7 +162,15 @@ object GraphOps {
           expr("(150000000000 div n_nodes) + " +
             "((85 * (coalesce(mass, 0L) + (dang_mass div n_nodes))) div 100)")
             .as("fp"))
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+      // materialize ranks EVERY iteration (unlike the undirected
+      // kernel's every-8 cadence): the dangling aggregate makes
+      // ranks_{i-1} appear TWICE in ranks_i's plan — once inside the
+      // contrib broadcast build, once inside dang's — and the two are
+      // not identical exchanges, so ReuseExchange cannot dedup them;
+      // without per-level materialization the recompute tree doubles
+      // per iteration (2^K). Ranks are O(nodes): the materialization
+      // is model-sized work, the standard iterative-graph trade.
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.join(nodes.select(col("node").as("n2"), col("deg")),
         ranks("node") === col("n2"))

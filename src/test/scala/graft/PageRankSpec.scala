@@ -53,7 +53,7 @@ class PageRankSpec extends AnyFunSuite {
     //   a: 75e9 + 85·(0 + 25e10) div 100       = 287_500_000_000
     //   b: 75e9 + 85·(5e11 + 25e10) div 100    = 712_500_000_000
     val edges = Seq(("a", "b")).toDF("src", "dst")
-    val got1 = graft.queries.GraphOps.directedKernel(edges, iters = 1, checkpointEvery = 8)
+    val got1 = graft.queries.GraphOps.directedKernel(edges, iters = 1)
       .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
     assert(got1 == Map("a" -> 287500000000L, "b" -> 712500000000L))
     // without redistribution a would hold only the teleport floor and
@@ -63,7 +63,7 @@ class PageRankSpec extends AnyFunSuite {
     // sinks keep participating across iterations: 3 rounds on a chain
     // with two sinks (x→y, x→z) still sums to ~1.0 up to floor loss
     val got3 = graft.queries.GraphOps.directedKernel(
-        Seq(("x", "y"), ("x", "z")).toDF("src", "dst"), iters = 3, checkpointEvery = 8)
+        Seq(("x", "y"), ("x", "z")).toDF("src", "dst"), iters = 3)
       .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_fp")).toMap
     assert(got3.keySet == Set("x", "y", "z"))
     val total = got3.values.sum
