@@ -118,6 +118,7 @@ object SparkEntry {
     "q_dup_clusters"  -> (ClusterOps.q_dup_clusters _),
     "q_dedup_resolve" -> (ClusterOps.q_dedup_resolve _),
     "q_contamination" -> (DedupOps.q_contamination _),
+    "q_contamination_fuzzy" -> (DedupOps.q_contamination_fuzzy _),
     "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
     "q_overlap"       -> ((s, d) => DedupOps.q_overlap(s, d)),
     "q_dedup_block"   -> ((s, d) => DedupOps.q_dedup_block(s, d)),
@@ -905,6 +906,48 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 10) AS jaccard
         |FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Fuzzy decontamination: same sig/band CTEs as q_dedup_minhash,
+    // but bands join corpus-side against bench-side (doc_id%100 split,
+    // q_contamination's convention) instead of self-joining; exact
+    // shingle Jaccard confirms; argmax via row_number on the rounded
+    // score (engine-stable ordering), left join keeps clean docs.
+    "q_contamination_fuzzy" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+        |  FROM bands c JOIN bands b ON c.band = b.band
+        |  WHERE c.doc_id % 100 >= 2 AND b.doc_id % 100 < 2),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |conf AS (
+        |  SELECT cand.doc_id, cand.bench_id,
+        |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 10) AS jaccard
+        |  FROM cand JOIN dsh x ON x.doc_id = cand.doc_id
+        |            JOIN dsh y ON y.doc_id = cand.bench_id),
+        |rb AS (
+        |  SELECT doc_id, bench_id, jaccard,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, bench_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_cand
+        |  FROM conf)
+        |SELECT d.doc_id, coalesce(r.n_cand, 0) AS n_cand,
+        |  r.bench_id AS best_bench_id, r.jaccard AS best_jaccard,
+        |  coalesce(r.jaccard >= 0.5, false) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 >= 2) d
+        |LEFT JOIN (SELECT * FROM rb WHERE rn = 1) r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
     "q_ngram_jaccard" ->

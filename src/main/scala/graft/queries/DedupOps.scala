@@ -470,6 +470,70 @@ object DedupOps {
     * (< 5 words) fall back to their full text as the single n-gram, so
     * exact short-text collisions still flag.
     */
+  /** FUZZY benchmark decontamination — [[q_contamination]]'s exact
+    * 5-gram overlap misses paraphrased leakage; this variant surfaces
+    * near-matches via MinHash-LSH banding (the [[q_dedup_minhash]]
+    * machinery pointed across the bench/corpus split instead of at a
+    * self-join) and confirms with exact shingle Jaccard.
+    *
+    * Scale shape: the benchmark side is MODEL-sized relative to the
+    * corpus (the real-world property of eval suites), so its band
+    * table broadcasts and the corpus band stream is never
+    * self-joined — no quadratic anywhere, candidates bounded by band
+    * collisions against the tiny bench set. The signature table feeds
+    * BOTH the corpus branch and the broadcast bench branch, so it is
+    * localCheckpoint'd once (O(docs) rows of 8 longs — the round-8
+    * twice-referenced-state rule: a second consumer of an
+    * unmaterialized corpus-sized lineage means a second corpus pass,
+    * inside the broadcast build). Confirm is the dedup family's
+    * text-ride regroup: only candidate pairs' texts cross a shuffle.
+    *
+    * Output: every corpus doc with its confirmed-candidate count,
+    * best-matching benchmark doc (highest exact Jaccard, ties on
+    * bench_id — rounded-score ordering is engine-stable), and a
+    * contaminated flag at Jaccard ≥ 0.5.
+    */
+  def q_contamination_fuzzy(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d, HashFamily.fromConf(s)).localCheckpoint()
+    val bands = sig.select(col("doc_id"), explode(array(
+        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
+        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
+    val bench = bands.filter(col("doc_id") % 100 < 2)
+      .select(col("band"), col("doc_id").as("bench_id")).distinct()
+    val cand = bands.filter(col("doc_id") % 100 >= 2)
+      .join(broadcast(bench), "band")
+      .select(col("doc_id"), col("bench_id")).distinct()
+    // exact-Jaccard confirm via the dedup family's text-ride regroup
+    val sides = cand.select(col("doc_id"), col("bench_id"),
+      explode(array(col("doc_id"), col("bench_id"))).as("member"))
+    val shA = array_distinct(shingles3(col("t_a")))
+    val shB = array_distinct(shingles3(col("t_b")))
+    val conf = sides
+      .join(documents(s, d).select(col("doc_id").as("member"), col("text")),
+        Seq("member"))
+      .groupBy("doc_id", "bench_id")
+      .agg(
+        max(when(col("member") === col("doc_id"), col("text"))).as("t_a"),
+        max(when(col("member") === col("bench_id"), col("text"))).as("t_b"))
+      .filter(col("t_a").isNotNull && col("t_b").isNotNull)
+      .select(col("doc_id"), col("bench_id"),
+        round(size(array_intersect(shA, shB)).cast("double") /
+          size(array_union(shA, shB)), 10).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val best = conf
+      .withColumn("rn", row_number().over(w.orderBy(desc("jaccard"), col("bench_id"))))
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_cand"),
+        col("bench_id").as("best_bench_id"), col("jaccard").as("best_jaccard"))
+    documents(s, d).select(col("doc_id")).filter(col("doc_id") % 100 >= 2)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_bench_id"), col("best_jaccard"),
+        coalesce(col("best_jaccard") >= 0.5, lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   def q_contamination(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"),
       array_distinct(shinglesN(col("text"), 5)).as("gs"))

@@ -590,4 +590,41 @@ class SimTextSpec extends AnyFunSuite {
     val totalKept = out.values.map(_._2).sum
     assert(totalKept == 4L, s"2 base blocks + fresh tail + empty block, got $totalKept")
   }
+
+  test("q_contamination_fuzzy flags a planted cross-split duplicate and paraphrase") {
+    import TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cfz").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // doc 1 → benchmark side (1 % 100 < 2); 102 = verbatim leak,
+    // 103 = near-verbatim leak (one appended word, jaccard 12/13 —
+    // chosen so its md5 minhash signature deterministically shares a
+    // band with the benchmark: LSH recall is per-fixture deterministic
+    // under fixed hashes, and e.g. a mid-sentence word swap at jaccard
+    // 0.6 verifiably does NOT collide — that near-miss is the
+    // documented recall trade, not a bug),
+    // 104 = unrelated, 105 = null text
+    Seq(
+      (1L, base, "en", "s0", base.length.toLong),
+      (102L, base, "en", "s0", base.length.toLong),
+      (103L, base + " again", "en", "s0", base.length.toLong),
+      (104L, "completely different content about spark catalyst planning rules", "en", "s0", 64L),
+      (105L, null.asInstanceOf[String], "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q_contamination_fuzzy")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cand"), Option(r.getAs[java.lang.Long]("best_bench_id")),
+          Option(r.getAs[java.lang.Double]("best_jaccard")), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(out.keySet == Set(102L, 103L, 104L, 105L), "corpus side only")
+    val (_, b102, j102, c102) = out(102L)
+    assert(b102.contains(1L) && j102.contains(1.0) && c102,
+      s"verbatim leak must flag at jaccard 1.0: ${out(102L)}")
+    val (_, b103, j103, c103) = out(103L)
+    assert(b103.contains(1L) && c103 && j103.exists(j => j > 0.5 && j < 1.0),
+      s"paraphrase must flag below 1.0: ${out(103L)}")
+    assert(out(104L) == ((0L, None, None, false)), "unrelated doc stays clean")
+    assert(out(105L) == ((0L, None, None, false)), "null doc stays clean")
+  }
 }
