@@ -42,9 +42,11 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType           => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType            => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                  => df
+      case _: TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected physical type $other")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
