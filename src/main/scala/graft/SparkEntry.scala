@@ -109,6 +109,7 @@ object SparkEntry {
     "q_bpe_encode"   -> ((s, d) => BpeOps.q_bpe_encode(s, d)),
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
+    "q_graph_hops"   -> ((s, d) => GraphOps.q_graph_hops(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -1544,6 +1545,34 @@ object SparkEntry {
          |  CAST(r.fp AS DOUBLE) / 1e12 AS rank
          |FROM r$iters r JOIN dg d ON r.node = d.src
          |ORDER BY r.node""".stripMargin
+    },
+    // Multi-source BFS hop labeling: unrolled frontier-expansion CTEs,
+    // one (reached / fresh / visited / frontier) quadruple per level;
+    // min-hop needs no tie-break (first level to reach a node IS its
+    // minimum hop); unreached nodes report -1 via the final left join.
+    "q_graph_hops" -> {
+      val maxHops = 4
+      val steps = (1 to maxHops).map { i =>
+        val (dp, fp) = (s"d${i - 1}", s"f${i - 1}")
+        s"""r$i AS (SELECT DISTINCT e.dst AS node FROM e JOIN $fp f ON e.src = f.node),
+           |x$i AS (SELECT r.node, CAST($i AS BIGINT) AS hop FROM r$i r
+           |        LEFT JOIN $dp d ON r.node = d.node WHERE d.node IS NULL),
+           |d$i AS (SELECT * FROM $dp UNION ALL SELECT * FROM x$i),
+           |f$i AS (SELECT node FROM x$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+         |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+         |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |nd AS (SELECT DISTINCT src AS node FROM e),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM nd
+         |       WHERE node LIKE 's%' AND CAST(substr(node, 2) AS BIGINT) % 100 = 0),
+         |f0 AS (SELECT node FROM d0),
+         |$steps
+         |SELECT nd.node, CAST(coalesce(d.hop, -1) AS BIGINT) AS hop
+         |FROM nd LEFT JOIN d$maxHops d ON nd.node = d.node
+         |ORDER BY nd.node""".stripMargin
     },
     // Directed PageRank with dangling-mass redistribution: suppliers
     // are sinks (outdeg 0); each step collects their total fp into a

@@ -178,4 +178,53 @@ object GraphOps {
         (col("fp").cast("double") / 1e12).as("rank"))
       .orderBy("node")
   }
+
+  /** Multi-source BFS hop labeling over the undirected trading graph —
+    * the distance-to-seed primitive (hop features, influence radius,
+    * contamination propagation). Seeds are the suppliers whose key is
+    * ≡ 0 mod 100 (deterministic, data-derived); every node reachable
+    * within `maxHops` gets its minimum hop count, unreached nodes
+    * report hop = -1 so the output covers the whole node set.
+    *
+    * Distributed shape, with both round-8 iterative lessons applied:
+    * ONE corpus extraction checkpointed (edge pass), and the per-level
+    * state — the visited set and the frontier, both O(nodes) — is
+    * localCheckpoint'd EVERY level because each is referenced twice in
+    * the next level's plan (the expansion join and the anti join), the
+    * twice-referenced-state rule. Each level is one broadcast-hash
+    * expansion join (frontier is model-sized) plus one anti join
+    * against visited; the edge set is never re-shuffled. BFS min-hop
+    * needs no tie-break: a node enters `visited` at the first level
+    * that reaches it, which IS its minimum hop.
+    */
+  def q_graph_hops(s: SparkSession, d: String, maxHops: Int = 4): DataFrame = {
+    val e0 = orders(s, d).join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edgesD = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint()
+    var visited = nodes.filter(
+        col("node").startsWith("s") &&
+        substring(col("node"), 2, 18).cast("long") % 100 === 0)
+      .select(col("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node")).localCheckpoint()
+    (1 to maxHops).foreach { i =>
+      val reached = edgesD.join(broadcast(frontier),
+          edgesD("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached.join(visited.select(col("node").as("v")),
+          reached("node") === col("v"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("hop"))
+      visited = visited.unionAll(fresh).localCheckpoint()
+      frontier = fresh.select(col("node")).localCheckpoint()
+    }
+    nodes.join(visited, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hop"), lit(-1L)).as("hop"))
+      .orderBy("node")
+  }
 }

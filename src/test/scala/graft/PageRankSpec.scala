@@ -80,6 +80,24 @@ class PageRankSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("rank_fp") > 0))
   }
 
+  test("q_graph_hops labels minimum hops from the seed suppliers and -1 beyond the horizon") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hops").toString
+    // s100 is the only seed (suppkey % 100 == 0). Chain:
+    //   s100 -(o1)- c1 -(o2)- s7 -(o3)- c2 -(o4)- s8 -(o5)- c3 -(o6)- s9
+    // hops: s100=0, c1=1, s7=2, c2=3, s8=4, and c3/s9 beyond maxHops=4 → -1
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, 100L), (2L, 7L), (3L, 7L), (4L, 8L), (5L, 8L), (6L, 9L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = SparkEntry.queries("q_graph_hops")(spark, tmp).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("hop")).toMap
+    assert(got == Map("s100" -> 0L, "c1" -> 1L, "s7" -> 2L, "c2" -> 3L,
+      "s8" -> 4L, "c3" -> -1L, "s9" -> -1L))
+  }
+
   test("mass is conserved up to integer-floor loss on fixture data") {
     val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
     val n = rows.length
