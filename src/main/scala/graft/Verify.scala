@@ -19,6 +19,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Environment forensics (round-7 lesson: the driver regenerated
+    // testdata mid-build and silently changed events.ts' physical
+    // type). One stderr line makes every Verify log self-document the
+    // era it ran against, so a future drift is visible in the
+    // driver's own artifacts rather than reconstructed from mtimes.
+    try {
+      // nanosAsLong first, so the probe itself reads cleanly in the
+      // TIMESTAMP(NANOS) era instead of throwing PARQUET_TYPE_ILLEGAL
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val mtime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      System.err.println(
+        s"[verify] env: events.ts physical=${raw.schema("ts").dataType.simpleString} " +
+          s"mtime=$mtime dir=$sfDir")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] env probe failed: ${e.getMessage}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
