@@ -110,6 +110,7 @@ object SparkEntry {
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
     "q_graph_hops"   -> ((s, d) => GraphOps.q_graph_hops(s, d)),
+    "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -1573,6 +1574,41 @@ object SparkEntry {
          |SELECT nd.node, CAST(coalesce(d.hop, -1) AS BIGINT) AS hop
          |FROM nd LEFT JOIN d$maxHops d ON nd.node = d.node
          |ORDER BY nd.node""".stripMargin
+    },
+    // Seeded PageRank: teleport only to the seed suppliers (CASE on
+    // the seed flag), nodes kept alive by the left join so unreached
+    // nodes report exactly 0; same all-integer fixed-point contract.
+    "q_pagerank_seed" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""r$i AS (SELECT nd.node,
+           |  CAST((CASE WHEN nd.seed THEN 150000000000 // (SELECT n FROM ns) ELSE 0 END)
+           |       + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS fp
+           |FROM nd LEFT JOIN (SELECT e.dst AS node, sum(r.fp // dg.deg) AS s
+           |                   FROM e JOIN $prev r ON e.src = r.node
+           |                          JOIN dg ON e.src = dg.src
+           |                   GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+         |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+         |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |nd AS (SELECT src AS node, deg,
+         |         (src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 100 = 0) AS seed
+         |       FROM dg),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd WHERE seed),
+         |r0 AS (SELECT node, CASE WHEN seed
+         |         THEN CAST(1000000000000 // (SELECT n FROM ns) AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS fp
+         |       FROM nd),
+         |$steps
+         |SELECT r.node, nd.seed, r.fp AS rank_fp,
+         |  CAST(r.fp AS DOUBLE) / 1e12 AS rank
+         |FROM r$iters r JOIN nd ON r.node = nd.node
+         |ORDER BY r.node""".stripMargin
     },
     // Directed PageRank with dangling-mass redistribution: suppliers
     // are sinks (outdeg 0); each step collects their total fp into a

@@ -179,6 +179,65 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** SEEDED (personalized) PageRank — the TrustRank-style quality
+    * propagation a corpus-curation pipeline runs from trusted seeds:
+    * teleport mass flows ONLY to the seed set (suppliers with key ≡ 0
+    * mod 100, the [[q_graph_hops]] seeds), so rank measures proximity
+    * to trust rather than global centrality; nodes the diffusion
+    * never reaches stay at exactly 0 and the output keeps them (left
+    * join against the node table, the [[q_pagerank_directed]]
+    * stance).
+    *
+    * Same all-integer fixed-point contract (1e12 = total mass;
+    * teleport = `150000000000 div nSeeds` to seeds, 0 elsewhere) and
+    * the same scale shape as [[q_pagerank]]: one checkpointed edge
+    * pass carrying degree via window, broadcast-ranks iteration
+    * joins, every-8 cadence (the update reads the previous state
+    * once, so the twice-referenced rule does not force per-level
+    * materialization — but ranks carry a long lineage of broadcast
+    * joins, and the cadence bounds it).
+    */
+  def q_pagerank_seeded(s: SparkSession, d: String, iters: Int = 3,
+                        checkpointEvery: Int = 8): DataFrame = {
+    val e0 = orders(s, d).join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edgesD = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint()
+    val isSeed = col("node").startsWith("s") &&
+      substring(col("node"), 2, 18).cast("long") % 100 === 0
+    val nodes = edgesD.select(col("src").as("node"), col("deg"))
+      .dropDuplicates("node")
+      .withColumn("seed", isSeed)
+      .localCheckpoint()
+    val nSeeds = nodes.filter(col("seed")).agg(count(lit(1)).as("n_seeds"))
+    var ranks = nodes.crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        when(col("seed"), expr("1000000000000 div n_seeds"))
+          .otherwise(lit(0L)).as("fp"))
+    (1 to iters).foreach { i =>
+      val contrib = edgesD.join(broadcast(ranks), edgesD("src") === ranks("node"))
+        .select(col("dst"), expr("fp div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("mass"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(nSeeds))
+        .select(col("node"),
+          expr("""(CASE WHEN seed THEN 150000000000 div n_seeds ELSE 0 END)
+                 | + ((85 * coalesce(mass, 0L)) div 100)""".stripMargin).as("fp"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.join(nodes.select(col("node").as("n2"), col("seed")),
+        ranks("node") === col("n2"))
+      .select(col("node"), col("seed"), col("fp").as("rank_fp"),
+        (col("fp").cast("double") / 1e12).as("rank"))
+      .orderBy("node")
+  }
+
   /** Multi-source BFS hop labeling over the undirected trading graph —
     * the distance-to-seed primitive (hop features, influence radius,
     * contamination propagation). Seeds are the suppliers whose key is

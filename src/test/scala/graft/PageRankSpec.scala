@@ -98,6 +98,28 @@ class PageRankSpec extends AnyFunSuite {
       "s8" -> 4L, "c3" -> -1L, "s9" -> -1L))
   }
 
+  test("q_pagerank_seeded: teleport flows only to seeds, unreached nodes stay exactly 0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("seedpr").toString
+    // two components: {s100 - c1} (seeded) and {s7 - c2} (unseeded).
+    // nSeeds = 1. Hand-computed (1 iter):
+    //   r0: s100 = 1e12, others 0
+    //   contrib: c1 gets 1e12 div 1 = 1e12; s100 gets 0 (c1 had 0)
+    //   s100: teleport 150e9 + 0                       = 150_000_000_000
+    //   c1:   0 + 85·1e12 div 100                      = 850_000_000_000
+    //   s7, c2: 0 teleport, 0 contrib                  = 0
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, 100L), (2L, 7L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.queries.GraphOps.q_pagerank_seeded(spark, tmp, iters = 1)
+      .collect().map(r => r.getAs[String]("node") ->
+        ((r.getAs[Boolean]("seed"), r.getAs[Long]("rank_fp")))).toMap
+    assert(got == Map(
+      "s100" -> ((true, 150000000000L)), "c1" -> ((false, 850000000000L)),
+      "s7" -> ((false, 0L)), "c2" -> ((false, 0L))))
+  }
+
   test("mass is conserved up to integer-floor loss on fixture data") {
     val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
     val n = rows.length
