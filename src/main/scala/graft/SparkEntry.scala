@@ -95,6 +95,14 @@ object SparkEntry {
     "q_fingerprint"  -> (TextOps.q_fingerprint _),
     "q_text_clean"   -> (TextOps.q_text_clean _),
     "q_corpus_report" -> (TextOps.q_corpus_report _),
+    // round-9 diagnostic column-slices of q_corpus_report (driver
+    // bisect for the r6-r8 hash-fail; read-out documented at
+    // TextOps.q_corpus_slice_share)
+    "q_corpus_slice_share"   -> (TextOps.q_corpus_slice_share _),
+    "q_corpus_slice_tokens"  -> (TextOps.q_corpus_slice_tokens _),
+    "q_corpus_slice_quality" -> (TextOps.q_corpus_slice_quality _),
+    "q_corpus_dump_toks"     -> (TextOps.q_corpus_dump_toks _),
+    "q_corpus_dump_q"        -> (TextOps.q_corpus_dump_q _),
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
     "q_dedup_incr_idx" -> (TextOps.q_dedup_incr_idx _),
@@ -729,19 +737,57 @@ object SparkEntry {
     // ×1e6 fixed-point BIGINTs via round-half-up integer arithmetic
     // ((2a + d) // (2d)) — no DOUBLE appears anywhere in the result,
     // so the driver's hash canonicalization of floats can't diverge.
+    // r9 ROOT CAUSE of the r6-r8 hash-fail: DuckDB sum(BIGINT) returns
+    // HUGEINT (Arrow decimal128(38,0)), so n_tokens/doc_share_fp/
+    // mean_quality_fp reached the driver as int128 columns while Spark
+    // sent int64 — equal values, different types. Every CAST below to
+    // BIGINT pins the oracle's final types to int64; the slice keys
+    // that follow bisect any residue (TextOps.q_corpus_slice_share).
     "q_corpus_report" ->
       s"""WITH per AS (
          |  SELECT lang, source, count(*) AS n_docs,
-         |    sum(len(regexp_split_to_array(text, '\\s+'))) AS n_tokens,
-         |    sum(CAST(round(($duckQualityScore) * 1e10) AS BIGINT)) AS q_sum_fp,
+         |    CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CAST(round(($duckQualityScore) * 1e10) AS BIGINT)) AS BIGINT) AS q_sum_fp,
          |    count($duckQualityScore) AS n_q
          |  FROM documents GROUP BY 1, 2),
-         |t AS (SELECT sum(n_docs) AS total_docs FROM per)
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
          |SELECT lang, source, n_docs, n_tokens,
-         |  (2 * n_docs * 1000000 + total_docs) // (2 * total_docs) AS doc_share_fp,
+         |  CAST((2 * n_docs * 1000000 + total_docs) // (2 * total_docs) AS BIGINT) AS doc_share_fp,
          |  CASE WHEN n_q > 0
-         |    THEN (2 * q_sum_fp + n_q * 10000) // (2 * n_q * 10000) END AS mean_quality_fp
+         |    THEN CAST((2 * q_sum_fp + n_q * 10000) // (2 * n_q * 10000) AS BIGINT)
+         |  END AS mean_quality_fp
          |FROM per, t ORDER BY lang, source""".stripMargin,
+    // r9 diagnostic slices (driver-side bisect of the above; every
+    // final integer column CAST to BIGINT for the same reason)
+    "q_corpus_slice_share" ->
+      """WITH per AS (
+        |  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+        |SELECT lang, source, n_docs,
+        |  CAST((2 * n_docs * 1000000 + total_docs) // (2 * total_docs) AS BIGINT) AS doc_share_fp
+        |FROM per, t ORDER BY lang, source""".stripMargin,
+    "q_corpus_slice_tokens" ->
+      """SELECT lang, source,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "q_corpus_slice_quality" ->
+      s"""WITH per AS (
+         |  SELECT lang, source,
+         |    CAST(sum(CAST(round(($duckQualityScore) * 1e10) AS BIGINT)) AS BIGINT) AS q_sum_fp,
+         |    count($duckQualityScore) AS n_q
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT lang, source, n_q,
+         |  CASE WHEN n_q > 0
+         |    THEN CAST((2 * q_sum_fp + n_q * 10000) // (2 * n_q * 10000) AS BIGINT)
+         |  END AS mean_quality_fp
+         |FROM per ORDER BY lang, source""".stripMargin,
+    "q_corpus_dump_toks" ->
+      """SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_dump_q" ->
+      s"""SELECT doc_id,
+         |  CAST(round(($duckQualityScore) * 1e10) AS BIGINT) AS q_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // rank on the ROUNDED score (then term) so float-tail ties cannot
     // order differently across engines
     "q_tfidf" ->
