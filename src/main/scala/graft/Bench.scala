@@ -53,7 +53,12 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter (the driver never sets this): time only
+    // the named keys, e.g. SPARK_GRAFT_BENCH_ONLY=q_graph_hops
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (ok, t1) = timeOnce(fn)
       val secs =
         if (ok && retryOn && trailing.length >= 8 &&
@@ -65,20 +70,22 @@ object Bench {
           best
         } else t1
       if (ok) trailing += secs
-      // a failed query must not read as a (fast) success — negate it so
-      // the JSON shows the failure and drags the total down visibly
-      name -> (if (ok) secs else -secs)
+      // carry the ok flag EXPLICITLY (ADVICE r8: a failure fast enough
+      // to round to 0.0 negates to -0.0, which `>= 0` miscounts as a
+      // success); the JSON still shows failures as negated seconds so
+      // the artifact's shape is unchanged
+      name -> ((ok, if (ok) secs else -secs))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // BENCH_r07's captured artifact truncated the head of the (long)
     // line above, losing the total and the first ~45 keys. Repeat the
     // headline numbers LAST on a short line of their own so any tail
     // capture retains them; the distinct metric name keeps a driver
     // that filters "metric":"total" on the full line unconfused.
-    val nOk = results.values.count(_ >= 0)
+    val nOk = results.values.count(_._1)
     println(s"""{"metric":"total_last","value":$total,"unit":"sec","n_queries":${results.size},"n_ok":$nOk,"sf":"$sfDir"}""")
     spark.stop()
   }

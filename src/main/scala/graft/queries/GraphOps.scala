@@ -216,6 +216,17 @@ object GraphOps {
       .withColumn("seed", isSeed)
       .localCheckpoint()
     val nSeeds = nodes.filter(col("seed")).agg(count(lit(1)).as("n_seeds"))
+    // Loud empty-seed-set guard (ADVICE r8): without it, `div 0` in
+    // the teleport term yields silently-NULL ranks on Spark while the
+    // DuckDB oracle aborts on `// 0` — an asymmetric failure for an
+    // operator advertised as data-derived-seeded. One count over the
+    // already-checkpointed nodes (a scan of materialized partitions,
+    // no recompute) is the price of failing identically in both
+    // engines.
+    val nSeedsObserved = nodes.filter(col("seed")).count()
+    require(nSeedsObserved > 0,
+      "q_pagerank_seeded: seed set is empty (no supplier node with key " +
+        "≡ 0 mod 100) — seeded PageRank is undefined on this data")
     var ranks = nodes.crossJoin(broadcast(nSeeds))
       .select(col("node"),
         when(col("seed"), expr("1000000000000 div n_seeds"))
@@ -245,16 +256,23 @@ object GraphOps {
     * within `maxHops` gets its minimum hop count, unreached nodes
     * report hop = -1 so the output covers the whole node set.
     *
-    * Distributed shape, with both round-8 iterative lessons applied:
-    * ONE corpus extraction checkpointed (edge pass), and the per-level
-    * state — the visited set and the frontier, both O(nodes) — is
-    * localCheckpoint'd EVERY level because each is referenced twice in
-    * the next level's plan (the expansion join and the anti join), the
-    * twice-referenced-state rule. Each level is one broadcast-hash
-    * expansion join (frontier is model-sized) plus one anti join
-    * against visited; the edge set is never re-shuffled. BFS min-hop
-    * needs no tie-break: a node enters `visited` at the first level
-    * that reaches it, which IS its minimum hop.
+    * Distributed shape, with the round-8 iterative lessons applied:
+    * ONE corpus extraction checkpointed (edge pass), and every
+    * twice-referenced per-level state materialized exactly once —
+    * `fresh` (read by both the visited union and the next frontier)
+    * and `visited` (read by the anti join and the union) are each
+    * localCheckpoint'd, so each level costs exactly one broadcast-hash
+    * expansion join plus one anti join; the edge set is never
+    * re-shuffled. BFS min-hop needs no tie-break: a node enters
+    * `visited` at the first level that reaches it, which IS its
+    * minimum hop.
+    *
+    * Scale caveat (same as q_pagerank's ranks broadcast): BFS
+    * frontiers are worst-case O(nodes) — on a dense graph hops 1-2
+    * can reach most of the graph, outgrowing the broadcast threshold.
+    * The co-partitioned fallback documented on [[q_pagerank]] applies
+    * verbatim: pre-partition edges by src and shuffle-join the
+    * frontier on the same key instead of broadcasting it.
     */
   def q_graph_hops(s: SparkSession, d: String, maxHops: Int = 4): DataFrame = {
     val e0 = orders(s, d).join(lineitem(s, d),
@@ -276,11 +294,17 @@ object GraphOps {
       val reached = edgesD.join(broadcast(frontier),
           edgesD("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
+      // `fresh` is referenced twice below (the visited union and the
+      // next frontier), so it is materialized ONCE here — otherwise
+      // the expansion join + anti join above would recompute inside
+      // each derivation (this exact miss was round 8's one perf-weak
+      // key: ~2 edge passes per level instead of 1)
       val fresh = reached.join(visited.select(col("node").as("v")),
           reached("node") === col("v"), "left_anti")
         .select(col("node"), lit(i.toLong).as("hop"))
+        .localCheckpoint()
       visited = visited.unionAll(fresh).localCheckpoint()
-      frontier = fresh.select(col("node")).localCheckpoint()
+      frontier = fresh.select(col("node"))
     }
     nodes.join(visited, Seq("node"), "left")
       .select(col("node"), coalesce(col("hop"), lit(-1L)).as("hop"))
