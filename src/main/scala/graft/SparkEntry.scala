@@ -1545,8 +1545,14 @@ object SparkEntry {
     // occurrences of '>' (every symbol ends with one).
     "q_bpe_encode" -> {
       val merges = 8
+      // coalesce (ADVICE r8): a corpus that exhausts merges before
+      // K leaves m$i empty, its scalar subquery NULL, and
+      // replace(x, NULL, NULL) would null the whole encoding — the
+      // Spark side applies only trained merges, so a missing merge
+      // must be a no-op here too (replace(x, '', '') is identity)
       val applied = (1 to merges).foldLeft("r") { (acc, i) =>
-        s"replace($acc, (SELECT pat FROM m$i), (SELECT mrg FROM m$i))"
+        s"replace($acc, coalesce((SELECT pat FROM m$i), '')," +
+          s" coalesce((SELECT mrg FROM m$i), ''))"
       }
       s"""WITH ${duckBpeTrainCtes(merges)},
          |dw AS (SELECT doc_id, word FROM (

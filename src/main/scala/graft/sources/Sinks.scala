@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   * (e.g. event date) so queries touch only matching directories;
   * bucket on the high-cardinality join key so repeated joins skip the
   * shuffle entirely.
+  *
+  * Delta Lake (named in BASELINE's "writes to Delta/JDBC" approach
+  * line): NOT implemented, deliberately — `delta-spark`/`delta-core`
+  * jars are not on this container's classpath (`/opt/spark/jars` has
+  * no delta artifacts, checked round 9) and the build resolves no
+  * external dependencies. The equivalence story: Delta is parquet
+  * plus a transaction log, so every query-side capability here
+  * (pushdown, pruning, partitioning) behaves identically on the
+  * parquet sinks; the transactional/append contract is covered by
+  * the JDBC sink (writeJdbc/writeReferenceDb) and the append-mode
+  * fingerprint index. On a cluster with the jars present,
+  * `writeDelta` is `df.write.format("delta")` plus the session
+  * extension — no structural change to this object.
   */
 object Sinks {
 
@@ -127,6 +140,19 @@ object Sinks {
       .write.mode(mode).parquet(out)
 
   def readFpIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Persist a trained BPE merge table ([[graft.queries.BpeOps
+    * .q_bpe_train]]'s output: step, lhs, rhs, merged, cnt) — the
+    * train-once side of the train-once/encode-often split. The table
+    * is MODEL-sized (K rows), so a single parquet file; read back
+    * with [[readMergeTable]] and encode via
+    * [[graft.queries.BpeOps.encodeWith]].
+    */
+  def writeMergeTable(mergeTable: DataFrame, out: String): Unit =
+    mergeTable.coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
+
+  def readMergeTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   /** The reference's full `.db` contract: repositories / logs /
