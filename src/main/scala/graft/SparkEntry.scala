@@ -162,6 +162,7 @@ object SparkEntry {
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_resize"   -> ((s, d) => Multimodal.resizeMeta(s, d)),
     "q_media_decode"   -> ((s, d) => Multimodal.q_media_decode(s, d)),
+    "q_media_audio"    -> ((s, d) => Multimodal.q_media_audio(s, d)),
     "q_media_frame_meta" -> ((s, d) => Multimodal.q_media_frame_meta(s, d)),
   )
 
@@ -1065,6 +1066,27 @@ object SparkEntry {
         |  CAST(sum((media_id*37 + x*5 + y*11 + 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((media_id*37 + x*5 + y*11 + 6) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // REAL audio codec round-trip (Multimodal.q_media_audio): Spark
+    // encodes a deterministic 256-sample 16-bit PCM mono WAV per id
+    // with javax.sound.sampled, decodes it back, and emits integer
+    // sample stats; the oracle computes the closed form
+    // sample(i) = ((id*31 + i*7) % 65536) - 32768 directly — DuckDB
+    // never sees bytes, so a hash match proves the WAV/PCM codec path
+    // (header, endianness, sign extension). Integer stats throughout.
+    "q_media_audio" ->
+      """WITH sm AS (
+        |  SELECT doc_id AS media_id,
+        |         ((doc_id*31 + i.i*7) % 65536) - 32768 AS v
+        |  FROM documents, generate_series(0, 255) i(i)
+        |  WHERE doc_id < 64)
+        |SELECT media_id,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(min(v) AS BIGINT) AS min_sample,
+        |  CAST(max(v) AS BIGINT) AS max_sample
+        |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
     // frame boundaries verified on the TEXT view of the ASCII payloads
     // (DuckDB can't slice BLOBs): substr chars == substring bytes here
     "q_media_frame_meta" ->

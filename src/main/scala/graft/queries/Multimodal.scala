@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * The IMAGE codec is REAL (`javax.imageio`, bundled in every JVM):
   * [[decodeImage]] handles PNG/JPEG/GIF/BMP, and [[q_media_decode]]
   * proves the full encode→decode round trip against a DuckDB oracle
-  * that recomputes the expected raster arithmetically. Audio/video
-  * decode remains STUBBED — no such codecs exist in this container —
-  * with a deterministic fake (hash-derived features), clearly marked
-  * below. Everything around both is real and tested: the media schema,
+  * that recomputes the expected raster arithmetically. The AUDIO codec
+  * is REAL too (round 9 — `javax.sound.sampled`, also bundled in every
+  * JVM): [[decodeWav]] handles WAV/PCM, and [[q_media_audio]] proves
+  * its encode→decode round trip under the same arithmetic-oracle
+  * stance. VIDEO decode is the one remaining STUB — no in-JVM video
+  * codec exists — with a deterministic fake (hash-derived features),
+  * clearly marked below. Everything around all three is real and
+  * tested: the media schema,
   * the binary column handling, the batched `mapPartitions` decode
   * boundary (the Scala analog of `mapInPandas` — an iterator of rows
   * in, an iterator of decoded rows out, so the decoder amortizes
@@ -50,13 +54,15 @@ object Multimodal {
     * The IMAGE path is real: payloads that decode under `javax.imageio`
     * (PNG/JPEG/GIF/BMP — the codecs bundled in every JVM) produce
     * actual raster features ([[decodeImageFeatures]]; the round-trip is
-    * oracle-proven by [[q_media_decode]]). Audio/video payloads — and
-    * image rows whose bytes aren't a decodable image, which is every
-    * row of the text-derived [[mediaTable]], keeping this query
-    * deterministic — fall back to the STUBBED `fakeDecode` (no
-    * audio/video codecs exist in this container). The partition-batched
-    * iterator plumbing is production-shaped either way: codec handles
-    * and model weights init once per partition, not per row.
+    * oracle-proven by [[q_media_decode]]). The AUDIO path is real as
+    * well ([[decodeWav]], oracle-proven by [[q_media_audio]]). Video
+    * payloads — and image/audio rows whose bytes don't actually decode,
+    * which is every row of the text-derived [[mediaTable]], keeping
+    * this query deterministic — fall back to the STUBBED `fakeDecode`
+    * (video is the only kind with no in-JVM codec). The
+    * partition-batched iterator plumbing is production-shaped either
+    * way: codec handles and model weights init once per partition, not
+    * per row.
     */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -72,8 +78,11 @@ object Multimodal {
           // abort the whole stage
           val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
           val feats =
-            (if (r.kind == "image") decodeImageFeatures(bytes) else None)
-              .getOrElse(fakeDecode(bytes))
+            (r.kind match {
+              case "image" => decodeImageFeatures(bytes)
+              case "audio" => decodeAudioFeatures(bytes)
+              case _ => None // video: no in-JVM codec — stub below
+            }).getOrElse(fakeDecode(bytes))
           MediaFeatures(r.media_id, r.kind, bytes.length.toLong, feats)
         }
       }
@@ -192,6 +201,119 @@ object Multimodal {
           val (dw, dh, sr, sg, sb) = decodeImage(encodePng(id, w, h))
             .getOrElse(sys.error(s"PNG round-trip failed for media_id=$id"))
           DecodedStats(id, dw, dh, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  // ---- Real audio codec (javax.sound.sampled — bundled in every JVM) ----
+
+  /** Deterministic WAV payload: `nSamples` of 16-bit PCM mono at
+    * `sampleRate`, sample values from the closed form
+    * `sample(i) = ((id*31 + i*7) mod 65536) - 32768` (full int16
+    * range), encoded little-endian through the actual
+    * `javax.sound.sampled` WAV writer. PCM is lossless, so a decode
+    * recovers the samples bit-for-bit — the audio analog of
+    * [[encodePng]], letting [[q_media_audio]]'s DuckDB oracle verify a
+    * REAL encode→decode round trip from arithmetic alone.
+    */
+  private[graft] def encodeWav(
+      id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed 16-bit mono LE
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((id * 31 + i * 7) % 65536) - 32768).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real WAV/PCM decode: (sampleRate, nSamples, sum, sumAbs, min,
+    * max) over the int16 samples of a 16-bit mono little-endian WAV
+    * payload. Returns None when the payload is not such a WAV (parse
+    * failure or a format this reader doesn't handle), so callers can
+    * route non-audio bytes elsewhere — the same contract as
+    * [[decodeImage]]. Integer stats keep the result float-free.
+    */
+  private[graft] def decodeWav(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+          f.isBigEndian ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var (sum, sumAbs) = (0L, 0L)
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var i = 0
+          while (i < n) {
+            // little-endian int16: the high byte is SIGNED (sign-extends)
+            val v = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+            sum += v; sumAbs += math.abs(v.toLong)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          if (n == 0) Some((f.getSampleRate.toInt, 0, 0L, 0L, 0L, 0L))
+          else Some((f.getSampleRate.toInt, n, sum, sumAbs, mn, mx))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[decodeWav]] reshaped to the 8-float feature contract of
+    * [[mediaFeatures]]: (rate, n, meanAmp, meanAbsAmp, min, max, 0, 0).
+    */
+  private[graft] def decodeAudioFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeWav(bytes).map { case (sr, n, sum, sumAbs, mn, mx) =>
+      val d = math.max(n, 1).toFloat
+      Array(sr.toFloat, n.toFloat, sum / d, sumAbs / d,
+        mn.toFloat, mx.toFloat, 0f, 0f)
+    }
+
+  final case class AudioStats(
+      media_id: Long, sample_rate: Long, n_samples: Long,
+      sum_samples: Long, sum_abs: Long, min_sample: Long, max_sample: Long)
+
+  /** Declared query: REAL audio decode under the DuckDB oracle — the
+    * audio twin of [[q_media_decode]], closing the round-8 verdict's
+    * "audio half of the stub is removable" item. Spark synthesizes a
+    * deterministic 256-sample WAV per document id (bounded window),
+    * round-trips it through the actual javax.sound.sampled
+    * encoder+decoder executor-side, and emits exact integer sample
+    * stats; DuckDB reproduces the same numbers from the closed form
+    * alone (it never sees the bytes). A hash match proves the codec
+    * path — WAV header, PCM layout, endianness, sign extension — not
+    * just the plumbing. Codec init amortizes per PARTITION.
+    */
+  def q_media_audio(s: SparkSession, d: String, maxDocs: Int = 64,
+      nSamples: Int = 256, sampleRate: Int = 16000): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < maxDocs)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (sr, n, sum, sumAbs, mn, mx) =
+            decodeWav(encodeWav(id, nSamples, sampleRate))
+              .getOrElse(sys.error(s"WAV round-trip failed for media_id=$id"))
+          AudioStats(id, sr.toLong, n.toLong, sum, sumAbs, mn, mx)
         }
       }
       .toDF()

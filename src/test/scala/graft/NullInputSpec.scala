@@ -36,7 +36,10 @@ class NullInputSpec extends AnyFunSuite {
     "q_quality_gate", "q_split", "q_mix_budget", "q_mix_temp",
     "q_vocab", "q_bpe", "q_bpe_train", "q_entropy", "q_shuffle_shards",
     "q_pack_sequences", "q_media_features", "q_media_frames",
-    "q_media_resize", "q_media_frame_meta", "q_media_decode")
+    "q_media_resize", "q_media_frame_meta", "q_media_decode",
+    "q_media_audio", "q_bpe_encode", "q_corpus_report",
+    "q_corpus_slice_share", "q_corpus_slice_tokens",
+    "q_corpus_slice_quality", "q_corpus_dump_toks", "q_corpus_dump_q")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>
