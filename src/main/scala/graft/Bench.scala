@@ -20,8 +20,19 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
       val t0 = System.nanoTime()
+      // foreach(noop), NOT count() (round-9 fix): under count() the
+      // optimizer prunes every output column, which (a) drops the
+      // final ORDER BY of every query (EliminateSorts) and (b) for the
+      // iteration kernels deletes the whole rank-update chain — their
+      // left-outer joins against per-key aggregates become provably
+      // cardinality-preserving and Catalyst removes them, so e.g.
+      // q_pagerank_seed's benched plan contained ZERO iteration joins.
+      // foreach keeps all columns referenced: the timed work is the
+      // real query, including its sort, with no driver-side result
+      // materialization. (Rounds <= 8 used count(); their per-key
+      // numbers are comparable only up to this under-measurement.)
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).foreach(_ => ()); true }
         catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache() // release per-query persist()s, untimed

@@ -40,6 +40,69 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("iteration kernels keep their broadcast hints (rank/frontier joins stay BroadcastHashJoin)") {
+    // r8 verdict #7: q_pagerank's 17.7s -> 3.5s fix hangs on one-line
+    // broadcast() hints that a refactor could silently drop,
+    // reintroducing K full edge exchanges. The kernels execute eagerly
+    // (localCheckpoint per iteration/level), so the rank/frontier
+    // joins are NOT in the returned DataFrame's plan — capture every
+    // executed plan via a QueryExecutionListener instead and count
+    // BroadcastHashJoin across them. Auto-broadcast is disabled, so
+    // only the explicit hints can produce one: a dropped hint turns
+    // its join into SortMergeJoin and the count below the minimum.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    def broadcastJoins: Int =
+      plans.asScala.map("BroadcastHashJoin".r.findAllIn(_).size).sum
+    // the listener bus is asynchronous (and can lag seconds behind a
+    // kernel that fires many checkpoint actions) — poll until the
+    // expected count arrives or a 20s timeout expires, then assert on
+    // whatever was delivered
+    def awaitBroadcastJoins(min: Int): Int = {
+      var waited = 0
+      while (broadcastJoins < min && waited < 80) {
+        Thread.sleep(250); waited += 1
+      }
+      broadcastJoins
+    }
+    def runAndAssert(name: String, minJoins: Int): Unit = {
+      plans.clear()
+      // collect(), NOT count(): under count() the optimizer prunes
+      // every output column, and the kernels' left-outer joins against
+      // per-key aggregates are then provably cardinality-preserving —
+      // Catalyst deletes the whole iteration chain and the broadcast
+      // joins with it (observed: q_pagerank_seed's count() plan
+      // contains zero iteration joins). collect() keeps the rank/hop
+      // columns referenced, so the kernel stays in the executed plan.
+      SparkEntry.queries(name)(spark, sf).collect()
+      val n = awaitBroadcastJoins(minJoins)
+      assert(n >= minJoins,
+        s"$name: expected >= $minJoins BroadcastHashJoin in its executed " +
+          s"plans (one per iteration/level), saw $n — a broadcast hint " +
+          "was dropped and the kernel degraded to shuffle joins")
+    }
+    try {
+      runAndAssert("q_pagerank", 3)      // broadcast(ranks) x 3 iterations
+      runAndAssert("q_pagerank_dir", 3)  // broadcast(ranks) x 3 iterations
+      runAndAssert("q_pagerank_seed", 3) // broadcast(ranks) x 3 iterations
+      runAndAssert("q_graph_hops", 4)    // broadcast(frontier) x 4 levels
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("fallback scanner detects a known CodegenFallback through a shuffled plan") {
     import org.apache.spark.sql.functions._
     // self-check with an expression that is still CodegenFallback in
