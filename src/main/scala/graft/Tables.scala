@@ -42,7 +42,28 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType            => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType            =>
+        // Unit sanity guard (ADVICE r8): the int64 branch assumes
+        // epoch-NANOS (the rounds-1..6 physical era). A future era
+        // shipping raw epoch-MICROS as int64 would land in this same
+        // branch and be silently shifted 1000x by the div. One probe
+        // row bounds the unit: nanos of any date after 1971 is
+        // >= 3.2e16, micros of any date before year 2200 is
+        // <= 7.3e15 — the ranges cannot overlap, so a single sample
+        // decides, and a wrong unit fails LOUDLY here instead of
+        // shifting every window downstream. (The probe reads one row
+        // of one column; this branch is dead in the current
+        // timestamp_ntz era, so it costs nothing today.)
+        df.select(col("ts")).where(col("ts").isNotNull).limit(1).collect()
+          .headOption.foreach { r =>
+            val v = r.getLong(0)
+            if (v != 0L && math.abs(v) < 1e16.toLong)
+              throw new IllegalStateException(
+                s"events.ts is int64 but value $v is too small for " +
+                  "epoch-nanos (looks like epoch-micros/millis) — refusing " +
+                  "the div-1000 nanos conversion; teach Tables.events this era")
+          }
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _: TimestampType    => df
       case other => throw new IllegalStateException(

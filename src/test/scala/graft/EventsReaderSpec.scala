@@ -66,6 +66,18 @@ class EventsReaderSpec extends AnyFunSuite {
     assert(readMicros(dir) === micros)
   }
 
+  test("int64 epoch-MICROS era fails loudly instead of silently shifting 1000x") {
+    // ADVICE r8: a future testdata era shipping raw epoch-micros as
+    // int64 lands in the nanos branch, where div 1000 would silently
+    // misplace every event by 1000x. The unit guard must reject it.
+    val dir = writeDir("events-micros-as-long")
+    writeEvents(dir, LongType, (us, _) => us) // micros, NOT nanos
+    val e = intercept[IllegalStateException] {
+      Tables.events(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("too small for epoch-nanos"))
+  }
+
   test("current driver testdata reads and all three eras agree on unix_timestamp semantics") {
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType === TimestampType)
