@@ -104,6 +104,8 @@ object SparkEntry {
     "q_corpus_dump_toks"     -> (TextOps.q_corpus_dump_toks _),
     "q_corpus_dump_q"        -> (TextOps.q_corpus_dump_q _),
     "q_repetition"   -> (TextOps.q_repetition _),
+    "q_ngram_novelty" -> (TextOps.q_ngram_novelty _),
+    "q_quality_classifier" -> (TextOps.q_quality_classifier _),
     "q_dedup_incr"   -> (TextOps.q_dedup_incr _),
     "q_dedup_incr_idx" -> (TextOps.q_dedup_incr_idx _),
     "q_dedup_bloom"  -> (TextOps.q_dedup_bloom _),
@@ -119,6 +121,7 @@ object SparkEntry {
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
     "q_graph_hops"   -> ((s, d) => GraphOps.q_graph_hops(s, d)),
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
+    "q_graph_triangles" -> ((s, d) => GraphOps.q_graph_triangles(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -148,6 +151,7 @@ object SparkEntry {
     "q_mix_budget"       -> ((s, d) => SampleOps.q_mix_budget(s, d)),
     "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
+    "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -1593,6 +1597,35 @@ object SparkEntry {
     // PageRank: all-integer fixed-point iterations — both engines
     // carry bit-identical longs; positive operands make Spark div and
     // DuckDB // agree
+    // degree-oriented triangle counting over the part co-occurrence
+    // graph; clustering = one IEEE division on exact integer
+    // operands, NULL (not NaN) when deg < 2 on both sides
+    "q_graph_triangles" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |      FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |       FROM sym GROUP BY 1),
+        |o AS (SELECT s.src, s.dst, d2.deg AS ddeg FROM sym s
+        |      JOIN dg d1 ON s.src = d1.node JOIN dg d2 ON s.dst = d2.node
+        |      WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.src < s.dst)),
+        |wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS wn
+        |       FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |       WHERE e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+        |t AS (SELECT u, v, wn FROM wg
+        |      WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wg.v AND o.dst = wg.wn)),
+        |c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |        SELECT u AS node FROM t
+        |        UNION ALL SELECT v FROM t
+        |        UNION ALL SELECT wn FROM t)
+        |      GROUP BY 1)
+        |SELECT d.node, d.deg, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN CAST(2 * coalesce(c.n_tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1)) END
+        |    AS clustering
+        |FROM dg d LEFT JOIN c USING (node) ORDER BY d.node""".stripMargin,
     "q_pagerank" -> {
       val iters = 3
       val steps = (1 to iters).map { i =>
@@ -1754,6 +1787,63 @@ object SparkEntry {
          |    AS BIGINT) AS seq,
          |  rkey
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+    // shard manifests: same doc_id draw as q_shuffle_shards; content
+    // checksum = bit_xor of 60-bit md5(text) fingerprints (order-free;
+    // a BIGINT SUM would overflow into HUGEINT divergence — the
+    // q_corpus_report round-8 lesson); every aggregate cast to BIGINT
+    "q_shard_manifest" -> {
+      val draw8 = duckHashDraw(8)
+      val cfp = duckHexValue("md5(text)", 1, 15)
+      s"""WITH d AS (
+         |  SELECT doc_id, $draw8 % 8 AS shard, $cfp AS cfp,
+         |    CASE WHEN text IS NOT NULL
+         |      THEN len(string_split(text, ' ')) END AS n_toks
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, count(cfp) AS n_content,
+         |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(bit_xor(cfp), 0) AS BIGINT) AS checksum_xor,
+         |  min(cfp) AS fp_min, max(cfp) AS fp_max
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    // n-gram novelty: per-doc distinct 3-gram df=1 fraction as a ×1e6
+    // round-half-up fixed-point BIGINT; list_distinct drops NULLs so
+    // null docs leave the gram stream exactly like the Spark
+    // isNotNull filter, and the left join re-emits them with NULLs
+    "q_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
+        |gd AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |p AS (SELECT doc_id, count(*) AS n_grams,
+        |        CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |      FROM g JOIN gd USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+        |  CAST((2 * p.n_unique * 1000000 + p.n_grams) // (2 * p.n_grams) AS BIGINT)
+        |    AS novelty_fp
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // hashed linear classifier: the "weights" are a deterministic
+    // integer function of the 1024 md5 buckets (Knuth multiplicative
+    // scramble into [-1000,1000]), so the oracle materializes the
+    // identical model; score is one IEEE division on exact operands
+    "q_quality_classifier" -> {
+      val bucket = s"(${duckHexValue("md5(tok)", 1, 15)}) % 1024"
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |           FROM documents),
+         |b AS (SELECT doc_id, $bucket AS bucket FROM t),
+         |p AS (SELECT doc_id, count(*) AS n_toks,
+         |        CAST(sum((bucket * 2654435761) % 2001 - 1000) AS BIGINT) AS score_sum
+         |      FROM b GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(p.score_sum, 0) AS BIGINT) AS score_sum,
+         |  CASE WHEN p.n_toks > 0 THEN CAST(p.score_sum AS DOUBLE) / p.n_toks END AS score,
+         |  coalesce(p.score_sum, 0) > 0 AS accept
+         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
     // PII redaction over the deterministically-built access-log line
     // (integer ids only — no float formatting); patterns live in the

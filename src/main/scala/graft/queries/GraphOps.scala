@@ -219,12 +219,19 @@ object GraphOps {
     // Loud empty-seed-set guard (ADVICE r8): without it, `div 0` in
     // the teleport term yields silently-NULL ranks on Spark while the
     // DuckDB oracle aborts on `// 0` — an asymmetric failure for an
-    // operator advertised as data-derived-seeded. One count over the
-    // already-checkpointed nodes (a scan of materialized partitions,
-    // no recompute) is the price of failing identically in both
-    // engines.
-    val nSeedsObserved = nodes.filter(col("seed")).count()
-    require(nSeedsObserved > 0,
+    // operator advertised as data-derived-seeded. One combined count
+    // over the already-checkpointed nodes (a scan of materialized
+    // partitions, no recompute) is the price of failing identically
+    // in both engines. An EMPTY GRAPH is a different case from a
+    // graph with no seeds: no nodes means there is nothing to rank
+    // and nothing undefined — return the empty result (both engines
+    // agree: the oracle's CTEs are all empty too), don't throw.
+    val counts = nodes.agg(count(lit(1)).as("n"),
+      count(when(col("seed"), lit(1))).as("ns")).head()
+    if (counts.getLong(0) == 0L)
+      return nodes.select(col("node"), col("seed"),
+        lit(0L).as("rank_fp"), lit(0.0).as("rank"))
+    require(counts.getLong(1) > 0,
       "q_pagerank_seeded: seed set is empty (no supplier node with key " +
         "≡ 0 mod 100) — seeded PageRank is undefined on this data")
     var ranks = nodes.crossJoin(broadcast(nSeeds))
@@ -308,6 +315,96 @@ object GraphOps {
     }
     nodes.join(visited, Seq("node"), "left")
       .select(col("node"), coalesce(col("hop"), lit(-1L)).as("hop"))
+      .orderBy("node")
+  }
+
+  /** Per-node triangle counting + local clustering coefficient over
+    * the part co-occurrence graph (two parts share an edge when they
+    * appear in the same order) — the community-density primitive: in
+    * a document-similarity graph the same shape separates tight
+    * duplicate clusters (high clustering) from hub false-positives
+    * (high degree, low clustering). The customer↔supplier trading
+    * graph is bipartite (zero triangles by construction), and the
+    * SUPPLIER co-occurrence projection is measured near-complete at
+    * every sf (every supplier pair shares some order — 124M
+    * triangles at sf0.1, a degenerate dense graph); parts are 20×
+    * more numerous, giving the sparse regime the algorithm is for
+    * (sf0.1: 20k nodes, 1.2M edges, 1.9M triangles).
+    *
+    * Distributed shape — the classic degree-oriented algorithm:
+    *  1. co-occurrence edges: per-order self-join of the DISTINCT
+    *     (order, part) pairs — bounded by parts-per-order (≤ 7
+    *     here), so the join output is linear in orders, never
+    *     quadratic in parts;
+    *  2. orient every edge from its lower (degree, id) endpoint to
+    *     its higher; each node's OUT-degree is then O(√m), which
+    *     bounds total wedges by O(m^1.5) regardless of skew — the
+    *     hub that would generate deg² wedges un-oriented generates
+    *     none, because all its edges point INTO it (Schank/Wagner;
+    *     the same orientation trick GraphFrames' triangleCount uses);
+    *  3. wedge join on the shared source + one semi join closing
+    *     (v, w) against the oriented edge set. The oriented edge set
+    *     is referenced three times (two wedge sides + closure), so it
+    *     is localCheckpoint'd once (twice-referenced-state rule).
+    * Degrees ride the symmetric edge view via a window (one shuffle,
+    * the q_pagerank degree trick); the O(nodes) degree dim then
+    * attaches the dst-side degree through a broadcast join — same
+    * model-sized-broadcast stance (and the same outgrow caveat +
+    * co-partitioned fallback) as the rank tables.
+    *
+    * Oracle parity: triangle counts and degrees are exact BIGINTs;
+    * the clustering coefficient 2T / (deg·(deg−1)) is ONE
+    * correctly-rounded IEEE division on exact integer operands
+    * (bit-identical cross-engine, the q_pagerank display rule);
+    * deg < 2 yields NULL on both sides (0/0 would be NaN, whose
+    * engine equality is undefined).
+    */
+  def q_graph_triangles(s: SparkSession, d: String): DataFrame = {
+    val so = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+      .distinct()
+    val e = so.as("x").join(so.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      .distinct()
+    triangleCounts(e)
+  }
+
+  /** The degree-oriented kernel of [[q_graph_triangles]], factored so
+    * unit tests can drive it with hand-built graphs. `edges` must be
+    * a DISTINCT undirected edge list with `a < b` (long columns
+    * `a`, `b`, no self-loops).
+    */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    val deg = sym.select(col("src").as("node"), col("deg")).dropDuplicates("node")
+    val o = sym.join(
+        broadcast(deg.select(col("node").as("dn"), col("deg").as("ddeg"))),
+        col("dst") === col("dn"))
+      .filter(col("deg") < col("ddeg") ||
+        (col("deg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddeg"))
+      .localCheckpoint()
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("dv"))
+    val e2 = o.select(col("src").as("u2"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = e1.join(e2, col("u") === col("u2") &&
+        (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    val corners = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1))).as("clustering"))
       .orderBy("node")
   }
 }

@@ -424,4 +424,49 @@ object SampleOps {
       .select("doc_id", "lang", "quality", "n_tokens", "n_dups")
       .orderBy("doc_id")
   }
+
+  /** Per-shard reproducibility manifest — the artifact a pipeline
+    * writes NEXT TO its training shards so any later run (or another
+    * engine) can verify shard integrity without re-reading the corpus:
+    * row count, token sum, null-document count, an ORDER-FREE content
+    * checksum, and the content-fingerprint extrema.
+    *
+    * Shard assignment is [[q_shuffle_shards]]'s draw (`md5(doc_id)`
+    * mod shards) so the manifest describes exactly the shards that
+    * layout step writes. The checksum is `bit_xor` over each
+    * document's 60-bit md5(text) fingerprint: XOR is commutative and
+    * associative, so the aggregate is independent of row order AND of
+    * partitioning — the property a distributed checksum needs (a
+    * concat-then-hash checksum would impose a global sort; a long SUM
+    * over 60-bit values overflows int64 at ~10 docs and diverges from
+    * DuckDB's HUGEINT sum — the q_corpus_report round-8 lesson).
+    *
+    * Scale shape: one map-side-combined aggregation over O(shards)
+    * keys — partials collapse each partition to `shards` rows before
+    * the exchange, so shuffle volume is constant in corpus size. All
+    * output columns are BIGINT (exact) except nothing: no floats
+    * anywhere.
+    */
+  def q_shard_manifest(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+    val fp = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    documents(s, d)
+      .select(
+        pmod(hashDraw(col("doc_id"), 8), lit(shards.toLong)).as("shard"),
+        // -1 keeps trailing empty tokens: split must agree with
+        // DuckDB string_split on boundary whitespace
+        when(col("text").isNotNull,
+          size(split(col("text"), " ", -1)).cast("long")).as("n_toks"),
+        fp.as("cfp"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("cfp")).as("n_content"), // docs with non-null text
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+        // bit_xor skips nulls on both engines; coalesce pins the
+        // all-null-shard degenerate case to 0 rather than NULL
+        coalesce(expr("bit_xor(cfp)"), lit(0L)).as("checksum_xor"),
+        min(col("cfp")).as("fp_min"),
+        max(col("cfp")).as("fp_max"))
+      .orderBy("shard")
+  }
 }

@@ -312,6 +312,94 @@ object TextOps {
         round(qualityScore(col("text")) * 1e10).cast("long").as("q_fp"))
       .orderBy("doc_id")
 
+  /** Per-document n-gram novelty — the memorization-risk / boilerplate
+    * diagnostic: what fraction of a document's distinct word 3-grams
+    * appear in NO other document (corpus document-frequency 1)? Low
+    * novelty marks template/boilerplate text (its grams are shared
+    * everywhere) and near-duplicate residue that survived exact dedup;
+    * training-data work uses it to find over-represented span sources
+    * before they imprint on the model.
+    *
+    * Shape: distinct grams per doc (row-local [[DedupOps.shinglesN]],
+    * `array_distinct` before the explode so a doc's internal repeats
+    * don't inflate df) → ONE gram-keyed exchange where a whole-
+    * partition window attaches each gram's document frequency (the
+    * degree-via-window trick from GraphOps.q_pagerank: groupBy+join
+    * would shuffle the gram stream twice) → map-side-combined per-doc
+    * aggregation. Gram cardinality is corpus-sized but the exchange
+    * carries only (doc_id, gram) pairs — no text, no arrays.
+    *
+    * Oracle parity: novelty is a ×1e6 fixed-point BIGINT via the
+    * round-half-up integer form `(2a+d) div 2d` (positive operands, so
+    * Spark's truncating `div` == DuckDB's flooring `//`); no doubles
+    * anywhere. Null documents emit NULL novelty via the left join;
+    * short docs fall back to the whole text as their single gram
+    * (df-1 semantics still well-defined).
+    */
+  def q_ngram_novelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shinglesN(col("text"), 3))).as("gram"))
+      .filter(col("gram").isNotNull) // null docs shingle to [NULL]
+    val withDf = grams.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("gram")))
+    val per = withDf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_fp",
+        expr("(2 * n_unique * 1000000 + n_grams) div (2 * n_grams)"))
+    documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        col("novelty_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Hashed-bag-of-words linear classifier scoring — the fastText /
+    * CCNet-style quality-classifier gate: each token hashes into one of
+    * 1024 feature buckets, each bucket carries a weight from a
+    * model-sized weight table, a document's score is the mean bucket
+    * weight, and the gate admits score > 0. Real pipelines load fitted
+    * weights; here the weight table is a deterministic function of the
+    * bucket id (a Knuth multiplicative scramble into [-1000, 1000]) so
+    * BOTH engines materialize the identical "model" with no fitted
+    * state to ship — the same stance as the LSH plane literals.
+    *
+    * Shape: explode tokens → codegen'd md5 bucket + pure-integer
+    * weight per token (the weight table never exists as data — it is
+    * an expression of the bucket, the cheapest possible "broadcast") →
+    * ONE map-side-combined per-doc sum. A per-row HOF (`transform` +
+    * `aggregate`) would avoid the shuffle but runs interpreted — the
+    * q_minhash scaladoc's measured 4× — and the shuffle here carries
+    * only (doc_id, partial sum) rows, O(docs) at any scale.
+    *
+    * Oracle parity: score_sum is an exact BIGINT; the displayed score
+    * is ONE correctly-rounded IEEE division on exact operands
+    * (bit-identical cross-engine, the q_pagerank display rule);
+    * `accept` derives from the integer sum, not the double.
+    */
+  def q_quality_classifier(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ", -1)).as("tok"))
+    val bucket = SampleOps.hashDraw(col("tok"), 15) % 1024L
+    val weight = (bucket * lit(2654435761L)) % 2001L - 1000L
+    val per = toks
+      .select(col("doc_id"), weight.as("wt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("score_sum"))
+    documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        when(col("n_toks") > 0,
+          col("score_sum").cast("double") / col("n_toks")).as("score"),
+        (coalesce(col("score_sum"), lit(0L)) > 0).as("accept"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms per document (smoothed idf = ln((N+1)/(df+1))).
     * The classic relevance/keyword-extraction operator a curation
     * pipeline runs for topic balance and quality diagnostics.

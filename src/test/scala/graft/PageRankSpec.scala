@@ -120,6 +120,47 @@ class PageRankSpec extends AnyFunSuite {
       "s7" -> ((false, 0L)), "c2" -> ((false, 0L))))
   }
 
+  test("triangleCounts matches hand-computed counts on K4 + pendant + isolate-pair") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles), pendant 5-1
+    // (deg 1, no triangles), disconnected edge 6-7 (deg 1 each)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L)).toDF("a", "b")
+    val got = graft.queries.GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          Option(r.getAs[java.lang.Double]("clustering")).map(_.doubleValue)))).toMap
+    assert(got(1L) == ((4L, 3L, Some(2.0 * 3 / (4 * 3)))))  // 0.5
+    assert(got(2L) == ((3L, 3L, Some(1.0))))
+    assert(got(3L) == ((3L, 3L, Some(1.0))))
+    assert(got(4L) == ((3L, 3L, Some(1.0))))
+    assert(got(5L) == ((1L, 0L, None)))
+    assert(got(6L) == ((1L, 0L, None)))
+    assert(got(7L) == ((1L, 0L, None)))
+    // global count: each K4 triangle counted at exactly 3 corners
+    assert(got.values.map(_._2).sum == 3L * 4L)
+  }
+
+  test("q_graph_triangles on fixture data: corner sums ≡ 0 mod 3, bounds hold") {
+    val rows = SparkEntry.queries("q_graph_triangles")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val cornerSum = rows.map(_.getAs[Long]("n_tri")).sum
+    assert(cornerSum % 3 == 0, "every triangle has exactly 3 corners")
+    // exact value is driver-testdata-dependent (oracle-checked
+    // instead — pinning it here would break on a regeneration, the
+    // round-7 lesson); the graph must be non-degenerate though
+    assert(cornerSum > 0, "part co-occurrence graph must contain triangles")
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("deg")
+      val t = r.getAs[Long]("n_tri")
+      assert(t <= deg * (deg - 1) / 2, "triangles bounded by wedge count")
+      val c = r.getAs[java.lang.Double]("clustering")
+      if (deg < 2) assert(c == null)
+      else assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   test("mass is conserved up to integer-floor loss on fixture data") {
     val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
     val n = rows.length

@@ -274,4 +274,42 @@ class SampleSpec extends AnyFunSuite {
     val ids = rows.map(_.getAs[Long]("doc_id"))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("q_shard_manifest matches an independent driver-side recompute (xor checksum incl.)") {
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    assert(docs.nonEmpty)
+    case class M(var nDocs: Long = 0, var nContent: Long = 0, var nToks: Long = 0,
+                 var xor: Long = 0, var fpMin: Long = Long.MaxValue,
+                 var fpMax: Long = Long.MinValue)
+    val exp = scala.collection.mutable.Map[Long, M]()
+    docs.foreach { case (id, text) =>
+      val shard = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 8
+      val m = exp.getOrElseUpdate(shard, M())
+      m.nDocs += 1
+      if (text != null) {
+        val fp = java.lang.Long.parseLong(md5hex(text).substring(0, 15), 16)
+        m.nContent += 1
+        m.nToks += text.split(" ", -1).length
+        m.xor ^= fp
+        m.fpMin = math.min(m.fpMin, fp)
+        m.fpMax = math.max(m.fpMax, fp)
+      }
+    }
+    val out = SparkEntry.queries("q_shard_manifest")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    out.foreach { r =>
+      val m = exp(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_docs") == m.nDocs)
+      assert(r.getAs[Long]("n_content") == m.nContent)
+      assert(r.getAs[Long]("n_tokens") == m.nToks)
+      assert(r.getAs[Long]("checksum_xor") == m.xor, "order-free xor checksum")
+      assert(r.getAs[Long]("fp_min") == m.fpMin)
+      assert(r.getAs[Long]("fp_max") == m.fpMax)
+    }
+  }
 }

@@ -185,4 +185,76 @@ class TextInvariantSpec extends AnyFunSuite {
       assert(userRe.findFirstIn(red).isEmpty, s"user id survived: $red")
     }
   }
+
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_ngram_novelty matches an independent driver-side recompute") {
+    def shingles(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 3) (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+      else Seq(t)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val perDoc = docs.filter(_._2 != null)
+      .map { case (id, t) => id -> shingles(t).distinct }.toMap
+    val df = perDoc.values.flatten
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    val out = SparkEntry.queries("q_ngram_novelty")(spark, sf).collect()
+    assert(out.length == docs.length, "one row per document")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      perDoc.get(id) match {
+        case Some(gs) =>
+          val nG = gs.length.toLong
+          val nU = gs.count(g => df(g) == 1).toLong
+          assert(r.getAs[Long]("n_grams") == nG, s"doc $id n_grams")
+          assert(r.getAs[Long]("n_unique") == nU, s"doc $id n_unique")
+          assert(r.getAs[Long]("novelty_fp") ==
+            (2 * nU * 1000000L + nG) / (2 * nG), s"doc $id novelty")
+        case None => // null-text doc: zero grams, NULL novelty
+          assert(r.getAs[Long]("n_grams") == 0L)
+          assert(r.isNullAt(r.fieldIndex("novelty_fp")))
+      }
+    }
+    // at least one boilerplate-free doc must be fully novel, and the
+    // corpus must not be degenerate (all grams unique)
+    assert(out.exists(r => r.getAs[Long]("n_grams") > 0 &&
+      r.getAs[Long]("n_unique") < r.getAs[Long]("n_grams")),
+      "expected at least one shared gram in the corpus")
+  }
+
+  test("q_quality_classifier matches an independent driver-side recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val out = SparkEntry.queries("q_quality_classifier")(spark, sf).collect()
+    assert(out.length == docs.length)
+    val byId = docs.toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      byId(id) match {
+        case null =>
+          assert(r.getAs[Long]("n_toks") == 0L)
+          assert(r.getAs[Long]("score_sum") == 0L)
+          assert(!r.getAs[Boolean]("accept"))
+        case t =>
+          val toks = t.toLowerCase.split(" ", -1)
+          val sum = toks.map { tok =>
+            val bucket = java.lang.Long.parseLong(md5hex(tok).substring(0, 15), 16) % 1024L
+            (bucket * 2654435761L) % 2001L - 1000L
+          }.sum
+          assert(r.getAs[Long]("n_toks") == toks.length.toLong, s"doc $id n_toks")
+          assert(r.getAs[Long]("score_sum") == sum, s"doc $id score_sum")
+          assert(r.getAs[Boolean]("accept") == (sum > 0), s"doc $id accept")
+          assert(r.getAs[Double]("score") == sum.toDouble / toks.length, s"doc $id score")
+      }
+    }
+    // the gate must actually split the corpus (not all-accept/all-reject)
+    val nAcc = out.count(_.getAs[Boolean]("accept"))
+    assert(nAcc > 0 && nAcc < out.length, s"degenerate gate: $nAcc/${out.length}")
+  }
 }
