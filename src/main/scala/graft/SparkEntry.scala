@@ -141,6 +141,7 @@ object SparkEntry {
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
     "q_sim_pq"      -> (SimilarityOps.q_sim_pq _),
     "q_sim_ivfpq"   -> (SimilarityOps.q_sim_ivfpq _),
+    "q_dedup_semantic" -> ((s, d) => SimilarityOps.q_dedup_semantic(s, d)),
     // §2.11 training-data selection (deterministic hash sampling)
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
@@ -1871,6 +1872,31 @@ object SparkEntry {
     // E-step argmax, nprobe probe ranking, and final top-5 all order by
     // (cosine DESC, id) — reproduced with ranked windows. E-step/probe
     // ranks use the unrounded cosine on both sides, as the query does.
+    // SemDeDup: q_sim_ivf's deterministic assignment CTE, then
+    // within-cell pairs on round(cosine,6) > 0.35 and the greedy
+    // lowest-id-representative keep rule
+    "q_dedup_semantic" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |                 c.cent_id) AS rn
+        |    FROM embeddings e, cent c)
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.35),
+        |g AS (SELECT vec_b AS vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |        min(vec_a) AS rep_id
+        |      FROM p GROUP BY 1)
+        |SELECT a.vec_id, a.cell, CAST(coalesce(g.n_dups, 0) AS BIGINT) AS n_dups,
+        |  coalesce(g.rep_id, a.vec_id) AS rep_id, g.rep_id IS NULL AS kept
+        |FROM assigned a LEFT JOIN g USING (vec_id) ORDER BY a.vec_id""".stripMargin,
     "q_sim_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),

@@ -455,4 +455,65 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** SemDeDup (Abbas et al. 2023) — embedding-level semantic
+    * deduplication: cluster the corpus, then inside each cluster drop
+    * every vector that has a near-duplicate (cosine > τ) with a lower
+    * id, keeping that lowest-id vector as the representative. Catches
+    * the paraphrase/re-render duplicates the lexical family
+    * (MinHash/SimHash) can't see; the cluster stage is exactly what
+    * makes it scale — candidate pairs form only WITHIN cells, never
+    * across the corpus.
+    *
+    * Shape: the K-row codebook is a collected model literal (the
+    * q_sim_ivf stance); assignment is a zero-shuffle scan projection
+    * (codegen'd cosine against literal vectors), materialized ONCE
+    * (both self-join sides read it — twice-referenced-state rule);
+    * then one cell-keyed exchange and a per-cell pair join. At 100 TB
+    * the paper's recipe applies directly: K grows with the corpus
+    * (K ≈ n/target_cell_size) so per-cell pair work stays bounded —
+    * the quadratic term is C(cell, 2), controlled by K, never C(n, 2).
+    * Skewed cells would bound-cap exactly like candidatePairs'
+    * maxBucket (not needed at test scale, K=16 over 2k vectors).
+    *
+    * Keep rule determinism: "has a lower-id partner" needs no
+    * tie-break and no transitive closure (connected components over
+    * near-dup pairs is q_dup_clusters' job — SemDeDup is the greedy
+    * one-pass variant the paper ships). Cosines compare on round(·,6)
+    * in both engines.
+    */
+  def q_dedup_semantic(s: SparkSession, d: String,
+                       k: Int = 16, tau: Double = 0.35): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d)
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    if (cents.isEmpty)
+      return e.select(col("vec_id"), col("vec_id").as("cell"),
+        col("vec_id").as("n_dups"), col("vec_id").as("rep_id"),
+        lit(true).as("kept")).limit(0)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+        KMeansOps.nearestCell(col("embedding"), cents).as("cell"))
+      .localCheckpoint()
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("cosine_sim(va, vb)"), 6).as("cosine"))
+      .filter(col("cosine") > tau)
+    val partners = pairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("vec_a")).as("rep_id"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(partners, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"),
+        col("rep_id").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
 }

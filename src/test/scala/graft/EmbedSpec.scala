@@ -90,4 +90,45 @@ class EmbedSpec extends AnyFunSuite {
       assert(math.abs(c - r.getAs[Double]("centroid")) <= 1e-9)
     }
   }
+
+  test("q_dedup_semantic: planted near-dups drop to their lowest-id representative") {
+    import spark.implicits._
+    // two orthogonal clusters; 2/3 near-dup v0, 4/5 near-dup v1;
+    // 6 sits in v0's cell but below the cosine threshold
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0.999f, 0.01f, 0f, 0f),
+      3L -> Array(0.998f, 0.02f, 0f, 0f),
+      4L -> Array(0.01f, 0.999f, 0f, 0f),
+      5L -> Array(0.02f, 0.998f, 0f, 0f),
+      6L -> Array(0.7f, 0.1f, 0.7f, 0f))
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.queries.SimilarityOps
+      .q_dedup_semantic(spark, tmp, k = 2, tau = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("rep_id"), r.getAs[Boolean]("kept")))).toMap
+    assert(got(0L) == ((0L, 0L, 0L, true)))
+    assert(got(1L) == ((1L, 0L, 1L, true)))
+    assert(got(2L) == ((0L, 1L, 0L, false)))   // near-dup of 0
+    assert(got(3L) == ((0L, 2L, 0L, false)))   // near-dup of 0 AND 2
+    assert(got(4L) == ((1L, 1L, 1L, false)))
+    assert(got(5L) == ((1L, 2L, 1L, false)))
+    assert(got(6L)._1 == 0L && got(6L)._4, "cell-0 member below tau stays kept")
+    // structural invariants on the real corpus: kept ⟺ no lower-id
+    // partner; representatives never exceed their member's id
+    val real = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Boolean]("kept") == (r.getAs[Long]("n_dups") == 0L))
+      assert(r.getAs[Long]("rep_id") <= r.getAs[Long]("vec_id"))
+      assert((r.getAs[Long]("rep_id") == r.getAs[Long]("vec_id")) ==
+        r.getAs[Boolean]("kept"))
+    }
+    assert(real.exists(!_.getAs[Boolean]("kept")), "corpus has semantic near-dups")
+  }
 }
