@@ -153,6 +153,7 @@ object SparkEntry {
     "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
+    "q_dsir"             -> (SampleOps.q_dsir _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -1806,6 +1807,38 @@ object SparkEntry {
          |  CAST(coalesce(bit_xor(cfp), 0) AS BIGINT) AS checksum_xor,
          |  min(cfp) AS fp_min, max(cfp) AS fp_max
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    // DSIR importance weights: one ln per token on an exact integer
+    // ratio (smoothed target/raw probabilities composed into a single
+    // rational, integer-multiply-then-cast), 1e9 fixed-point longs,
+    // exact per-doc sums; totals CAST to BIGINT (HUGEINT trap)
+    "q_dsir" -> {
+      val bucket = s"(${duckHexValue("md5(w)", 1, 15)}) % 1024"
+      s"""WITH tok AS (SELECT doc_id, ($duckQualityScore) >= 0.45 AS tgt,
+         |               unnest(string_split(text, ' ')) AS w
+         |             FROM documents),
+         |tk AS (SELECT doc_id, tgt, $bucket AS b FROM tok WHERE len(w) > 0),
+         |bs AS (SELECT b, CAST(count(*) AS BIGINT) AS r,
+         |         CAST(count(CASE WHEN tgt THEN 1 END) AS BIGINT) AS t
+         |       FROM tk GROUP BY b),
+         |tt AS (SELECT CAST(sum(r) AS BIGINT) AS bigR,
+         |              CAST(sum(t) AS BIGINT) AS bigT FROM bs),
+         |term AS (SELECT k.doc_id,
+         |    CAST(round(ln(
+         |      CAST((bs.t + 1) * ((SELECT bigR FROM tt) + 1024) AS DOUBLE) /
+         |      CAST((bs.r + 1) * ((SELECT bigT FROM tt) + 1024) AS DOUBLE)) * 1e9)
+         |      AS BIGINT) AS lfp
+         |  FROM tk k JOIN bs ON k.b = bs.b),
+         |p AS (SELECT doc_id, count(*) AS n_toks,
+         |        CAST(sum(lfp) AS BIGINT) AS llr_fp
+         |      FROM term GROUP BY doc_id),
+         |c AS (SELECT CAST(sum(llr_fp) AS BIGINT) AS totL,
+         |             CAST(sum(n_toks) AS BIGINT) AS totN FROM p)
+         |SELECT d.doc_id, CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+         |  p.llr_fp, CAST(p.llr_fp AS DOUBLE) / 1e9 AS llr,
+         |  coalesce(p.llr_fp * (SELECT totN FROM c)
+         |           > (SELECT totL FROM c) * p.n_toks, false) AS selected
+         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
     // n-gram novelty: per-doc distinct 3-gram df=1 fraction as a ×1e6
     // round-half-up fixed-point BIGINT; list_distinct drops NULLs so

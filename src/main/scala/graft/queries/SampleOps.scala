@@ -425,6 +425,88 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a hashed-unigram model of a TARGET
+    * domain against the model of the RAW corpus, then gate on "more
+    * target-like than the average document": a doc is selected when
+    * its mean per-token LLR exceeds the corpus's mean per-token LLR,
+    * compared by EXACT long cross-multiplication
+    * (llr_fp·ΣN > Σllr·n_toks — no division, no rounding). The
+    * paper's Gumbel top-k resampling needs a global order; this gate
+    * keeps the core (importance weights from hashed n-gram LMs) with
+    * only a one-row broadcast aggregate as global state — a
+    * fixed-budget variant would TakeOrdered on (llr_fp, doc_id).
+    * (An absolute ratio>1 gate is near-degenerate here: the shared
+    * 31-word vocabulary plus add-one smoothing biases every token's
+    * LLR slightly negative — 1 of 500 docs passed; relative-to-mean
+    * splits the corpus meaningfully and is scale-free.)
+    *
+    * Target choice: the high-quality slice (qualityScore ≥ 0.45, the
+    * q_pipeline_prep gate) — the classic DSIR deployment is "make raw
+    * web data look like the curated slice". A lang-keyed target is
+    * DEGENERATE on this corpus by construction: every language draws
+    * from the identical 31-word vocabulary (measured — en/zh distinct
+    * vocab overlap 31/31), so no unigram model can separate them;
+    * the quality slice's stopword-heavy distribution genuinely
+    * differs.
+    *
+    * Shape: the exploded token stream is read TWICE by design — once
+    * into the bucket-stats aggregation, once into the scoring pass —
+    * because materializing O(corpus tokens) rows to save a re-scan is
+    * the worse trade (the q_dedup_minhash text-ride lesson). Pass 1
+    * is a BOUNDED-KEY aggregation: `groupBy(bucket)` has ≤ 1024 keys
+    * (both the target and raw counts in ONE pass via conditional
+    * count), so map-side combine collapses every partition to
+    * kilobytes — the CMS shape. The 1024-row model and the one-row
+    * totals then broadcast into pass 2; per-doc sums are the only
+    * other shuffle.
+    *
+    * Oracle parity: each token's log term is ONE `ln` ON AN EXACT
+    * INTEGER RATIO — the smoothed probabilities are composed into a
+    * single rational ((t+1)·(R+1024)) / ((r+1)·(T+1024)) with
+    * integer-multiply-then-cast on both engines, so both compute one
+    * correctly-rounded division and one libm ln on identical doubles
+    * (the q_lm_score rule; a 1-ulp libm difference dies against the
+    * 1e9 fixed-point quantum). Per-doc sums are exact longs.
+    * Long-overflow headroom: (t+1)·(R+1024) needs t·R < 2^63 —
+    * fine to ~3e9 corpus tokens; past that, pre-divide the ratio or
+    * widen to DECIMAL.
+    */
+  def q_dsir(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        (TextOps.qualityScore(col("text")) >= 0.45).as("tgt"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("tgt"),
+        (hashDraw(col("w"), 15) % 1024L).as("b"))
+    val bstats = tok.groupBy("b").agg(
+      count(lit(1)).as("r"),
+      count(when(col("tgt"), lit(1))).as("t"))
+    val totals = bstats.agg(sum(col("r")).as("bigR"), sum(col("t")).as("bigT"))
+    val scored = tok.join(broadcast(bstats), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log(
+          ((col("t") + 1) * (col("bigR") + 1024)).cast("double") /
+          ((col("r") + 1) * (col("bigT") + 1024)).cast("double")) * 1e9)
+          .cast("long").as("lfp"))
+    val per = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("lfp")).as("llr_fp"))
+    val corpus = per.agg(sum(col("llr_fp")).as("totL"),
+      sum(col("n_toks")).as("totN"))
+    documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("llr_fp"),
+        (col("llr_fp").cast("double") / 1e9).as("llr"),
+        coalesce(col("llr_fp") * col("totN") > col("totL") * col("n_toks"),
+          lit(false)).as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** Per-shard reproducibility manifest — the artifact a pipeline
     * writes NEXT TO its training shards so any later run (or another
     * engine) can verify shard integrity without re-reading the corpus:

@@ -275,6 +275,71 @@ class SampleSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("q_dsir matches an independent driver-side recompute; gate prefers target-like docs") {
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stop = Set("the", "a", "of", "and")
+    def quality(t: String): Double = {
+      val w = t.split(" ", -1)
+      val nStop = w.count(stop)
+      val nPunct = t.length - t.replaceAll("[.,;:!?'\"()\\[\\]{}-]", "").length
+      val punct = if (t.isEmpty) 0.0 else nPunct.toDouble / t.length
+      BigDecimal(0.4 * (nStop.toDouble / w.length) +
+        0.3 * math.min(w.length / 100.0, 1.0) + 0.3 * (1.0 - punct))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    // bucket stream + per-bucket (raw, target) counts
+    val toks = docs.filter(_._2 != null).flatMap { case (id, t) =>
+      val tgt = quality(t) >= 0.45
+      t.split(" ", -1).filter(_.nonEmpty).map { w =>
+        (id, tgt, java.lang.Long.parseLong(md5hex(w).substring(0, 15), 16) % 1024L)
+      }
+    }
+    val r = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val t = toks.filter(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val (bigR, bigT) = (toks.length.toLong, toks.count(_._2).toLong)
+    val perDoc = toks.groupBy(_._1).view.mapValues { ts =>
+      val s = ts.map { case (_, _, b) =>
+        math.round(math.log(
+          ((t.getOrElse(b, 0L) + 1) * (bigR + 1024)).toDouble /
+          ((r(b) + 1) * (bigT + 1024)).toDouble) * 1e9)
+      }.sum
+      (ts.length.toLong, s)
+    }.toMap
+    val totL = perDoc.values.map(_._2).sum
+    val totN = perDoc.values.map(_._1).sum
+    val out = SparkEntry.queries("q_dsir")(spark, sf).collect()
+    assert(out.length == docs.length)
+    out.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      perDoc.get(id) match {
+        case Some((n, s)) =>
+          assert(row.getAs[Long]("n_toks") == n, s"doc $id n_toks")
+          assert(row.getAs[Long]("llr_fp") == s, s"doc $id llr_fp")
+          assert(row.getAs[Boolean]("selected") == (s * totN > totL * n), s"doc $id gate")
+        case None =>
+          assert(row.getAs[Long]("n_toks") == 0L)
+          assert(!row.getAs[Boolean]("selected"))
+      }
+    }
+    // the gate splits the corpus and points the right way: selected
+    // docs are stopword-heavier (more target-like) on average
+    val sel = out.filter(_.getAs[Boolean]("selected")).map(_.getAs[Long]("doc_id")).toSet
+    assert(sel.nonEmpty && sel.size < out.length, s"degenerate gate: ${sel.size}")
+    def stopFrac(ids: Set[Long]): Double = {
+      val ws = docs.filter(dd => dd._2 != null && ids(dd._1))
+        .flatMap(_._2.split(" ", -1).filter(_.nonEmpty))
+      ws.count(stop).toDouble / ws.length
+    }
+    val rest = docs.map(_._1).toSet -- sel
+    assert(stopFrac(sel) > stopFrac(rest),
+      "selected slice must be more target-like (stopword-heavier)")
+  }
+
   test("q_shard_manifest matches an independent driver-side recompute (xor checksum incl.)") {
     def md5hex(t: String): String =
       java.security.MessageDigest.getInstance("MD5")
