@@ -122,6 +122,7 @@ object SparkEntry {
     "q_graph_hops"   -> ((s, d) => GraphOps.q_graph_hops(s, d)),
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
     "q_graph_triangles" -> ((s, d) => GraphOps.q_graph_triangles(s, d)),
+    "q_graph_lpa" -> ((s, d) => GraphOps.q_graph_lpa(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
@@ -1599,6 +1600,33 @@ object SparkEntry {
     // PageRank: all-integer fixed-point iterations — both engines
     // carry bit-identical longs; positive operands make Spark div and
     // DuckDB // agree
+    // synchronous LPA: K=3 unrolled iterations; per-iteration argmax
+    // (count DESC, label ASC) as a ranked window — mirrors Spark's
+    // max(struct(cnt, -label)); labels exact longs throughout
+    "q_graph_lpa" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS (SELECT node, label FROM (
+           |  SELECT dst AS node, label,
+           |    row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+           |  FROM (SELECT e.dst, r.label, count(*) AS c
+           |        FROM sym e JOIN $prev r ON e.src = r.node
+           |        GROUP BY e.dst, r.label))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+         |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |      FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+         |sym AS (SELECT a AS src, b AS dst FROM e
+         |        UNION ALL SELECT b AS src, a AS dst FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |$steps,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+         |       FROM l$iters GROUP BY label)
+         |SELECT l.node, l.label, sz.comm_size
+         |FROM l$iters l JOIN sz USING (label) ORDER BY l.node""".stripMargin
+    },
     // degree-oriented triangle counting over the part co-occurrence
     // graph; clustering = one IEEE division on exact integer
     // operands, NULL (not NaN) when deg < 2 on both sides

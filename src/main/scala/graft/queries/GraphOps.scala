@@ -359,15 +359,22 @@ object GraphOps {
     * deg < 2 yields NULL on both sides (0/0 would be NaN, whose
     * engine equality is undefined).
     */
-  def q_graph_triangles(s: SparkSession, d: String): DataFrame = {
+  def q_graph_triangles(s: SparkSession, d: String): DataFrame =
+    triangleCounts(partCoEdges(s, d))
+
+  /** DISTINCT a<b part co-occurrence edges (same order ⇒ edge) —
+    * the shared sparse graph for [[q_graph_triangles]] and
+    * [[q_graph_lpa]]. The per-order self-join is bounded by
+    * parts-per-order (≤ 7), so output is linear in orders.
+    */
+  private def partCoEdges(s: SparkSession, d: String): DataFrame = {
     val so = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
       .distinct()
-    val e = so.as("x").join(so.as("y"),
+    so.as("x").join(so.as("y"),
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
       .select(col("x.sk").as("a"), col("y.sk").as("b"))
       .distinct()
-    triangleCounts(e)
   }
 
   /** The degree-oriented kernel of [[q_graph_triangles]], factored so
@@ -405,6 +412,63 @@ object GraphOps {
         when(col("deg") >= 2,
           (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
             (col("deg") * (col("deg") - 1))).as("clustering"))
+      .orderBy("node")
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * part co-occurrence graph — community detection one level up from
+    * [[ClusterOps.connectedComponents]]: components find *any*
+    * connectivity, LPA finds *densely* connected groups, the
+    * granularity near-dup corpus analysis actually wants (a single
+    * stray shared shingle connects two communities a components pass
+    * would merge).
+    *
+    * Update rule (deterministic, both engines): every node
+    * simultaneously adopts the label most frequent among its
+    * neighbors, ties to the SMALLEST label; fixed K iterations
+    * (synchronous LPA on near-bipartite structure can oscillate, so
+    * a fixed horizon is the reproducible choice — the async variant
+    * is order-dependent and unverifiable cross-engine).
+    *
+    * Distributed shape: the symmetric edge set is checkpointed once
+    * (read by all K iterations); each iteration is one broadcast-hash
+    * join of the O(nodes) label table onto the edges (the
+    * broadcast-the-model stance and outgrow caveat of q_pagerank)
+    * followed by two map-side-combined aggregations — (dst, label)
+    * counts, then the per-dst argmax as `max(struct(cnt, -label))`
+    * (codegen'd struct max; a window would sort the whole count
+    * table). Labels are referenced once per iteration, so lineage
+    * only needs the checkpoint CADENCE, not per-level
+    * materialization (the single-reference side of the
+    * twice-referenced-state rule); K=3 stays under it.
+    *
+    * Oracle parity: labels are exact longs end to end; the argmax
+    * (count DESC, label ASC) is reproduced with a ranked window in
+    * DuckDB. Community sizes attach via one O(labels) count agg.
+    */
+  def q_graph_lpa(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    lpaLabels(partCoEdges(s, d), iters)
+
+  /** The synchronous-LPA kernel of [[q_graph_lpa]], factored so unit
+    * tests can drive it with hand-built graphs. `e` must be a
+    * DISTINCT undirected edge list with `a < b` (long columns).
+    */
+  private[graft] def lpaLabels(e: DataFrame, iters: Int): DataFrame = {
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (1 to iters).foreach { _ =>
+      labels = sym.join(broadcast(labels), sym("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+        .select(col("dst").as("node"), (-col("best.neg")).as("label"))
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("comm_size"))
+    labels.join(broadcast(sizes), Seq("label"))
+      .select(col("node"), col("label"), col("comm_size"))
       .orderBy("node")
   }
 }

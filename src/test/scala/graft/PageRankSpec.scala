@@ -161,6 +161,36 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("lpaLabels equals an independent synchronous-LPA reference on a bridged-cliques graph") {
+    import spark.implicits._
+    // two K4 cliques bridged by one edge — LPA must keep them as two
+    // communities (a components pass would merge them)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (4L, 10L))
+    // independent reference: simultaneous most-frequent-neighbor
+    // update, ties to the smallest label
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      ref = adj.map { case (n, ns) =>
+        val freq = ns.groupBy(ref).view.mapValues(_.size).toMap
+        n -> freq.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    val got = graft.queries.GraphOps.lpaLabels(edges.toDF("a", "b"), 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("label"), r.getAs[Long]("comm_size")))).toMap
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (n, l) => assert(got(n)._1 == l, s"node $n label") }
+    val sizes = ref.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (n, (l, cs)) => assert(cs == sizes(l), s"node $n comm_size") }
+    // the bridge must not merge the cliques
+    assert(ref.filter(_._1 <= 4).values.toSet.intersect(
+      ref.filter(_._1 >= 10).values.toSet).isEmpty, "cliques stayed separate")
+  }
+
   test("mass is conserved up to integer-floor loss on fixture data") {
     val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
     val n = rows.length
