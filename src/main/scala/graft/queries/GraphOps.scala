@@ -466,8 +466,13 @@ object GraphOps {
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
         .select(col("dst").as("node"), (-col("best.neg")).as("label"))
     }
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("comm_size"))
-    labels.join(broadcast(sizes), Seq("label"))
+    // the FINAL label table is referenced twice (sizes agg + output
+    // join) — materialize once or the whole K-iteration chain runs
+    // twice (the twice-referenced-state rule; labels inside the loop
+    // are single-reference and need no per-level materialization)
+    val labelsD = labels.localCheckpoint()
+    val sizes = labelsD.groupBy("label").agg(count(lit(1)).as("comm_size"))
+    labelsD.join(broadcast(sizes), Seq("label"))
       .select(col("node"), col("label"), col("comm_size"))
       .orderBy("node")
   }
