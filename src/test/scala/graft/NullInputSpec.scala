@@ -39,7 +39,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_media_resize", "q_media_frame_meta", "q_media_decode",
     "q_media_audio", "q_bpe_encode", "q_corpus_report",
     "q_corpus_slice_share", "q_corpus_slice_tokens",
-    "q_corpus_slice_quality", "q_corpus_dump_toks", "q_corpus_dump_q")
+    "q_corpus_slice_quality", "q_corpus_dump_toks", "q_corpus_dump_q",
+    "q_shard_manifest", "q_ngram_novelty", "q_quality_classifier", "q_dsir")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>
@@ -88,7 +89,7 @@ class NullInputSpec extends AnyFunSuite {
   private val embeddingQueries = Seq(
     "q_embed_stats", "q_embed_quant", "q_embed_calib", "q_embed_centroid", "q_embed_train",
     "q_sim_topk", "q_dedup_embed", "q_sim_lsh", "q_sim_ivf", "q_sim_pq",
-    "q_sim_ivfpq")
+    "q_sim_ivfpq", "q_dedup_semantic")
 
   test("every embedding-family query survives null, zero, and empty vectors") {
     embeddingQueries.foreach { name =>

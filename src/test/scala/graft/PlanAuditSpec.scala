@@ -97,6 +97,7 @@ class PlanAuditSpec extends AnyFunSuite {
       runAndAssert("q_pagerank_dir", 3)  // broadcast(ranks) x 3 iterations
       runAndAssert("q_pagerank_seed", 3) // broadcast(ranks) x 3 iterations
       runAndAssert("q_graph_hops", 4)    // broadcast(frontier) x 4 levels
+      runAndAssert("q_graph_lpa", 3)     // broadcast(labels) x 3 iterations
     } finally {
       spark.listenerManager.unregister(listener)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
