@@ -380,14 +380,34 @@ object TextOps {
     * (bit-identical cross-engine, the q_pagerank display rule);
     * `accept` derives from the integer sum, not the double.
     */
+  /** The hashed-classifier weight of one token — shared by the batch
+    * key ([[q_quality_classifier]]) and the stateless streaming gate
+    * ([[graft.streaming.StreamingOps.streamingClassifierGate]]), so
+    * the model cannot drift between the two surfaces.
+    */
+  private[graft] def tokenWeight(t: Column): Column =
+    ((SampleOps.hashDraw(t, 15) % 1024L) * lit(2654435761L)) % 2001L - 1000L
+
+  /** Row-local (n_toks, score_sum) struct via a let-bound HOF fold —
+    * the ZERO-shuffle form of the classifier score the streaming gate
+    * uses (a stream can't explode+regroup without state; a per-row
+    * fold needs none). The lambda runs interpreted (the allowed HOF
+    * class: linear per row), where the batch key's explode keeps the
+    * hashing codegen'd — StreamingSpec pins value equality between
+    * the two forms. Split is let-bound (transform over a singleton)
+    * per the round-7 HOF rule.
+    */
+  private[graft] def classifierFold(text: Column): Column =
+    element_at(transform(array(split(lower(text), " ", -1)), ws =>
+      struct(size(ws).cast("long").as("n_toks"),
+        aggregate(ws, lit(0L), (acc, t) => acc + tokenWeight(t)).as("score_sum"))), 1)
+
   def q_quality_classifier(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ", -1)).as("tok"))
-    val bucket = SampleOps.hashDraw(col("tok"), 15) % 1024L
-    val weight = (bucket * lit(2654435761L)) % 2001L - 1000L
     val per = toks
-      .select(col("doc_id"), weight.as("wt"))
+      .select(col("doc_id"), tokenWeight(col("tok")).as("wt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("score_sum"))
     documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")

@@ -104,4 +104,25 @@ object StreamingOps {
       .select(explode(graft.queries.SketchOps.cmsLanes(depth, width)).as("lb"))
       .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
       .agg(count(lit(1)).as("counter"))
+
+  /** STATELESS streaming quality-classifier gate — the online half of
+    * the q_quality_classifier batch gate: score arriving documents
+    * against the same hashed-bucket linear model and tag accepts, with
+    * ZERO state (no watermark, no aggregation — pure per-row
+    * projection, so it runs at source throughput in append mode and
+    * trivially scales to any partition count). The per-row score is
+    * [[graft.queries.TextOps.classifierFold]] — shared code with the
+    * batch key's weight function, so the model cannot drift between
+    * the offline and online surfaces; StreamingSpec pins row-for-row
+    * parity against the batch output over the same documents.
+    */
+  def streamingClassifierGate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.queries.TextOps.classifierFold(col("text")).as("c"))
+      .select(col("doc_id"),
+        coalesce(col("c.n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("c.score_sum"), lit(0L)).as("score_sum"),
+        when(col("c.n_toks") > 0,
+          col("c.score_sum").cast("double") / col("c.n_toks")).as("score"),
+        coalesce(col("c.score_sum") > 0, lit(false)).as("accept"))
 }

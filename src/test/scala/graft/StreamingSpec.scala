@@ -205,6 +205,40 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
     assert(got.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("streaming classifier gate equals the batch q_quality_classifier row for row") {
+    // real corpus rows (incl. any empty texts) streamed in two
+    // micro-batches through the STATELESS gate must reproduce the
+    // batch key exactly — the HOF fold and the explode+agg are
+    // different plans over shared weight expressions
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => Doc(ts("2024-01-01 10:00:00"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("lang"), r.getAs[String]("text")))
+    val input = MemoryStream[Doc]
+    val out = {
+      val q = StreamingOps.streamingClassifierGate(input.toDF())
+        .writeStream.format("memory").queryName("cls_gate")
+        .outputMode("append").start()
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      q.stop()
+      spark.table("cls_gate")
+    }
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id")
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_toks"), r.getAs[Long]("score_sum"),
+        Option(r.getAs[java.lang.Double]("score")).map(_.doubleValue),
+        r.getAs[Boolean]("accept"))
+    val streamed = out.collect().map(r => key(r) -> payload(r)).toMap
+    val batch = SparkEntry.queries("q_quality_classifier")(spark, TestSpark.sf)
+      .collect().map(r => key(r) -> payload(r)).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (id, p) =>
+      assert(streamed(id) == p, s"doc $id stream/batch divergence")
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
