@@ -474,16 +474,29 @@ object SampleOps {
     * widen to DECIMAL.
     */
   def q_dsir(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"),
-        (TextOps.qualityScore(col("text")) >= 0.45).as("tgt"),
-        explode(split(col("text"), " ")).as("w"))
+    // Token-bucket stream WITHOUT the target flag. Carrying
+    // `qualityScore(text) >= 0.45 AS tgt` through the explode looks
+    // per-doc but ISN'T: CollapseProject pulls the projection ABOVE
+    // the Generate, so the score's three splits + regexp ran per
+    // TOKEN (~50× the character work, measured 7.4-9.6s at sf0.1 —
+    // the round-7 re-evaluated-through-a-generator class). The target
+    // model instead aggregates a FILTERED scan: a per-doc predicate
+    // below the Generate, evaluated once per document.
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("doc_id"), col("tgt"),
-        (hashDraw(col("w"), 15) % 1024L).as("b"))
-    val bstats = tok.groupBy("b").agg(
-      count(lit(1)).as("r"),
-      count(when(col("tgt"), lit(1))).as("t"))
+      .select(col("doc_id"), (hashDraw(col("w"), 15) % 1024L).as("b"))
+    val tok = bucketed(documents(s, d))
+    // the 1024-row model is referenced twice (totals + the scoring
+    // join) and its LINEAGE is two corpus scans — materialize once
+    // (twice-referenced-state rule; the row count is model-sized, so
+    // the checkpoint is kilobytes)
+    val bstats = tok.groupBy("b").agg(count(lit(1)).as("r"))
+      .join(bucketed(documents(s, d)
+          .filter(TextOps.qualityScore(col("text")) >= 0.45))
+        .groupBy("b").agg(count(lit(1)).as("t")), Seq("b"), "left")
+      .na.fill(0L, Seq("t"))
+      .localCheckpoint()
     val totals = bstats.agg(sum(col("r")).as("bigR"), sum(col("t")).as("bigT"))
     val scored = tok.join(broadcast(bstats), Seq("b"))
       .crossJoin(broadcast(totals))
@@ -492,8 +505,13 @@ object SampleOps {
           ((col("t") + 1) * (col("bigR") + 1024)).cast("double") /
           ((col("r") + 1) * (col("bigT") + 1024)).cast("double")) * 1e9)
           .cast("long").as("lfp"))
+    // the per-doc score table is referenced twice (the corpus-mean
+    // aggregate AND the output join) — materialize once or the whole
+    // two-pass scoring pipeline executes twice (the twice-referenced
+    // rule, hit at the gate: measured 7.8-9.6s → ~2s at sf0.1)
     val per = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("lfp")).as("llr_fp"))
+      .localCheckpoint()
     val corpus = per.agg(sum(col("llr_fp")).as("totL"),
       sum(col("n_toks")).as("totN"))
     documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")

@@ -357,29 +357,6 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Hashed-bag-of-words linear classifier scoring — the fastText /
-    * CCNet-style quality-classifier gate: each token hashes into one of
-    * 1024 feature buckets, each bucket carries a weight from a
-    * model-sized weight table, a document's score is the mean bucket
-    * weight, and the gate admits score > 0. Real pipelines load fitted
-    * weights; here the weight table is a deterministic function of the
-    * bucket id (a Knuth multiplicative scramble into [-1000, 1000]) so
-    * BOTH engines materialize the identical "model" with no fitted
-    * state to ship — the same stance as the LSH plane literals.
-    *
-    * Shape: explode tokens → codegen'd md5 bucket + pure-integer
-    * weight per token (the weight table never exists as data — it is
-    * an expression of the bucket, the cheapest possible "broadcast") →
-    * ONE map-side-combined per-doc sum. A per-row HOF (`transform` +
-    * `aggregate`) would avoid the shuffle but runs interpreted — the
-    * q_minhash scaladoc's measured 4× — and the shuffle here carries
-    * only (doc_id, partial sum) rows, O(docs) at any scale.
-    *
-    * Oracle parity: score_sum is an exact BIGINT; the displayed score
-    * is ONE correctly-rounded IEEE division on exact operands
-    * (bit-identical cross-engine, the q_pagerank display rule);
-    * `accept` derives from the integer sum, not the double.
-    */
   /** The hashed-classifier weight of one token — shared by the batch
     * key ([[q_quality_classifier]]) and the stateless streaming gate
     * ([[graft.streaming.StreamingOps.streamingClassifierGate]]), so
@@ -402,6 +379,31 @@ object TextOps {
       struct(size(ws).cast("long").as("n_toks"),
         aggregate(ws, lit(0L), (acc, t) => acc + tokenWeight(t)).as("score_sum"))), 1)
 
+  /** Hashed-bag-of-words linear classifier scoring — the fastText /
+    * CCNet-style quality-classifier gate: each token hashes into one of
+    * 1024 feature buckets, each bucket carries a weight from a
+    * model-sized weight table, a document's score is the mean bucket
+    * weight, and the gate admits score > 0. Real pipelines load fitted
+    * weights; here the weight table is a deterministic function of the
+    * bucket id (a Knuth multiplicative scramble into [-1000, 1000]) so
+    * BOTH engines materialize the identical "model" with no fitted
+    * state to ship — the same stance as the LSH plane literals.
+    *
+    * Shape: explode tokens → codegen'd md5 bucket + pure-integer
+    * weight per token (the weight table never exists as data — it is
+    * an expression of the bucket, the cheapest possible "broadcast") →
+    * ONE map-side-combined per-doc sum. A per-row HOF (`transform` +
+    * `aggregate`) would avoid the shuffle but runs interpreted — the
+    * q_minhash scaladoc's measured 4× — and the shuffle here carries
+    * only (doc_id, partial sum) rows, O(docs) at any scale. (The
+    * streaming gate pays exactly that HOF trade for statelessness —
+    * [[classifierFold]].)
+    *
+    * Oracle parity: score_sum is an exact BIGINT; the displayed score
+    * is ONE correctly-rounded IEEE division on exact operands
+    * (bit-identical cross-engine, the q_pagerank display rule);
+    * `accept` derives from the integer sum, not the double.
+    */
   def q_quality_classifier(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"),
