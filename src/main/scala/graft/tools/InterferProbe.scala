@@ -33,8 +33,10 @@ object InterferProbe {
     }
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(target)(spark, sfDir).count()
-      println(f"[probe] $target run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+      // foreach, not count() — see TimeOne (count prunes the per-row
+      // projection work this probe exists to measure)
+      graft.SparkEntry.queries(target)(spark, sfDir).foreach(_ => ())
+      println(f"[probe] $target run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -36,8 +36,14 @@ object TimeOne {
         graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      val rows = fn(spark, sfDir).count()
-      println(f"[timeone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+      // foreach, not count() — count prunes every output column (and
+      // with them per-row projection work and final sorts), so it
+      // under-measures exactly the keys whose cost IS the projection
+      // (the Bench round-9 fix; q_pii read 0.25s under count, 3.3s
+      // real). Row count comes from a cheap accumulator instead.
+      val acc = spark.sparkContext.longAccumulator("rows")
+      fn(spark, sfDir).foreach(_ => acc.add(1))
+      println(f"[timeone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s (${acc.value} rows)")
       spark.catalog.clearCache()
     }
     spark.stop()
