@@ -123,10 +123,12 @@ object SparkEntry {
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
     "q_graph_triangles" -> ((s, d) => GraphOps.q_graph_triangles(s, d)),
     "q_graph_lpa" -> ((s, d) => GraphOps.q_graph_lpa(s, d)),
+    "q_graph_kcore" -> ((s, d) => GraphOps.q_graph_kcore(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
+    "q_containment"   -> (DedupOps.q_containment _),
     "q_simhash"       -> (DedupOps.q_simhash _),
     "q_dedup_simhash" -> ((s, d) => DedupOps.q_dedup_simhash(s, d)),
     "q_dup_clusters"  -> (ClusterOps.q_dup_clusters _),
@@ -964,6 +966,42 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Containment: q_dedup_minhash's candidate CTEs, with Broder
+    // containment both directions + the quote_like flag compared on
+    // ROUNDED values (both engines branch identically)
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |sc AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / len(list_distinct(x.s || y.s)), 10) AS jaccard,
+        |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 10)
+        |      AS containment_a,
+        |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s), 10)
+        |      AS containment_b
+        |  FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard, containment_a, containment_b,
+        |  (greatest(containment_a, containment_b) >= 0.8 AND jaccard < 0.5)
+        |    AS quote_like
+        |FROM sc ORDER BY doc_a, doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
     // Fuzzy decontamination: same sig/band CTEs as q_dedup_minhash,
     // but bands join corpus-side against bench-side (doc_id%100 split,
     // q_contamination's convention) instead of self-joining; exact
@@ -1600,6 +1638,34 @@ object SparkEntry {
     // PageRank: all-integer fixed-point iterations — both engines
     // carry bit-identical longs; positive operands make Spark div and
     // DuckDB // agree
+    // truncated k-core peeling: K=3 unrolled rounds; k=95 sits at the
+    // measured core-collapse threshold (sf0.01: 1642 → 1230 → 377
+    // survivors; k=3 was vacuous against the ~115 average degree and
+    // k≥100 collapses every sf to zero by round 3) — all-integer
+    "q_graph_kcore" -> {
+      val (k, rounds) = (95, 3)
+      val steps = (1 to rounds).map { i =>
+        val prev = if (i == 1) "sym" else s"s${i - 1}"
+        s"""a$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= $k),
+           |s$i AS (SELECT s.src, s.dst FROM $prev s
+           |        JOIN a$i x ON s.src = x.node JOIN a$i y ON s.dst = y.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+         |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |      FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+         |sym AS (SELECT a AS src, b AS dst FROM e
+         |        UNION ALL SELECT b AS src, a AS dst FROM e),
+         |d0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg0
+         |       FROM sym GROUP BY src),
+         |$steps,
+         |df AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_final
+         |       FROM s$rounds GROUP BY src)
+         |SELECT d0.node, d0.deg0,
+         |  CAST(coalesce(df.deg_final, 0) AS BIGINT) AS deg_final,
+         |  a$rounds.node IS NOT NULL AS in_core
+         |FROM d0 LEFT JOIN df USING (node) LEFT JOIN a$rounds USING (node)
+         |ORDER BY d0.node""".stripMargin
+    },
     // synchronous LPA: K=3 unrolled iterations; per-iteration argmax
     // (count DESC, label ASC) as a ranked window — mirrors Spark's
     // max(struct(cnt, -label)); labels exact longs throughout

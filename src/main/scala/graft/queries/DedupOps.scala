@@ -346,6 +346,68 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT scoring over the MinHash-LSH candidate
+    * pairs — the quote/subset detector symmetric Jaccard
+    * structurally misses: a short document fully embedded in a long
+    * one has containment(short→long) ≈ 1 while its Jaccard ≈
+    * |short|/|long| can sit far below any dedup threshold. Broder's
+    * containment C(A→B) = |S_A ∩ S_B| / |S_A|, both directions, plus
+    * the symmetric Jaccard and a `quote_like` flag (one side ≥ 0.8
+    * contained while Jaccard < 0.5 — high-asymmetry pairs, the
+    * quotation/boilerplate-inclusion signature).
+    *
+    * Same scale shape as [[q_dedup_minhash]] (shared candidate
+    * generation + text-ride regroup — one band shuffle, exact math
+    * on candidates only). Recall caveat inherited and sharper: LSH
+    * bands are tuned for RESEMBLANCE, so low-Jaccard/high-containment
+    * pairs are surfaced only when a band happens to collide; the
+    * dedicated scale path for exhaustive quote detection is the
+    * winnowing fingerprint join ([[q_overlap]]), which keys on shared
+    * grams directly. This operator scores what LSH surfaces.
+    *
+    * Oracle parity: per-pair integer set sizes; each score is one
+    * IEEE division rounded at 10; the flag compares ROUNDED values so
+    * both engines branch identically.
+    */
+  def q_containment(s: SparkSession, d: String): DataFrame = {
+    val family = HashFamily.fromConf(s)
+    val bands = signatures(s, d, family).select(col("doc_id"),
+      explode(array(
+        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
+        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
+    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
+    val sides = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // let-bound (inter, na, nb) struct: each shingle array is bound
+    // as a lambda variable of a singleton transform so it is built
+    // ONCE per pair even though two fields reference it (the
+    // q_repetition lesson applied at birth); the struct itself sits
+    // in its own projection so the three scores' field reads stay
+    // reads (CollapseProject won't inline it)
+    val stats = element_at(
+      transform(array(array_distinct(shingles3(col("t_a")))), shA =>
+        element_at(
+          transform(array(array_distinct(shingles3(col("t_b")))), shB =>
+            struct(size(array_intersect(shA, shB)).cast("long").as("inter"),
+              size(shA).cast("long").as("na"),
+              size(shB).cast("long").as("nb"))), 1)), 1)
+    val jac = round(col("st.inter").cast("double") /
+      (col("st.na") + col("st.nb") - col("st.inter")), 10)
+    val ca = round(col("st.inter").cast("double") / col("st.na"), 10)
+    val cb = round(col("st.inter").cast("double") / col("st.nb"), 10)
+    sides.join(documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("text"))).as("t_a"),
+        max(when(col("doc_id") === col("doc_b"), col("text"))).as("t_b"))
+      .filter(col("t_a").isNotNull && col("t_b").isNotNull)
+      .select(col("doc_a"), col("doc_b"), stats.as("st"))
+      .select(col("doc_a"), col("doc_b"),
+        jac.as("jaccard"), ca.as("containment_a"), cb.as("containment_b"),
+        (greatest(ca, cb) >= 0.8 && jac < 0.5).as("quote_like"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Pairwise word-3-gram Jaccard over a bounded window of documents
     * (doc_id < 40 ⇒ 780 pairs): the exact-verification kernel that
     * LSH candidates feed at scale. Never run unbounded — the LSH query

@@ -476,4 +476,71 @@ object GraphOps {
       .select(col("node"), col("label"), col("comm_size"))
       .orderBy("node")
   }
+
+  /** Truncated k-core peeling over the part co-occurrence graph — the
+    * web-graph quality/spam primitive (Fetterly et al.; link-farm and
+    * boilerplate hubs live OUTSIDE deep cores): iteratively remove
+    * nodes of degree < k, `rounds` times, and report each node's
+    * initial degree, its degree inside the peeled subgraph, and
+    * whether it survived. A FIXED round horizon, like
+    * [[q_graph_hops]]/[[q_graph_lpa]]: the exact core is the fixed
+    * point (data-dependent round count — unverifiable cross-engine
+    * with an unrolled oracle); K rounds of peeling is the anytime
+    * prefix both engines replay identically. The default k=95 sits at
+    * the measured core-collapse threshold of the part graph (degrees
+    * are narrow, p10≈87 / p90≈150): sf0.01 peels 1642 → 1230 → 377,
+    * sf0.1 keeps an 8.8k-node core, and sf0.001's 200-node graph
+    * genuinely has no 95-core (all-false is the correct answer, the
+    * cascade is still exercised). k=3 against a ~115 average degree
+    * peeled nothing anywhere — a vacuous gate.
+    *
+    * Distributed shape: each round is one bounded aggregation over
+    * the current edge set (degree per node, O(nodes) keys, map-side
+    * combined) and one two-sided semi-filter of the edges against the
+    * broadcast O(nodes) alive set; `alive` is referenced twice per
+    * round (src and dst filters) and the shrinking edge set by the
+    * next round — both localCheckpoint'd (twice-referenced rule).
+    * Peeling only ever SHRINKS the edge set, so per-round cost is
+    * non-increasing.
+    *
+    * Oracle parity: all-integer (degrees, membership) — the unrolled
+    * CTEs replay the peel exactly.
+    */
+  def q_graph_kcore(s: SparkSession, d: String,
+                    k: Int = 95, rounds: Int = 3): DataFrame =
+    kcorePeel(partCoEdges(s, d), k, rounds)
+
+  /** The peeling kernel of [[q_graph_kcore]], factored so unit tests
+    * can drive it with hand-built graphs (`e`: DISTINCT a<b long
+    * edges).
+    */
+  private[graft] def kcorePeel(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym0 = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg0 = sym0.groupBy("src").agg(count(lit(1)).as("deg0"))
+      .select(col("src").as("node"), col("deg0"))
+    var sym = sym0
+    var alive: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      alive = sym.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k)
+        .select(col("src").as("anode"))
+        .localCheckpoint()
+      sym = sym
+        .join(broadcast(alive), sym("src") === col("anode")).drop("anode")
+        .join(broadcast(alive.select(col("anode").as("bnode"))),
+          col("dst") === col("bnode")).drop("bnode")
+        .localCheckpoint()
+    }
+    val degF = sym.groupBy("src").agg(count(lit(1)).as("deg_final"))
+      .select(col("src").as("node"), col("deg_final"))
+    deg0.join(degF, Seq("node"), "left")
+      .join(alive.select(col("anode").as("node"), lit(true).as("alive")),
+        Seq("node"), "left")
+      .select(col("node"), col("deg0"),
+        coalesce(col("deg_final"), lit(0L)).as("deg_final"),
+        coalesce(col("alive"), lit(false)).as("in_core"))
+      .orderBy("node")
+  }
 }

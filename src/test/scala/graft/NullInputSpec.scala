@@ -40,7 +40,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_media_audio", "q_bpe_encode", "q_corpus_report",
     "q_corpus_slice_share", "q_corpus_slice_tokens",
     "q_corpus_slice_quality", "q_corpus_dump_toks", "q_corpus_dump_q",
-    "q_shard_manifest", "q_ngram_novelty", "q_quality_classifier", "q_dsir")
+    "q_shard_manifest", "q_ngram_novelty", "q_quality_classifier", "q_dsir",
+    "q_containment")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>

@@ -191,6 +191,24 @@ class PageRankSpec extends AnyFunSuite {
       ref.filter(_._1 >= 10).values.toSet).isEmpty, "cliques stayed separate")
   }
 
+  test("kcorePeel keeps a planted clique core and peels the pendant chain") {
+    import spark.implicits._
+    // K5 clique on {1..5} (deg 4) + chain 5-10-11-12 (degs 1-2);
+    // k=3: round 1 peels 10,11,12 (and their edges), clique survives
+    // with all internal degrees intact
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++ Seq((5L, 10L), (10L, 11L), (11L, 12L))).toDF("a", "b")
+    val got = graft.queries.GraphOps.kcorePeel(edges, k = 3, rounds = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg0"), r.getAs[Long]("deg_final"),
+          r.getAs[Boolean]("in_core")))).toMap
+    (1L to 4L).foreach(n => assert(got(n) == ((4L, 4L, true)), s"node $n"))
+    assert(got(5L) == ((5L, 4L, true)))   // loses only the pendant edge
+    assert(got(10L) == ((2L, 0L, false)))
+    assert(got(11L) == ((2L, 0L, false)))
+    assert(got(12L) == ((1L, 0L, false)))
+  }
+
   test("mass is conserved up to integer-floor loss on fixture data") {
     val rows = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
     val n = rows.length

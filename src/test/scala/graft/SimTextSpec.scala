@@ -627,4 +627,40 @@ class SimTextSpec extends AnyFunSuite {
     assert(out(104L) == ((0L, None, None, false)), "unrelated doc stays clean")
     assert(out(105L) == ((0L, None, None, false)), "null doc stays clean")
   }
+
+  test("q_containment flags a planted quote pair with exact asymmetric scores") {
+    import spark.implicits._
+    // docB = docA verbatim + a 60-word tail, pre-searched (fixed md5
+    // minhashes ⇒ deterministic) so LSH band 2 collides while
+    // jaccard < 0.5 — the quote shape symmetric dedup misses
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val tail = "beta45 delta84 eta83 rho67 gamma37 pi44 alpha96 pi11 eta62 " +
+      "iota38 upsilon74 sigma96 gamma25 epsilon60 iota98 theta74 kappa4 " +
+      "tau76 delta0 mu24 epsilon84 kappa6 zeta42 mu57 pi31 lam95 mu22 " +
+      "delta38 gamma92 sigma58 delta95 sigma14 zeta76 nu59 beta4 beta65 " +
+      "tau12 xi82 epsilon53 tau45 gamma47 zeta46 zeta84 gamma42 alpha82 " +
+      "pi38 epsilon33 delta13 theta14 epsilon63 iota68 sigma15 lam59 " +
+      "theta20 tau68 beta64 iota46 eta36 nu71 eta16"
+    val docs = Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, s"$base $tail", "en", "src0", (base.length + tail.length + 1).toLong),
+      (3L, "totally unrelated words here again and again", "en", "src0", 44L))
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = queries.DedupOps.q_containment(spark, tmp).collect()
+    assert(got.length == 1, s"exactly the planted pair: ${got.toSeq}")
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    // independent recompute of the set sizes
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(docs(0)._2), sh(docs(1)._2))
+    val inter = (sa & sb).size.toDouble
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("containment_a") == 1.0, "A fully contained in B")
+    assert(r.getAs[Double]("containment_b") == r10(inter / sb.size))
+    assert(r.getAs[Double]("jaccard") == r10(inter / (sa | sb).size))
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    assert(r.getAs[Boolean]("quote_like"), "the quote pair must flag")
+  }
 }
