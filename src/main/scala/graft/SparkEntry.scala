@@ -93,6 +93,7 @@ object SparkEntry {
     "q_lang_id"      -> (TextOps.q_lang_id _),
     "q_text_quality" -> (TextOps.q_text_quality _),
     "q_fingerprint"  -> (TextOps.q_fingerprint _),
+    "q_corpus_diff"  -> (TextOps.q_corpus_diff _),
     "q_text_clean"   -> (TextOps.q_text_clean _),
     "q_corpus_report" -> (TextOps.q_corpus_report _),
     // round-9 diagnostic column-slices of q_corpus_report (driver
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
+    "q_length_buckets"   -> (SampleOps.q_length_buckets _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -836,6 +838,33 @@ object SparkEntry {
         |GROUP BY fp
         |UNION ALL
         |SELECT doc_id, fp, 1 AS n_batch_dups FROM b WHERE fp IS NULL
+        |ORDER BY doc_id""".stripMargin,
+    // corpus snapshot diff: v2 derived deterministically (id%17==3
+    // removed, id%13==5 edited via null-propagating ||, id%19==7
+    // duplicated at id+1e6); presence flags, not fp-nullness, drive
+    // added/removed; IS NOT DISTINCT FROM mirrors Spark's <=>
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp
+        |  FROM documents),
+        |v2d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' v2edit' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 19 = 7),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS fp
+        |  FROM v2d)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.fp IS NOT DISTINCT FROM v2.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_exact,
@@ -1901,6 +1930,28 @@ object SparkEntry {
          |  CAST(coalesce(bit_xor(cfp), 0) AS BIGINT) AS checksum_xor,
          |  min(cfp) AS fp_min, max(cfp) AS fp_max
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    // length-bucketed batching report: power-of-two bucket via the
+    // same branchless bit-smear both engines evaluate on exact longs;
+    // waste is (2a+d) div 2d round-half-up fixed point
+    "q_length_buckets" -> {
+      var smear = "(n - 1)"
+      Seq(1, 2, 4, 8, 16, 32).foreach { sh =>
+        smear = s"(($smear) | (($smear) >> $sh))"
+      }
+      s"""WITH t AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT CASE WHEN n <= 1 THEN 1 ELSE $smear + 1 END AS bucket, n
+         |      FROM t),
+         |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n) AS BIGINT) AS n_tokens
+         |      FROM b GROUP BY bucket)
+         |SELECT bucket, n_docs, n_tokens,
+         |  CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+         |  CAST((2 * (bucket * n_docs - n_tokens) * 1000000 + bucket * n_docs)
+         |       // (2 * bucket * n_docs) AS BIGINT) AS waste_fp
+         |FROM g ORDER BY bucket""".stripMargin
     },
     // DSIR importance weights: one ln per token on an exact integer
     // ratio (smoothed target/raw probabilities composed into a single

@@ -525,6 +525,49 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Length-bucketed batching report — the padding-efficiency
+    * diagnostic behind length-grouped batching (bucket sequences by
+    * power-of-two token length so a batch pads to its bucket cap, not
+    * the corpus max): per bucket, document/token counts, the padded
+    * token cost, and the waste fraction as a ×1e6 round-half-up
+    * fixed-point BIGINT. Pipelines read this to pick bucket
+    * boundaries before committing to a packing layout ([[q_pack_sequences]]
+    * is the alternative that eliminates padding entirely — this
+    * quantifies what padding would cost).
+    *
+    * Scale shape: a per-row codegen'd bucket expression (ceil-pow2 via
+    * integer shifts — no floats) into one map-side-combined O(log
+    * max_len)-key aggregation; shuffle volume is constant in corpus
+    * size (the CMS-shape argument). All-integer output.
+    */
+  def q_length_buckets(s: SparkSession, d: String): DataFrame = {
+    val n = size(split(col("text"), " ", -1)).cast("long")
+    // smallest power of two ≥ n (n ≥ 1): 1L << (64 - clz(n-1)); Spark
+    // has no clz builtin — shift-or smear then +1 is the classic
+    // branchless form, expressible as nested bitwise exprs
+    val m = lit(1L)
+    def smear(c: Column): Column = {
+      val s1 = c.bitwiseOR(shiftright(c, 1))
+      val s2 = s1.bitwiseOR(shiftright(s1, 2))
+      val s4 = s2.bitwiseOR(shiftright(s2, 4))
+      val s8 = s4.bitwiseOR(shiftright(s4, 8))
+      val s16 = s8.bitwiseOR(shiftright(s8, 16))
+      s16.bitwiseOR(shiftright(s16, 32))
+    }
+    val bucket = when(n <= 1, m).otherwise(smear(n - 1) + 1)
+    documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(bucket.as("bucket"), n.as("n_toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        expr("""(2 * (bucket * n_docs - n_tokens) * 1000000
+               | + bucket * n_docs) div (2 * bucket * n_docs)""".stripMargin)
+          .as("waste_fp"))
+      .orderBy("bucket")
+  }
+
   /** Per-shard reproducibility manifest — the artifact a pipeline
     * writes NEXT TO its training shards so any later run (or another
     * engine) can verify shard integrity without re-reading the corpus:

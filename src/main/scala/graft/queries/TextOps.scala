@@ -439,6 +439,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the incremental-ingest audit between two
+    * corpus versions: which documents were added, removed, changed
+    * (same id, different normalized fingerprint), or unchanged.
+    * Pipelines run this between crawl snapshots to bound reprocessing
+    * (only added+changed flow into dedup/scoring) and to audit
+    * upstream churn. V2 is derived DETERMINISTICALLY from the corpus
+    * (id%17==3 removed, id%13==5 edited, id%19==7 duplicated as a new
+    * id) so both engines build the identical second snapshot — on
+    * real data the second side is just another parquet path.
+    *
+    * Scale shape: two corpus scans (one per version, fingerprints
+    * computed scan-side) into ONE full-outer join keyed on doc_id; the
+    * classification is a null-safe fingerprint compare (`<=>` /
+    * IS NOT DISTINCT FROM — null-text docs with stable ids compare
+    * unchanged, not changed). Nothing else shuffles.
+    */
+  def q_corpus_diff(s: SparkSession, d: String): DataFrame = {
+    def fps(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), normalizedFp(col("text")).as("fp"))
+    val v1 = fps(documents(s, d))
+    val base = documents(s, d)
+    val v2 = fps(base.filter(pmod(col("doc_id"), lit(17L)) =!= 3)
+        .select(col("doc_id"),
+          // concat, NOT concat_ws: a null-text doc's edit must stay
+          // null (concat_ws SKIPS nulls and would fabricate "v2edit")
+          when(pmod(col("doc_id"), lit(13L)) === 5,
+            concat(col("text"), lit(" v2edit")))
+            .otherwise(col("text")).as("text"))
+      .unionAll(base.filter(pmod(col("doc_id"), lit(19L)) === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+    // presence flags, NOT fp-nullness: a null-TEXT doc is present
+    // with a null fingerprint, which must read unchanged/changed —
+    // never absent (fp null ⇏ row absent)
+    v1.select(col("doc_id"), col("fp").as("fp1"), lit(true).as("in1"))
+      .join(v2.select(col("doc_id"), col("fp").as("fp2"), lit(true).as("in2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("in1").isNull, lit("added"))
+          .when(col("in2").isNull, lit("removed"))
+          .when(col("fp1") <=> col("fp2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms per document (smoothed idf = ln((N+1)/(df+1))).
     * The classic relevance/keyword-extraction operator a curation
     * pipeline runs for topic balance and quality diagnostics.

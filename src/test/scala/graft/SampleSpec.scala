@@ -340,6 +340,48 @@ class SampleSpec extends AnyFunSuite {
       "selected slice must be more target-like (stopword-heavier)")
   }
 
+  test("q_length_buckets matches an independent pow2-bucket recompute") {
+    def pow2ceil(n: Long): Long = { var b = 1L; while (b < n) b <<= 1; b }
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(if (r.isNullAt(0)) null else r.getString(0)))
+    val exp = docs.map(t => pow2ceil(math.max(1, t.split(" ", -1).length)))
+      .zip(docs.map(_.split(" ", -1).length.toLong))
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.length.toLong, xs.map(_._2).sum)
+      }.toMap
+    val out = SparkEntry.queries("q_length_buckets")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert((b & (b - 1)) == 0 && b >= 1, s"bucket $b not a power of two")
+      val (nd, nt) = exp(b)
+      assert(r.getAs[Long]("n_docs") == nd, s"bucket $b n_docs")
+      assert(r.getAs[Long]("n_tokens") == nt, s"bucket $b n_tokens")
+      val padded = b * nd
+      assert(r.getAs[Long]("padded_tokens") == padded)
+      assert(r.getAs[Long]("waste_fp") ==
+        (2 * (padded - nt) * 1000000L + padded) / (2 * padded), s"bucket $b waste")
+    }
+  }
+
+  test("q_corpus_diff classifies a planted 4-status corpus incl. a null-text doc") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdiff").toString
+    Seq(
+      (1L, "stable text here", "en", "s0", 16L),     // unchanged
+      (3L, "gets removed", "en", "s0", 12L),          // 3 % 17 == 3
+      (5L, "gets edited", "en", "s0", 11L),           // 5 % 13 == 5
+      (7L, "gets duplicated", "en", "s0", 15L),       // 7 % 19 == 7 → +added twin
+      (22L, null.asInstanceOf[String], "en", "s0", 0L)) // null text: unchanged via <=>
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q_corpus_diff")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(
+      1L -> "unchanged", 3L -> "removed", 5L -> "changed",
+      7L -> "unchanged", 1000007L -> "added", 22L -> "unchanged"))
+  }
+
   test("q_shard_manifest matches an independent driver-side recompute (xor checksum incl.)") {
     def md5hex(t: String): String =
       java.security.MessageDigest.getInstance("MD5")
