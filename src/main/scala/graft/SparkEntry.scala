@@ -119,6 +119,7 @@ object SparkEntry {
     "q_bpe_train"    -> ((s, d) => BpeOps.q_bpe_train(s, d)),
     "q_bpe_encode"   -> ((s, d) => BpeOps.q_bpe_encode(s, d)),
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
+    "q_pagerank_copart" -> ((s, d) => GraphOps.q_pagerank_copart(s, d)),
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
     "q_graph_hops"   -> ((s, d) => GraphOps.q_graph_hops(s, d)),
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
@@ -2210,5 +2211,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q_dedup_incr_idx" -> oracleSqlBase("q_dedup_incr")) +
-      ("q_dedup_bloom"    -> oracleSqlBase("q_dedup_incr"))
+      ("q_dedup_bloom"    -> oracleSqlBase("q_dedup_incr")) +
+      // the co-partitioned iteration join is a PHYSICAL variant only:
+      // identical fixed-point ranks under the identical oracle
+      ("q_pagerank_copart" -> oracleSqlBase("q_pagerank"))
 }

@@ -191,6 +191,17 @@ class PageRankSpec extends AnyFunSuite {
       ref.filter(_._1 >= 10).values.toSet).isEmpty, "cliques stayed separate")
   }
 
+  test("q_pagerank_copart produces row-identical ranks to the broadcast kernel") {
+    val a = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("deg"),
+        r.getAs[Long]("rank_fp"), r.getAs[Double]("rank"))).toSeq
+    val b = SparkEntry.queries("q_pagerank_copart")(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("deg"),
+        r.getAs[Long]("rank_fp"), r.getAs[Double]("rank"))).toSeq
+    assert(a.nonEmpty && a == b,
+      "physical variant must not change a single rank bit")
+  }
+
   test("kcorePeel keeps a planted clique core and peels the pendant chain") {
     import spark.implicits._
     // K5 clique on {1..5} (deg 4) + chain 5-10-11-12 (degs 1-2);

@@ -98,6 +98,17 @@ class PlanAuditSpec extends AnyFunSuite {
       runAndAssert("q_pagerank_seed", 3) // broadcast(ranks) x 3 iterations
       runAndAssert("q_graph_hops", 4)    // broadcast(frontier) x 4 levels
       runAndAssert("q_graph_lpa", 3)     // broadcast(labels) x 3 iterations
+      // the co-partitioned variant must do the OPPOSITE: rank joins
+      // plan ShuffledHashJoin (one per iteration), never broadcast —
+      // the hint degrading to SMJ would silently re-sort the
+      // checkpointed edge partitions every iteration
+      plans.clear()
+      SparkEntry.queries("q_pagerank_copart")(spark, sf).collect()
+      var waited = 0
+      def shj: Int = plans.asScala.map("ShuffledHashJoin".r.findAllIn(_).size).sum
+      while (shj < 3 && waited < 80) { Thread.sleep(250); waited += 1 }
+      assert(shj >= 3,
+        s"q_pagerank_copart: expected >= 3 ShuffledHashJoin iteration joins, saw $shj")
     } finally {
       spark.listenerManager.unregister(listener)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
