@@ -122,6 +122,7 @@ object SparkEntry {
     "q_pagerank_copart" -> ((s, d) => GraphOps.q_pagerank_copart(s, d)),
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
     "q_graph_hops"   -> ((s, d) => GraphOps.q_graph_hops(s, d)),
+    "q_graph_hops_copart" -> ((s, d) => GraphOps.q_graph_hops_copart(s, d)),
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
     "q_graph_triangles" -> ((s, d) => GraphOps.q_graph_triangles(s, d)),
     "q_graph_lpa" -> ((s, d) => GraphOps.q_graph_lpa(s, d)),
@@ -2212,7 +2213,9 @@ object SparkEntry {
     oracleSqlBase +
       ("q_dedup_incr_idx" -> oracleSqlBase("q_dedup_incr")) +
       ("q_dedup_bloom"    -> oracleSqlBase("q_dedup_incr")) +
-      // the co-partitioned iteration join is a PHYSICAL variant only:
-      // identical fixed-point ranks under the identical oracle
-      ("q_pagerank_copart" -> oracleSqlBase("q_pagerank"))
+      // the co-partitioned iteration joins are PHYSICAL variants only:
+      // identical fixed-point ranks / hop labels under the identical
+      // oracles
+      ("q_pagerank_copart" -> oracleSqlBase("q_pagerank")) +
+      ("q_graph_hops_copart" -> oracleSqlBase("q_graph_hops"))
 }

@@ -313,14 +313,35 @@ object GraphOps {
     * verbatim: pre-partition edges by src and shuffle-join the
     * frontier on the same key instead of broadcasting it.
     */
-  def q_graph_hops(s: SparkSession, d: String, maxHops: Int = 4): DataFrame = {
+  def q_graph_hops(s: SparkSession, d: String, maxHops: Int = 4): DataFrame =
+    graphHops(s, d, maxHops, copartitioned = false)
+
+  /** [[q_graph_hops]] through the CO-PARTITIONED frontier join — the
+    * fallback for when BFS frontiers outgrow broadcast (hop 1-2 of a
+    * dense graph reaches most nodes), implemented and oracle-verified
+    * like [[q_pagerank_copart]]: edges hash-partitioned on src once
+    * before the checkpoint; each level shuffle-hash-joins only the
+    * O(frontier) node set onto that partitioning, so the corpus-sized
+    * edge side moves zero bytes per level. Identical hop labels under
+    * q_graph_hops' oracle (BFS min-hop is plan-independent).
+    */
+  def q_graph_hops_copart(s: SparkSession, d: String,
+                          maxHops: Int = 4): DataFrame =
+    graphHops(s, d, maxHops, copartitioned = true)
+
+  private def graphHops(s: SparkSession, d: String, maxHops: Int,
+                        copartitioned: Boolean): DataFrame = {
     val e0 = orders(s, d).join(lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
       .distinct()
-    val edgesD = e0.select(col("a").as("src"), col("b").as("dst"))
+    val sym = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+    // co-partitioned mode pins hashpartitioning(src) BEFORE the
+    // checkpoint so every level's frontier join finds the edge side
+    // already exchanged (localCheckpoint preserves partitioning)
+    val edgesD = (if (copartitioned) sym.repartition(col("src")) else sym)
       .localCheckpoint()
     val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint()
     var visited = nodes.filter(
@@ -330,7 +351,9 @@ object GraphOps {
       .localCheckpoint()
     var frontier = visited.select(col("node")).localCheckpoint()
     (1 to maxHops).foreach { i =>
-      val reached = edgesD.join(broadcast(frontier),
+      val fside = if (copartitioned) frontier.hint("shuffle_hash")
+                  else broadcast(frontier)
+      val reached = edgesD.join(fside,
           edgesD("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
       // `fresh` is referenced twice below (the visited union and the

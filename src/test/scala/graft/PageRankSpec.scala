@@ -202,6 +202,14 @@ class PageRankSpec extends AnyFunSuite {
       "physical variant must not change a single rank bit")
   }
 
+  test("q_graph_hops_copart produces row-identical hop labels to the broadcast kernel") {
+    val a = SparkEntry.queries("q_graph_hops")(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("hop"))).toSeq
+    val b = SparkEntry.queries("q_graph_hops_copart")(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("hop"))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("kcorePeel keeps a planted clique core and peels the pendant chain") {
     import spark.implicits._
     // K5 clique on {1..5} (deg 4) + chain 5-10-11-12 (degs 1-2);

@@ -102,13 +102,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // plan ShuffledHashJoin (one per iteration), never broadcast —
       // the hint degrading to SMJ would silently re-sort the
       // checkpointed edge partitions every iteration
-      plans.clear()
-      SparkEntry.queries("q_pagerank_copart")(spark, sf).collect()
-      var waited = 0
       def shj: Int = plans.asScala.map("ShuffledHashJoin".r.findAllIn(_).size).sum
-      while (shj < 3 && waited < 80) { Thread.sleep(250); waited += 1 }
-      assert(shj >= 3,
-        s"q_pagerank_copart: expected >= 3 ShuffledHashJoin iteration joins, saw $shj")
+      def runCopart(name: String, min: Int): Unit = {
+        plans.clear()
+        SparkEntry.queries(name)(spark, sf).collect()
+        var waited = 0
+        while (shj < min && waited < 80) { Thread.sleep(250); waited += 1 }
+        assert(shj >= min,
+          s"$name: expected >= $min ShuffledHashJoin iteration joins, saw $shj")
+      }
+      runCopart("q_pagerank_copart", 3)   // rank join x 3 iterations
+      runCopart("q_graph_hops_copart", 4) // frontier join x 4 levels
     } finally {
       spark.listenerManager.unregister(listener)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
