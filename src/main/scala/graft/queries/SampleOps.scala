@@ -473,6 +473,31 @@ object SampleOps {
     * fine to ~3e9 corpus tokens; past that, pre-divide the ratio or
     * widen to DECIMAL.
     */
+  /** The (doc_id, bucket) token stream of [[q_dsir]] — shared by the
+    * model builder and the scoring pass.
+    */
+  private def dsirBucketed(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+    .select(col("doc_id"), (hashDraw(col("w"), 15) % 1024L).as("b"))
+
+  /** The trained DSIR model: 1024 rows of (bucket, raw count, target
+    * count), materialized once (its lineage is two corpus scans and
+    * q_dsir references it twice — twice-referenced-state rule; the
+    * row count is model-sized, so the checkpoint is kilobytes).
+    * Persist with [[graft.sources.Sinks.writeDsirModel]] and score
+    * streams online via [[graft.streaming.StreamingOps
+    * .streamingDsirScore]] — the train-once/score-often split, same
+    * stance as the BPE merge table and the fp index.
+    */
+  def dsirModel(s: SparkSession, d: String): DataFrame =
+    dsirBucketed(documents(s, d)).groupBy("b").agg(count(lit(1)).as("r"))
+      .join(dsirBucketed(documents(s, d)
+          .filter(TextOps.qualityScore(col("text")) >= 0.45))
+        .groupBy("b").agg(count(lit(1)).as("t")), Seq("b"), "left")
+      .na.fill(0L, Seq("t"))
+      .localCheckpoint()
+
   def q_dsir(s: SparkSession, d: String): DataFrame = {
     // Token-bucket stream WITHOUT the target flag. Carrying
     // `qualityScore(text) >= 0.45 AS tgt` through the explode looks
@@ -482,21 +507,8 @@ object SampleOps {
     // the round-7 re-evaluated-through-a-generator class). The target
     // model instead aggregates a FILTERED scan: a per-doc predicate
     // below the Generate, evaluated once per document.
-    def bucketed(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .select(col("doc_id"), (hashDraw(col("w"), 15) % 1024L).as("b"))
-    val tok = bucketed(documents(s, d))
-    // the 1024-row model is referenced twice (totals + the scoring
-    // join) and its LINEAGE is two corpus scans — materialize once
-    // (twice-referenced-state rule; the row count is model-sized, so
-    // the checkpoint is kilobytes)
-    val bstats = tok.groupBy("b").agg(count(lit(1)).as("r"))
-      .join(bucketed(documents(s, d)
-          .filter(TextOps.qualityScore(col("text")) >= 0.45))
-        .groupBy("b").agg(count(lit(1)).as("t")), Seq("b"), "left")
-      .na.fill(0L, Seq("t"))
-      .localCheckpoint()
+    val tok = dsirBucketed(documents(s, d))
+    val bstats = dsirModel(s, d)
     val totals = bstats.agg(sum(col("r")).as("bigR"), sum(col("t")).as("bigT"))
     val scored = tok.join(broadcast(bstats), Seq("b"))
       .crossJoin(broadcast(totals))

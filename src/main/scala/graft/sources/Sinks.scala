@@ -155,6 +155,18 @@ object Sinks {
   def readMergeTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist a trained DSIR bucket model ([[graft.queries.SampleOps
+    * .dsirModel]]'s output: b, r, t — 1024 rows) — the train-once
+    * side of DSIR's train-once/score-often split; the streaming
+    * scorer ([[graft.streaming.StreamingOps.streamingDsirScore]])
+    * reads it back and scores arriving documents statelessly.
+    */
+  def writeDsirModel(model: DataFrame, out: String): Unit =
+    model.coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
+
+  def readDsirModel(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** The reference's full `.db` contract: repositories / logs /
     * changed_files written into one embedded database
     * (analyzer.rs:146-188). Tables are written single-partition because

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming variants of the windowed operators
@@ -116,6 +116,55 @@ object StreamingOps {
     * the offline and online surfaces; StreamingSpec pins row-for-row
     * parity against the batch output over the same documents.
     */
+  /** STATELESS streaming DSIR scorer — the online half of
+    * [[graft.queries.SampleOps.q_dsir]]: score arriving documents
+    * against a PERSISTED bucket model ([[graft.queries.SampleOps
+    * .dsirModel]] via Sinks.writeDsirModel/readDsirModel) with zero
+    * state. The 1024-row model collects into two map LITERALS (the
+    * broadcast-the-model stance — kilobytes); the corpus-mean gate
+    * constants derive from the model alone (ΣN = Σr; ΣL = Σ r_b·lfp_b
+    * — the per-token log term depends only on the bucket, so the
+    * training corpus's total decomposes over buckets EXACTLY, in long
+    * arithmetic). Per-token arithmetic mirrors the batch key
+    * operation for operation (one ln on the same exact integer
+    * ratio), so StreamingSpec pins row-for-row batch parity. A
+    * bucket never seen at training time scores with r=t=0 smoothing —
+    * well-defined for genuinely novel stream content.
+    */
+  def streamingDsirScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    val rows = model.select("b", "r", "t").collect()
+      .map(x => (x.getAs[Long]("b"), x.getAs[Long]("r"), x.getAs[Long]("t")))
+    val bigR = rows.map(_._2).sum
+    val bigT = rows.map(_._3).sum
+    def lfpOf(r: Long, t: Long): Long =
+      math.round(math.log(
+        ((t + 1) * (bigR + 1024)).toDouble / ((r + 1) * (bigT + 1024)).toDouble) * 1e9)
+    val totL = rows.map { case (_, r, t) => r * lfpOf(r, t) }.sum
+    val totN = bigR
+    val rM = typedLit(rows.map(x => x._1 -> x._2).toMap)
+    val tM = typedLit(rows.map(x => x._1 -> x._3).toMap)
+    def lfp(tk: Column): Column = {
+      val b = graft.queries.SampleOps.hashDraw(tk, 15) % 1024L
+      val r = coalesce(element_at(rM, b), lit(0L))
+      val t = coalesce(element_at(tM, b), lit(0L))
+      round(log(((t + 1) * lit(bigR + 1024)).cast("double") /
+                ((r + 1) * lit(bigT + 1024)).cast("double")) * 1e9).cast("long")
+    }
+    // let-bound token array (round-7 HOF rule); aggregate = per-row fold
+    val stats = element_at(transform(
+      array(filter(split(col("text"), " "), w => length(w) > 0)), ws =>
+        struct(size(ws).cast("long").as("n"),
+          aggregate(ws, lit(0L), (acc, tk) => acc + lfp(tk)).as("s"))), 1)
+    docs.select(col("doc_id"), stats.as("st"))
+      .select(col("doc_id"),
+        coalesce(col("st.n"), lit(0L)).as("n_toks"),
+        when(col("st.n") > 0, col("st.s")).as("llr_fp"),
+        (when(col("st.n") > 0, col("st.s")).cast("double") / 1e9).as("llr"),
+        coalesce(when(col("st.n") > 0,
+          col("st.s") * lit(totN) > lit(totL) * col("st.n")), lit(false))
+          .as("selected"))
+  }
+
   def streamingClassifierGate(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         graft.queries.TextOps.classifierFold(col("text")).as("c"))

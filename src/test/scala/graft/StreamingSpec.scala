@@ -239,6 +239,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(id) == p, s"doc $id stream/batch divergence")
     }
   }
+
+  test("streaming DSIR scorer over a persisted model equals the batch q_dsir row for row") {
+    // train → persist → read back (the Sinks round trip) → stream the
+    // same corpus in two micro-batches: the stateless scorer must
+    // reproduce the batch key exactly, gate included (the gate
+    // constants are derived from the model alone — the per-token log
+    // term depends only on the bucket, so the corpus totals decompose
+    // over buckets exactly)
+    val tmp = java.nio.file.Files.createTempDirectory("dsirm").resolve("m").toString
+    graft.sources.Sinks.writeDsirModel(
+      graft.queries.SampleOps.dsirModel(spark, TestSpark.sf), tmp)
+    val model = graft.sources.Sinks.readDsirModel(spark, tmp)
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => Doc(ts("2024-01-01 10:00:00"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("lang"), r.getAs[String]("text")))
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.streamingDsirScore(input.toDF(), model)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_toks"),
+        Option(r.getAs[java.lang.Long]("llr_fp")).map(_.longValue),
+        Option(r.getAs[java.lang.Double]("llr")).map(_.doubleValue),
+        r.getAs[Boolean]("selected"))
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> payload(r)).toMap
+    val batch = SparkEntry.queries("q_dsir")(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> payload(r)).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (id, p) =>
+      assert(streamed(id) == p, s"doc $id stream/batch divergence")
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
