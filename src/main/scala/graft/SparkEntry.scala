@@ -87,6 +87,8 @@ object SparkEntry {
     "q_time_tumble"  -> (TimeSeries.q_time_tumble _),
     "q_time_slide"   -> (TimeSeries.q_time_slide _),
     "q_time_session" -> (TimeSeries.q_time_session _),
+    "q_retention"    -> (TimeSeries.q_retention _),
+    "q_funnel"       -> (TimeSeries.q_funnel _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -705,6 +707,39 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.es, p.p_value AS last_purchase
         |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es >= p.es
         |ORDER BY event_id""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+        |s AS (SELECT cohort_day, count(*) AS n_cohort FROM c GROUP BY 1),
+        |a AS (SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_active
+        |      FROM ud JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset, a.n_active, s.n_cohort,
+        |  (2 * a.n_active * 1000000 + s.n_cohort) // (2 * s.n_cohort) AS retention_fp
+        |FROM a JOIN s USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |s1 AS (SELECT user_id, min(tu) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, t1, min(tu) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND tu > t1
+        |         AND tu <= t1 + ${graft.queries.TimeSeries.FunnelWindowMicros} GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, t1, min(tu) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND tu > t2
+        |         AND tu <= t1 + ${graft.queries.TimeSeries.FunnelWindowMicros} GROUP BY 1, 2),
+        |s4 AS (SELECT e.user_id, min(tu) AS t4 FROM ev e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > t3
+        |         AND tu <= t1 + ${graft.queries.TimeSeries.FunnelWindowMicros} GROUP BY 1),
+        |n AS (SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT count(*) FROM s1) AS n_users
+        |      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)),
+        |r AS (SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_users,
+        |  coalesce((2 * n_users * 1000000 + lag(n_users) OVER (ORDER BY stage_idx))
+        |    // (2 * lag(n_users) OVER (ORDER BY stage_idx)), 1000000) AS conv_prev_fp,
+        |  (2 * n_users * 1000000 + first_value(n_users) OVER (ORDER BY stage_idx))
+        |    // (2 * first_value(n_users) OVER (ORDER BY stage_idx)) AS conv_first_fp
+        |FROM n)
+        |SELECT * FROM r WHERE n_users > 0 ORDER BY stage_idx""".stripMargin,
     "q_sql_report" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue

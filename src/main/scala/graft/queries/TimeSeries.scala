@@ -58,4 +58,137 @@ object TimeSeries {
         unix_timestamp(col("session_window.end")).as("sess_end"),
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "sess_start")
+
+  /** Cohort retention matrix — the classic product-analytics readout
+    * (cohort = each user's first-active epoch-day; cell (c, k) = how
+    * many of cohort c's users were active k days later, as an exact
+    * count plus a ×1e6 round-half-up retention rate).
+    *
+    * Scale shape: the ONLY corpus-scale exchange is the distinct
+    * (user, day) projection — map-side combinable, output bounded by
+    * users × days, after which everything is O(users) / O(days²):
+    * cohorts are a per-user min over that table, cohort sizes an
+    * O(cohorts) count, and both attach back via broadcast joins (a
+    * user dimension outgrowing broadcast would co-partition on
+    * user_id instead — the GraphOps.q_pagerank_copart recipe). The
+    * distinct table is referenced twice (cohort derivation + offset
+    * cell count) so it is localCheckpoint'd once; cohort likewise
+    * (sizes + the broadcast attach).
+    *
+    * Day arithmetic is integral end to end: `unix_timestamp(ts) div
+    * 86400` ↔ DuckDB `epoch_us(ts) // 86400000000` (identical floor
+    * on the positive epoch range); the rate is the repo's standard
+    * `(2a+d) div 2d` round-half-up fixed point, so every output
+    * column is an exact BIGINT.
+    */
+  def q_retention(s: SparkSession, d: String): DataFrame =
+    retentionOf(events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day")))
+
+  /** The cohort kernel of [[q_retention]], factored so unit tests can
+    * drive it with hand-built (user_id, day) activity rows.
+    */
+  private[graft] def retentionOf(userDay: DataFrame): DataFrame = {
+    val ud = userDay.distinct().localCheckpoint()
+    val cohort = ud.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+      .localCheckpoint()
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    ud.join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"), col("n_cohort"),
+        expr("(2 * n_active * 1000000 + n_cohort) div (2 * n_cohort)").as("retention_fp"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Deadline micros for [[q_funnel]]'s conversion window — 72 hours,
+    * chosen by measurement: unbounded, the synthetic corpus converts
+    * every user through every stage (degenerate 100%); at 24 h the
+    * final stage is empty at sf0.01; 72 h splits every stage
+    * non-degenerately at all three sfs (150/105/57/21 at sf0.01).
+    */
+  val FunnelWindowMicros: Long = 72L * 3600L * 1000000L
+
+  /** Ordered conversion funnel signup → view → click → purchase,
+    * anchored at each user's FIRST signup and bounded to
+    * [[FunnelWindowMicros]] after it: a user reaches stage k+1 iff an
+    * event of that type exists STRICTLY after the stage-k timestamp
+    * and within the deadline. Greedy earliest-match is exact here
+    * (the standard subsequence argument: taking the earliest
+    * qualifying event at each stage can only extend reachability, and
+    * the deadline is fixed once stage 1 is — so greedy succeeds iff
+    * any strictly-increasing chain exists).
+    *
+    * Scale shape: ONE corpus exchange — events of the four funnel
+    * types group by user (map-side combinable collect into a per-user
+    * array bounded by that user's event count), then the greedy chain
+    * is a row-local sorted `aggregate` fold (state = 3 longs). The
+    * per-stage readout explodes ≤ 4 rows per user into an O(stages)
+    * count agg; conversion ratios are lag arithmetic over the 4-row
+    * report (the whole-partition window is over 4 rows, not data).
+    * The DuckDB oracle proves the same semantics through the
+    * 4-level conditional-min CTE chain — two independent
+    * formulations, one answer.
+    *
+    * All output columns are exact BIGINTs (counts + the repo's
+    * `(2a+d) div 2d` ×1e6 fixed-point conversions).
+    */
+  def q_funnel(s: SparkSession, d: String): DataFrame =
+    funnelOf(events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu")))
+
+  /** The greedy-chain kernel of [[q_funnel]], factored so unit tests
+    * can drive it with hand-built (user_id, event_type, tu) rows.
+    */
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stages = Seq("signup", "view", "click", "purchase")
+    val stageIdx = stages.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (name, i)) =>
+        when(col("event_type") === name, lit(i)).otherwise(acc)
+      }
+    val reached = ev
+      .filter(col("event_type").isin(stages.map(x => x: Any): _*))
+      .select(col("user_id"),
+        struct(col("tu"), stageIdx.as("stage")).as("ev"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          struct(lit(0).as("reached"), lit(0L).as("tlast"), lit(0L).as("t1")),
+          (acc, x) =>
+            when(acc.getField("reached") === 0 && x.getField("stage") === 0,
+              struct(lit(1).as("reached"), x.getField("tu").as("tlast"),
+                x.getField("tu").as("t1")))
+            .when(acc.getField("reached").between(1, stages.length - 1) &&
+                x.getField("stage") === acc.getField("reached") &&
+                x.getField("tu") > acc.getField("tlast") &&
+                x.getField("tu") <= acc.getField("t1") + FunnelWindowMicros,
+              struct((acc.getField("reached") + 1).as("reached"),
+                x.getField("tu").as("tlast"), acc.getField("t1").as("t1")))
+            .otherwise(acc),
+          a => a.getField("reached")).as("reached"))
+    val perStage = reached
+      .filter(col("reached") >= 1)
+      .select(explode(sequence(lit(1), col("reached"))).as("stage_idx"))
+      .groupBy("stage_idx").agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy("stage_idx")
+    val stageName = stages.zipWithIndex
+      .foldLeft(lit("")) { case (acc, (name, i)) =>
+        when(col("stage_idx") === i + 1, lit(name)).otherwise(acc)
+      }
+    perStage
+      .withColumn("n_prev", lag(col("n_users"), 1).over(w))
+      .withColumn("n_first", first(col("n_users")).over(w))
+      .select(col("stage_idx").cast("long").as("stage_idx"),
+        stageName.as("stage"),
+        col("n_users"),
+        coalesce(
+          expr("(2 * n_users * 1000000 + n_prev) div (2 * n_prev)"),
+          lit(1000000L)).as("conv_prev_fp"),
+        expr("(2 * n_users * 1000000 + n_first) div (2 * n_first)").as("conv_first_fp"))
+      .orderBy("stage_idx")
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TimeSeries
+
+/** Fixture tests for the events-analytics keys (q_retention,
+  * q_funnel) — hand-computed cohort matrices and greedy funnel chains
+  * including the semantic fine print the oracle also encodes:
+  * first-signup anchoring, the 72 h deadline, strict timestamp
+  * ordering, and stage monotonicity.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("retentionOf: hand-built cohort matrix (two cohorts, gaps, rates)") {
+    import spark.implicits._
+    val ud = Seq(
+      (1L, 100L), (1L, 101L), (1L, 103L),
+      (2L, 100L), (2L, 101L), (2L, 100L), // duplicate activity rows collapse
+      (3L, 101L)
+    ).toDF("user_id", "day")
+    val got = TimeSeries.retentionOf(ud).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (100L, 0L, 2L, 2L, 1000000L),
+      (100L, 1L, 2L, 2L, 1000000L),
+      (100L, 3L, 1L, 2L, 500000L),
+      (101L, 0L, 1L, 1L, 1000000L)))
+  }
+
+  test("funnelOf: ordering, deadline, first-signup anchor, strictness") {
+    import spark.implicits._
+    val W = TimeSeries.FunnelWindowMicros
+    val ev = Seq(
+      // user 1: full ordered chain inside the window -> reached 4
+      (1L, "signup", 0L), (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE click -> chain stops at view (reached 2)
+      (2L, "signup", 0L), (2L, "view", 5L), (2L, "purchase", 3L),
+      // user 3: view lands 1us past the 72h deadline -> reached 1
+      (3L, "signup", 0L), (3L, "view", W + 1L),
+      // user 4: no signup at all -> not in the funnel
+      (4L, "view", 0L), (4L, "click", 1L), (4L, "purchase", 2L),
+      // user 5: deadline anchors at the FIRST signup, not a later one
+      (5L, "signup", 0L), (5L, "signup", 400000000000L), (5L, "view", 400000000010L),
+      // user 6: equal timestamps cannot chain (strict >)
+      (6L, "signup", 100L), (6L, "view", 100L),
+      // noise event type is ignored entirely
+      (1L, "error", 15L)
+    ).toDF("user_id", "event_type", "tu")
+    val got = TimeSeries.funnelOf(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "signup", 5L, 1000000L, 1000000L),
+      (2L, "view", 2L, 400000L, 400000L),
+      (3L, "click", 1L, 500000L, 200000L),
+      (4L, "purchase", 1L, 1000000L, 200000L)))
+  }
+
+  test("funnelOf: empty input and no-signup corpus both yield empty reports") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("user_id", "event_type", "tu")
+    assert(TimeSeries.funnelOf(empty).collect().isEmpty)
+    val noSignup = Seq((1L, "view", 0L), (1L, "click", 1L))
+      .toDF("user_id", "event_type", "tu")
+    assert(TimeSeries.funnelOf(noSignup).collect().isEmpty)
+  }
+
+  test("q_funnel invariants on the corpus: contiguous stages, monotone counts") {
+    val rows = q("q_funnel").collect()
+    assert(rows.nonEmpty)
+    val idx = rows.map(_.getLong(0))
+    assert(idx.toSeq == (1L to idx.length).toSeq)
+    val n = rows.map(_.getAs[Long]("n_users"))
+    assert(n.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(rows.head.getAs[Long]("conv_prev_fp") == 1000000L)
+  }
+
+  test("q_retention invariants on the corpus: offset 0 is full retention") {
+    val rows = q("q_retention").collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("day_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Long]("retention_fp") == 1000000L)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+    }
+  }
+}
