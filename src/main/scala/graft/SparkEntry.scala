@@ -143,6 +143,7 @@ object SparkEntry {
     "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
     "q_overlap"       -> ((s, d) => DedupOps.q_overlap(s, d)),
     "q_dedup_block"   -> ((s, d) => DedupOps.q_dedup_block(s, d)),
+    "q_boilerplate"   -> ((s, d) => DedupOps.q_boilerplate(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
@@ -1538,6 +1539,30 @@ object SparkEntry {
         |        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |        coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '') AS kept_text
         |      FROM f GROUP BY doc_id)
+        |SELECT doc.doc_id, coalesce(n_blocks, 0) AS n_blocks,
+        |  coalesce(n_kept, 0) AS n_kept, kept_text
+        |FROM documents doc LEFT JOIN p USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
+    // df = distinct docs per block via dense_rank + partition max
+    // (mirrors the Spark two-window form); blocks with df >= 2 are
+    // boilerplate and removed from ALL docs; n_kept CAST BIGINT
+    // (DuckDB sum() returns HUGEINT — the q_corpus_report lesson)
+    "q_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |b0 AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT))) AS pos FROM d),
+        |b AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        array_to_string(ws[pos*20 + 1 : pos*20 + 20], ' ') AS block FROM b0),
+        |f AS (SELECT doc_id, pos, block,
+        |        dense_rank() OVER (PARTITION BY md5(block) ORDER BY doc_id) AS dr
+        |      FROM b),
+        |g AS (SELECT doc_id, pos, block,
+        |        (max(dr) OVER (PARTITION BY md5(block))) < 2 AS kept FROM f),
+        |p AS (SELECT doc_id, count(*) AS n_blocks,
+        |        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        coalesce(string_agg(CASE WHEN kept THEN block END, ' ' ORDER BY pos), '') AS kept_text
+        |      FROM g GROUP BY doc_id)
         |SELECT doc.doc_id, coalesce(n_blocks, 0) AS n_blocks,
         |  coalesce(n_kept, 0) AS n_kept, kept_text
         |FROM documents doc LEFT JOIN p USING (doc_id)

@@ -846,21 +846,76 @@ object DedupOps {
     * other content. A fully-duplicated document keeps an EMPTY string
     * (0 surviving blocks), distinct from the null passthrough.
     */
+  /** Consecutive `blockWords`-word block strings of `text`, as an
+    * array column. Let-bound word array (see shinglesN): inline, each
+    * block's slice would re-split the whole document —
+    * O(words²/blockWords) work. Shared by [[q_dedup_block]] and
+    * [[q_boilerplate]].
+    */
+  private def blockSlices(blockWords: Int): Column = element_at(
+    transform(array(split(col("text"), " ")), ws =>
+      transform(
+        sequence(lit(0),
+          ceil(size(ws) / lit(blockWords.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(ws, i * blockWords + 1, lit(blockWords))))),
+    1)
+
   def q_dedup_block(s: SparkSession, d: String, blockWords: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // let-bound word array (see shinglesN): inline, each block's slice
-    // would re-split the whole document — O(words²/blockWords) work
-    val blocksArr = element_at(
-      transform(array(split(col("text"), " ")), ws =>
-        transform(
-          sequence(lit(0),
-            ceil(size(ws) / lit(blockWords.toDouble)).cast("int") - 1),
-          i => concat_ws(" ", slice(ws, i * blockWords + 1, lit(blockWords))))),
-      1)
     val blocks = documents(s, d).filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(blocksArr).as(Seq("pos", "block")))
+      .select(col("doc_id"), posexplode(blockSlices(blockWords)).as(Seq("pos", "block")))
     val own = Window.partitionBy(md5(col("block"))).orderBy(col("doc_id"), col("pos"))
     val flagged = blocks.withColumn("kept", row_number().over(own) === 1)
+    val perDoc = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("kept"), col("block")))),
+            x => x.getField("kept")),
+          x => x.getField("block")), " ").as("kept_text"))
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate removal by document frequency — the C4/RefinedWeb
+    * line-dedup rule adapted to this corpus's separator-free text:
+    * any `blockWords`-word block occurring in at least `minDf`
+    * DISTINCT documents is boilerplate (headers, navigation, license
+    * text) and is removed from EVERY document. Complementary to
+    * [[q_dedup_block]]'s first-occurrence ownership (which keeps one
+    * copy — right for content dedup, wrong for boilerplate: the first
+    * document does not deserve the navigation bar either).
+    *
+    * Scale shape: the same two exchanges as q_dedup_block. (1) One
+    * block-hash exchange computes the distinct-document frequency with
+    * two window functions over the SAME partition key (dense_rank by
+    * doc_id, then its partition max) — no groupBy+join round trip and,
+    * unlike `collect_set(doc_id)` over the window, no O(df) per-row
+    * state (a hot block's df is the whole corpus). Block text rides
+    * the exchange once (the q_dedup_block trade). (2) The per-document
+    * regroup re-assembles surviving text. A pipeline needing only drop
+    * decisions omits kept_text and the regroup moves hashes only.
+    *
+    * Null documents pass through (null kept_text, zero counts); a doc
+    * that is entirely boilerplate keeps an EMPTY string, distinct from
+    * the null passthrough. Counts are exact BIGINTs.
+    */
+  def q_boilerplate(s: SparkSession, d: String, blockWords: Int = 20,
+      minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(blockSlices(blockWords)).as(Seq("pos", "block")))
+    val wRank = Window.partitionBy(md5(col("block"))).orderBy(col("doc_id"))
+    val wAll  = Window.partitionBy(md5(col("block")))
+    val flagged = blocks
+      .withColumn("dr", dense_rank().over(wRank))
+      .withColumn("kept", max(col("dr")).over(wAll) < minDf)
     val perDoc = flagged.groupBy("doc_id").agg(
       count(lit(1)).as("n_blocks"),
       sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),

@@ -591,6 +591,35 @@ class SimTextSpec extends AnyFunSuite {
     assert(totalKept == 4L, s"2 base blocks + fresh tail + empty block, got $totalKept")
   }
 
+  test("q_boilerplate: df>=2 blocks removed from ALL docs, unlike ownership dedup") {
+    import spark.implicits._
+    val base = (1 to 25).map(i => s"w$i").mkString(" ")
+    val head20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val tail5 = (21 to 25).map(i => s"w$i").mkString(" ")
+    val freshTail = "x1 x2 x3 x4 x5"
+    val docs = Seq[(Long, String)](
+      (0L, base),                  // head block shared 3x, tail shared 2x
+      (1L, base),                  // exact dup
+      (2L, s"$head20 $freshTail"), // shares the head block, owns its tail
+      (3L, null),                  // null passthrough
+      (4L, "u1 u2 u3"))            // unique content survives intact
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.DedupOps.q_boilerplate(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+    // the head block (df=3) and base tail (df=2) are boilerplate: gone
+    // EVERYWHERE — doc 0, the "first owner" q_dedup_block would have
+    // rewarded, keeps nothing either
+    assert(out(0L) == ((2L, 0L, "")), s"got ${out(0L)}")
+    assert(out(1L) == ((2L, 0L, "")), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, freshTail)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, null)), s"null doc passes through: ${out(3L)}")
+    assert(out(4L) == ((1L, 1L, "u1 u2 u3")), s"unique doc intact: ${out(4L)}")
+    assert(tail5.nonEmpty) // fixture shape documented above
+  }
+
   test("q_contamination_fuzzy flags a planted cross-split duplicate and paraphrase") {
     import TestSpark.spark
     import spark.implicits._
