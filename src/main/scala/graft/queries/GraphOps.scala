@@ -438,6 +438,27 @@ object GraphOps {
     * `a`, `b`, no self-loops).
     */
   private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val (deg, tris) = triangleParts(e)
+    val corners = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1))).as("clustering"))
+      .orderBy("node")
+  }
+
+  /** The shared degree-oriented triangle enumeration behind
+    * [[triangleCounts]] and [[edgeJaccard]]: returns the per-node
+    * degree table and the oriented triangle set (u, v, w). See
+    * [[q_graph_triangles]]'s scaladoc for the O(m^1.5) orientation
+    * argument; the oriented edge set is referenced three times (two
+    * wedge sides + closure) and localCheckpoint'd once.
+    */
+  private def triangleParts(e: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
@@ -458,16 +479,60 @@ object GraphOps {
       .select(col("u"), col("v"), col("w"))
     val tris = wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
       Seq("v", "w"), "left_semi")
-    val corners = tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.join(corners, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        when(col("deg") >= 2,
-          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
-            (col("deg") * (col("deg") - 1))).as("clustering"))
-      .orderBy("node")
+    (deg, tris)
+  }
+
+  /** Neighborhood-Jaccard similarity of every edge's endpoints —
+    * the classic link-prediction / relatedness score J(u,v) =
+    * |N(u)∩N(v)| / |N(u)∪N(v)| over the part co-occurrence graph.
+    * Complements [[q_graph_triangles]]'s per-NODE density readout
+    * with a per-EDGE one: a high-Jaccard edge joins two products
+    * bought in the same baskets by the same crowd (near-substitute
+    * detection; in a document-similarity graph, near-duplicate
+    * communities vs incidental co-citation).
+    *
+    * Distributed shape: common-neighbor counts per edge are exactly
+    * the per-edge triangle counts, so the enumeration reuses
+    * [[triangleParts]]'s degree-oriented wedge join (O(m^1.5) bound;
+    * no per-node neighbor sets are ever materialized — a
+    * collect_set-based Jaccard would carry O(deg) state per row and
+    * melt on hubs). Each triangle explodes into its three unordered
+    * edges and one map-side-combined count agg attaches `common`;
+    * degrees join via the broadcast O(nodes) dim (outgrow caveat +
+    * co-partitioned fallback per q_pagerank's scaladoc). Union size
+    * is pure arithmetic: deg_u + deg_v − common.
+    *
+    * Output: the top 5000 edges by (jaccard_fp DESC, a, b) — a total
+    * order, so the cut is deterministic cross-engine; the ×1e6
+    * round-half-up fixed point keeps every column an exact BIGINT.
+    * The TakeOrdered top-k moves ≤ 5000 rows per partition, never
+    * the full edge list.
+    */
+  def q_graph_jaccard(s: SparkSession, d: String, topN: Int = 5000): DataFrame =
+    edgeJaccard(partCoEdges(s, d), topN)
+
+  /** The per-edge kernel of [[q_graph_jaccard]], factored so unit
+    * tests can drive it with hand-built graphs (`a < b` distinct
+    * undirected edge lists, long columns).
+    */
+  private[graft] def edgeJaccard(e: DataFrame, topN: Int = 5000): DataFrame = {
+    val (deg, tris) = triangleParts(e)
+    val pairCounts = tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    e.join(pairCounts, Seq("a", "b"), "left")
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("deg_b"))), Seq("b"))
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        col("deg_a"), col("deg_b"))
+      .withColumn("jaccard_fp",
+        expr("(2 * common * 1000000 + (deg_a + deg_b - common)) div (2 * (deg_a + deg_b - common))"))
+      .orderBy(col("jaccard_fp").desc, col("a"), col("b"))
+      .limit(topN)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the

@@ -142,6 +142,25 @@ class PageRankSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 3L * 4L)
   }
 
+  test("edgeJaccard matches hand-computed scores on K4 + pendant + isolate-pair") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L)).toDF("a", "b")
+    val got = graft.queries.GraphOps.edgeJaccard(edges).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("common"), r.getAs[Long]("jaccard_fp"))))
+    // inner K4 edges: common 2 of union 4 -> 0.5; spoke edges:
+    // common 2 of union 5 -> 0.4; pendant/isolated: 0
+    assert(got.toMap == Map(
+      (2L, 3L) -> ((2L, 500000L)), (2L, 4L) -> ((2L, 500000L)), (3L, 4L) -> ((2L, 500000L)),
+      (1L, 2L) -> ((2L, 400000L)), (1L, 3L) -> ((2L, 400000L)), (1L, 4L) -> ((2L, 400000L)),
+      (1L, 5L) -> ((0L, 0L)), (6L, 7L) -> ((0L, 0L))))
+    // deterministic total order: fp DESC, then (a, b)
+    assert(got.map(_._1).toSeq == Seq(
+      (2L, 3L), (2L, 4L), (3L, 4L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L)))
+  }
+
   test("q_graph_triangles on fixture data: corner sums ≡ 0 mod 3, bounds hold") {
     val rows = SparkEntry.queries("q_graph_triangles")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
