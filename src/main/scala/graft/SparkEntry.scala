@@ -120,6 +120,7 @@ object SparkEntry {
     "q_entropy"      -> (TextOps.q_entropy _),
     "q_bpe_train"    -> ((s, d) => BpeOps.q_bpe_train(s, d)),
     "q_bpe_encode"   -> ((s, d) => BpeOps.q_bpe_encode(s, d)),
+    "q_tok_fertility" -> ((s, d) => BpeOps.q_tok_fertility(s, d)),
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
     "q_pagerank_copart" -> ((s, d) => GraphOps.q_pagerank_copart(s, d)),
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
@@ -1726,6 +1727,40 @@ object SparkEntry {
          |  CAST(sum(n_sym) AS BIGINT) AS n_base_symbols,
          |  CAST(sum(length(enc) - length(replace(enc, '>', ''))) AS BIGINT) AS n_bpe_tokens
          |FROM de GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // per-language fertility: the encode CTE chain regrouped by lang;
+    // every sum CAST to BIGINT before the fixed-point arithmetic
+    // (DuckDB sum() returns HUGEINT — the q_corpus_report lesson)
+    "q_tok_fertility" -> {
+      val merges = 8
+      val applied = (1 to merges).foldLeft("r") { (acc, i) =>
+        s"replace($acc, coalesce((SELECT pat FROM m$i), '')," +
+          s" coalesce((SELECT mrg FROM m$i), ''))"
+      }
+      s"""WITH ${duckBpeTrainCtes(merges)},
+         |dw AS (SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(word) > 0),
+         |db AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS n_sym,
+         |         '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
+         |       FROM dw),
+         |de AS (SELECT doc_id, n_sym, $applied AS enc FROM db),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |         CAST(sum(n_sym) AS BIGINT) AS ns,
+         |         CAST(sum(length(enc) - length(replace(enc, '>', ''))) AS BIGINT) AS nt
+         |       FROM de GROUP BY doc_id),
+         |pl AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(nw) AS BIGINT) AS n_words,
+         |         CAST(sum(ns) AS BIGINT) AS n_base_symbols,
+         |         CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+         |       FROM pd JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT lang, n_docs, n_words, n_base_symbols, n_bpe_tokens,
+         |  (2 * n_base_symbols * 1000000 + n_bpe_tokens) // (2 * n_bpe_tokens)
+         |    AS symbols_per_token_fp,
+         |  (2 * n_bpe_tokens * 1000000 + n_words) // (2 * n_words)
+         |    AS tokens_per_word_fp
+         |FROM pl ORDER BY lang""".stripMargin
     },
     // PageRank: all-integer fixed-point iterations — both engines
     // carry bit-identical longs; positive operands make Spark div and

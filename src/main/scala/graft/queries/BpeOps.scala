@@ -143,7 +143,15 @@ object BpeOps {
     * char words carry no pairs (never merged) but still count their
     * one token, unlike training where they can't contribute merges.
     */
-  def encodeWith(s: SparkSession, d: String, mergeTable: DataFrame): DataFrame = {
+  def encodeWith(s: SparkSession, d: String, mergeTable: DataFrame): DataFrame =
+    encodePerDoc(s, d, mergeTable).orderBy("doc_id")
+
+  /** [[encodeWith]] without the final presentation sort — the
+    * composable form: downstream aggregations ([[q_tok_fertility]])
+    * re-shuffle anyway, and a global sort of the per-doc table would
+    * be pure waste mid-pipeline.
+    */
+  private def encodePerDoc(s: SparkSession, d: String, mergeTable: DataFrame): DataFrame = {
     // model fit: K (pat → merged) rows, in step order
     val table = mergeTable.orderBy("step").collect()
       .map(r => (s"<${r.getAs[String]("lhs")}><${r.getAs[String]("rhs")}>",
@@ -164,7 +172,6 @@ object BpeOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_base_symbols"),
         sum(col("n_tok")).as("n_bpe_tokens"))
-      .orderBy("doc_id")
   }
 
   /** The ORACLE key's composed definition: train-then-encode in one
@@ -177,4 +184,45 @@ object BpeOps {
     */
   def q_bpe_encode(s: SparkSession, d: String, merges: Int = 8): DataFrame =
     encodeWith(s, d, q_bpe_train(s, d, merges))
+
+  /** Per-language tokenizer fertility / compression report — the
+    * diagnostic a multilingual pipeline reads before committing to a
+    * tokenizer fit: symbols-per-token (compression; 1.0 means the
+    * merges bought nothing) and tokens-per-word (fertility; the
+    * XLM-R/BLOOM papers' per-language cost metric — a language with
+    * high fertility pays more sequence length per word under the
+    * shared vocabulary).
+    *
+    * Scale shape: the [[encodePerDoc]] encode pass (zero-shuffle
+    * literal-replace chain + one per-doc agg) joins the O(docs) lang
+    * projection on doc_id and collapses into one O(langs)
+    * map-side-combined agg. The ratios are the repo's ×1e6
+    * round-half-up fixed point on exact long sums — every output
+    * column an exact BIGINT. Denominators cannot be zero: a document
+    * contributes rows only if it has ≥ 1 word, and every word is ≥ 1
+    * token. Like [[q_bpe_encode]], the oracle key composes
+    * train-then-report so the applied fit IS the reported fit;
+    * production passes a persisted merge table to [[fertilityWith]].
+    */
+  def q_tok_fertility(s: SparkSession, d: String, merges: Int = 8): DataFrame =
+    fertilityWith(s, d, q_bpe_train(s, d, merges))
+
+  /** [[q_tok_fertility]] against an already-trained merge table (the
+    * [[encodeWith]] stance).
+    */
+  def fertilityWith(s: SparkSession, d: String, mergeTable: DataFrame): DataFrame =
+    encodePerDoc(s, d, mergeTable)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_base_symbols")).as("n_base_symbols"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_base_symbols"), col("n_bpe_tokens"),
+        expr("(2 * n_base_symbols * 1000000 + n_bpe_tokens) div (2 * n_bpe_tokens)")
+          .as("symbols_per_token_fp"),
+        expr("(2 * n_bpe_tokens * 1000000 + n_words) div (2 * n_words)")
+          .as("tokens_per_word_fp"))
+      .orderBy("lang")
 }

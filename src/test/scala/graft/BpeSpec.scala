@@ -142,4 +142,33 @@ class BpeSpec extends AnyFunSuite {
       .collect().toSeq
     assert(viaTable == composed)
   }
+
+  test("q_tok_fertility sums reconcile with q_bpe_encode and bounds hold") {
+    val fert = SparkEntry.queries("q_tok_fertility")(spark, TestSpark.sf).collect()
+    assert(fert.nonEmpty)
+    // per-lang sums must equal the per-doc encode totals regrouped
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, TestSpark.sf).collect()
+    assert(fert.map(_.getAs[Long]("n_words")).sum == enc.map(_.getAs[Long]("n_words")).sum)
+    assert(fert.map(_.getAs[Long]("n_bpe_tokens")).sum == enc.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    assert(fert.map(_.getAs[Long]("n_base_symbols")).sum == enc.map(_.getAs[Long]("n_base_symbols")).sum)
+    fert.foreach { r =>
+      // merges only shrink: >= 1 symbol per token, >= 1 token per word
+      assert(r.getAs[Long]("symbols_per_token_fp") >= 1000000L)
+      assert(r.getAs[Long]("tokens_per_word_fp") >= 1000000L)
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_base_symbols"))
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_bpe_tokens"))
+    }
+  }
+
+  test("fertilityWith a persisted merge table equals the composed q_tok_fertility") {
+    val dir = java.nio.file.Files.createTempDirectory("fert_merges").toString
+    val trained = graft.queries.BpeOps.q_bpe_train(spark, TestSpark.sf)
+    graft.sources.Sinks.writeMergeTable(trained, s"$dir/merges")
+    val persisted = graft.sources.Sinks.readMergeTable(spark, s"$dir/merges")
+    val viaTable = graft.queries.BpeOps.fertilityWith(spark, TestSpark.sf, persisted)
+      .collect().toSeq
+    val composed = SparkEntry.queries("q_tok_fertility")(spark, TestSpark.sf)
+      .collect().toSeq
+    assert(viaTable == composed)
+  }
 }
