@@ -129,6 +129,7 @@ object SparkEntry {
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
     "q_graph_triangles" -> ((s, d) => GraphOps.q_graph_triangles(s, d)),
     "q_graph_jaccard" -> ((s, d) => GraphOps.q_graph_jaccard(s, d)),
+    "q_graph_adamic" -> ((s, d) => GraphOps.q_graph_adamic(s, d)),
     "q_graph_lpa" -> ((s, d) => GraphOps.q_graph_lpa(s, d)),
     "q_graph_kcore" -> ((s, d) => GraphOps.q_graph_kcore(s, d)),
     // §2.11 dedup family
@@ -1882,6 +1883,37 @@ object SparkEntry {
         |FROM e LEFT JOIN pc ON pc.a = e.a AND pc.b = e.b
         |  JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b
         |ORDER BY jaccard_fp DESC, e.a, e.b LIMIT 5000""".stripMargin,
+    // Adamic-Adar: per-edge sum of round(1e9/ln(deg)) over common
+    // neighbors (= wedge centers of the same oriented triangle
+    // enumeration); one libm ln per center on an exact integer input
+    // (the q_dsir fixed-point rule)
+    "q_graph_adamic" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |      FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |       FROM sym GROUP BY 1),
+        |o AS (SELECT s.src, s.dst, d2.deg AS ddeg FROM sym s
+        |      JOIN dg d1 ON s.src = d1.node JOIN dg d2 ON s.dst = d2.node
+        |      WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.src < s.dst)),
+        |wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS wn
+        |       FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |       WHERE e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+        |t AS (SELECT u, v, wn FROM wg
+        |      WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wg.v AND o.dst = wg.wn)),
+        |tc AS (SELECT pa AS a, pb AS b, c FROM (
+        |         SELECT least(u, v) AS pa, greatest(u, v) AS pb, wn AS c FROM t
+        |         UNION ALL SELECT least(u, wn), greatest(u, wn), v FROM t
+        |         UNION ALL SELECT least(v, wn), greatest(v, wn), u FROM t)),
+        |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+        |         CAST(sum(CAST(round(1e9 / ln(d.deg)) AS BIGINT)) AS BIGINT) AS aa_fp
+        |       FROM tc JOIN dg d ON tc.c = d.node GROUP BY 1, 2)
+        |SELECT e.a, e.b, coalesce(pc.common, 0) AS common,
+        |  CAST(coalesce(pc.aa_fp, 0) AS BIGINT) AS aa_fp
+        |FROM e LEFT JOIN pc ON pc.a = e.a AND pc.b = e.b
+        |ORDER BY aa_fp DESC, e.a, e.b LIMIT 5000""".stripMargin,
     "q_pagerank" -> {
       val iters = 3
       val steps = (1 to iters).map { i =>

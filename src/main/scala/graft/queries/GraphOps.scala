@@ -535,6 +535,58 @@ object GraphOps {
       .limit(topN)
   }
 
+  /** Adamic-Adar link-prediction score of every edge's endpoints —
+    * AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w): like
+    * [[q_graph_jaccard]] but each common neighbor is weighted by how
+    * SELECTIVE it is (Adamic & Adar 2003 — a shared neighbor that
+    * touches everything, a stop-word product in a basket graph or a
+    * boilerplate doc in a similarity graph, carries almost no signal;
+    * a rare shared neighbor carries a lot). The two keys share the
+    * triangle enumeration; this one aggregates over the wedge CENTER
+    * instead of counting.
+    *
+    * Distributed shape: identical to [[edgeJaccard]] except each
+    * exploded (edge, center) row broadcast-joins the center's degree
+    * before the map-side-combined per-edge sum. A triangle corner has
+    * deg ≥ 2 by construction, so ln(deg) ≥ ln 2 > 0 — no division
+    * guard needed.
+    *
+    * Oracle parity: each term is `round(1e9 / ln(deg))` as a BIGINT —
+    * ONE correctly-rounded IEEE division and one libm ln on an exact
+    * integer input, then an exact long sum (the q_dsir rule: a 1-ulp
+    * libm difference dies against the fixed-point quantum). The
+    * top-5000 cut is deterministic under the (aa_fp DESC, a, b)
+    * total order.
+    */
+  def q_graph_adamic(s: SparkSession, d: String, topN: Int = 5000): DataFrame =
+    edgeAdamicAdar(partCoEdges(s, d), topN)
+
+  /** The per-edge kernel of [[q_graph_adamic]], factored for
+    * hand-built-graph tests (`a < b` distinct undirected edge lists).
+    */
+  private[graft] def edgeAdamicAdar(e: DataFrame, topN: Int = 5000): DataFrame = {
+    val (deg, tris) = triangleParts(e)
+    val terms = tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
+          col("w").as("c")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"),
+          col("v").as("c")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"),
+          col("u").as("c")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.c").as("c"))
+      .join(broadcast(deg.select(col("node").as("c"), col("deg").as("deg_c"))), Seq("c"))
+      .select(col("a"), col("b"),
+        round(lit(1e9) / log(col("deg_c"))).cast("long").as("term"))
+    val pairScores = terms.groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum(col("term")).as("aa_fp"))
+    e.join(pairScores, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        coalesce(col("aa_fp"), lit(0L)).as("aa_fp"))
+      .orderBy(col("aa_fp").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * part co-occurrence graph — community detection one level up from
     * [[ClusterOps.connectedComponents]]: components find *any*

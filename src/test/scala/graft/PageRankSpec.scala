@@ -161,6 +161,28 @@ class PageRankSpec extends AnyFunSuite {
       (2L, 3L), (2L, 4L), (3L, 4L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L)))
   }
 
+  test("edgeAdamicAdar weights common neighbors by 1/ln(deg) on the K4 fixture") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L)).toDF("a", "b")
+    def term(deg: Long): Long = math.round(1e9 / math.log(deg.toDouble))
+    val got = graft.queries.GraphOps.edgeAdamicAdar(edges).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("common"), r.getAs[Long]("aa_fp")))).toMap
+    // K4 degrees: node 1 -> 4 (spoke to 5), nodes 2..4 -> 3
+    // inner edge (2,3): common {1, 4} -> 1/ln4 + 1/ln3
+    assert(got((2L, 3L)) == ((2L, term(4) + term(3))))
+    assert(got((2L, 4L)) == ((2L, term(4) + term(3))))
+    assert(got((3L, 4L)) == ((2L, term(4) + term(3))))
+    // spoke edge (1,2): common {3, 4}, both deg 3
+    assert(got((1L, 2L)) == ((2L, 2 * term(3))))
+    assert(got((1L, 5L)) == ((0L, 0L)))
+    assert(got((6L, 7L)) == ((0L, 0L)))
+    // the selectivity weighting: a deg-3 shared neighbor outweighs deg-4
+    assert(term(3) > term(4))
+  }
+
   test("q_graph_triangles on fixture data: corner sums ≡ 0 mod 3, bounds hold") {
     val rows = SparkEntry.queries("q_graph_triangles")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
