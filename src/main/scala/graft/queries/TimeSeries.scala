@@ -142,14 +142,23 @@ object TimeSeries {
   /** The greedy-chain kernel of [[q_funnel]], factored so unit tests
     * can drive it with hand-built (user_id, event_type, tu) rows.
     */
-  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val stages = Seq("signup", "view", "click", "purchase")
+  /** The funnel stage names in chain order — shared with
+    * [[graft.streaming.StatefulOps.streamingFunnel]] so the batch and
+    * streaming kernels cannot drift.
+    */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Per-user greedy chain depth (0..4) — the row-local fold behind
+    * [[funnelOf]], exposed so the streaming parity spec can compare
+    * the incremental mapGroupsWithState kernel user for user.
+    */
+  private[graft] def funnelReached(ev: DataFrame): DataFrame = {
+    val stages = FunnelStages
     val stageIdx = stages.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (name, i)) =>
         when(col("event_type") === name, lit(i)).otherwise(acc)
       }
-    val reached = ev
+    ev
       .filter(col("event_type").isin(stages.map(x => x: Any): _*))
       .select(col("user_id"),
         struct(col("tu"), stageIdx.as("stage")).as("ev"))
@@ -170,7 +179,12 @@ object TimeSeries {
                 x.getField("tu").as("tlast"), acc.getField("t1").as("t1")))
             .otherwise(acc),
           a => a.getField("reached")).as("reached"))
-    val perStage = reached
+  }
+
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stages = FunnelStages
+    val perStage = funnelReached(ev)
       .filter(col("reached") >= 1)
       .select(explode(sequence(lit(1), col("reached"))).as("stage_idx"))
       .groupBy("stage_idx").agg(count(lit(1)).as("n_users"))

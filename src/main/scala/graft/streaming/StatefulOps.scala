@@ -41,6 +41,62 @@ object StatefulOps {
       }
   }
 
+  final case class FunnelState(reached: Int, tlast: Long, t1: Long)
+
+  final case class UserFunnel(user_id: Long, reached: Int)
+
+  /** Streaming conversion funnel — the incremental
+    * mapGroupsWithState counterpart of
+    * [[graft.queries.TimeSeries.q_funnel]]'s greedy chain (the
+    * classic stateful-CEP shape: per-key pattern matching with
+    * constant state). State is THREE longs per user (chain depth,
+    * last matched ts, first-signup anchor) no matter how many events
+    * stream past — the bounded-state stance of [[streamingDistinct]].
+    *
+    * Semantics parity: within a micro-batch events are sorted by
+    * (event-time micros, stage) before the fold, so intra-batch
+    * disorder is absorbed; ACROSS batches the greedy state cannot
+    * rewind, so exact batch parity holds when batch boundaries
+    * respect event-time order (a replay, or a live feed under a
+    * watermark that holds back stragglers — the same contract
+    * [[graft.streaming.StreamingOps.streamingDsirScore]] documents
+    * for its model). StreamingSpec pins user-for-user equality with
+    * the batch kernel across a two-batch ordered replay, including a
+    * chain that COMPLETES across the batch boundary. NoTimeout: a
+    * production job would expire users
+    * [[graft.queries.TimeSeries.FunnelWindowMicros]] past their
+    * anchor — after the deadline the state can never change again.
+    */
+  def streamingFunnel(events: Dataset[Ev]): Dataset[UserFunnel] = {
+    val stages = graft.queries.TimeSeries.FunnelStages
+    val idx = stages.zipWithIndex.toMap
+    val W = graft.queries.TimeSeries.FunnelWindowMicros
+    val last = stages.length
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc   = Encoders.product[UserFunnel]
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    events
+      .filter(e => idx.contains(e.event_type))
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          val sorted = evs.toArray.sortBy(e => (micros(e.ts), idx(e.event_type)))
+          val next = sorted.foldLeft(prev) { (acc, e) =>
+            val tu = micros(e.ts)
+            val st = idx(e.event_type)
+            if (acc.reached == 0 && st == 0) FunnelState(1, tu, tu)
+            else if (acc.reached >= 1 && acc.reached < last && st == acc.reached &&
+                tu > acc.tlast && tu <= acc.t1 + W)
+              FunnelState(acc.reached + 1, tu, acc.t1)
+            else acc
+          }
+          state.update(next)
+          UserFunnel(user, next.reached)
+      }
+  }
+
   final case class KeyDistinct(key: String, n_kept: Long, approx_distinct: Double)
 
   /** Streaming distinct-count per key with BOUNDED state: the KMV

@@ -120,6 +120,56 @@ class AggregatorSpec extends AnyFunSuite {
     assert(!last(7L).getAs[Boolean]("highSpender"))
   }
 
+  test("streamingFunnel equals the batch greedy kernel across an ordered two-batch replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, t: String, u: Long, et: String) =
+      StatefulOps.Ev(id, Timestamp.valueOf(t), u, et, 0.0)
+    val batch1 = Seq(
+      // user 1: chain COMPLETES across the batch boundary
+      ev(1, "2024-01-01 09:00:00", 1, "signup"),
+      ev(2, "2024-01-01 09:10:00", 1, "view"),
+      // user 2: purchase arrives before any click -> must not chain yet
+      ev(3, "2024-01-01 09:00:00", 2, "signup"),
+      ev(4, "2024-01-01 09:05:00", 2, "view"),
+      ev(5, "2024-01-01 09:06:00", 2, "purchase"),
+      // user 3: no signup -> stuck at 0 forever
+      ev(6, "2024-01-01 09:00:00", 3, "view"),
+      // user 4: intra-batch DISORDER (added out of ts order) must be absorbed
+      ev(7, "2024-01-01 09:30:00", 4, "view"),
+      ev(8, "2024-01-01 09:20:00", 4, "signup"))
+    val batch2 = Seq(
+      ev(9, "2024-01-01 11:00:00", 1, "click"),
+      ev(10, "2024-01-01 11:30:00", 1, "purchase"),
+      ev(11, "2024-01-01 11:00:00", 2, "click"),
+      ev(12, "2024-01-01 11:10:00", 2, "purchase"), // now ordered -> completes
+      ev(13, "2024-01-01 11:00:00", 3, "click"),
+      // user 5 appears only in batch 2, view past the 72h deadline
+      ev(14, "2024-01-01 10:00:00", 5, "signup"),
+      ev(15, "2024-01-05 10:00:01", 5, "view"))
+    val input = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.streamingFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("update").start()
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // reached is monotone non-decreasing, so the final state per user
+    // is the max update
+    val streamed = spark.table("funnel_stream").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Int]("reached")).max }
+    assert(streamed == Map(1L -> 4, 2L -> 4, 3L -> 0, 4L -> 2, 5L -> 1))
+    // user-for-user parity with the batch kernel over the union
+    val all = (batch1 ++ batch2)
+      .map(e => (e.user_id, e.event_type,
+        e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000L))
+      .toDF("user_id", "event_type", "tu")
+    val batch = graft.queries.TimeSeries.funnelReached(all).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("reached")).toMap
+    assert(batch == streamed)
+  }
+
   test("TopKAggregator: bounded buffer, tie-break on smaller id, merge keeps global best") {
     val a = new graft.functions.TopKAggregator(3)
     val fed = Seq((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.7, 2L))
