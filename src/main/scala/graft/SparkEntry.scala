@@ -89,6 +89,7 @@ object SparkEntry {
     "q_time_session" -> (TimeSeries.q_time_session _),
     "q_retention"    -> (TimeSeries.q_retention _),
     "q_funnel"       -> (TimeSeries.q_funnel _),
+    "q_outliers"     -> (TimeSeries.q_outliers _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -744,6 +745,36 @@ object SparkEntry {
         |    // (2 * first_value(n_users) OVER (ORDER BY stage_idx)) AS conv_first_fp
         |FROM n)
         |SELECT * FROM r WHERE n_users > 0 ORDER BY stage_idx""".stripMargin,
+    // median/MAD in exact integer cents; discrete lower medians via
+    // the float-free 2*cum >= n cumulative-window form; every sum
+    // CAST BIGINT (HUGEINT trap)
+    "q_outliers" ->
+      """WITH vc AS (SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |mw AS (SELECT event_type, c,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |         sum(n) OVER (PARTITION BY event_type) AS nl FROM vc),
+        |med AS (SELECT event_type, min(c) AS median_c FROM mw
+        |        WHERE cum * 2 >= nl GROUP BY 1),
+        |dv AS (SELECT vc.event_type, abs(vc.c - med.median_c) AS dev,
+        |         CAST(sum(vc.n) AS BIGINT) AS dn
+        |       FROM vc JOIN med USING (event_type) GROUP BY 1, 2),
+        |aw AS (SELECT event_type, dev,
+        |         sum(dn) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |         sum(dn) OVER (PARTITION BY event_type) AS nl FROM dv),
+        |mad AS (SELECT event_type, min(dev) AS mad_c FROM aw
+        |        WHERE cum * 2 >= nl GROUP BY 1),
+        |o AS (SELECT vc.event_type, CAST(sum(vc.n) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN abs(vc.c - med.median_c) > mad.mad_c * 3
+        |          THEN vc.n ELSE 0 END) AS BIGINT) AS n_outliers
+        |      FROM vc JOIN med USING (event_type) JOIN mad USING (event_type)
+        |      GROUP BY 1)
+        |SELECT o.event_type, o.n, med.median_c, mad.mad_c, o.n_outliers,
+        |  (2 * o.n_outliers * 1000000 + o.n) // (2 * o.n) AS outlier_share_fp
+        |FROM o JOIN med USING (event_type) JOIN mad USING (event_type)
+        |ORDER BY o.event_type""".stripMargin,
     "q_sql_report" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue

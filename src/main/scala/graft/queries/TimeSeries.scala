@@ -103,6 +103,59 @@ object TimeSeries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Robust outlier report per event type — median / MAD (median
+    * absolute deviation) with a 3-MAD outlier gate, the
+    * breakdown-point-0.5 alternative to mean/stddev monitoring (one
+    * corrupted feed can drag a mean arbitrarily far; the median
+    * doesn't move until half the data is bad). The metric-stream
+    * quality monitor a pipeline runs next to ingestion.
+    *
+    * Scale shape: ONE corpus-scale exchange — the map-side-combined
+    * (event_type, cents) value-count agg, bounded by the value
+    * domain (measured 17.8k distinct cents at sf0.1 vs 100k rows),
+    * checkpointed once (referenced three times: median, deviation
+    * table, outlier count). Both medians are discrete LOWER medians
+    * computed by the integer cumulative-window trick over the tiny
+    * value-count table (the q_quality_gate form, float-free:
+    * `2·cum ≥ n` ⟺ `cum ≥ ceil(n/2)` for integers); deviations
+    * re-aggregate value counts, never raw rows. Medians attach back
+    * by broadcast O(types) joins.
+    *
+    * Everything is exact integer cents (the DECIMAL(18,2) money
+    * idiom ×100), so both engines carry identical longs end to end;
+    * the outlier share is the ×1e6 round-half-up fixed point.
+    */
+  def q_outliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    val vc = events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), cents.as("c")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    def lowerMedian(df: DataFrame, valueCol: String, cntCol: String, out: String) =
+      df.withColumn("cum", sum(col(cntCol)).over(
+          Window.partitionBy("event_type").orderBy(valueCol)))
+        .withColumn("nl", sum(col(cntCol)).over(Window.partitionBy("event_type")))
+        .filter(col("cum") * 2 >= col("nl"))
+        .groupBy("event_type").agg(min(col(valueCol)).as(out))
+    val med = lowerMedian(vc, "c", "n", "median_c")
+    val dv = vc.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("c") - col("median_c")).as("dev"))
+      .agg(sum(col("n")).as("dn"))
+    val mad = lowerMedian(dv, "dev", "dn", "mad_c")
+    val out = vc.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(when(abs(col("c") - col("median_c")) > col("mad_c") * 3, col("n"))
+          .otherwise(0L)).as("n_outliers"))
+    out.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("median_c"), col("mad_c"),
+        col("n_outliers"),
+        expr("(2 * n_outliers * 1000000 + n) div (2 * n)").as("outlier_share_fp"))
+      .orderBy("event_type")
+  }
+
   /** Deadline micros for [[q_funnel]]'s conversion window — 72 hours,
     * chosen by measurement: unbounded, the synthetic corpus converts
     * every user through every stage (degenerate 100%); at 24 h the

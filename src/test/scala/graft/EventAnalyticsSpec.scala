@@ -78,6 +78,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("conv_prev_fp") == 1000000L)
   }
 
+  test("q_outliers: hand-computed median/MAD on a planted fixture") {
+    import spark.implicits._
+    // type "a": values 1..7 plus one wild 100.00 -> median of
+    // {1..7,100} (lower, n=8) = 4.00, deviations {3,2,1,0,1,2,3,96}
+    // sorted {0,1,1,2,2,3,3,96} -> lower median (n=8, 4th) = 2.00;
+    // outliers: |c-400| > 3*200=600 -> only 100.00 (9600 > 600)
+    val evs = ((1 to 7).map(v => (1L, "a", v.toDouble)) :+ ((8L, "a", 100.0)))
+      .zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u, t, v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("outliers").toString
+    evs.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.TimeSeries.q_outliers(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("median_c"), r.getAs[Long]("mad_c"),
+          r.getAs[Long]("n_outliers"), r.getAs[Long]("outlier_share_fp")))).toMap
+    assert(got == Map("a" -> ((8L, 400L, 200L, 1L, 125000L))))
+  }
+
+  test("q_outliers corpus invariants: outliers bounded, MAD <= spread") {
+    val rows = q("q_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") * 2 < r.getAs[Long]("n"),
+        "breakdown: a robust gate can never flag a majority")
+      assert(r.getAs[Long]("mad_c") >= 0 && r.getAs[Long]("median_c") >= 0)
+    }
+  }
+
   test("q_retention invariants on the corpus: offset 0 is full retention") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
