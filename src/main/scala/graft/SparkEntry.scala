@@ -166,6 +166,7 @@ object SparkEntry {
     "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
+    "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
     "q_length_buckets"   -> (SampleOps.q_length_buckets _),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
@@ -2111,6 +2112,24 @@ object SparkEntry {
     // checksum = bit_xor of 60-bit md5(text) fingerprints (order-free;
     // a BIGINT SUM would overflow into HUGEINT divergence — the
     // q_corpus_report round-8 lesson); every aggregate cast to BIGINT
+    // Morton interleave as 32 generated shift/mask terms; keys scaled
+    // to a fixed 16-bit domain by the data maxima with exact integer
+    // division — identical codes in both engines at every sf
+    "q_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"((((p16 >> $i) & 1) << ${2 * i + 1}) + (((s16 >> $i) & 1) << ${2 * i}))"
+      }.mkString(" + ")
+      s"""WITH mx AS (SELECT max(l_partkey) AS pmax, max(l_suppkey) AS smax FROM lineitem),
+         |sc AS (SELECT l_partkey AS p, l_suppkey AS sk,
+         |         (l_partkey * 65535) // greatest(pmax, 1) AS p16,
+         |         (l_suppkey * 65535) // greatest(smax, 1) AS s16
+         |       FROM lineitem, mx),
+         |zz AS (SELECT p, sk, $terms AS z FROM sc)
+         |SELECT z >> 26 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(p) AS p_min, max(p) AS p_max, min(sk) AS s_min, max(sk) AS s_max,
+         |  max(p) - min(p) + 1 AS p_span, max(sk) - min(sk) + 1 AS s_span
+         |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_shard_manifest" -> {
       val draw8 = duckHashDraw(8)
       val cfp = duckHexValue("md5(text)", 1, 15)

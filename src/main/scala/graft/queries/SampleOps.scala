@@ -624,4 +624,55 @@ object SampleOps {
         max(col("cfp")).as("fp_max"))
       .orderBy("shard")
   }
+
+  /** Z-order (Morton-curve) clustering report over
+    * (l_partkey, l_suppkey) — the lakehouse data-LAYOUT primitive
+    * (Delta `OPTIMIZE ZORDER BY`, Iceberg sort orders): interleaving
+    * the bits of both keys makes rows close in EITHER dimension land
+    * in the same bucket, so per-file min/max stats prune scans for
+    * predicates on either column. A linear sort gives tight spans on
+    * the leading key only; the report quantifies what z-ordering buys
+    * — each bucket's 2-D span (p_span × s_span covers ~1/buckets of
+    * the key plane instead of a full-range stripe on the second key).
+    *
+    * Both keys are first scaled to a fixed 16-bit domain by the
+    * data-derived maxima (`(k · 65535) div max` — exact integer
+    * arithmetic, so both engines compute identical codes at every
+    * sf); z is the 32-bit bit-interleave (16 codegen'd shift/mask
+    * terms per key, no UDF), bucket = the top `bucketBits` of z.
+    *
+    * Scale shape: the maxima are a one-row broadcast aggregate; the
+    * z-value is a pure scan projection; the report is one
+    * map-side-combined O(2^bucketBits)-key agg. The WRITE side of
+    * the same primitive is [[graft.sources.Sinks.writeZOrdered]]
+    * (range-repartition + sort on z, so file-level min/max are
+    * tight); this key is its pruning-effectiveness readout.
+    */
+  def q_zorder(s: SparkSession, d: String, bucketBits: Int = 6): DataFrame = {
+    val li = lineitem(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+    val mx = li.agg(max(col("p")).as("pmax"), max(col("sk")).as("smax"))
+    val scaled = li.crossJoin(broadcast(mx))
+      .select(col("p"), col("sk"),
+        expr("(p * 65535) div greatest(pmax, 1)").as("p16"),
+        expr("(sk * 65535) div greatest(smax, 1)").as("s16"))
+    scaled.select(col("p"), col("sk"), zInterleave(col("p16"), col("s16")).as("z"))
+      .groupBy(shiftright(col("z"), 32 - bucketBits).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+        min(col("sk")).as("s_min"), max(col("sk")).as("s_max"))
+      .select(col("bucket"), col("n"),
+        col("p_min"), col("p_max"), col("s_min"), col("s_max"),
+        (col("p_max") - col("p_min") + 1).as("p_span"),
+        (col("s_max") - col("s_min") + 1).as("s_span"))
+      .orderBy("bucket")
+  }
+
+  /** 32-bit Morton interleave of two 16-bit codes (`a` takes the odd
+    * bits, `b` the even) — 32 shift/mask terms, fully codegen'd.
+    */
+  private[graft] def zInterleave(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
 }

@@ -68,6 +68,30 @@ object Sinks {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Z-order clustered write — the lakehouse `OPTIMIZE ZORDER BY`
+    * layout primitive: rows are range-repartitioned and sorted on the
+    * Morton interleave of the two key columns, so each output file's
+    * min/max statistics are tight in BOTH dimensions and scans with a
+    * predicate on either column prune files (a linear sort gives
+    * this on the leading key only). The pruning-effectiveness
+    * readout over the same curve is
+    * [[graft.queries.SampleOps.q_zorder]]; keys are scaled to a
+    * fixed 16-bit domain by `max16a`/`max16b` (pass the column
+    * maxima, or any stable upper bound — at 100 TB use the catalog
+    * stats rather than a scan).
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      max16a: Long, max16b: Long, files: Int, out: String): Unit = {
+    val z = graft.queries.SampleOps.zInterleave(
+      expr(s"($colA * 65535) div greatest($max16a, 1)"),
+      expr(s"($colB * 65535) div greatest($max16b, 1)"))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+  }
+
   /** Persist `df` as a table bucketed (and sorted) on `key` —
     * subsequent equi-joins between tables bucketed identically require
     * no shuffle (SortMergeJoin reads buckets directly).

@@ -419,4 +419,27 @@ class SampleSpec extends AnyFunSuite {
       assert(r.getAs[Long]("fp_max") == m.fpMax)
     }
   }
+
+  test("zInterleave: hand-computed Morton codes; q_zorder buckets tile the key plane") {
+    import spark.implicits._
+    // a=0b11, b=0b01 -> odd bits from a, even from b: 0b1011 = 11
+    val z = Seq((3L, 1L), (0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(graft.queries.SampleOps.zInterleave(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(11L, 0L, 2L, 1L, (1L << 32) - 1))
+    val rows = SparkEntry.queries("q_zorder")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.lineitem(spark, sf).count())
+    // the z-order property: each bucket's 2-D span covers a QUADRANT
+    // of the key plane (~1/8 per dim at 64 buckets), not a stripe --
+    // allow 2x slack for the uneven top-level split of scaled maxima
+    val pmax = rows.map(_.getAs[Long]("p_max")).max
+    val smax = rows.map(_.getAs[Long]("s_max")).max
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_span") <= pmax / 4 + 2, s"p stripe: $r")
+      assert(r.getAs[Long]("s_span") <= smax / 4 + 2, s"s stripe: $r")
+    }
+  }
 }
