@@ -33,6 +33,7 @@ object SparkEntry {
     "q_join_range_binned" -> (Relational.q_join_range_binned _),
     "q_join_outer"     -> (Relational.q_join_outer _),
     "q_join_skew"      -> (Relational.q_join_skew _),
+    "q_skew_stats"     -> (Relational.q_skew_stats _),
     "q_join_asof"      -> (Windows.q_join_asof _),
     "q_sql_report"     -> (Relational.q_sql_report _),
     // §2.4 aggregations
@@ -1578,6 +1579,26 @@ object SparkEntry {
         |  coalesce(n_kept, 0) AS n_kept, kept_text
         |FROM documents doc LEFT JOIN p USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin,
+    // skew diagnostic: all-integer metric report off the key-count
+    // table; percentiles via the float-free b*cum >= a form
+    "q_skew_stats" ->
+      """WITH kc AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+        |            FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nr, CAST(count(*) AS BIGINT) AS nk,
+        |          max(n) AS mx, CAST(sum(n * n) AS BIGINT) AS ssq FROM kc),
+        |cc AS (SELECT n AS c, CAST(count(*) AS BIGINT) AS keys FROM kc GROUP BY 1),
+        |cw AS (SELECT c, sum(keys) OVER (ORDER BY c) AS cum FROM cc),
+        |p50 AS (SELECT min(c) AS v FROM cw, tot WHERE cum * 100 >= nk * 50),
+        |p99 AS (SELECT min(c) AS v FROM cw, tot WHERE cum * 100 >= nk * 99)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_rows' AS metric, nr AS value FROM tot
+        |  UNION ALL SELECT 'n_keys', nk FROM tot
+        |  UNION ALL SELECT 'max_key_n', mx FROM tot
+        |  UNION ALL SELECT 'top1_share_fp', (2 * mx * 1000000 + nr) // (2 * nr) FROM tot
+        |  UNION ALL SELECT 'hhi_fp', (2 * ssq * 1000000 + nr * nr) // (2 * nr * nr) FROM tot
+        |  UNION ALL SELECT 'p50_key_n', v FROM p50
+        |  UNION ALL SELECT 'p99_key_n', v FROM p99)
+        |ORDER BY metric""".stripMargin,
     // df = distinct docs per block via dense_rank + partition max
     // (mirrors the Spark two-window form); blocks with df >= 2 are
     // boilerplate and removed from ALL docs; n_kept CAST BIGINT

@@ -661,4 +661,55 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k") > 50)
       .orderBy("event_id")
+
+  /** Join-key skew diagnostic over `lineitem.l_partkey` — the report
+    * a planner (human or [[graft.plans.SkewJoin]]) reads before
+    * choosing salting / AQE skew splitting: key and row counts, the
+    * heaviest key and its corpus share, the Herfindahl concentration
+    * index (Σ(nᵢ/N)² — 1e6/K for uniform keys, 1e6 for one key
+    * owning everything), and discrete p50/p99 of the per-key count
+    * distribution.
+    *
+    * Scale shape: ONE corpus-scale map-side-combined exchange (the
+    * per-key count agg); every later stage works on the key-count
+    * table or its counts-of-counts (O(distinct counts)): percentiles
+    * use the float-free `b·cum ≥ a` ⟺ `cum ≥ ceil(a/b)` cumulative
+    * window (the q_quality_gate form), HHI is an exact integer sum of
+    * squares in the repo's ×1e6 round-half-up fixed point.
+    * Long-overflow headroom: Σnᵢ²·2e6 needs N² < ~4.6e12, i.e.
+    * N < ~2.1M rows per key-space — past that, widen to DECIMAL (the
+    * q_dsir note's stance).
+    *
+    * Output is a fixed (metric, value) report — all exact BIGINTs.
+    */
+  def q_skew_stats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = lineitem(s, d).groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // referenced by totals, top-1, HHI, percentiles
+    val tot = kc.agg(sum(col("n")).as("nr"), count(lit(1)).as("nk"),
+      max(col("n")).as("mx"), sum(col("n") * col("n")).as("ssq"))
+    // counts-of-counts: O(distinct count values) rows
+    val cc = kc.groupBy(col("n").as("c")).agg(count(lit(1)).as("keys"))
+      .withColumn("cum", sum(col("keys")).over(Window.orderBy("c")))
+    def pctl(p: Int) = cc.crossJoin(broadcast(tot.select(col("nk"))))
+      .filter(col("cum") * 100 >= col("nk") * p)
+      .agg(min(col("c")).as(s"p$p"))
+    tot.crossJoin(broadcast(pctl(50))).crossJoin(broadcast(pctl(99)))
+      // no report without data: the empty-corpus global-agg row (all
+      // NULLs) would otherwise stack into 7 null metrics
+      .filter(col("nr").isNotNull)
+      .select(
+        col("nr").as("n_rows"), col("nk").as("n_keys"), col("mx").as("max_key_n"),
+        expr("(2 * mx * 1000000 + nr) div (2 * nr)").as("top1_share_fp"),
+        expr("(2 * ssq * 1000000 + nr * nr) div (2 * nr * nr)").as("hhi_fp"),
+        col("p50").as("p50_key_n"), col("p99").as("p99_key_n"))
+      .select(expr(
+        """stack(7,
+          |'n_rows', n_rows, 'n_keys', n_keys, 'max_key_n', max_key_n,
+          |'top1_share_fp', top1_share_fp, 'hhi_fp', hhi_fp,
+          |'p50_key_n', p50_key_n, 'p99_key_n', p99_key_n)
+          |AS (metric, value)""".stripMargin))
+      .orderBy("metric")
+  }
 }

@@ -107,6 +107,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_stats: hand-computed concentration metrics on a planted skew") {
+    import spark.implicits._
+    // keys: 1 -> 6 rows, 2 -> 2, 3 -> 2  (N=10, K=3)
+    val li = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(2)(3L))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k, 1L) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("skew").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.queries.Relational.q_skew_stats(spark, tmp).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(got == Map(
+      "n_rows" -> 10L, "n_keys" -> 3L, "max_key_n" -> 6L,
+      "top1_share_fp" -> 600000L,
+      // HHI = (36+4+4)/100 = 0.44
+      "hhi_fp" -> 440000L,
+      // count distribution {2,2,6}: p50 = 2 (cum 2/3 keys), p99 = 6
+      "p50_key_n" -> 2L, "p99_key_n" -> 6L))
+  }
+
   test("q_retention invariants on the corpus: offset 0 is full retention") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
