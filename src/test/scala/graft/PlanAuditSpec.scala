@@ -113,6 +113,13 @@ class PlanAuditSpec extends AnyFunSuite {
       }
       runCopart("q_pagerank_copart", 3)   // rank join x 3 iterations
       runCopart("q_graph_hops_copart", 4) // frontier join x 4 levels
+      // round-9 keys whose scale story hangs on model-sized broadcast
+      // dims: degree tables (jaccard/adamic), cohort/size tables
+      // (retention), median/MAD tables (outliers)
+      runAndAssert("q_graph_jaccard", 3)  // deg dim in orientation + 2 output joins
+      runAndAssert("q_graph_adamic", 3)   // deg dim in orientation + center-degree join
+      runAndAssert("q_retention", 2)      // cohort + cohort-size joins
+      runAndAssert("q_outliers", 5)       // med x3 + mad x2 attach joins
     } finally {
       spark.listenerManager.unregister(listener)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
