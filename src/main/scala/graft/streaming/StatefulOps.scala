@@ -97,6 +97,46 @@ object StatefulOps {
       }
   }
 
+  /** Change-log variant of [[streamingFunnel]] via
+    * `flatMapGroupsWithState` — emits a row ONLY when a user's chain
+    * depth advances (the CDC/update-stream shape: downstream
+    * consumers see transitions, not per-batch re-statements, so sink
+    * volume is bounded by 4 rows per user ever instead of
+    * rows-per-batch × users). Same kernel, same state; the
+    * flatMap API is what allows "this batch changed nothing for this
+    * user → emit nothing".
+    */
+  def streamingFunnelUpdates(events: Dataset[Ev]): Dataset[UserFunnel] = {
+    val stages = graft.queries.TimeSeries.FunnelStages
+    val idx = stages.zipWithIndex.toMap
+    val W = graft.queries.TimeSeries.FunnelWindowMicros
+    val last = stages.length
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc   = Encoders.product[UserFunnel]
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    events
+      .filter(e => idx.contains(e.event_type))
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          val sorted = evs.toArray.sortBy(e => (micros(e.ts), idx(e.event_type)))
+          val next = sorted.foldLeft(prev) { (acc, e) =>
+            val tu = micros(e.ts)
+            val st = idx(e.event_type)
+            if (acc.reached == 0 && st == 0) FunnelState(1, tu, tu)
+            else if (acc.reached >= 1 && acc.reached < last && st == acc.reached &&
+                tu > acc.tlast && tu <= acc.t1 + W)
+              FunnelState(acc.reached + 1, tu, acc.t1)
+            else acc
+          }
+          state.update(next)
+          if (next.reached > prev.reached) Iterator.single(UserFunnel(user, next.reached))
+          else Iterator.empty
+      }
+  }
+
   final case class KeyDistinct(key: String, n_kept: Long, approx_distinct: Double)
 
   /** Streaming distinct-count per key with BOUNDED state: the KMV

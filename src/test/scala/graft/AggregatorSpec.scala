@@ -170,6 +170,35 @@ class AggregatorSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streamingFunnelUpdates emits ONLY on chain advances (change-log semantics)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, u: Long, et: String) =
+      StatefulOps.Ev(id, Timestamp.valueOf(t), u, et, 0.0)
+    val input = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.streamingFunnelUpdates(input.toDS())
+      .writeStream.format("memory").queryName("funnel_cdc").outputMode("update").start()
+    // batch 1: u1 advances 0->2; u3 has events but no signup -> silent
+    input.addData(
+      ev(1, "2024-01-01 09:00:00", 1, "signup"),
+      ev(2, "2024-01-01 09:10:00", 1, "view"),
+      ev(3, "2024-01-01 09:00:00", 3, "view"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("funnel_cdc").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("reached"))).toSeq
+    assert(afterB1 == Seq((1L, 2)), s"got ${afterB1.toList}")
+    // batch 2: u1 advances 2->4; u3 STILL stuck -> still silent
+    input.addData(
+      ev(4, "2024-01-01 11:00:00", 1, "click"),
+      ev(5, "2024-01-01 11:30:00", 1, "purchase"),
+      ev(6, "2024-01-01 11:00:00", 3, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("funnel_cdc").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("reached"))).toSet
+    assert(all == Set((1L, 2), (1L, 4)), s"got $all")
+  }
+
   test("TopKAggregator: bounded buffer, tie-break on smaller id, merge keeps global best") {
     val a = new graft.functions.TopKAggregator(3)
     val fed = Seq((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.7, 2L))
