@@ -137,6 +137,73 @@ object StatefulOps {
       }
   }
 
+  /** [[streamingFunnel]] with bounded KEY population — the
+    * production state-hygiene variant: once the event-time watermark
+    * passes a user's conversion deadline (anchor + 72 h) the state
+    * can never change again, so it is EXPIRED via
+    * `GroupStateTimeout.EventTimeTimeout` — on timeout the user's
+    * final depth is emitted once and the state removed. Without
+    * this, per-user state is 3 longs *forever* and the key
+    * population grows with all users ever seen; with it, live state
+    * is bounded by users active inside one deadline horizon. Users
+    * who never signed up expire silently (no final row — they were
+    * never in the funnel).
+    *
+    * The caller must `.withWatermark` the input (the test uses the
+    * events `ts` column); timeouts fire when the watermark passes
+    * the registered timestamp, i.e. lazily on the next micro-batch.
+    */
+  def streamingFunnelExpiring(events: Dataset[Ev]): Dataset[UserFunnel] = {
+    val stages = graft.queries.TimeSeries.FunnelStages
+    val idx = stages.zipWithIndex.toMap
+    val W = graft.queries.TimeSeries.FunnelWindowMicros
+    val last = stages.length
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc   = Encoders.product[UserFunnel]
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    events
+      .filter(e => idx.contains(e.event_type))
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // deadline passed: emit the final depth once (if the user
+            // ever entered the funnel) and drop the state
+            val fin = state.get
+            state.remove()
+            if (fin.reached >= 1) Iterator.single(UserFunnel(user, fin.reached))
+            else Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+            val sorted = evs.toArray.sortBy(e => (micros(e.ts), idx(e.event_type)))
+            val next = sorted.foldLeft(prev) { (acc, e) =>
+              val tu = micros(e.ts)
+              val st = idx(e.event_type)
+              if (acc.reached == 0 && st == 0) FunnelState(1, tu, tu)
+              else if (acc.reached >= 1 && acc.reached < last && st == acc.reached &&
+                  tu > acc.tlast && tu <= acc.t1 + W)
+                FunnelState(acc.reached + 1, tu, acc.t1)
+              else acc
+            }
+            state.update(next)
+            // anchored users expire at their own deadline; never-signed-up
+            // users expire as soon as the watermark passes their last
+            // event (their chain can only start from a FUTURE signup,
+            // which would re-create state)
+            val expireAtMicros =
+              if (next.reached >= 1) next.t1 + W
+              else sorted.lastOption.map(e => micros(e.ts)).getOrElse(0L) + 1L
+            // a timeout timestamp at or below the current watermark is
+            // rejected by Spark — clamp for users whose deadline was
+            // already in the past when their (late) events arrived
+            state.setTimeoutTimestamp(
+              math.max(expireAtMicros / 1000L, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   final case class KeyDistinct(key: String, n_kept: Long, approx_distinct: Double)
 
   /** Streaming distinct-count per key with BOUNDED state: the KMV

@@ -199,6 +199,36 @@ class AggregatorSpec extends AnyFunSuite {
     assert(all == Set((1L, 2), (1L, 4)), s"got $all")
   }
 
+  test("streamingFunnelExpiring: state expires at the deadline, final depth emitted once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, u: Long, et: String) =
+      StatefulOps.Ev(id, Timestamp.valueOf(t), u, et, 0.0)
+    val input = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.streamingFunnelExpiring(
+        input.toDS().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("funnel_exp").outputMode("update").start()
+    // u1 enters the funnel (depth 2); u3 has events but never signs up
+    input.addData(
+      ev(1, "2024-01-01 09:00:00", 1, "signup"),
+      ev(2, "2024-01-01 09:10:00", 1, "view"),
+      ev(3, "2024-01-01 09:00:00", 3, "view"))
+    q.processAllAvailable()
+    // watermark jumps past u1's 72h deadline (2024-01-04 09:00)
+    input.addData(ev(4, "2024-01-10 00:00:00", 9, "signup"))
+    q.processAllAvailable()
+    // one more batch so the timeout (evaluated against the advanced
+    // watermark) actually fires
+    input.addData(ev(5, "2024-01-10 00:00:01", 9, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_exp").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("reached"))).toSeq
+    // exactly one final row for u1 at its frozen depth; u3 expired
+    // silently (never in the funnel); u9 is still live (no row)
+    assert(rows == Seq((1L, 2)), s"got ${rows.toList}")
+  }
+
   test("TopKAggregator: bounded buffer, tie-break on smaller id, merge keeps global best") {
     val a = new graft.functions.TopKAggregator(3)
     val fed = Seq((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.7, 2L))
