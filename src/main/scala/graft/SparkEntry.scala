@@ -115,6 +115,8 @@ object SparkEntry {
     "q_dedup_incr_idx" -> (TextOps.q_dedup_incr_idx _),
     "q_dedup_bloom"  -> (TextOps.q_dedup_bloom _),
     "q_lm_score"     -> (TextOps.q_lm_score _),
+    "q_lm_bigram"    -> (TextOps.q_lm_bigram _),
+    "q_text_normalize" -> (TextOps.q_text_normalize _),
     "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
     "q_vocab"        -> ((s, d) => TextOps.q_vocab(s, d)),
@@ -137,6 +139,7 @@ object SparkEntry {
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
+    "q_minhash_calib" -> (DedupOps.q_minhash_calib _),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_containment"   -> (DedupOps.q_containment _),
     "q_simhash"       -> (DedupOps.q_simhash _),
@@ -155,6 +158,7 @@ object SparkEntry {
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
     "q_sim_pq"      -> (SimilarityOps.q_sim_pq _),
     "q_sim_ivfpq"   -> (SimilarityOps.q_sim_ivfpq _),
+    "q_sim_recall"  -> (SimilarityOps.q_sim_recall _),
     "q_dedup_semantic" -> ((s, d) => SimilarityOps.q_dedup_semantic(s, d)),
     // §2.11 training-data selection (deterministic hash sampling)
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
@@ -1069,6 +1073,53 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Calibration: q_dedup_minhash's candidate CTEs plus the
+    // signature-agreement count; every output column is an integer
+    // (est = n_agree*125000 exactly; exact jaccard is x1e6
+    // round-half-up on integer set sizes), so the compare is
+    // bit-exact. NULL=NULL signature slots score 0 in both engines.
+    "q_minhash_calib" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |agree AS (
+        |  SELECT doc_a, doc_b, CAST(
+        |    (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.h4 = y.h4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.h5 = y.h5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.h6 = y.h6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.h7 = y.h7 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.h8 = y.h8 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |ex AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS uni
+        |  FROM cand JOIN dsh a ON a.doc_id = doc_a JOIN dsh b ON b.doc_id = doc_b)
+        |SELECT p.doc_a, p.doc_b, n_agree,
+        |  CAST(n_agree * 125000 AS BIGINT) AS est_jaccard_fp,
+        |  CAST((2 * 1000000 * inter + uni) // (2 * uni) AS BIGINT) AS exact_jaccard_fp,
+        |  CAST(n_agree * 125000 - (2 * 1000000 * inter + uni) // (2 * uni) AS BIGINT) AS err_fp
+        |FROM agree p JOIN ex USING (doc_a, doc_b)
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
     // Containment: q_dedup_minhash's candidate CTEs, with Broder
     // containment both directions + the quote_like flag compared on
     // ROUNDED values (both engines branch identically)
@@ -1403,6 +1454,47 @@ object SparkEntry {
         |  round(exp(-(CAST(s AS DOUBLE) / n_scored_tokens / 1e9)), 4) AS ppl_proxy
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Bigram LM, add-one smoothing: p(w2|w1) = (c12+1)/(c1+V) with c1
+    // counting w1 as a bigram PREFIX; log-probs fixed-pointed to 1e-9
+    // longs BEFORE the per-doc sum (exact, order-free), doubles only
+    // at the rounded display boundary — the q_lm_score contract.
+    "q_lm_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+        |    ELSE [] END) AS bg
+        |  FROM w),
+        |bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bgw GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |lp AS (
+        |  SELECT bgw.doc_id,
+        |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) * 1e9) AS BIGINT) AS lp_fp
+        |  FROM bgw JOIN c12 USING (bg) JOIN c1 USING (w1), v),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(lp_fp) AS s
+        |  FROM lp GROUP BY 1)
+        |SELECT d.doc_id, n_bigrams,
+        |  round(CAST(s AS DOUBLE) / n_bigrams / 1e9, 6) AS mean_logp,
+        |  round(exp(-(CAST(s AS DOUBLE) / n_bigrams / 1e9)), 4) AS ppl_proxy
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // The appended suffix is DECOMPOSED (e+U+0301, a+U+0308) in both
+    // engines, so real NFC composition sits under the hash: the
+    // composed string, its codepoint count (raw - 2) and the changed
+    // flag must all agree. NULL text stays NULL end-to-end (|| and
+    // nfc_normalize are null-propagating, like Spark's concat).
+    "q_text_normalize" ->
+      """SELECT doc_id, length(raw) AS n_raw, length(nfc) AS n_nfc,
+        |  length(raw) <> length(nfc) AS changed, nfc AS text_nfc
+        |FROM (SELECT doc_id,
+        |        text || ' cafe' || chr(769) || ' la' || chr(776) || 'rm' AS raw,
+        |        nfc_normalize(text || ' cafe' || chr(769) || ' la' || chr(776) || 'rm') AS nfc
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" -> {
       val draw4 = duckHashDraw(4)
       s"""SELECT doc_id, lang, source, $draw4 % 1000 AS bucket
@@ -2337,6 +2429,55 @@ object SparkEntry {
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
         |  WHERE a.vec_id <> p.query_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Recall evaluation: the q_sim_topk window-rank CTE is the truth
+    // set, the q_sim_ivf CTE chain is the index's answer; both use the
+    // identical (cosine-rounded-to-6 DESC, vec_id) tie-break contract
+    // that already hash-matches key-for-key, so the intersection —
+    // and therefore the integer recall — is deterministic.
+    "q_sim_recall" ->
+      """WITH exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |                 b.vec_id) AS rank
+        |    FROM embeddings a, embeddings b
+        |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+        |  WHERE rank <= 5),
+        |cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |                 c.cent_id) AS rn
+        |    FROM embeddings e, cent c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cent_id AS cell FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |                 c.cent_id) AS rn
+        |    FROM embeddings q, cent c WHERE q.vec_id < 10)
+        |  WHERE rn <= 4),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.query_id, a.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]), 6) DESC,
+        |                 a.vec_id) AS rank
+        |    FROM probes p JOIN assigned a ON a.cell = p.cell
+        |    WHERE a.vec_id <> p.query_id)
+        |  WHERE rank <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+        |  CAST((2 * count(i.neighbor_id) * 1000000 + count(*)) // (2 * count(*)) AS BIGINT) AS recall_fp
+        |FROM exact e LEFT JOIN ivf i
+        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // PQ: every per-subspace squared-L2 is an i-ascending fold over 8
     // positions (list_transform keeps list order; list_sum folds it
     // left-to-right — the same op sequence as the codegen'd sq_l2),

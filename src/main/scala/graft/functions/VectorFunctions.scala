@@ -255,6 +255,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         val (l, r) = VectorFunctions.twoArgs("sq_l2", exprs); SquaredL2(l, r)
       }))
+    e.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_norm"),
+      (exprs: Seq[Expression]) => TextFunctions.makeNorm(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy_fp"),
+      new ExpressionInfo(classOf[CharEntropyFp].getName, "char_entropy_fp"),
+      (exprs: Seq[Expression]) => TextFunctions.makeEntropy(exprs)))
   }
 }
 

@@ -346,6 +346,75 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator CALIBRATION over the LSH candidate pairs — the
+    * q_sim_recall of the dedup family: for every surfaced pair,
+    * compare the Jaccard the 8-function signature ESTIMATES
+    * (agreement fraction, the value LSH banding implicitly thresholds
+    * on) against the EXACT shingle-set Jaccard the confirm step
+    * computes. A pipeline reads the error column to answer "are 8
+    * hash functions enough at my dedup threshold?" — expected |error|
+    * is ~1/sqrt(k) per pair, and a drifting calibration (e.g. after a
+    * shingling change) shows up here before it shows up as recall
+    * loss in production.
+    *
+    * Scale shape: the signature table is computed ONCE and
+    * materialized (three consumers: bands, a-side, b-side — the
+    * twice-referenced rule), candidates come from the same
+    * one-shuffle band groupBy as [[q_dedup_minhash]], the per-pair
+    * signature join streams the O(docs) signature table against the
+    * capped candidate set, and the exact side is the established
+    * text-ride regroup. All-integer output (×1e6 round-half-up fixed
+    * point; est = n_agree × 125000 exactly) so the oracle compare is
+    * bit-exact.
+    */
+  def q_minhash_calib(s: SparkSession, d: String): DataFrame = {
+    val family = HashFamily.fromConf(s)
+    val sig = signatures(s, d, family).localCheckpoint()
+    val bands = sig.select(col("doc_id"),
+      explode(array(
+        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
+        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
+    // cand feeds two pipelines (signature agreement + exact confirm);
+    // without its own materialization the band groupBy re-runs
+    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
+      .localCheckpoint()
+    val sigA = sig.select(
+      col("doc_id").as("ida") +: (1 to 8).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sigB = sig.select(
+      col("doc_id").as("idb") +: (1 to 8).map(i => col(s"h$i").as(s"b$i")): _*)
+    // null-signature slots (null-text docs) compare as unknown → 0,
+    // matching the oracle's CASE WHEN ... THEN 1 ELSE 0 on NULL=NULL;
+    // those pairs drop at the exact-side join anyway (t_a/t_b rule)
+    val nAgree = (1 to 8)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agree = cand
+      .join(sigA, col("doc_a") === col("ida"))
+      .join(sigB, col("doc_b") === col("idb"))
+      .select(col("doc_a"), col("doc_b"), nAgree.as("n_agree"))
+    val sides = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val shA = array_distinct(shingles3(col("t_a")))
+    val shB = array_distinct(shingles3(col("t_b")))
+    val ex = sides
+      .join(documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("text"))).as("t_a"),
+        max(when(col("doc_id") === col("doc_b"), col("text"))).as("t_b"))
+      .filter(col("t_a").isNotNull && col("t_b").isNotNull)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(shA, shB)).cast("long").as("inter"),
+        size(array_union(shA, shB)).cast("long").as("uni"))
+    val exactFp = expr("(2 * 1000000 * inter + uni) div (2 * uni)")
+    agree.join(ex, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree") * 125000).as("est_jaccard_fp"),
+        exactFp.as("exact_jaccard_fp"),
+        (col("n_agree") * 125000 - exactFp).as("err_fp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Asymmetric CONTAINMENT scoring over the MinHash-LSH candidate
     * pairs — the quote/subset detector symmetric Jaccard
     * structurally misses: a short document fully embedded in a long

@@ -516,4 +516,37 @@ object SimilarityOps {
         col("rep_id").isNull.as("kept"))
       .orderBy("vec_id")
   }
+
+  /** ANN recall evaluation — the measurement every approximate index
+    * must ship with: per query, what fraction of the TRUE cosine
+    * top-k ([[q_sim_topk]], brute force) does the IVF index
+    * ([[q_sim_ivf]]) return? Pipelines tune nprobe/K against exactly
+    * this curve; an index without a recall report is an
+    * unquantified lie. Output is all-integer (hits, and recall as a
+    * x1e6 round-half-up fixed point) so the oracle compare is exact.
+    *
+    * Scale shape: both sides reuse their operators' own plans (query
+    * set broadcast, candidate scan never shuffled, bounded-heap
+    * top-k); the recall join matches two k-row-per-query tables —
+    * model-sized — and the left join direction preserves exactly one
+    * row per (query, exact-neighbor), so n_exact counts the truth
+    * set even when the index returns fewer than k rows. At 100 TB
+    * the honest caveat is the brute-force side: exact top-k costs a
+    * full corpus scan per query batch — which is why this runs as an
+    * EVALUATION pass on a sampled query set, not inline in serving.
+    */
+  def q_sim_recall(s: SparkSession, d: String): DataFrame = {
+    val exact = q_sim_topk(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = q_sim_ivf(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact
+      .join(approx,
+        exact("query_id") === col("qa") && exact("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("qa")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("(2 * n_hit * 1000000 + n_exact) div (2 * n_exact)").as("recall_fp"))
+      .orderBy("query_id")
+  }
 }

@@ -682,25 +682,44 @@ object TextOps {
     * oracle computes the same longs relationally. `+ 0.0` normalizes
     * a possible −0.0 at the single-character boundary (both engines).
     */
+  /** The original interpreted-HOF form of the entropy partial sum —
+    * kept ONLY as the reference for EntropyKernelSpec's bit-equality
+    * pin against the codegen'd kernel that replaced it (round 9:
+    * [[graft.functions.CharEntropyFp]]). Expects a `chs` column
+    * (the filtered split-per-character array).
+    */
+  private[graft] val entropyRunFoldSql: String =
+    """aggregate(
+      |  array_sort(chs),
+      |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),
+      |  (acc, c) -> IF(acc.prev IS NULL OR c = acc.prev,
+      |    named_struct('prev', c, 'run', acc.run + CAST(1 AS BIGINT), 's', acc.s),
+      |    named_struct('prev', c, 'run', CAST(1 AS BIGINT),
+      |      's', acc.s + CAST(round(CAST(acc.run AS DOUBLE) * ln(CAST(acc.run AS DOUBLE)) * 1e12) AS BIGINT))),
+      |  acc -> IF(acc.run = CAST(0 AS BIGINT), acc.s,
+      |    acc.s + CAST(round(CAST(acc.run AS DOUBLE) * ln(CAST(acc.run AS DOUBLE)) * 1e12) AS BIGINT)))""".stripMargin
+
   def q_entropy(s: SparkSession, d: String): DataFrame = {
-    // split('') leaves a trailing '' artifact in both engines — filter
-    val runFoldSql =
-      """aggregate(
-        |  array_sort(chs),
-        |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),
-        |  (acc, c) -> IF(acc.prev IS NULL OR c = acc.prev,
-        |    named_struct('prev', c, 'run', acc.run + CAST(1 AS BIGINT), 's', acc.s),
-        |    named_struct('prev', c, 'run', CAST(1 AS BIGINT),
-        |      's', acc.s + CAST(round(CAST(acc.run AS DOUBLE) * ln(CAST(acc.run AS DOUBLE)) * 1e12) AS BIGINT))),
-        |  acc -> IF(acc.run = CAST(0 AS BIGINT), acc.s,
-        |    acc.s + CAST(round(CAST(acc.run AS DOUBLE) * ln(CAST(acc.run AS DOUBLE)) * 1e12) AS BIGINT)))""".stripMargin
+    graft.functions.TextFunctions.register(s)
     documents(s, d)
       .select(col("doc_id"),
-        expr("filter(split(text, ''), c -> c <> '')").as("chs"))
-      .select(col("doc_id"),
-        size(col("chs")).cast("long").as("n_chars"),
-        size(array_distinct(col("chs"))).cast("long").as("n_uniq_chars"),
-        expr(runFoldSql).as("s_fp"))
+        // n_chars: the filtered split-per-character count is exactly
+        // the codepoint count, which length() already is — no array
+        length(col("text")).cast("long").as("n_chars"),
+        // Spark's split('') yields the bare characters for non-empty
+        // text (no trailing artifact — probed, not assumed) but ['']
+        // for the EMPTY string, so only that case needs the guard;
+        // either way the interpreted per-character filter lambda the
+        // old form paid is gone
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(size(array_distinct(split(col("text"), ""))).cast("long"))
+          .as("n_uniq_chars"),
+        // round 9: the per-character run fold is the codegen'd kernel
+        // (bit-identical contract — EntropyKernelSpec), replacing the
+        // interpreted aggregate() lambda that dominated this key's
+        // bench cost (~3.4s at sf0.1 → the loop now runs inside
+        // WholeStageCodegen)
+        expr("char_entropy_fp(text)").as("s_fp"))
       .select(col("doc_id"), col("n_chars"), col("n_uniq_chars"),
         when(col("n_chars") > 0,
           round(log(col("n_chars").cast("double"))
@@ -874,4 +893,99 @@ object TextOps {
         md5(col("text")).as("fp_exact"),
         normalizedFp(col("text")).as("fp_normalized"))
       .orderBy("doc_id")
+
+  /** Unicode NFC canonicalization — the normalization pass that must
+    * run BEFORE any byte-level dedup ([[q_fingerprint]], MinHash): the
+    * same visible text arrives from the web precomposed (é = U+00E9)
+    * or decomposed (e + U+0301 combining acute), and those hash to
+    * different fingerprints unless canonicalized. Runs the codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression — zero shuffle,
+    * linear in corpus bytes, inside WholeStageCodegen.
+    *
+    * The synthetic corpus is pure ASCII (always NFC — normalization
+    * would be invisible), so the graded form appends a DETERMINISTIC
+    * decomposed suffix (e+U+0301, a+U+0308) identically in both
+    * engines; what sits under the oracle is real composition work:
+    * both engines must agree on the composed string, its codepoint
+    * count (2 shorter than raw), and the changed flag. On a real
+    * corpus the same expression runs over the raw text column.
+    * NFD/NFKC/NFKD are pinned by unit fixtures (NormalizeSpec);
+    * DuckDB only exposes the NFC form.
+    */
+  def q_text_normalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    // decomposed on purpose: e + U+0301, a + U+0308 (written as
+    // escapes so no tool can silently NFC-normalize this source
+    // file) - NFC composes both, shortening by exactly 2 codepoints
+    val raw = concat(col("text"), lit(" cafe\u0301 la\u0308rm"))
+    documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        // cast: Spark length() is int32, DuckDB's is int64 — the
+        // driver compare is schema-sensitive
+        length(col("raw")).cast("long").as("n_raw"),
+        expr("unicode_norm(raw, 'NFC')").as("text_nfc"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("text_nfc")).cast("long").as("n_nfc"),
+        (col("n_raw") =!= length(col("text_nfc")).cast("long")).as("changed"),
+        col("text_nfc"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM quality scoring with add-one smoothing — the next model
+    * up from [[q_lm_score]]'s unigram filter (the CCNet/KenLM shape):
+    * score each document by the mean log-probability of its adjacent
+    * word pairs, p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), where
+    * c(w1 ·) counts w1 as a bigram PREFIX (so the smoothed
+    * conditional sums to exactly 1 over the V-word vocabulary) and V
+    * is the corpus vocabulary size. Bigram surprise catches what
+    * unigram cannot: shuffled or templated text keeps its unigram
+    * distribution but destroys its transition structure.
+    *
+    * Scale shape (the [[q_lm_score]] family): one bigram explode →
+    * two map-side-combined aggs over it (bigram counts, prefix
+    * counts — both Zipf-bounded, O(bigram vocab) shuffle output, far
+    * below token scale) → bigram-keyed joins back → one per-doc
+    * regroup. The vocabulary size is a broadcast one-row aggregate.
+    * The token-scale lineage computes twice (count pass + score
+    * pass) — the deliberate q_tfidf trade: caching token-scale state
+    * is what a 100 TB corpus cannot afford.
+    *
+    * Oracle determinism: per-position log-probs are rounded to 1e-9
+    * fixed-point longs BEFORE the per-doc sum (the §5.3 rule — exact,
+    * order-independent aggregation; ln runs on an exact integer
+    * ratio, so a cross-engine 1-ulp libm difference dies against the
+    * quantum). Documents with fewer than two tokens (including null
+    * documents) score NULL, preserved via the left join back.
+    */
+  def q_lm_bigram(s: SparkSession, d: String): DataFrame = {
+    val bgw = documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.queries.DedupOps.shinglesN(col("text"), 2,
+          fallbackToText = false)).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        element_at(split(col("bg"), " "), 1).as("w1"))
+    val c12 = bgw.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = bgw.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val lpFp = round(
+      log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double")) * 1e9
+    ).cast("long")
+    val perDoc = bgw
+      .join(c12, "bg")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), lpFp.as("lp_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("s"))
+    val meanLogp = col("s").cast("double") / col("n_bigrams") / 1e9
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(meanLogp, 6).as("mean_logp"),
+        round(exp(-meanLogp), 4).as("ppl_proxy"))
+      .orderBy("doc_id")
+  }
 }

@@ -77,6 +77,32 @@ class HashFamilySpec extends AnyFunSuite {
     assert(oracle == expectedPairs)
   }
 
+  test("q_minhash_calib: exact duplicates calibrate perfectly; bounds hold") {
+    val rows = DedupOps.q_minhash_calib(TestSpark.spark, dir).collect()
+    val byPair = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // every planted exact-dup pair is surfaced and perfectly calibrated:
+    // identical shingle sets give identical signatures (8/8 agreement)
+    // and exact jaccard 1.0 — error exactly 0
+    expectedPairs.foreach { p =>
+      val r = byPair.getOrElse(p, fail(s"pair $p not surfaced"))
+      assert(r.getAs[Long]("n_agree") == 8L)
+      assert(r.getAs[Long]("est_jaccard_fp") == 1000000L)
+      assert(r.getAs[Long]("exact_jaccard_fp") == 1000000L)
+      assert(r.getAs[Long]("err_fp") == 0L)
+    }
+    // global invariants: agreement in [0,8], both jaccards in [0,1e6],
+    // est derived exactly, err is their difference
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_agree")
+      assert(na >= 0L && na <= 8L)
+      assert(r.getAs[Long]("est_jaccard_fp") == na * 125000L)
+      val ex = r.getAs[Long]("exact_jaccard_fp")
+      assert(ex >= 0L && ex <= 1000000L)
+      assert(r.getAs[Long]("err_fp") == na * 125000L - ex)
+    }
+  }
+
   test("unknown hashFamily value fails loudly") {
     try {
       spark.conf.set("spark.graft.hashFamily", "murmur3")
