@@ -516,14 +516,20 @@ object GraphOps {
     * undirected edge lists, long columns).
     */
   private[graft] def edgeJaccard(e: DataFrame, topN: Int = 5000): DataFrame = {
-    val (deg, tris) = triangleParts(e)
+    // e is referenced twice — triangleParts' symmetric view AND the
+    // final per-edge score join — and for the public key its lineage
+    // is the lineitem self-join + two distincts; without this
+    // materialization that whole subtree computed twice (found by the
+    // round-9 bench: 15.2s, ~2x the triangles key on the same graph)
+    val eD = e.localCheckpoint()
+    val (deg, tris) = triangleParts(eD)
     val pairCounts = tris.select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
         struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    e.join(pairCounts, Seq("a", "b"), "left")
+    eD.join(pairCounts, Seq("a", "b"), "left")
       .join(broadcast(deg.select(col("node").as("a"), col("deg").as("deg_a"))), Seq("a"))
       .join(broadcast(deg.select(col("node").as("b"), col("deg").as("deg_b"))), Seq("b"))
       .select(col("a"), col("b"),
@@ -565,7 +571,9 @@ object GraphOps {
     * hand-built-graph tests (`a < b` distinct undirected edge lists).
     */
   private[graft] def edgeAdamicAdar(e: DataFrame, topN: Int = 5000): DataFrame = {
-    val (deg, tris) = triangleParts(e)
+    // same twice-referenced-e materialization as edgeJaccard
+    val eD = e.localCheckpoint()
+    val (deg, tris) = triangleParts(eD)
     val terms = tris.select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
           col("w").as("c")),
@@ -579,7 +587,7 @@ object GraphOps {
         round(lit(1e9) / log(col("deg_c"))).cast("long").as("term"))
     val pairScores = terms.groupBy("a", "b")
       .agg(count(lit(1)).as("common"), sum(col("term")).as("aa_fp"))
-    e.join(pairScores, Seq("a", "b"), "left")
+    eD.join(pairScores, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("common"), lit(0L)).as("common"),
         coalesce(col("aa_fp"), lit(0L)).as("aa_fp"))
