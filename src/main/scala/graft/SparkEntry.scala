@@ -116,6 +116,8 @@ object SparkEntry {
     "q_dedup_bloom"  -> (TextOps.q_dedup_bloom _),
     "q_lm_score"     -> (TextOps.q_lm_score _),
     "q_lm_bigram"    -> (TextOps.q_lm_bigram _),
+    "q_quality_ablation" -> (TextOps.q_quality_ablation _),
+    "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_text_normalize" -> (TextOps.q_text_normalize _),
     "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
@@ -1454,6 +1456,62 @@ object SparkEntry {
         |  round(exp(-(CAST(s AS DOUBLE) / n_scored_tokens / 1e9)), 4) AS ppl_proxy
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // PMI collocations: positional marginals over the bigram corpus,
+    // one ln on an exact integer ratio quantized at 1e-9; top-100
+    // under the (pmi_fp DESC, bigram) total order
+    "q_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+        |    ELSE [] END) AS bg
+        |  FROM w),
+        |bgw AS (SELECT bg, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bg),
+        |c12 AS (SELECT bg, w1, w2, count(*) AS c12 FROM bgw GROUP BY 1, 2, 3),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY 1),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM bgw GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM bgw)
+        |SELECT bg AS bigram, c12, c1, c2,
+        |  CAST(round(ln(CAST(c12 * n AS DOUBLE) / (c1 * c2)) * 1e9) AS BIGINT) AS pmi_fp
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+        |WHERE c12 >= 5
+        |ORDER BY pmi_fp DESC, bigram LIMIT 100""".stripMargin,
+    // Ablation: per-doc pass flags (ratio rules by integer
+    // cross-multiplication, composite on the rounded score, nulls
+    // fail everything) -> one counter row -> 4 literal rows
+    "q_quality_ablation" -> {
+      val q = duckQualityScore
+      s"""WITH f AS (
+         |  SELECT
+         |    coalesce(len(w) BETWEEN 20 AND 1000, false) AS p1,
+         |    coalesce(len(list_filter(w, x -> x IN ('the','a','of','and'))) * 100 >= len(w) * 3, false) AS p2,
+         |    coalesce((len(w) - len(list_distinct(w))) * 10 <= len(w) * 6, false) AS p3,
+         |    coalesce(($q) >= 0.45, false) AS p4
+         |  FROM (SELECT text, string_split(text,' ') AS w FROM documents)),
+         |a AS (SELECT
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         |  CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+         |  CAST(sum(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+         |  CAST(sum(CASE WHEN NOT p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS fo1,
+         |  CAST(sum(CASE WHEN p1 AND NOT p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS fo2,
+         |  CAST(sum(CASE WHEN p1 AND p2 AND NOT p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS fo3,
+         |  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS fo4,
+         |  CAST(sum(CASE WHEN p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS sw1,
+         |  CAST(sum(CASE WHEN p1 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS sw2,
+         |  CAST(sum(CASE WHEN p1 AND p2 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS sw3,
+         |  CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS sw4,
+         |  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS survivors_all
+         |  FROM f)
+         |SELECT rule, n_fail, n_fail_alone, survivors_without_rule, n_docs, survivors_all
+         |FROM (
+         |  SELECT 'min_length' AS rule, f1 AS n_fail, fo1 AS n_fail_alone, sw1 AS survivors_without_rule, n_docs, survivors_all FROM a
+         |  UNION ALL SELECT 'stopwords', f2, fo2, sw2, n_docs, survivors_all FROM a
+         |  UNION ALL SELECT 'dup_words', f3, fo3, sw3, n_docs, survivors_all FROM a
+         |  UNION ALL SELECT 'quality', f4, fo4, sw4, n_docs, survivors_all FROM a)
+         |ORDER BY rule""".stripMargin
+    },
     // Bigram LM, add-one smoothing: p(w2|w1) = (c12+1)/(c1+V) with c1
     // counting w1 as a bigram PREFIX; log-probs fixed-pointed to 1e-9
     // longs BEFORE the per-doc sum (exact, order-free), doubles only

@@ -894,6 +894,120 @@ object TextOps {
         normalizedFp(col("text")).as("fp_normalized"))
       .orderBy("doc_id")
 
+  /** Collocation mining by pointwise mutual information — the phrase
+    * detector that feeds tokenizer and vocabulary decisions (Mikolov
+    * et al.'s word2vec phrase pass uses exactly this statistic): for
+    * every adjacent word pair seen ≥ 5 times,
+    * PMI = ln(c12·N / (c1·c2)) with positional marginals (c1 = the
+    * first word's count in first position, c2 = the second word's in
+    * second position, N = total bigram positions) so the probability
+    * model is self-consistent over the bigram corpus. High-PMI pairs
+    * co-occur far above chance — merge candidates for a phrase-aware
+    * vocab; the min-count floor kills the noise PMI famously
+    * amplifies on rare pairs.
+    *
+    * Scale shape ([[q_lm_bigram]] family): one bigram explode, three
+    * map-side-combined aggs (pair / first-marginal / second-marginal
+    * — all Zipf-bounded), marginals joined back on the word keys, N
+    * broadcast. The long products c12·N and c1·c2 stay below 2^53
+    * for any corpus this runs on whole (beyond that, shard the count
+    * tables and subtract logs instead); ONE IEEE division + ln on
+    * exact integers, quantized at 1e-9 (the §5.3 rule), so the
+    * top-100 cut under (pmi_fp DESC, bigram) is deterministic
+    * cross-engine.
+    */
+  def q_collocations(s: SparkSession, d: String, minCount: Int = 5,
+                     topN: Int = 100): DataFrame = {
+    val bgw = documents(s, d)
+      .select(explode(graft.queries.DedupOps.shinglesN(col("text"), 2,
+        fallbackToText = false)).as("bg"))
+      .select(col("bg"),
+        element_at(split(col("bg"), " "), 1).as("w1"),
+        element_at(split(col("bg"), " "), 2).as("w2"))
+    val c12 = bgw.groupBy("bg", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bgw.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bgw.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val n = bgw.agg(count(lit(1)).as("n"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bg").as("bigram"), col("c12"), col("c1"), col("c2"),
+        round(log((col("c12") * col("n")).cast("double") /
+          (col("c1") * col("c2")).cast("double")) * 1e9).cast("long")
+          .as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  /** Quality-rule ABLATION report — the "which filter is doing the
+    * work" table a pipeline reads before tuning its gate stack: for
+    * each rule, how many documents fail it, how many fail it ALONE
+    * (the rule's marginal kill set — removable without reviewing the
+    * rest), and how many documents would survive if only the OTHER
+    * rules ran (the rule's marginal contribution to the survivor
+    * set). Rules are the corpus's own quality dimensions, thresholds
+    * chosen by measurement so each is non-degenerate here (the
+    * punctuation rule of the Gopher stack is omitted: this corpus
+    * carries zero punctuation, so it would kill nothing):
+    *   min_length  — 20 ≤ words ≤ 1000
+    *   stopwords   — stopword count ≥ 3% of words
+    *   dup_words   — duplicated-word fraction ≤ 0.6
+    *   quality     — composite [[qualityScore]] ≥ 0.45 (the q_dsir
+    *                 target-slice threshold)
+    * Null documents fail every rule (coalesce to false — a gate that
+    * passes nulls is a bug, and both engines must branch identically
+    * on it).
+    *
+    * Oracle determinism: the ratio rules compare by integer
+    * CROSS-MULTIPLICATION (stop·100 ≥ words·3; (words−distinct)·10 ≤
+    * words·6) — no division anywhere near a threshold; the composite
+    * rule compares the already-rounded-to-10 score. Scale shape: ONE
+    * corpus scan computing four booleans per row, one
+    * map-side-combined aggregation to a single row of counters, and
+    * a 4-row literal explode — shuffle volume is one row of longs
+    * regardless of corpus size.
+    */
+  def q_quality_ablation(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nW = size(words).cast("long")
+    val nStop = size(filter(words, w =>
+      w === "the" || w === "a" || w === "of" || w === "and")).cast("long")
+    val nDist = size(array_distinct(words)).cast("long")
+    val p1 = coalesce(nW >= 20 && nW <= 1000, lit(false))
+    val p2 = coalesce(nStop * 100 >= nW * 3, lit(false))
+    val p3 = coalesce((nW - nDist) * 10 <= nW * 6, lit(false))
+    val p4 = coalesce(qualityScore(col("text")) >= 0.45, lit(false))
+    val flags = documents(s, d)
+      .select(p1.as("p1"), p2.as("p2"), p3.as("p3"), p4.as("p4"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val a = flags.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(!col("p1")).as("f1"), cnt(!col("p2")).as("f2"),
+      cnt(!col("p3")).as("f3"), cnt(!col("p4")).as("f4"),
+      cnt(!col("p1") && col("p2") && col("p3") && col("p4")).as("fo1"),
+      cnt(col("p1") && !col("p2") && col("p3") && col("p4")).as("fo2"),
+      cnt(col("p1") && col("p2") && !col("p3") && col("p4")).as("fo3"),
+      cnt(col("p1") && col("p2") && col("p3") && !col("p4")).as("fo4"),
+      cnt(col("p2") && col("p3") && col("p4")).as("sw1"),
+      cnt(col("p1") && col("p3") && col("p4")).as("sw2"),
+      cnt(col("p1") && col("p2") && col("p4")).as("sw3"),
+      cnt(col("p1") && col("p2") && col("p3")).as("sw4"),
+      cnt(col("p1") && col("p2") && col("p3") && col("p4")).as("survivors_all"))
+    def row(name: String, i: Int) = struct(
+      lit(name).as("rule"), col(s"f$i").as("n_fail"),
+      col(s"fo$i").as("n_fail_alone"), col(s"sw$i").as("survivors_without_rule"))
+    a.select(
+        explode(array(
+          row("dup_words", 3), row("min_length", 1),
+          row("quality", 4), row("stopwords", 2))).as("r"),
+        col("n_docs"), col("survivors_all"))
+      .select(col("r.rule").as("rule"), col("r.n_fail").as("n_fail"),
+        col("r.n_fail_alone").as("n_fail_alone"),
+        col("r.survivors_without_rule").as("survivors_without_rule"),
+        col("n_docs"), col("survivors_all"))
+      .orderBy("rule")
+  }
+
   /** Unicode NFC canonicalization — the normalization pass that must
     * run BEFORE any byte-level dedup ([[q_fingerprint]], MinHash): the
     * same visible text arrives from the web precomposed (é = U+00E9)

@@ -113,6 +113,65 @@ class NormalizeSpec extends AnyFunSuite {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(2))
   }
 
+  test("q_quality_ablation: planted per-rule failures and internal identities") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ablate-docs").toString
+    // 48 words, 8 stopwords: quality = .4*(8/48)+.3*.48+.3 = 0.511 ≥ .45
+    val good = "the a of and the a of and " +
+      (1 to 40).map(i => s"w$i").mkString(" ")                           // passes all
+    val short = "the a of and w1"                                        // fails min_length only
+    val nostop = (1 to 30).map(i => s"w$i").mkString(" ")                // fails stopwords (+quality)
+    val dup = "the a of and " + Seq.fill(40)("x").mkString(" ")          // fails dup_words
+    Seq(
+      (0L, Option(good)), (1L, Option(good)),
+      (2L, Option(short)),
+      (3L, Option(nostop)),
+      (4L, Option(dup)),
+      (5L, Option.empty[String]))                                        // null fails all
+      .map { case (id, t) => (id, t, "en", "src0", t.map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q_quality_ablation(spark, tmp).collect()
+      .map(r => r.getAs[String]("rule") -> r).toMap
+    assert(rows.keySet == Set("min_length", "stopwords", "dup_words", "quality"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 6)
+      assert(r.getAs[Long]("n_fail_alone") <= r.getAs[Long]("n_fail"))
+      // passing the other rules splits exactly into pass-all vs fail-only-this
+      assert(r.getAs[Long]("survivors_without_rule") -
+        r.getAs[Long]("survivors_all") == r.getAs[Long]("n_fail_alone"))
+    }
+    assert(rows("min_length").getAs[Long]("n_fail_alone") == 1) // doc 2
+    assert(rows("dup_words").getAs[Long]("n_fail") >= 1)        // doc 4 (+null)
+    assert(rows.values.head.getAs[Long]("survivors_all") == 2)  // docs 0, 1
+  }
+
+  test("q_collocations: planted collocation tops PMI, hand-checked") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("colloc-docs").toString
+    // "new york" always together (8x); filler words pair randomly-ish
+    val doc = "new york is a city a is new york is a a is new york " +
+      "new york a is new york is new york a new york"
+    Seq((0L, doc), (1L, "a is a is a is a is a is a is"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q_collocations(spark, tmp, minCount = 5, topN = 10).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getAs[String]("bigram") == "new york",
+      s"expected 'new york' on top, got ${top.getAs[String]("bigram")}")
+    // hand PMI: every "new"-first bigram is "new york" -> c12 == c1
+    val c12 = top.getAs[Long]("c12"); val c1 = top.getAs[Long]("c1")
+    val c2 = top.getAs[Long]("c2")
+    assert(c12 == c1)
+    val n = spark.read.parquet(s"$tmp/documents.parquet")
+      .select(explode(graft.queries.DedupOps.shinglesN(col("text"), 2,
+        fallbackToText = false))).count()
+    val pmi = math.round(math.log(c12.toDouble * n / (c1.toDouble * c2)) * 1e9)
+    assert(top.getAs[Long]("pmi_fp") == pmi)
+  }
+
   test("q_sim_recall: recall is the exact-vs-IVF intersection, fixed-point") {
     val exact = graft.queries.SimilarityOps.q_sim_topk(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

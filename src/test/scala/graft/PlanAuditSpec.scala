@@ -40,6 +40,25 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q_entropy/q_text_normalize stay on their codegen'd kernel expressions") {
+    // round 9: q_entropy's 3.4s -> 0.76s hangs on char_entropy_fp
+    // replacing the interpreted aggregate() HOF; a refactor that
+    // reintroduces the fold (or a UDF) would silently pay the
+    // per-character lambda again. Planning only.
+    def exprClasses(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case e => e.getClass.getSimpleName }).toSet
+    val ent = exprClasses(graft.queries.TextOps.q_entropy(spark, sf))
+    assert(ent.contains("CharEntropyFp"), s"kernel missing: $ent")
+    assert(!ent.contains("ArrayAggregate"),
+      "interpreted aggregate() HOF reappeared in q_entropy")
+    assert(!ent.contains("ArrayFilter"),
+      "interpreted filter() HOF reappeared in q_entropy")
+    val norm = exprClasses(graft.queries.TextOps.q_text_normalize(spark, sf))
+    assert(norm.contains("UnicodeNormalize"), s"kernel missing: $norm")
+  }
+
   test("iteration kernels keep their broadcast hints (rank/frontier joins stay BroadcastHashJoin)") {
     // r8 verdict #7: q_pagerank's 17.7s -> 3.5s fix hangs on one-line
     // broadcast() hints that a refactor could silently drop,
