@@ -91,6 +91,7 @@ object SparkEntry {
     "q_retention"    -> (TimeSeries.q_retention _),
     "q_funnel"       -> (TimeSeries.q_funnel _),
     "q_outliers"     -> (TimeSeries.q_outliers _),
+    "q_value_hist"   -> ((s, d) => TimeSeries.q_value_hist(s, d)),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
     "q_minhash_calib" -> (DedupOps.q_minhash_calib _),
+    "q_dedup_agreement" -> (DedupOps.q_dedup_agreement _),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_containment"   -> (DedupOps.q_containment _),
     "q_simhash"       -> (DedupOps.q_simhash _),
@@ -753,6 +755,22 @@ object SparkEntry {
         |    // (2 * first_value(n_users) OVER (ORDER BY stage_idx)) AS conv_first_fp
         |FROM n)
         |SELECT * FROM r WHERE n_users > 0 ORDER BY stage_idx""".stripMargin,
+    // 32 shared equi-width buckets over global [min,max] cents; all
+    // integer floor division on non-negative operands
+    "q_value_hist" ->
+      """WITH e AS (SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |       FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(c) AS min_c, max(c) AS max_c FROM e),
+        |g AS (SELECT event_type, (c - min_c) * 32 // (max_c - min_c + 1) AS bucket,
+        |        min_c, max_c
+        |      FROM e, b)
+        |SELECT event_type, bucket,
+        |  min_c + (bucket * (max_c - min_c + 1)) // 32 AS lo_c,
+        |  min_c + ((bucket + 1) * (max_c - min_c + 1)) // 32 - 1 AS hi_c,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY event_type, bucket, min_c, max_c
+        |ORDER BY event_type, bucket""".stripMargin,
     // median/MAD in exact integer cents; discrete lower medians via
     // the float-free 2*cum >= n cumulative-window form; every sum
     // CAST BIGINT (HUGEINT trap)
@@ -1120,6 +1138,45 @@ object SparkEntry {
         |  CAST(n_agree * 125000 - (2 * 1000000 * inter + uni) // (2 * uni) AS BIGINT) AS err_fp
         |FROM agree p JOIN ex USING (doc_a, doc_b)
         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Agreement: the q_dedup_minhash chain (sh/sig/bands/cand/dsh)
+    // and the q_dedup_simhash chain (w/h/v/s — disjoint CTE names by
+    // construction) full-outer joined on the pair key; flags are
+    // presence booleans, scores ride where computed.
+    "q_dedup_agreement" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |mh AS (
+        |  SELECT doc_a AS ma, doc_b AS mb,
+        |    round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / len(list_distinct(x.sset || y.sset)), 10) AS jaccard
+        |  FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b),
+        |$duckSimhashCtes,
+        |shp AS (
+        |  SELECT a.doc_id AS sa, b.doc_id AS sb,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1)
+        |SELECT coalesce(ma, sa) AS doc_a, coalesce(mb, sb) AS doc_b,
+        |  ma IS NOT NULL AS in_minhash, sa IS NOT NULL AS in_simhash,
+        |  jaccard, hamming
+        |FROM mh FULL OUTER JOIN shp ON ma = sa AND mb = sb
+        |ORDER BY doc_a, doc_b""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
     // Containment: q_dedup_minhash's candidate CTEs, with Broder

@@ -415,6 +415,38 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-family dedup DECISION AGREEMENT — the third leg of the
+    * evaluation set ([[graft.queries.SimilarityOps.q_sim_recall]]
+    * evaluates the ANN index, [[q_minhash_calib]] the estimator, this
+    * the decision layer): the full outer union of the MinHash-LSH
+    * pair set ([[q_dedup_minhash]], shingle-resemblance recall) and
+    * the SimHash banded pair set ([[q_dedup_simhash]], ≤1-bit
+    * word-set similarity), each pair flagged by which family
+    * surfaced it, carrying both scores where computed. A pipeline
+    * reads the disagreement rows before switching families or
+    * tightening thresholds: simhash-only pairs are word-set twins
+    * whose shingle orders diverge; minhash-only pairs share phrasing
+    * the bag-of-words sketch can't see.
+    *
+    * Scale shape: both inputs are the established one-band-shuffle
+    * pipelines; the agreement join matches two candidate-sized
+    * tables on (doc_a, doc_b) — output-driven, never corpus-driven.
+    */
+  def q_dedup_agreement(s: SparkSession, d: String): DataFrame = {
+    val mh = q_dedup_minhash(s, d)
+      .select(col("doc_a").as("ma"), col("doc_b").as("mb"), col("jaccard"))
+    val sh = q_dedup_simhash(s, d)
+      .select(col("doc_a").as("sa"), col("doc_b").as("sb"), col("hamming"))
+    mh.join(sh, col("ma") === col("sa") && col("mb") === col("sb"), "full_outer")
+      .select(
+        coalesce(col("ma"), col("sa")).as("doc_a"),
+        coalesce(col("mb"), col("sb")).as("doc_b"),
+        col("ma").isNotNull.as("in_minhash"),
+        col("sa").isNotNull.as("in_simhash"),
+        col("jaccard"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Asymmetric CONTAINMENT scoring over the MinHash-LSH candidate
     * pairs — the quote/subset detector symmetric Jaccard
     * structurally misses: a short document fully embedded in a long

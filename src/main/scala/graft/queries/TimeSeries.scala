@@ -258,4 +258,39 @@ object TimeSeries {
         expr("(2 * n_users * 1000000 + n_first) div (2 * n_first)").as("conv_first_fp"))
       .orderBy("stage_idx")
   }
+
+  /** Equi-width value histogram per event type — the mergeable
+    * monitoring summary behind every metrics dashboard (and the
+    * cheap first look before the exact percentile machinery of
+    * [[q_outliers]] runs): 32 shared buckets spanning the global
+    * value range, so per-type histograms are directly comparable and
+    * per-shard partials merge by bucket-wise addition (the
+    * sketch-family property — groupBy(type, bucket) IS the merge).
+    *
+    * All arithmetic is exact integer cents (the DECIMAL(18,2) money
+    * rule) and integer floor division on non-negative operands, so
+    * bucket assignment and edges are bit-identical cross-engine.
+    * Scale shape: one scan, a broadcast one-row bounds aggregate, and
+    * one map-side-combined count agg whose output is O(types x 32)
+    * regardless of corpus size. NULL values are excluded (a NULL has
+    * no bucket); empty input yields an empty histogram.
+    */
+  def q_value_hist(s: SparkSession, d: String, buckets: Int = 32): DataFrame = {
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    val ev = events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
+    val bounds = ev.agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        expr(s"((c - min_c) * $buckets) div (max_c - min_c + 1)").as("bucket"),
+        col("min_c"), col("max_c"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("min_c")).as("min_c"), min(col("max_c")).as("max_c"))
+      .select(col("event_type"), col("bucket"),
+        expr(s"min_c + (bucket * (max_c - min_c + 1)) div $buckets").as("lo_c"),
+        expr(s"min_c + ((bucket + 1) * (max_c - min_c + 1)) div $buckets - 1").as("hi_c"),
+        col("n"))
+      .orderBy("event_type", "bucket")
+  }
 }

@@ -137,4 +137,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
     }
   }
+
+  test("q_value_hist: buckets partition the range; counts reconcile per type") {
+    val rows = TimeSeries.q_value_hist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 32)
+      assert(r.getAs[Long]("lo_c") <= r.getAs[Long]("hi_c"))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // per-type totals equal the non-null value counts
+    val expected = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    val got = rows.groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n")).sum }
+    assert(got == expected)
+    // bucket edges are the same deterministic function for every type:
+    // same (bucket -> lo_c/hi_c) mapping wherever a bucket appears
+    val edges = rows.groupBy(_.getAs[Long]("bucket")).values
+    edges.foreach { rs =>
+      assert(rs.map(r => (r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"))).toSet.size == 1)
+    }
+  }
 }

@@ -103,6 +103,26 @@ class HashFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_agreement: exact dups agree across families; flags consistent") {
+    val rows = DedupOps.q_dedup_agreement(TestSpark.spark, dir).collect()
+    val byPair = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // exact duplicates are caught by BOTH families (identical shingle
+    // sets -> minhash bands collide; identical word sets -> hamming 0)
+    expectedPairs.foreach { p =>
+      val r = byPair.getOrElse(p, fail(s"pair $p missing"))
+      assert(r.getAs[Boolean]("in_minhash") && r.getAs[Boolean]("in_simhash"))
+      assert(r.getAs[Double]("jaccard") == 1.0)
+      assert(r.getAs[Long]("hamming") == 0L)
+    }
+    // flag/score consistency on every row
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_minhash") || r.getAs[Boolean]("in_simhash"))
+      assert(r.getAs[Boolean]("in_minhash") != r.isNullAt(r.fieldIndex("jaccard")))
+      assert(r.getAs[Boolean]("in_simhash") != r.isNullAt(r.fieldIndex("hamming")))
+    }
+  }
+
   test("unknown hashFamily value fails loudly") {
     try {
       spark.conf.set("spark.graft.hashFamily", "murmur3")
