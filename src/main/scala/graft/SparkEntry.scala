@@ -119,6 +119,7 @@ object SparkEntry {
     "q_lm_bigram"    -> (TextOps.q_lm_bigram _),
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
+    "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_text_normalize" -> (TextOps.q_text_normalize _),
     "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
     "q_minhash_calib" -> (DedupOps.q_minhash_calib _),
     "q_dedup_agreement" -> (DedupOps.q_dedup_agreement _),
+    "q_substr_runs"  -> ((s, d) => DedupOps.q_substr_runs(s, d)),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_containment"   -> (DedupOps.q_containment _),
     "q_simhash"       -> (DedupOps.q_simhash _),
@@ -1140,6 +1142,32 @@ object SparkEntry {
         |ORDER BY p.doc_a, p.doc_b""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Exact run localization: every 8-gram hash60 with its position,
+    // df-bounded rare slice, fp self-join, gaps-and-islands on the
+    // (pair, diagonal) partition; run length = gram count + 7
+    "q_substr_runs" -> {
+      val h60 = duckHexValue("hx", 1, 15)
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+         |           WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, unnest(range(1, len(w) - 6)) AS i, w
+         |      FROM t WHERE len(w) >= 8),
+         |fpt AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, CAST($h60 AS BIGINT) AS fp
+         |        FROM (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS hx FROM g)),
+         |rare AS (SELECT fp FROM fpt GROUP BY fp
+         |         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |f2 AS (SELECT fpt.* FROM fpt JOIN rare USING (fp)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+         |      FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |isl AS (SELECT *, pa - row_number()
+         |          OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+         |        FROM m)
+         |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_from,
+         |  CAST(min(pb) AS BIGINT) AS b_from,
+         |  CAST(count(*) + 7 AS BIGINT) AS n_tokens
+         |FROM isl GROUP BY doc_a, doc_b, diag, island
+         |ORDER BY doc_a, doc_b, a_from, b_from""".stripMargin
+    },
     // Agreement: the q_dedup_minhash chain (sh/sig/bands/cand/dsh)
     // and the q_dedup_simhash chain (w/h/v/s — disjoint CTE names by
     // construction) full-outer joined on the pair key; flags are
@@ -1513,6 +1541,26 @@ object SparkEntry {
         |  round(exp(-(CAST(s AS DOUBLE) / n_scored_tokens / 1e9)), 4) AS ppl_proxy
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Confusion matrix over q_lang_id's prediction expression; the
+    // diagonal's share_fp is per-language recall
+    "q_langid_eval" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+        |         WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+        |         WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS pred_lang
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(text, '\b(the|and|of)\b')) AS n_en,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS n_fr,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS n_de,
+        |    len(regexp_extract_all(text, '\b(el|los|las)\b')) AS n_es
+        |    FROM documents)),
+        |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM p GROUP BY 1)
+        |SELECT c.lang, pred_lang, n, n_lang, c.lang = pred_lang AS correct,
+        |  CAST((2 * n * 1000000 + n_lang) // (2 * n_lang) AS BIGINT) AS share_fp
+        |FROM c JOIN t USING (lang)
+        |ORDER BY lang, pred_lang""".stripMargin,
     // PMI collocations: positional marginals over the bigram corpus,
     // one ln on an exact integer ratio quantized at 1e-9; top-100
     // under the (pmi_fp DESC, bigram) total order

@@ -415,6 +415,59 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT maximal common-token-run localization — the
+    * exact-guarantee complement to [[q_overlap]] (winnowing SAMPLES
+    * ~1/win of gram fingerprints, so its spans are approximate and
+    * short overlaps can slip between selected grams; this operator
+    * keys on EVERY k-gram, so any shared run of ≥ k tokens is found,
+    * maximal, with exact boundaries — the Lee et al. 2021
+    * "Deduplicating Training Data" substring pass, re-expressed as
+    * fingerprint diagonals instead of a suffix array, which is the
+    * shape that parallelizes): matched gram positions (pa, pb) of a
+    * shared run lie on one diagonal pa − pb with consecutive pa, so
+    * gaps-and-islands over (pair, diagonal) reassembles each maximal
+    * run; its token length is gram-count + k − 1.
+    *
+    * Scale shape: the gram-fingerprint table is token-scale but
+    * 16 B/row (doc, pos, 60-bit md5 hash — no text moves); the
+    * df-bounded rare slice (df ∈ [2, maxDocs], the [[q_overlap]] /
+    * candidatePairs cap stance) prunes unpaired grams and
+    * stop-phrase boilerplate BEFORE the fp self-join, so pair
+    * emission is bounded by maxDocs per fingerprint; the island
+    * window partitions by (pair, diagonal) — matched-gram scale, not
+    * corpus scale. The documented trade: a run shared by more than
+    * maxDocs documents is boilerplate and is CUT by the df cap
+    * (q_boilerplate is the operator for those).
+    */
+  def q_substr_runs(s: SparkSession, d: String, k: Int = 8,
+                    maxDocs: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = transform(shinglesN(col("text"), k, fallbackToText = false),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val fp = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "fp")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+    val rare = fp.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDocs)
+      .select("fp")
+    val f2 = fp.join(rare, "fp")
+    val matched = f2.as("a").join(f2.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    matched
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pa")).as("a_from"), min(col("pb")).as("b_from"),
+        (count(lit(1)) + (k - 1)).as("n_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("a_from"), col("b_from"),
+        col("n_tokens"))
+      .orderBy("doc_a", "doc_b", "a_from", "b_from")
+  }
+
   /** Cross-family dedup DECISION AGREEMENT — the third leg of the
     * evaluation set ([[graft.queries.SimilarityOps.q_sim_recall]]
     * evaluates the ANN index, [[q_minhash_calib]] the estimator, this

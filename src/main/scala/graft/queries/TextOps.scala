@@ -69,6 +69,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID EVALUATION — the confusion matrix + per-language
+    * prediction shares for [[q_lang_id]]'s heuristic against the
+    * corpus's labeled `lang` column: the accuracy report any
+    * classifier gate ships with (the q_sim_recall stance applied to
+    * language ID). Reading it tells a pipeline which language pairs
+    * the marker-word heuristic confuses before that confusion skews
+    * a language-balanced sampling stage downstream.
+    *
+    * Scale shape: the per-row prediction is [[q_lang_id]]'s
+    * zero-shuffle regexp projection; two map-side-combined aggs
+    * (confusion cells, per-language totals — both O(langs²) output)
+    * and one tiny join. share_fp is the ×1e6 round-half-up integer
+    * share of the true language's documents landing in each
+    * predicted cell (the diagonal row is per-language recall).
+    *
+    * Measured verdict on THIS corpus (the eval doing its job): every
+    * language shares the same English-marker vocabulary (the NOTES
+    * q_dsir finding), so the heuristic predicts 'en' for every
+    * document — the matrix is 5 rows of total collapse (per-language
+    * accuracy 100%/0%/0%/0%/0%). That is the report a pipeline needs
+    * BEFORE trusting q_lang_id for language-balanced sampling; on a
+    * real multilingual corpus the same query yields the full matrix.
+    */
+  def q_langid_eval(s: SparkSession, d: String): DataFrame = {
+    val pred = q_lang_id(s, d).select(col("lang"), col("pred_lang"))
+    val conf = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    conf.join(tot, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+        (col("lang") === col("pred_lang")).as("correct"),
+        expr("(2 * n * 1000000 + n_lang) div (2 * n_lang)").as("share_fp"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** The weighted quality score as a reusable column expression —
     * shared by q_text_quality, the batch corpus-prep pipeline
     * (SampleOps.q_pipeline_prep), and the streaming quality gate

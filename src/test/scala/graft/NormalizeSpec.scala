@@ -172,6 +172,31 @@ class NormalizeSpec extends AnyFunSuite {
     assert(top.getAs[Long]("pmi_fp") == pmi)
   }
 
+  test("q_substr_runs: planted shared runs localize exactly, maximal") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("runs-docs").toString
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")   // 12-token run
+    val shared2 = (1 to 9).map(i => s"t$i").mkString(" ")   // 9-token run
+    val docA = s"a1 a2 a3 $shared a4 a5 $shared2 a6 a7"
+    val docB = s"b1 $shared b2 b3 b4 b5 b6 $shared2 b7"
+    val twin = (1 to 20).map(i => s"z$i").mkString(" ")     // exact dup pair
+    Seq((0L, docA), (1L, docB), (2L, twin), (3L, twin),
+        (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))                 // unrelated
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.queries.DedupOps.q_substr_runs(TestSpark.spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("a_from"), r.getAs[Long]("b_from"),
+        r.getAs[Long]("n_tokens"))).toSet
+    // docA/docB: the 12-run at A pos 3 / B pos 1, the 9-run at
+    // A pos 17 / B pos 18; the twins: one whole-doc 20-run at 0/0
+    assert(rows == Set(
+      (0L, 1L, 3L, 1L, 12L),
+      (0L, 1L, 17L, 18L, 9L),
+      (2L, 3L, 0L, 0L, 20L)), s"got $rows")
+  }
+
   test("q_sim_recall: recall is the exact-vs-IVF intersection, fixed-point") {
     val exact = graft.queries.SimilarityOps.q_sim_topk(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
