@@ -263,6 +263,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("char_entropy_fp"),
       new ExpressionInfo(classOf[CharEntropyFp].getName, "char_entropy_fp"),
       (exprs: Seq[Expression]) => TextFunctions.makeEntropy(exprs)))
+    // conf-gated optimizer rule: pure point-in-range inner joins
+    // rewrite to the binned equi-join (see RewriteRangeJoinRule)
+    e.injectOptimizerRule(s => new graft.plans.RewriteRangeJoinRule(s))
   }
 }
 

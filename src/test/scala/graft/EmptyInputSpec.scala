@@ -33,12 +33,18 @@ class EmptyInputSpec extends AnyFunSuite {
     Set("q_agg_count", "q_agg_distinct", "q_agg_approx", "q_sketch_merge",
       "q_sketch_exact", "q_sketch_kmv")
 
+  // the ablation report is a global aggregate exploded to one row per
+  // RULE: an empty corpus yields its 4 rule rows (n_docs=0, null
+  // sums), mirroring DuckDB's one-aggregate-row-per-rule UNION
+  private val fixedRowReports = Map("q_quality_ablation" -> 4L)
+
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events
     Tables.events(spark, sf).count()
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, emptyDir).count()
-      val expected = if (globalAggs(name)) 1L else 0L
+      val expected =
+        if (globalAggs(name)) 1L else fixedRowReports.getOrElse(name, 0L)
       assert(n == expected, s"$name returned $n rows on empty input (expected $expected)")
     }
   }

@@ -31,6 +31,56 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteRangeJoinRule: conf-gated binned rewrite kills the nested loop, rows identical") {
+    import org.apache.spark.sql.functions.col
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val points = (0 until 300).map(i => (i.toLong, i * 1.0)).toDF("pid", "p")
+      val ranges = (0 until 40).map(i => (i.toLong, i * 7.0, i * 7.0 + 10.0))
+        .toDF("rid", "lo", "hi")
+      def q = points.join(ranges,
+        col("p") >= col("lo") && col("p") < col("hi"))
+      def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("rid")))
+          .toSeq.sorted
+      // without the conf: no equi keys -> nested loop / cartesian
+      s2.conf.unset(graft.plans.RewriteRangeJoinRule.BinWidthKey)
+      val naive = pairs(q)
+      assert(naive.nonEmpty)
+      val naivePlan = q.queryExecution.executedPlan.toString
+      assert(naivePlan.contains("NestedLoop") || naivePlan.contains("Cartesian"),
+        naivePlan)
+      // with the conf: hash-joinable plan, identical multiset of rows
+      s2.conf.set(graft.plans.RewriteRangeJoinRule.BinWidthKey, "8")
+      val rq = q
+      val plan = rq.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+      assert(pairs(rq) == naive)
+      // mirrored orientation (point side on the right) rewrites too
+      val mirrored = ranges.join(points,
+        col("p") >= col("lo") && col("p") < col("hi"))
+      val mPlan = mirrored.queryExecution.executedPlan.toString
+      assert(!mPlan.contains("NestedLoop") && !mPlan.contains("Cartesian"), mPlan)
+      assert(pairs(mirrored) == naive)
+      // non-positive width disables the rule
+      s2.conf.set(graft.plans.RewriteRangeJoinRule.BinWidthKey, "0")
+      assert(q.queryExecution.executedPlan.toString.contains("NestedLoop") ||
+        q.queryExecution.executedPlan.toString.contains("Cartesian"))
+    } finally {
+      s2.conf.unset(graft.plans.RewriteRangeJoinRule.BinWidthKey)
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("analysis rejects non-float-array inputs with a clear message") {
     val spark = TestSpark.spark
     graft.functions.VectorFunctions.register(spark)
