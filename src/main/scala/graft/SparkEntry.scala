@@ -120,6 +120,7 @@ object SparkEntry {
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
+    "q_profile"      -> (TextOps.q_profile _),
     "q_text_normalize" -> (TextOps.q_text_normalize _),
     "q_pii"          -> (TextOps.q_pii _),
     "q_tfidf"        -> ((s, d) => TextOps.q_tfidf(s, d)),
@@ -1541,6 +1542,28 @@ object SparkEntry {
         |  round(exp(-(CAST(s AS DOUBLE) / n_scored_tokens / 1e9)), 4) AS ppl_proxy
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // ANALYZE-style column profile: one aggregate row fanned to one
+    // row per column; min/max surface as strings (uniform row shape,
+    // no doubles in the hash)
+    "q_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = cols.map { c =>
+        s"""  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c,
+           |  CAST(min($c) AS VARCHAR) AS mn_$c,
+           |  CAST(max($c) AS VARCHAR) AS mx_$c""".stripMargin
+      }.mkString(",\n")
+      val rows = cols.map { c =>
+        s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls, nd_$c AS n_distinct, " +
+          s"mn_$c AS min_str, mx_$c AS max_str FROM a"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |$aggs
+         |FROM documents)
+         |SELECT * FROM (
+         |  $rows)
+         |ORDER BY col_name""".stripMargin
+    },
     // Confusion matrix over q_lang_id's prediction expression; the
     // diagonal's share_fp is per-language recall
     "q_langid_eval" ->

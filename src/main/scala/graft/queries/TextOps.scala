@@ -928,6 +928,44 @@ object TextOps {
         normalizedFp(col("text")).as("fp_normalized"))
       .orderBy("doc_id")
 
+  /** Per-column table profile of `documents` — the ANALYZE-TABLE
+    * report a pipeline materializes before planning joins and gates
+    * (null density says which columns can key a join, distinct
+    * counts size broadcast candidates, min/max bound partition
+    * pruning). One pass, one aggregation row fanned to a row per
+    * column; every profiled value is an exact integer or a string
+    * (min/max surface as strings so the row shape is uniform across
+    * column types — longs render identically in both engines, and no
+    * doubles enter the hash).
+    *
+    * Scale shape: a single map-side-combined global aggregate — the
+    * count_distinct columns are the only corpus-bounded state, and
+    * Spark plans them as separate expand+agg passes over one scan;
+    * at 100 TB swap them for approx_count_distinct (the q_agg_approx
+    * stance) and the plan shape is unchanged.
+    */
+  def q_profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val a = documents(s, d).agg(allAggs.head, allAggs.tail: _*)
+    def row(c: String) = struct(
+      lit(c).as("col_name"), col(s"nn_$c").as("n_nulls"),
+      col(s"nd_$c").as("n_distinct"),
+      col(s"mn_$c").as("min_str"), col(s"mx_$c").as("max_str"))
+    a.select(explode(array(cols.map(row): _*)).as("r"), col("n_rows"))
+      .select(col("r.col_name").as("col_name"), col("n_rows"),
+        col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
+      .orderBy("col_name")
+  }
+
   /** Collocation mining by pointwise mutual information — the phrase
     * detector that feeds tokenizer and vocabulary decisions (Mikolov
     * et al.'s word2vec phrase pass uses exactly this statistic): for

@@ -36,7 +36,8 @@ class EmptyInputSpec extends AnyFunSuite {
   // the ablation report is a global aggregate exploded to one row per
   // RULE: an empty corpus yields its 4 rule rows (n_docs=0, null
   // sums), mirroring DuckDB's one-aggregate-row-per-rule UNION
-  private val fixedRowReports = Map("q_quality_ablation" -> 4L)
+  private val fixedRowReports =
+    Map("q_quality_ablation" -> 4L, "q_profile" -> 5L)
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events

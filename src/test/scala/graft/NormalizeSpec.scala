@@ -172,6 +172,29 @@ class NormalizeSpec extends AnyFunSuite {
     assert(top.getAs[Long]("pmi_fp") == pmi)
   }
 
+  test("q_profile: driver-side recompute agrees column-for-column") {
+    val rows = TextOps.q_profile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val docs = graft.Tables.documents(spark, sf).collect()
+    rows.values.foreach(r => assert(r.getAs[Long]("n_rows") == docs.length))
+    def check[T](cname: String, get: org.apache.spark.sql.Row => Option[Any]): Unit = {
+      val vals = docs.map(get)
+      val r = rows(cname)
+      assert(r.getAs[Long]("n_nulls") == vals.count(_.isEmpty), cname)
+      assert(r.getAs[Long]("n_distinct") == vals.flatten.distinct.length, cname)
+    }
+    check("doc_id", r => Option(r.getAs[Any]("doc_id")))
+    check("text", r => Option(r.getAs[Any]("text")))
+    check("lang", r => Option(r.getAs[Any]("lang")))
+    check("source", r => Option(r.getAs[Any]("source")))
+    check("n_chars", r => Option(r.getAs[Any]("n_chars")))
+    // string min/max of a long column renders the numeric extremes
+    val ids = docs.map(_.getAs[Long]("doc_id"))
+    assert(rows("doc_id").getAs[String]("min_str") == ids.min.toString)
+    assert(rows("doc_id").getAs[String]("max_str") == ids.max.toString)
+  }
+
   test("q_substr_runs: planted shared runs localize exactly, maximal") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("runs-docs").toString
