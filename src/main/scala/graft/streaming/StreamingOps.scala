@@ -174,4 +174,33 @@ object StreamingOps {
         when(col("c.n_toks") > 0,
           col("c.score_sum").cast("double") / col("c.n_toks")).as("score"),
         coalesce(col("c.score_sum") > 0, lit(false)).as("accept"))
+
+  /** Streaming twin of [[graft.queries.TimeSeries.q_value_hist]] —
+    * the mergeable-histogram property exercised where it matters: a
+    * groupBy(type, bucket) count IS the merge, so the same
+    * aggregation maintains the histogram incrementally over
+    * micro-batches (complete mode; at most types x buckets rows of
+    * state). Bucket BOUNDS are parameters, not derived: a stream
+    * cannot scan its own future for min/max, so a pipeline trains
+    * bounds offline and ships them like any other model (the
+    * persisted-model stance of streamingDsirScore). Values drifting
+    * outside the trained range clamp into the edge buckets — a
+    * visible pile-up at bucket 0 or buckets-1 is the monitoring
+    * signal to re-train bounds. Within the trained range the bucket
+    * function is integer-for-integer the batch key's, so ValueHist
+    * parity (StreamingSpec) is counter-for-counter exact.
+    */
+  def streamingValueHist(events: DataFrame, minC: Long, maxC: Long,
+                         buckets: Int = 32): DataFrame = {
+    require(maxC >= minC, s"empty bounds: [$minC, $maxC]")
+    val cents = col("value").cast("decimal(18,2)").multiply(100).cast("long")
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
+      .select(col("event_type"),
+        greatest(lit(0L), least(lit(buckets - 1L),
+          expr(s"((c - ${minC}L) * $buckets) div (${maxC}L - ${minC}L + 1)")))
+          .as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
 }

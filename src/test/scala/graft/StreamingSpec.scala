@@ -277,6 +277,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(id) == p, s"doc $id stream/batch divergence")
     }
   }
+  test("streaming value histogram over two micro-batches equals batch, counter-for-counter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, TestSpark.sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val minC = rows.map(_._2).min
+    val maxC = rows.map(_._2).max
+    val input = MemoryStream[(String, Double)]
+    val stream = graft.streaming.StreamingOps.streamingValueHist(
+        input.toDF().toDF("event_type", "value"), minC, maxC)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    // replay the same values (cents/100 keeps the decimal exact)
+    val replay = rows.map { case (t, c) => (t, c.toDouble / 100.0) }
+    val (b1, b2) = replay.splitAt(replay.length / 2)
+    input.addData(b1: _*); stream.processAllAvailable()
+    input.addData(b2: _*); stream.processAllAvailable()
+    stream.stop()
+    val streamed = spark.table("hist_stream").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("n")).toMap
+    // batch reference: the same bucket function over the same rows
+    val batch = rows.groupBy { case (t, c) =>
+      (t, math.max(0L, math.min(31L, (c - minC) * 32 / (maxC - minC + 1))))
+    }.map { case (k, vs) => k -> vs.size.toLong }
+    assert(streamed == batch)
+    // and the q_value_hist key's per-type totals agree with the stream
+    val keyTotals = graft.queries.TimeSeries.q_value_hist(spark, TestSpark.sf)
+      .collect().groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n")).sum }
+    val streamTotals = streamed.groupBy(_._1._1)
+      .map { case (t, m) => t -> m.values.sum }
+    assert(streamTotals == keyTotals)
+  }
+
+
 }
 
 class MultimodalSpec extends AnyFunSuite {
