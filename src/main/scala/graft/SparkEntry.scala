@@ -174,6 +174,7 @@ object SparkEntry {
     "q_chunk"            -> (SampleOps.q_chunk _),
     "q_quality_gate"     -> (SampleOps.q_quality_gate _),
     "q_split"            -> (SampleOps.q_split _),
+    "q_split_leakage"    -> (SampleOps.q_split_leakage _),
     "q_mix_budget"       -> ((s, d) => SampleOps.q_mix_budget(s, d)),
     "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
@@ -1096,6 +1097,46 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Leakage audit: q_dedup_minhash's confirmed pairs joined to the
+    // q_split assignment on both members; leaks = boundary-straddling
+    "q_split_leakage" -> {
+      val key = "coalesce(md5(array_to_string(list_sort(string_split(text, ' ')), ' ')), " +
+        "'null:' || CAST(doc_id AS VARCHAR))"
+      val draw = duckHexValue(s"md5($key)", 1, 4)
+      s"""WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |mh AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / len(list_distinct(x.sset || y.sset)), 10) AS jaccard
+        |  FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN $draw % 1000 < 800 THEN 'train'
+        |         WHEN $draw % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jaccard, sa.split AS split_a, sb.split AS split_b,
+        |  sa.split <> sb.split AS leaks
+        |FROM mh JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n"))
+    },
     // Calibration: q_dedup_minhash's candidate CTEs plus the
     // signature-agreement count; every output column is an integer
     // (est = n_agree*125000 exactly; exact jaccard is x1e6

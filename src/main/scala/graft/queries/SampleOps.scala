@@ -275,6 +275,39 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Train/val/test LEAKAGE audit — the check [[q_split]] cannot make
+    * unnecessary: the split is content-keyed (normalized fingerprint),
+    * so EXACT duplicates and bag-of-words permutations land in the
+    * same split by construction — but NEAR-duplicates have different
+    * fingerprints and hash independently, so a paraphrased test
+    * document can sit next to its training twin. This key joins the
+    * MinHash-LSH near-dup pairs ([[graft.queries.DedupOps
+    * .q_dedup_minhash]]) against the split assignment and flags every
+    * pair whose members straddle a boundary — the eval-integrity
+    * report a pipeline must publish with its split (measured here: 10
+    * of 25 near-dup pairs at sf0.01 cross splits — the audit is not
+    * hypothetical).
+    *
+    * Scale shape: the pair table is candidate-sized (LSH-bounded) and
+    * the split side is a zero-shuffle scan projection, so the two
+    * joins stream the split scan against a small build side; nothing
+    * corpus-scale shuffles beyond what candidate generation already
+    * paid.
+    */
+  def q_split_leakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.queries.DedupOps.q_dedup_minhash(s, d)
+    val splits = q_split(s, d).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaks"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Token-budget source mixing — the mixing step that assembles a
     * training set of `sharePerMille`/1000 of corpus tokens spread
     * UNIFORMLY across sources: each source's keep rate is its equal

@@ -442,4 +442,24 @@ class SampleSpec extends AnyFunSuite {
       assert(r.getAs[Long]("s_span") <= smax / 4 + 2, s"s stripe: $r")
     }
   }
+
+  test("q_split_leakage: flag consistency; exact duplicates never leak") {
+    val rows = graft.queries.SampleOps.q_split_leakage(TestSpark.spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val splits = graft.queries.SampleOps.q_split(TestSpark.spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    rows.foreach { r =>
+      val sa = r.getAs[String]("split_a"); val sb = r.getAs[String]("split_b")
+      // split labels agree with the split key itself
+      assert(sa == splits(r.getAs[Long]("doc_a")))
+      assert(sb == splits(r.getAs[Long]("doc_b")))
+      assert(r.getAs[Boolean]("leaks") == (sa != sb))
+      // exact duplicates share the normalized fingerprint, hence the
+      // split: content-keyed assignment cannot leak them
+      if (r.getAs[Double]("jaccard") == 1.0) {
+        assert(!r.getAs[Boolean]("leaks"), s"exact dup leaked: $r")
+      }
+    }
+  }
 }
