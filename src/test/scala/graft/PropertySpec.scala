@@ -126,4 +126,49 @@ class PropertySpec extends AnyFunSuite {
       (1 to 8).foreach(i => assert(s0.getAs[Long](s"h$i") == s1.getAs[Long](s"h$i")))
     }
   }
+
+  test("q_lm_bigram equals a driver-side reference model on random corpora") {
+    val docGen2 = Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen2)
+    forAll(corpusGen, 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val tmp = java.nio.file.Files.createTempDirectory("plm").toString
+      docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // reference: same tokenization (split keeps inner empties; the
+      // generator emits no leading/trailing spaces)
+      def words(t: String) = t.split(" ", -1).toSeq
+      val bigrams = docs.flatMap { case (id, t) =>
+        val w = words(t)
+        if (w.length >= 2) w.sliding(2).map(p => (id, p.head, p(1))).toSeq else Nil
+      }
+      val c12 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+      val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+      val v = docs.flatMap(d => words(d._2)).distinct.size
+      val expected = docs.map { case (id, t) =>
+        val bs = bigrams.filter(_._1 == id)
+        id -> (if (bs.isEmpty) None else Some {
+          val s = bs.map { case (_, w1, w2) =>
+            math.round(math.log((c12((w1, w2)) + 1).toDouble / (c1(w1) + v)) * 1e9)
+          }.sum
+          (bs.size.toLong,
+            BigDecimal(java.math.BigDecimal.valueOf(s.toDouble / bs.size / 1e9))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        })
+      }.toMap
+      val got = graft.queries.TextOps.q_lm_bigram(spark, tmp).collect()
+      assert(got.length == docs.length)
+      got.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        expected(id) match {
+          case None =>
+            assert(r.isNullAt(r.fieldIndex("n_bigrams")), s"doc $id")
+          case Some((nb, mean)) =>
+            assert(r.getAs[Long]("n_bigrams") == nb, s"doc $id")
+            assert(r.getAs[Double]("mean_logp") == mean, s"doc $id")
+        }
+      }
+    }
+  }
 }
