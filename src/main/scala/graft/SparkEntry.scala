@@ -166,6 +166,7 @@ object SparkEntry {
     "q_sim_pq"      -> (SimilarityOps.q_sim_pq _),
     "q_sim_ivfpq"   -> (SimilarityOps.q_sim_ivfpq _),
     "q_sim_recall"  -> (SimilarityOps.q_sim_recall _),
+    "q_sim_sparse"  -> ((s, d) => SimilarityOps.q_sim_sparse(s, d)),
     "q_dedup_semantic" -> ((s, d) => SimilarityOps.q_dedup_semantic(s, d)),
     // §2.11 training-data selection (deterministic hash sampling)
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
@@ -2656,6 +2657,32 @@ object SparkEntry {
         |  FROM probes p JOIN assigned a ON a.cell = p.cell
         |  WHERE a.vec_id <> p.query_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Sparse cosine: q_tfidf's tf/df CTEs, weights quantized to x1e6
+    // BIGINTs before any sum (order-free exact dots/norms), one
+    // double cosine per pair mirrored token-for-token
+    "q_sim_sparse" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM w WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |wfp AS (
+        |  SELECT doc_id, tf.term,
+        |    CAST(round(round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) * 1e6) AS BIGINT) AS wv
+        |  FROM tf JOIN df USING (term), n
+        |  WHERE doc_id < 100),
+        |norms AS (SELECT doc_id, CAST(sum(wv * wv) AS BIGINT) AS n2 FROM wfp GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(a.wv * b.wv) AS BIGINT) AS dot_fp
+        |  FROM wfp a JOIN wfp b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot_fp,
+        |  round(CAST(dot_fp AS DOUBLE) /
+        |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        |FROM dots JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b
+        |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     // Recall evaluation: the q_sim_topk window-rank CTE is the truth
     // set, the q_sim_ivf CTE chain is the index's answer; both use the
     // identical (cosine-rounded-to-6 DESC, vec_id) tie-break contract

@@ -517,6 +517,66 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Sparse TF-IDF document similarity — the term-keyed counterpart
+    * to the dense embedding family: cosine between documents'
+    * TF-IDF weight vectors, computed through a term-keyed join (the
+    * inverted-index shape — only co-occurring terms ever multiply),
+    * with the IDF model fitted on the WHOLE corpus and the pairing
+    * bounded to a doc slice (the [[q_dedup_embed]] stance: the
+    * bounded all-pairs form oracle-checks the kernel). Top-50 pairs
+    * under the (cosine DESC, ids) total order.
+    *
+    * Honest scale note for THIS corpus: the 31-word shared vocabulary
+    * means every term's posting list is O(corpus), so an unbounded
+    * term self-join is structurally quadratic here — on a real
+    * corpus the scale path is prefix filtering (Bayardo et al. 2007:
+    * index only each doc's highest-weight terms above the threshold
+    * bound) or the MinHash-LSH candidates feeding this same kernel.
+    *
+    * Determinism: weights quantize to ×1e6 longs BEFORE any sum, so
+    * dot products and squared norms are exact order-free long sums
+    * (per-pair-term products ≤ ~1e17 and ≤ 31 terms sum keeps the
+    * accumulation far from long overflow at this scale); the cosine
+    * is then ONE double expression per pair — two sqrts and a
+    * division on exact integer operands, mirrored token-for-token in
+    * the oracle.
+    */
+  def q_sim_sparse(s: SparkSession, d: String, maxDoc: Long = 100,
+                   topN: Int = 50): DataFrame = {
+    import graft.Tables.documents
+    val nDf = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wfp = tf.join(df, "term").crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("term"),
+        round(round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6) * 1e6)
+          .cast("long").as("w"))
+      .filter(col("doc_id") < maxDoc)
+      // three consumers (norms + both dot sides) over a token-scale
+      // tf/df lineage — the twice-referenced-state rule; the
+      // materialized slice is O(maxDoc * doc vocab) rows, kilobytes
+      .localCheckpoint()
+    val norms = wfp.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = wfp.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+      .join(wfp.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot_fp"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot_fp"),
+        round(col("dot_fp").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
   /** ANN recall evaluation — the measurement every approximate index
     * must ship with: per query, what fraction of the TRUE cosine
     * top-k ([[q_sim_topk]], brute force) does the IVF index

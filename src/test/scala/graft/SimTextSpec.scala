@@ -692,4 +692,28 @@ class SimTextSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") < 0.5)
     assert(r.getAs[Boolean]("quote_like"), "the quote pair must flag")
   }
+
+  test("q_sim_sparse: identical docs hit cosine 1.0; disjoint vocab never pairs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sparse-docs").toString
+    val a = "alpha beta gamma delta epsilon zeta"
+    val c = "one two three four five six"        // disjoint from a
+    val m = "alpha beta gamma one two three"     // overlaps both
+    Seq((0L, a), (1L, a), (2L, c), (3L, m))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.queries.SimilarityOps.q_sim_sparse(spark, tmp).collect()
+    val byPair = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      r.getAs[Double]("cosine")).toMap
+    // identical docs: identical weight vectors, exact 1.0
+    assert(byPair((0L, 1L)) == 1.0)
+    // disjoint vocabularies share no term -> the pair row cannot exist
+    assert(!byPair.contains((0L, 2L)) && !byPair.contains((1L, 2L)))
+    // the mixed doc pairs with both sides, strictly below 1
+    assert(byPair.contains((0L, 3L)) && byPair((0L, 3L)) > 0.0 && byPair((0L, 3L)) < 1.0)
+    assert(byPair.contains((2L, 3L)) && byPair((2L, 3L)) > 0.0 && byPair((2L, 3L)) < 1.0)
+    // ordering: the top row is the best pair
+    assert(rows.head.getAs[Double]("cosine") == rows.map(_.getAs[Double]("cosine")).max)
+  }
 }
