@@ -81,6 +81,7 @@ object SparkEntry {
     "q_window_rank"    -> (Windows.q_window_rank _),
     "q_window_lag"     -> (Windows.q_window_lag _),
     "q_window_running" -> (Windows.q_window_running _),
+    "q_scd2"           -> (Windows.q_scd2 _),
     "q_window_dist"    -> (Windows.q_window_dist _),
     "q_window_range"   -> (Relational.q_window_range _),
     "q_string_agg"     -> (Relational.q_string_agg _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_graph_hops_copart" -> ((s, d) => GraphOps.q_graph_hops_copart(s, d)),
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
     "q_graph_triangles" -> ((s, d) => GraphOps.q_graph_triangles(s, d)),
+    "q_graph_degree"    -> (GraphOps.q_graph_degree _),
     "q_graph_jaccard" -> ((s, d) => GraphOps.q_graph_jaccard(s, d)),
     "q_graph_adamic" -> ((s, d) => GraphOps.q_graph_adamic(s, d)),
     "q_graph_lpa" -> ((s, d) => GraphOps.q_graph_lpa(s, d)),
@@ -190,6 +192,7 @@ object SparkEntry {
     "q_embed_stats"    -> (EmbedOps.q_embed_stats _),
     "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
     "q_embed_calib"    -> (EmbedOps.q_embed_calib _),
+    "q_embed_rp"       -> (EmbedOps.q_embed_rp _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
     "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
@@ -710,6 +713,28 @@ object SparkEntry {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // SCD type-2: consecutive-run collapse via lag, then version /
+    // validity intervals via row_number + lead over the change rows;
+    // integral epoch-day pair (div 86400 <-> // 86400000000)
+    "q_scd2" ->
+      """WITH st AS (SELECT o_custkey,
+        |         epoch_us(o_orderdate) // 86400000000 AS day,
+        |         o_orderkey, o_orderstatus AS status FROM orders),
+        |ch AS (SELECT *, lag(status) OVER
+        |         (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev
+        |       FROM st),
+        |f AS (SELECT o_custkey, day, o_orderkey, status FROM ch
+        |      WHERE prev IS NULL OR prev <> status)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  status,
+        |  day AS valid_from_day,
+        |  lead(day) OVER w AS valid_to_day,
+        |  CAST(CASE WHEN lead(day) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM f
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
@@ -1471,6 +1496,9 @@ object SparkEntry {
         |  CASE WHEN greatest(abs(min_val), abs(max_val)) > 0
         |       THEN round(127.0 / greatest(abs(min_val), abs(max_val)), 6) END AS scale
         |FROM a ORDER BY dim""".stripMargin,
+    // JL projection oracle is GENERATED from the same pinned sign
+    // matrix the Spark expressions read (EmbedOps.rpSigns)
+    "q_embed_rp" -> graft.queries.EmbedOps.rpOracleSql,
     // list(v ORDER BY vec_id) fixes the accumulation order on both
     // sides — float sums are order-dependent in the last bits
     "q_embed_centroid" ->
@@ -2223,6 +2251,26 @@ object SparkEntry {
         |    THEN CAST(2 * coalesce(c.n_tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1)) END
         |    AS clustering
         |FROM dg d LEFT JOIN c USING (node) ORDER BY d.node""".stripMargin,
+    // k_nn(k) degree mixing: per-degree node counts + mean neighbor
+    // degree as the x1e6 round-half-up fixed point
+    "q_graph_degree" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |      FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |       FROM sym GROUP BY 1),
+        |nb AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM dg GROUP BY 1),
+        |j AS (SELECT d1.deg AS deg, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(d2.deg) AS BIGINT) AS sd
+        |      FROM sym s JOIN dg d1 ON s.src = d1.node
+        |                 JOIN dg d2 ON s.dst = d2.node
+        |      GROUP BY 1)
+        |SELECT nb.deg, nb.n_nodes,
+        |  (2 * j.sd * 1000000 + j.cnt) // (2 * j.cnt) AS knn_fp
+        |FROM nb JOIN j USING (deg) ORDER BY nb.deg""".stripMargin,
     // per-edge common neighbors = per-edge triangle counts (same
     // oriented enumeration, triangles exploded into their 3 unordered
     // edges); jaccard as x1e6 round-half-up over exact BIGINTs; the

@@ -154,4 +154,96 @@ object EmbedOps {
         when(maxAbs > 0, round(lit(127.0) / maxAbs, 6)).as("scale"))
       .orderBy("dim")
   }
+
+  /** Johnson–Lindenstrauss random-projection geometry. */
+  val RpInDims  = 64
+  val RpOutDims = 16
+
+  /** ±1 sign matrix for [[q_embed_rp]], derived from md5("rp_<i>")
+    * byte parities — a pinned model, like the LSH planes
+    * ([[SimilarityOps.lshPlaneSign]]): the Spark expressions and the
+    * generated DuckDB oracle both read THIS array, so the projection
+    * cannot drift between engines. Achlioptas (2003) shows ±1 entries
+    * satisfy the JL lemma with the same distortion bound as Gaussian
+    * matrices — and they keep the arithmetic exact-integer.
+    */
+  private[graft] lazy val rpSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpInDims) { i =>
+      val h = md.digest(s"rp_$i".getBytes("UTF-8"))
+      Array.tabulate(RpOutDims)(j => if ((h(j) & 1) == 0) 1 else -1)
+    }
+  }
+
+  /** Random-projection distortion audit — project each 64-dim vector
+    * to 16 dims through the pinned ±1 JL matrix and report the
+    * squared-norm preservation ratio ‖Rx‖²/(k·‖x‖²) per vector (the
+    * JL lemma says this concentrates around 1). The cheap scale path
+    * before ANN: a 4× narrower vector cuts every downstream distance
+    * computation 4×, and this audit is how a pipeline decides the
+    * target dimension is safe.
+    *
+    * Scale shape: ZERO shuffles — quantize (`floor(x·1e4+0.5)`, the
+    * [[q_embed_quant]] tie-stable grid), 16 literal-sign dot products,
+    * and two norm expressions are all scan-stage projections; the
+    * final sort is the only exchange. All math is exact int64 (|q| ≤
+    * 6·10³ ⇒ proj2 ≤ 2.4·10¹², and 2·proj2·10⁶ < 2⁶³); the ratio is
+    * the ×1e6 round-half-up fixed point, NULL for the zero vector.
+    * The p_j columns are let-bound in their own projection before
+    * squaring so each 64-term sum is built once
+    * (the q_repetition CSE lesson).
+    */
+  def q_embed_rp(s: SparkSession, d: String): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 10000.0 + 0.5).cast("long"))
+    val qv = embeddings(s, d)
+      .filter(size(col("embedding")) === RpInDims)
+      .select(col("vec_id"), q.as("q"))
+    val norm2 = (0 until RpInDims)
+      .map(i => element_at(col("q"), i + 1) * element_at(col("q"), i + 1))
+      .reduce(_ + _)
+    val pCols = (0 until RpOutDims).map { j =>
+      (0 until RpInDims)
+        .map(i => element_at(col("q"), i + 1) * lit(rpSigns(i)(j).toLong))
+        .reduce(_ + _).as(s"p$j")
+    }
+    val proj2 = (0 until RpOutDims)
+      .map(j => col(s"p$j") * col(s"p$j"))
+      .reduce(_ + _)
+    qv.select(col("vec_id") +: norm2.as("norm2") +: pCols: _*)
+      .select(col("vec_id"), col("norm2"), proj2.as("proj2"))
+      .select(col("vec_id"), col("norm2"), col("proj2"),
+        when(col("norm2") > 0,
+          expr(s"(2 * proj2 * 1000000 + $RpOutDims * norm2) div " +
+            s"(2 * $RpOutDims * norm2)")).as("ratio_fp"))
+      .orderBy("vec_id")
+  }
+
+  /** The generated DuckDB oracle for [[q_embed_rp]] — rendered from
+    * the same [[rpSigns]] the Spark expressions read.
+    */
+  private[graft] def rpOracleSql: String = {
+    val qdef = "list_transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+    val norm2 = (1 to RpInDims).map(i => s"q[$i]*q[$i]").mkString(" + ")
+    // Each p_j is a plain "+ q[i]" / "- q[i]" chain off a 0 anchor.
+    val pExprs = (0 until RpOutDims).map { j =>
+      val terms = (0 until RpInDims).map { i =>
+        (if (rpSigns(i)(j) == 1) "+" else "-") + s" q[${i + 1}]"
+      }.mkString(" ")
+      s"CAST(0 ${terms} AS BIGINT) AS p$j"
+    }
+    val proj2 = (0 until RpOutDims).map(j => s"p$j*p$j").mkString(" + ")
+    s"""WITH qv AS (SELECT vec_id, $qdef AS q FROM embeddings
+       |            WHERE len(embedding) = $RpInDims),
+       |p AS (SELECT vec_id, CAST($norm2 AS BIGINT) AS norm2,
+       |        ${pExprs.mkString(",\n        ")}
+       |      FROM qv),
+       |r AS (SELECT vec_id, norm2, CAST($proj2 AS BIGINT) AS proj2 FROM p)
+       |SELECT vec_id, norm2, proj2,
+       |  CASE WHEN norm2 > 0
+       |    THEN (2 * proj2 * 1000000 + $RpOutDims * norm2)
+       |         // (2 * $RpOutDims * norm2) END AS ratio_fp
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
 }

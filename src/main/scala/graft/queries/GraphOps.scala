@@ -723,4 +723,50 @@ object GraphOps {
         coalesce(col("alive"), lit(false)).as("in_core"))
       .orderBy("node")
   }
+
+  /** Degree-mixing report — the assortativity readout k_nn(k): for
+    * every degree class, how many nodes have that degree and the mean
+    * degree of their neighbors (Pastor-Satorras et al.'s average
+    * nearest-neighbor degree). A rising k_nn(k) means hubs link to
+    * hubs (assortative); falling means hubs link to leaves
+    * (disassortative) — the first diagnostic to read before trusting
+    * a sampled or contracted graph to behave like the original, and
+    * the shape that decides whether degree-based partitioning will
+    * skew.
+    *
+    * Scale shape ([[q_graph_triangles]] family): degrees via ONE
+    * window count over the symmetric edge view (one exchange on
+    * `src`), checkpointed once (referenced by the node dim and the
+    * endpoint join); the neighbor-degree attach broadcasts the
+    * O(nodes) degree dim — the same model-size caveat and
+    * co-partitioned fallback as the PageRank ranks
+    * (see [[q_pagerank]]). Both output aggs are map-side combined and
+    * bounded by the distinct-degree count (≪ nodes). All columns are
+    * exact BIGINTs; the mean is the standard ×1e6 round-half-up.
+    */
+  def q_graph_degree(s: SparkSession, d: String): DataFrame =
+    degreeMixing(partCoEdges(s, d))
+
+  /** The k_nn(k) kernel of [[q_graph_degree]], factored so unit tests
+    * can drive it with hand-built graphs (`e`: DISTINCT a<b long
+    * edges, no self-loops).
+    */
+  private[graft] def degreeMixing(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    val deg = sym.select(col("src").as("node"), col("deg")).dropDuplicates("node")
+    val nByDeg = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    val knn = sym.join(
+        broadcast(deg.select(col("node").as("dn"), col("deg").as("ddeg"))),
+        col("dst") === col("dn"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("cnt"), sum(col("ddeg")).as("sd"))
+      .select(col("deg"),
+        expr("(2 * sd * 1000000 + cnt) div (2 * cnt)").as("knn_fp"))
+    nByDeg.join(knn, Seq("deg"))
+      .orderBy("deg")
+  }
 }

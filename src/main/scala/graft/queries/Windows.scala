@@ -120,4 +120,51 @@ object Windows {
         graft.queries.Relational.money(sum(Relational.dec2(col("o_totalprice"))).over(w)).as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** Slowly-changing-dimension type-2 materialization — the lakehouse
+    * dimension-history primitive (`MERGE INTO` + validity intervals):
+    * each customer's order stream, ordered by (epoch day, order key),
+    * collapses consecutive equal-status runs into versioned rows with
+    * [valid_from_day, valid_to_day) intervals and an is_current flag.
+    * This is how a warehouse keeps the full history of a mutable
+    * dimension while point-in-time joins stay a range lookup.
+    *
+    * Scale shape: ONE exchange — both window stages partition by
+    * `o_custkey` with the same (day, key) ordering, and the change
+    * filter between them preserves the partitioning, so Catalyst
+    * plans one hash exchange; the post-filter stage's sort runs over
+    * already-sorted partitions. Per-customer
+    * state is that customer's rows only; no broadcast, no corpus-wide
+    * join. Deterministic under same-day conflicts: the order-key
+    * tie-break makes same-day status flips produce zero-length
+    * versions rather than nondeterministic picks.
+    *
+    * Day arithmetic is the integral `unix_timestamp div 86400` ↔
+    * `epoch_us // 86400000000` pair ([[TimeSeries.q_retention]]); all
+    * outputs are exact BIGINT / VARCHAR.
+    */
+  def q_scd2(s: SparkSession, d: String): DataFrame =
+    scd2Of(orders(s, d).select(
+      col("o_custkey"),
+      expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+      col("o_orderkey"),
+      col("o_orderstatus").as("status")))
+
+  /** The run-collapse kernel of [[q_scd2]], factored so unit tests can
+    * drive it with hand-built (o_custkey, day, o_orderkey, status)
+    * change streams.
+    */
+  private[graft] def scd2Of(st: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+    st.withColumn("prev", lag(col("status"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .select(
+        col("o_custkey"),
+        row_number().over(w).cast("long").as("version"),
+        col("status"),
+        col("day").as("valid_from_day"),
+        lead(col("day"), 1).over(w).as("valid_to_day"),
+        when(lead(col("day"), 1).over(w).isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
 }

@@ -131,4 +131,33 @@ class EmbedSpec extends AnyFunSuite {
     }
     assert(real.exists(!_.getAs[Boolean]("kept")), "corpus has semantic near-dups")
   }
+
+  test("q_embed_rp: driver-side reference projection matches exactly; JL ratios concentrate") {
+    import graft.queries.EmbedOps
+    // exact cross-check: recompute q / p_j / norms from the same
+    // pinned sign matrix on the collected vectors
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .filter(v => v._2 != null && v._2.length == 64).toMap
+    val rows = SparkEntry.queries("q_embed_rp")(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val q = v.map(x => math.floor(x.toDouble * 10000.0 + 0.5).toLong)
+      val norm2 = q.map(x => x * x).sum
+      val proj2 = (0 until EmbedOps.RpOutDims).map { j =>
+        val p = q.indices.map(i => q(i) * EmbedOps.rpSigns(i)(j)).sum
+        p * p
+      }.sum
+      assert(r.getAs[Long]("norm2") == norm2)
+      assert(r.getAs[Long]("proj2") == proj2)
+      if (norm2 > 0)
+        assert(r.getAs[Long]("ratio_fp") ==
+          (2L * proj2 * 1000000L + 16L * norm2) / (2L * 16L * norm2))
+    }
+    // JL concentration: the median squared-norm ratio sits near 1
+    val ratios = rows.filter(!_.isNullAt(3)).map(_.getAs[Long]("ratio_fp")).sorted
+    val med = ratios(ratios.length / 2)
+    assert(med > 500000L && med < 2000000L, s"median ratio_fp $med")
+  }
 }

@@ -162,4 +162,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(rs.map(r => (r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"))).toSet.size == 1)
     }
   }
+
+  test("scd2Of: run collapse, validity intervals, same-day flip, is_current") {
+    import spark.implicits._
+    val st = Seq(
+      // cust 1: O@d10, O@d11 (run collapses), F@d12, O@d15 -> 3 versions
+      (1L, 10L, 100L, "O"), (1L, 11L, 101L, "O"),
+      (1L, 12L, 102L, "F"), (1L, 15L, 103L, "O"),
+      // cust 2: same-day status flip resolved by order key ->
+      // zero-length first version [20, 20), current from day 20
+      (2L, 20L, 200L, "P"), (2L, 20L, 201L, "F"),
+      // cust 3: single order -> one open current version
+      (3L, 30L, 300L, "O")
+    ).toDF("o_custkey", "day", "o_orderkey", "status")
+    val got = graft.queries.Windows.scd2Of(st).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "O", 10L, Some(12L), 0L),
+      (1L, 2L, "F", 12L, Some(15L), 0L),
+      (1L, 3L, "O", 15L, None, 1L),
+      (2L, 1L, "P", 20L, Some(20L), 0L),
+      (2L, 2L, "F", 20L, None, 1L),
+      (3L, 1L, "O", 30L, None, 1L)))
+    // the graded key: exactly one current version per customer, and
+    // intervals chain (valid_to of version k == valid_from of k+1)
+    val rows = q("q_scd2").collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { vs =>
+      assert(vs.count(_.getAs[Long]("is_current") == 1L) == 1)
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_day") == b.getAs[Long]("valid_from_day"))
+          assert(a.getAs[String]("status") != b.getAs[String]("status"))
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_day")))
+    }
+  }
 }

@@ -161,6 +161,20 @@ class PageRankSpec extends AnyFunSuite {
       (2L, 3L), (2L, 4L), (3L, 4L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L)))
   }
 
+  test("degreeMixing computes k_nn(k) on K4 + pendant + isolate-pair") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L)).toDF("a", "b")
+    val got = graft.queries.GraphOps.degreeMixing(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // deg 1 = {5,6,7}: neighbor degs {4,1,1} -> mean 2
+    // deg 3 = {2,3,4}: each sees {4,3,3} -> mean 10/3 (round-half-up)
+    // deg 4 = {1}: sees {3,3,3,1} -> mean 2.5
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2000000L), (3L, 3L, 3333333L), (4L, 1L, 2500000L)))
+  }
+
   test("edgeAdamicAdar weights common neighbors by 1/ln(deg) on the K4 fixture") {
     import spark.implicits._
     val edges = Seq(
