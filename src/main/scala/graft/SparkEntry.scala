@@ -120,6 +120,8 @@ object SparkEntry {
     "q_lm_bigram"    -> (TextOps.q_lm_bigram _),
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
+    "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
+    "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
     "q_text_normalize" -> (TextOps.q_text_normalize _),
@@ -1674,6 +1676,60 @@ object SparkEntry {
         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
         |WHERE c12 >= 5
         |ORDER BY pmi_fp DESC, bigram LIMIT 100""".stripMargin,
+    // BM25 with Lucene idf ln((N+1)/(df+0.5)) and k1=1.2/b=0.75
+    // cleared to the exact integer identity by multiplying through by
+    // 10*S; tf-part quantized x1e6 round-half-up, idf 1e-9-quantized
+    // ln of (2N+2)/(2df+1); score = exact long sum of the products
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
+        |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
+        |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+        |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
+        |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
+        |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
+        |       FROM q JOIN tf USING (term) JOIN df USING (term)
+        |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+        |        FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
+        |        doc_id, score_fp FROM agg)
+        |SELECT query_id, rank, doc_id, score_fp FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // PSI drift: even/odd doc_id split over shared equi-width length
+    // buckets; +1 Laplace smoothing; psi term via |A|*|ln9| so the
+    // trunc-vs-floor negative-division divergence cannot arise
+    "q_drift_psi" ->
+      """WITH docs AS (SELECT doc_id, n_chars, doc_id % 2 = 0 AS is_ref FROM documents),
+        |rg AS (SELECT min(n_chars) AS min_c, max(n_chars) AS max_c FROM docs),
+        |tt AS (SELECT CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_tot,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur_tot
+        |       FROM docs),
+        |c AS (SELECT (n_chars - min_c) * 16 // (max_c - min_c + 1) AS bucket,
+        |        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |        CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |      FROM docs, rg GROUP BY 1),
+        |p AS (SELECT bucket, n_ref, n_cur,
+        |        (n_cur + 1) * (n_ref_tot + 16) AS pc_num,
+        |        (n_ref + 1) * (n_cur_tot + 16) AS pr_num,
+        |        (n_cur_tot + 16) * (n_ref_tot + 16) AS den
+        |      FROM c, tt),
+        |l AS (SELECT bucket, n_ref, n_cur, pc_num, pr_num, den,
+        |        CAST(round(ln(CAST(pc_num AS DOUBLE) /
+        |          CAST(pr_num AS DOUBLE)) * 1e9) AS BIGINT) AS ln9
+        |      FROM p)
+        |SELECT bucket, n_ref, n_cur, ln9 AS lr_fp,
+        |  (2 * abs(pc_num - pr_num) * abs(ln9) + den) // (2 * den) AS psi_fp
+        |FROM l ORDER BY bucket""".stripMargin,
     // Ablation: per-doc pass flags (ratio rules by integer
     // cross-multiplication, composite on the rounded score, nulls
     // fail everything) -> one counter row -> 4 literal rows

@@ -1174,4 +1174,126 @@ object TextOps {
         round(exp(-meanLogp), 4).as("ppl_proxy"))
       .orderBy("doc_id")
   }
+
+  /** BM25 retrieval — the lexical ranking function every RAG /
+    * retrieval pipeline runs next to its dense index (Robertson &
+    * Zaragoza 2009): the first `nQueries` documents act as queries
+    * and retrieve the top-`k` corpus documents by
+    * Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) over the
+    * shared terms, with Lucene's always-positive idf
+    * ln((N+1)/(df+0.5)) (the raw Robertson idf goes NEGATIVE for
+    * df > N/2 — fatal on this corpus's 31-term shared vocabulary).
+    *
+    * Scale shape: the (doc, term) tf table is token-scale and
+    * deliberately recomputed per branch instead of cached (the
+    * [[q_tfidf]] stance); df is vocab-bounded (broadcast), dl and the
+    * one-row (N, S) totals attach by joins AQE sizes itself. The
+    * candidate join is query-terms × posting-lists — O(nQueries ·
+    * corpus) worst case here because every posting list is dense;
+    * with a real Zipf vocabulary it is O(nQueries · Σ df(q_t)), and
+    * the WAND/impact-ordered pruning of a search engine is the
+    * documented next step beyond exhaustive scoring. The top-k cut is
+    * a per-query row_number window on the scored pairs.
+    *
+    * Oracle determinism: k1 = 1.2 and b = 0.75 are cleared to the
+    * integer identity tfp = 22·tf·S / (10·S·tf + 3·S + 9·dl·N) by
+    * multiplying through by 10·S (S = corpus tokens, N = corpus
+    * docs), quantized ×1e6 round-half-up; idf is the §5.3
+    * 1e-9-quantized ln of the exact integer ratio (2N+2)/(2df+1);
+    * score_fp = Σ idf9·tfp6 is an exact order-free long sum (< 2⁶³
+    * while S·tf·2.2·2·10⁶ < 2⁶³ — about 10⁹ corpus tokens; past
+    * that, rescale the quantization or sum as DECIMAL(38,0)).
+    */
+  def q_bm25(s: SparkSession, d: String, k: Int = 5,
+             nQueries: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tfOf() = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfOf()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tfOf().agg(sum(col("tf")).as("s_tok"))))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val scored = qterms
+      .join(tf, "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("doc_id"),
+        (expr("CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) / " +
+            "CAST(2*df + 1 AS DOUBLE)) * 1e9) AS BIGINT)") *
+          expr("(2 * 22 * tf * s_tok * 1000000 + " +
+            "(10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs)) div " +
+            "(2 * (10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs))"))
+          .as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score_fp"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Population-stability-index drift report — the distribution
+    * monitor a pipeline runs between corpus snapshots before trusting
+    * a quality model trained on the old one (PSI > 0.25 is the
+    * classic "retrain" alarm). Reference population = even doc_ids,
+    * current = odd (a deterministic split that is balanced at every
+    * sf; in production the two sides are yesterday's and today's
+    * shards); the monitored feature is document length, binned into
+    * [[q_value_hist]]-style shared equi-width buckets over the global
+    * range so the two populations are compared bucket-for-bucket.
+    *
+    * Per bucket: both counts and the PSI term
+    * (p_cur − p_ref)·ln(p_cur/p_ref) with +1 Laplace smoothing (a
+    * bucket empty on one side would otherwise be ±∞). Scale shape:
+    * ONE map-side-combined (bucket, side) count agg bounded by
+    * 2·nBuckets rows; the range and population totals ride as
+    * broadcast one-row aggregates; everything after the count table
+    * is O(buckets).
+    *
+    * Oracle determinism: the smoothed ratio is the exact integer
+    * products (n_cur+1)(N_ref+B) / (n_ref+1)(N_cur+B) under the §5.3
+    * 1e-9-quantized ln; the (p_cur−p_ref) factor is the exact integer
+    * difference A of those same products over denominator
+    * (N_cur+B)(N_ref+B); psi_fp = round-half-up |A|·|ln9| / den —
+    * abs on BOTH factors because sign(A) = sign(ln) mathematically
+    * (each side's |·| is mirrored, so trunc-vs-floor division
+    * divergence on negatives cannot arise).
+    */
+  def q_drift_psi(s: SparkSession, d: String, nBuckets: Int = 16): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+    val range = docs.agg(min(col("n_chars")).as("min_c"),
+      max(col("n_chars")).as("max_c"))
+    val totals = docs.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref_tot"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur_tot"))
+    val counts = docs.crossJoin(broadcast(range))
+      .select(
+        expr(s"(n_chars - min_c) * $nBuckets div (max_c - min_c + 1)").as("bucket"),
+        col("is_ref"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr(s"""(n_cur + 1) * (n_ref_tot + $nBuckets)""").as("pc_num"),
+        expr(s"""(n_ref + 1) * (n_cur_tot + $nBuckets)""").as("pr_num"),
+        expr(s"""(n_cur_tot + $nBuckets) * (n_ref_tot + $nBuckets)""").as("den"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("CAST(round(ln(CAST(pc_num AS DOUBLE) / CAST(pr_num AS DOUBLE)) * 1e9) AS BIGINT)")
+          .as("ln9"),
+        col("pc_num"), col("pr_num"), col("den"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("ln9").as("lr_fp"),
+        expr("(2 * abs(pc_num - pr_num) * abs(ln9) + den) div (2 * den)").as("psi_fp"))
+      .orderBy("bucket")
+  }
 }

@@ -257,4 +257,76 @@ class TextInvariantSpec extends AnyFunSuite {
     val nAcc = out.count(_.getAs[Boolean]("accept"))
     assert(nAcc > 0 && nAcc < out.length, s"degenerate gate: $nAcc/${out.length}")
   }
+
+  test("q_bm25: planted corpus ranks by idf and tf as BM25 demands") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    Seq(
+      (0L, "apple banana apple", "en", "s0", 18L),
+      (1L, "apple cherry", "en", "s0", 12L),
+      (2L, "banana banana banana", "en", "s0", 20L),
+      (3L, "durian", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q_bm25")(spark, tmp).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq }
+    // durian appears only in doc 3 -> its query retrieves exactly itself
+    assert(byQ(3L) == Seq(3L))
+    // query {banana}: doc2 (tf 3) outranks doc0 (tf 1), nothing else matches
+    assert(byQ(2L) == Seq(2L, 0L))
+    // query {apple, cherry}: rare cherry makes doc1 beat the
+    // apple-heavier doc0; doc2/doc3 share no term
+    assert(byQ(1L) == Seq(1L, 0L))
+    // scores are positive and non-increasing within each query
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score_fp"))
+      assert(sorted.forall(_ > 0L))
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // corpus shape: every query retrieves k rows with contiguous ranks
+    val corpus = SparkEntry.queries("q_bm25")(spark, sf).collect()
+    corpus.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+      assert(rs.length == 5)
+    }
+  }
+
+  test("q_drift_psi: identical halves give zero PSI; planted shift is detected") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("psi").toString
+    // even/odd doc_ids carry IDENTICAL n_chars multisets -> every
+    // bucket has n_ref == n_cur -> ln ratio 0, psi 0
+    val same = (0L until 40L).map(i => (i, "t", "en", "s0", 100L + (i / 2) * 10L))
+    same.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q_drift_psi")(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ref") == r.getAs[Long]("n_cur"))
+      assert(r.getAs[Long]("lr_fp") == 0L)
+      assert(r.getAs[Long]("psi_fp") == 0L)
+    }
+    // planted drift: evens short (100), odds long (500) -> the two
+    // occupied buckets each carry a large positive psi term
+    val tmp2 = java.nio.file.Files.createTempDirectory("psi2").toString
+    val shifted = (0L until 40L).map(i =>
+      (i, "t", "en", "s0", if (i % 2 == 0) 100L else 500L))
+    shifted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val drift = SparkEntry.queries("q_drift_psi")(spark, tmp2).collect()
+    val occupied = drift.filter(r =>
+      r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") > 0)
+    assert(occupied.length == 2)
+    occupied.foreach(r => assert(r.getAs[Long]("psi_fp") > 1000000000L,
+      s"psi term too small: ${r.getAs[Long]("psi_fp")}"))
+    // corpus run: buckets within range, counts reconcile to the split
+    val corpus = SparkEntry.queries("q_drift_psi")(spark, sf).collect()
+    val nRef = corpus.map(_.getAs[Long]("n_ref")).sum
+    val nCur = corpus.map(_.getAs[Long]("n_cur")).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(nRef + nCur == nDocs)
+    corpus.foreach(r => assert(r.getAs[Long]("psi_fp") >= 0L))
+  }
 }
