@@ -82,6 +82,8 @@ object SparkEntry {
     "q_window_lag"     -> (Windows.q_window_lag _),
     "q_window_running" -> (Windows.q_window_running _),
     "q_scd2"           -> (Windows.q_scd2 _),
+    "q_scd2_lookup"    -> (Windows.q_scd2_lookup _),
+    "q_transitions"    -> (TimeSeries.q_transitions _),
     "q_window_dist"    -> (Windows.q_window_dist _),
     "q_window_range"   -> (Relational.q_window_range _),
     "q_string_agg"     -> (Relational.q_string_agg _),
@@ -737,6 +739,46 @@ object SparkEntry {
         |FROM f
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin,
+    // point-in-time SCD-2 lookup: equi join on customer + interval
+    // residual; exactly one version matches per order
+    "q_scd2_lookup" ->
+      """WITH st AS (SELECT o_custkey,
+        |         epoch_us(o_orderdate) // 86400000000 AS day,
+        |         o_orderkey, o_orderstatus AS status FROM orders),
+        |ch AS (SELECT *, lag(status) OVER
+        |         (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev
+        |       FROM st),
+        |f AS (SELECT o_custkey, day, o_orderkey, status FROM ch
+        |      WHERE prev IS NULL OR prev <> status),
+        |dim AS (SELECT o_custkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS version, status,
+        |    day AS valid_from_day, lead(day) OVER w AS valid_to_day
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
+        |fact AS (SELECT o_orderkey, o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day FROM orders)
+        |SELECT fact.o_orderkey, fact.o_custkey, fact.day,
+        |  dim.version, dim.status
+        |FROM fact JOIN dim ON fact.o_custkey = dim.o_custkey
+        |  AND fact.day >= dim.valid_from_day
+        |  AND (dim.valid_to_day IS NULL OR fact.day < dim.valid_to_day)
+        |ORDER BY fact.o_orderkey""".stripMargin,
+    // first-order Markov transition matrix over the per-user ordered
+    // event stream; probabilities x1e6 round-half-up per prev row
+    "q_transitions" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |         epoch_us(ts) // 1000000 AS es FROM events),
+        |p AS (SELECT event_type AS next_type,
+        |        lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY es, event_id) AS prev_type
+        |      FROM o),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot
+        |      FROM c)
+        |SELECT prev_type, next_type, n,
+        |  (2 * n * 1000000 + tot) // (2 * tot) AS p_fp
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value

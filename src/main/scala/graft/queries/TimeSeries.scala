@@ -156,6 +156,38 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Event-type transition matrix — the first-order Markov readout of
+    * user behavior (what follows what, and with what probability):
+    * per user, events ordered by (epoch second, event_id — the
+    * [[graft.queries.Windows.q_window_lag]] ordering contract), each
+    * adjacent pair contributes one (prev_type, next_type) transition;
+    * the report is counts plus row-normalized probabilities. The
+    * input to next-event prediction, anomaly scoring on broken flows,
+    * and the Sankey diagram every product-analytics dashboard draws.
+    *
+    * Scale shape: ONE corpus exchange — the lag window partitions by
+    * `user_id`; the transition count agg is map-side combined and
+    * bounded by |types|² rows, after which normalization is a window
+    * over that tiny table. Probabilities are the ×1e6 round-half-up
+    * fixed point of exact counts.
+    */
+  def q_transitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val es = unix_timestamp(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(es, col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(2 * n * 1000000 + tot) div (2 * tot)").as("p_fp"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Deadline micros for [[q_funnel]]'s conversion window — 72 hours,
     * chosen by measurement: unbounded, the synthetic corpus converts
     * every user through every stage (degenerate 100%); at 24 h the

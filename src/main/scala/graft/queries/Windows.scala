@@ -150,6 +150,39 @@ object Windows {
       col("o_orderkey"),
       col("o_orderstatus").as("status")))
 
+  /** Point-in-time lookup against the [[q_scd2]] dimension — the
+    * consumer side of SCD-2: every order is joined to the dimension
+    * version whose [valid_from_day, valid_to_day) interval contains
+    * its order day (an open current version matches everything from
+    * its start). This is the temporal fact-to-dimension join every
+    * warehouse report runs ("what was the customer's status WHEN the
+    * order happened"), and the proof that the interval set [[q_scd2]]
+    * emits is a partition of each customer's timeline: exactly one
+    * version matches per order.
+    *
+    * Scale shape: an equi join on `o_custkey` with the interval
+    * predicate as a residual filter — co-partitioned, per-customer
+    * bounded (a customer's versions ≪ its orders), never a cartesian;
+    * AQE handles customer skew. Zero-length same-day-flip intervals
+    * [d, d) correctly match nothing — both same-day orders land on
+    * the surviving version.
+    */
+  def q_scd2_lookup(s: SparkSession, d: String): DataFrame = {
+    val dim = q_scd2(s, d).select(
+      col("o_custkey"), col("version"), col("status"),
+      col("valid_from_day"), col("valid_to_day"))
+    val facts = orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+    facts.join(dim,
+        facts("o_custkey") === dim("o_custkey") &&
+          col("day") >= col("valid_from_day") &&
+          (col("valid_to_day").isNull || col("day") < col("valid_to_day")))
+      .select(col("o_orderkey"), facts("o_custkey").as("o_custkey"),
+        col("day"), col("version"), col("status"))
+      .orderBy("o_orderkey")
+  }
+
   /** The run-collapse kernel of [[q_scd2]], factored so unit tests can
     * drive it with hand-built (o_custkey, day, o_orderkey, status)
     * change streams.

@@ -201,4 +201,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_day")))
     }
   }
+
+  test("q_scd2_lookup: every order maps to exactly one dimension version") {
+    import spark.implicits._
+    // planted timeline: cust 1 is O on days [10,12), F from day 12
+    val tmp = java.nio.file.Files.createTempDirectory("scd2l").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    Seq(
+      (100L, 1L, "O", 10.0, ts(10), "1-URGENT"),
+      (101L, 1L, "O", 10.0, ts(11), "1-URGENT"), // same status, no new version
+      (102L, 1L, "F", 10.0, ts(12), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = SparkEntry.queries("q_scd2_lookup")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        ((r.getAs[Long]("version"), r.getAs[String]("status"))))
+      .toMap
+    assert(got == Map(
+      100L -> ((1L, "O")), 101L -> ((1L, "O")), 102L -> ((2L, "F"))))
+    // corpus: the interval set partitions each customer's timeline —
+    // one matched version per order, no order lost or duplicated
+    val rows = SparkEntry.queries("q_scd2_lookup")(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.length.toLong == nOrders)
+    assert(rows.map(_.getAs[Long]("o_orderkey")).distinct.length == rows.length)
+  }
+
+  test("q_transitions: row-stochastic matrix over exactly N - U transitions") {
+    val rows = q("q_transitions").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user with k events contributes k-1 transitions
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    // rows are probability-normalized per prev_type up to fp rounding
+    rows.groupBy(_.getAs[String]("prev_type")).values.foreach { rs =>
+      val pSum = rs.map(_.getAs[Long]("p_fp")).sum
+      assert(math.abs(pSum - 1000000L) <= rs.length / 2 + 1,
+        s"row sum $pSum over ${rs.length} cells")
+      rs.foreach(r => assert(r.getAs[Long]("n") > 0L))
+    }
+  }
 }
