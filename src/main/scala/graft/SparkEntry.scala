@@ -84,6 +84,7 @@ object SparkEntry {
     "q_scd2"           -> (Windows.q_scd2 _),
     "q_scd2_lookup"    -> (Windows.q_scd2_lookup _),
     "q_transitions"    -> (TimeSeries.q_transitions _),
+    "q_spikes"         -> ((s, d) => TimeSeries.q_spikes(s, d)),
     "q_window_dist"    -> (Windows.q_window_dist _),
     "q_window_range"   -> (Relational.q_window_range _),
     "q_string_agg"     -> (Relational.q_string_agg _),
@@ -779,6 +780,22 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         |  (2 * n * 1000000 + tot) // (2 * tot) AS p_fp
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    // 3-sigma hourly spike flags by integer cross-multiplication:
+    // (w*n-S)^2 > 9(w*Q-S^2), upward-only, 12-hour warm-up
+    "q_spikes" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, n,
+        |        CAST(count(*) OVER tw AS BIGINT) AS w,
+        |        CAST(sum(n) OVER tw AS BIGINT) AS s,
+        |        CAST(sum(n*n) OVER tw AS BIGINT) AS q
+        |      FROM h
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+        |        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr, n, w,
+        |  (w >= 12 AND (w*n - s)*(w*n - s) > 9*(w*q - s*s) AND n*w > s)
+        |    AS is_spike
+        |FROM w ORDER BY event_type, hr""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value

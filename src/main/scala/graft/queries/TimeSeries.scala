@@ -188,6 +188,46 @@ object TimeSeries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Event-rate spike detector — the ingestion-health monitor that
+    * pages before a bad feed poisons a training snapshot: hourly
+    * counts per event type, each hour tested against its type's
+    * trailing 24 observed hours by the 3σ rule. The test is the
+    * integer cross-multiplication
+    * (w·n − S)² > 9·(w·Q − S²) with S = Σ counts and Q = Σ counts²
+    * over the window — algebraically identical to
+    * (n − μ)² > 9σ² (population σ, both sides ×w²) but containing
+    * ZERO divisions or floats, so both engines compare identical
+    * longs. Upward-only (n·w > S) and warm-up-gated (w ≥ 12); an
+    * hour missing entirely from a type simply doesn't extend that
+    * type's window ("trailing 24 observed hours" — deterministic and
+    * identical cross-engine). 47 of 3,385 hours flag at sf0.01 —
+    * measured non-degenerate before building.
+    *
+    * Scale shape: ONE map-side-combined (type, hour) count agg
+    * bounded by |types|·hours; the trailing window runs over that
+    * tiny table. The squared terms stay far below 2⁶³ while hourly
+    * counts are < ~10⁸ (beyond that, pre-scale the counts or widen
+    * to DECIMAL(38,0)).
+    */
+  def q_spikes(s: SparkSession, d: String, wMin: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = events(s, d)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-24, -1)
+    h.select(col("event_type"), col("hr"), col("n"),
+        count(lit(1)).over(tw).as("w"),
+        sum(col("n")).over(tw).as("s"),
+        sum(col("n") * col("n")).over(tw).as("q"))
+      .select(col("event_type"), col("hr"), col("n"), col("w"),
+        (col("w") >= wMin &&
+          (col("w") * col("n") - col("s")) * (col("w") * col("n") - col("s")) >
+            lit(9L) * (col("w") * col("q") - col("s") * col("s")) &&
+          col("n") * col("w") > col("s")).as("is_spike"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Deadline micros for [[q_funnel]]'s conversion window — 72 hours,
     * chosen by measurement: unbounded, the synthetic corpus converts
     * every user through every stage (degenerate 100%); at 24 h the

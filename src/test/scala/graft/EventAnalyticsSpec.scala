@@ -228,6 +228,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("o_orderkey")).distinct.length == rows.length)
   }
 
+  test("q_spikes: flags equal an independent driver-side trailing-window recompute") {
+    val rows = q("q_spikes").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("hr"))
+      val ns = sorted.map(_.getAs[Long]("n"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = ns.slice(math.max(0, i - 24), i)
+        val (w, s0, q0) = (win.length.toLong, win.sum, win.map(x => x * x).sum)
+        val n = r.getAs[Long]("n")
+        assert(r.getAs[Long]("w") == w)
+        val expect = w >= 12 &&
+          (w * n - s0) * (w * n - s0) > 9L * (w * q0 - s0 * s0) &&
+          n * w > s0
+        assert(r.getAs[Boolean]("is_spike") == expect, s"row $r")
+      }
+    }
+  }
+
   test("q_transitions: row-stochastic matrix over exactly N - U transitions") {
     val rows = q("q_transitions").collect()
     assert(rows.nonEmpty)
