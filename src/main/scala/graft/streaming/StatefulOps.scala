@@ -247,4 +247,74 @@ object StatefulOps {
           KeyDistinct(key, sk.length.toLong, est)
       }
   }
+
+  final case class HourCount(hr: Long, n: Long)
+
+  final case class SpikeState(
+      ring: Seq[HourCount], curHr: Long, curN: Long, started: Boolean)
+
+  final case class SpikeFlag(
+      event_type: String, hr: Long, n: Long, w: Long, is_spike: Boolean)
+
+  /** Streaming twin of [[graft.queries.TimeSeries.q_spikes]] — the 3σ
+    * hourly rate-spike detector as incremental CEP: per event type,
+    * state is the CURRENT (incomplete) hour's count plus a ring of
+    * the last 24 COMPLETED hourly counts; when a later hour first
+    * appears, the previous hour completes and its flag is emitted
+    * (flatMapGroupsWithState change-log shape). The flag test is the
+    * same all-integer cross-multiplication as the batch key —
+    * (w·n−S)² > 9·(w·Q−S²), upward-only, warm-up-gated — over the
+    * SAME trailing-24-observed-hours window, so a replay of an
+    * arrival-ordered stream reproduces the batch flags
+    * hour-for-hour (tested; the stream's final, never-completed hour
+    * is the one row batch emits that streaming by construction
+    * cannot yet).
+    *
+    * State is HARD-BOUNDED at 24+1 hour counters per type — the flag
+    * for hour h reads only the 24 observed hours before it, so the
+    * ring IS the full sufficient statistic; unlike the funnel family
+    * no event-time timeout is needed for state growth, only for key
+    * retirement. Cross-batch late events for already-completed hours
+    * are dropped (the watermark stance; this corpus is measured
+    * arrival-ordered, NOTES r9).
+    */
+  def streamingSpikes(events: Dataset[Ev], wMin: Int = 12): Dataset[SpikeFlag] = {
+    implicit val stateEnc: Encoder[SpikeState] = Encoders.product[SpikeState]
+    implicit val outEnc: Encoder[SpikeFlag]    = Encoders.product[SpikeFlag]
+    events
+      .groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, evs: Iterator[Ev], state: GroupState[SpikeState]) =>
+          def flagOf(ring: Seq[HourCount], hr: Long, n: Long): SpikeFlag = {
+            val w = ring.length.toLong
+            val s = ring.iterator.map(_.n).sum
+            val q = ring.iterator.map(h => h.n * h.n).sum
+            SpikeFlag(tpe, hr, n, w,
+              w >= wMin &&
+                (w * n - s) * (w * n - s) > 9L * (w * q - s * s) &&
+                n * w > s)
+          }
+          // batch events bucketed to hours, processed in hour order
+          // (epoch-millis floorDiv == the batch key's
+          // `unix_timestamp(ts) div 3600` on any sign)
+          val batch = evs.toSeq
+            .groupBy(e => Math.floorDiv(e.ts.getTime, 3600000L))
+            .toSeq.sortBy(_._1)
+          var st = state.getOption.getOrElse(SpikeState(Nil, 0L, 0L, started = false))
+          val out = Seq.newBuilder[SpikeFlag]
+          batch.foreach { case (hr, es) =>
+            val cnt = es.length.toLong
+            if (!st.started) st = SpikeState(Nil, hr, cnt, started = true)
+            else if (hr == st.curHr) st = st.copy(curN = st.curN + cnt)
+            else if (hr < st.curHr) () // late hour: dropped (watermark stance)
+            else {
+              out += flagOf(st.ring, st.curHr, st.curN)
+              val ring = (st.ring :+ HourCount(st.curHr, st.curN)).takeRight(24)
+              st = SpikeState(ring, hr, cnt, started = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

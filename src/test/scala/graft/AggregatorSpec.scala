@@ -449,4 +449,40 @@ class AggregatorSpec extends AnyFunSuite {
       assert(cs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
     }
   }
+
+  test("streamingSpikes equals batch q_spikes hour-for-hour over an ordered replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real corpus events, arrival-ordered, replayed in two batches
+    val evs = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => StatefulOps.Ev(r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"),
+        Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue).getOrElse(0.0)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.streamingSpikes(input.toDS())
+      .writeStream.format("memory").queryName("spikes_stream")
+      .outputMode("append").start()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spikes_stream").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("w"), r.getAs[Boolean]("is_spike"))))
+      .toMap
+    val batchRows = SparkEntry.queries("q_spikes")(spark, TestSpark.sf).collect()
+    // streaming cannot emit each type's final (never-completed) hour
+    val lastHr = batchRows.groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("hr")).max }
+    val expected = batchRows
+      .filter(r => r.getAs[Long]("hr") <
+        lastHr(r.getAs[String]("event_type")))
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("w"), r.getAs[Boolean]("is_spike"))))
+      .toMap
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
 }
