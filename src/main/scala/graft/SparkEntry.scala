@@ -124,6 +124,7 @@ object SparkEntry {
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
+    "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
@@ -1764,6 +1765,31 @@ object SparkEntry {
         |        doc_id, score_fp FROM agg)
         |SELECT query_id, rank, doc_id, score_fp FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Zipf fit: quantized-ln points over the top-100 vocab, exact
+    // integer moment sums, slope/r2 as one mirrored double expr each
+    "q_zipf" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t WHERE len(term) > 0 GROUP BY 1),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100),
+        |r AS (SELECT cnt, CAST(row_number() OVER
+        |        (ORDER BY cnt DESC, term) AS BIGINT) AS rank FROM top),
+        |p AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |      FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(y*y) AS BIGINT) AS syy FROM p)
+        |SELECT n_terms, sx, sy, sxx, sxy,
+        |  round(CAST(n_terms*sxy - sx*sy AS DOUBLE) /
+        |        CAST(n_terms*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(n_terms*sxy - sx*sy AS DOUBLE) *
+        |        CAST(n_terms*sxy - sx*sy AS DOUBLE) /
+        |        (CAST(n_terms*sxx - sx*sx AS DOUBLE) *
+        |         CAST(n_terms*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |FROM a""".stripMargin,
     // PSI drift: even/odd doc_id split over shared equi-width length
     // buckets; +1 Laplace smoothing; psi term via |A|*|ln9| so the
     // trunc-vs-floor negative-division divergence cannot arise

@@ -1175,6 +1175,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf rank-frequency fit — the power-law diagnostic behind every
+    * vocabulary-size and tokenizer decision (Zipf's law says
+    * freq ∝ rank^slope with slope ≈ −1 for natural text; a flat slope
+    * means a synthetic or truncated vocabulary, a steep one a
+    * boilerplate-dominated corpus): least-squares fit of ln(count)
+    * against ln(rank) over the top-`topN` terms, reported with the
+    * exact integer moment sums and the r² of the fit.
+    *
+    * Scale shape: one Zipf-bounded term-count shuffle ([[q_vocab]]),
+    * a TakeOrdered top-N cut, and everything after runs on ≤ topN
+    * rows (the rank window is a single partition of ≤ topN rows by
+    * construction). Oracle determinism: both lns are the §5.3
+    * quantized-ln-of-exact-integers (×1e6 here so every moment sum
+    * stays < 2⁶³ at topN = 100), the moment sums are exact order-free
+    * longs, and slope / r² are one mirrored double expression each
+    * over those longs.
+    */
+  def q_zipf(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term")).limit(topN)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(desc("cnt"), col("term"))).cast("long"))
+    ranked
+      .select(
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_terms"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        expr("round(CAST(n_terms*sxy - sx*sy AS DOUBLE) / " +
+          "CAST(n_terms*sxx - sx*sx AS DOUBLE), 6)").as("slope"),
+        expr("round(CAST(n_terms*sxy - sx*sy AS DOUBLE) * " +
+          "CAST(n_terms*sxy - sx*sy AS DOUBLE) / " +
+          "(CAST(n_terms*sxx - sx*sx AS DOUBLE) * " +
+          "CAST(n_terms*syy - sy*sy AS DOUBLE)), 6)").as("r2"))
+  }
+
   /** BM25 retrieval — the lexical ranking function every RAG /
     * retrieval pipeline runs next to its dense index (Robertson &
     * Zaragoza 2009): the first `nQueries` documents act as queries

@@ -293,6 +293,29 @@ class TextInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_zipf: an exact power-law corpus fits slope -1 with r2 ~ 1") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    // counts 840/r for r = 1..8 (840 = lcm(1..8)) -> ln c = ln 840 - ln r,
+    // an EXACT line of slope -1 up to the 1e-6 ln quantization
+    val docs = (1 to 8).map { r =>
+      (r.toLong, Seq.fill(840 / r)(s"term$r").mkString(" "), "en", "s0", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val row = SparkEntry.queries("q_zipf")(spark, tmp).collect().head
+    assert(row.getAs[Long]("n_terms") == 8L)
+    assert(math.abs(row.getAs[Double]("slope") + 1.0) < 1e-4,
+      s"slope ${row.getAs[Double]("slope")}")
+    assert(row.getAs[Double]("r2") > 0.999999)
+    // corpus: the full vocab fits with a negative slope and a sane r2
+    val c = SparkEntry.queries("q_zipf")(spark, sf).collect().head
+    assert(c.getAs[Long]("n_terms") > 0L)
+    assert(c.getAs[Double]("slope") < 0.0)
+    val r2 = c.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
   test("q_drift_psi: identical halves give zero PSI; planted shift is detected") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("psi").toString
