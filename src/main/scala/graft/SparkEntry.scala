@@ -154,6 +154,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
     "q_minhash_calib" -> (DedupOps.q_minhash_calib _),
     "q_dedup_agreement" -> (DedupOps.q_dedup_agreement _),
+    "q_source_overlap"  -> ((s, d) => DedupOps.q_source_overlap(s, d)),
     "q_substr_runs"  -> ((s, d) => DedupOps.q_substr_runs(s, d)),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_containment"   -> (DedupOps.q_containment _),
@@ -1183,6 +1184,41 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 10) AS jaccard
         |FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Provenance matrix: q_dedup_minhash's pairs at jaccard >= 0.5
+    // (compared on the ROUNDED value), sources attached both sides,
+    // unordered (least, greatest) key
+    "q_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |mh AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / len(list_distinct(x.sset || y.sset)), 10) AS jaccard
+        |  FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b),
+        |so AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b
+        |  FROM mh JOIN documents da ON da.doc_id = doc_a
+        |          JOIN documents db ON db.doc_id = doc_b
+        |  WHERE jaccard >= 0.5)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM so GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
     // Leakage audit: q_dedup_minhash's confirmed pairs joined to the

@@ -500,6 +500,37 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication provenance — the near-dup pair matrix
+    * by (source, source): which feeds duplicate WITHIN themselves
+    * (re-crawls, mirrored shards) and which duplicate EACH OTHER
+    * (the same upstream scraped twice). This is the report that
+    * decides source-level dedup ordering and weighting before
+    * pair-level dedup runs — at 100 TB you drop a mirrored SOURCE in
+    * one metadata decision instead of confirming a billion pairs.
+    *
+    * Built on [[q_dedup_minhash]]'s confirmed pairs (exact Jaccard ≥
+    * `minJaccard`, compared on the ROUNDED value so both engines
+    * branch identically — the q_containment stance); sources attach
+    * by two joins against the doc dimension that AQE broadcasts
+    * (pairs are output-sized, the dimension is (id, source)); the
+    * matrix agg is bounded by |sources|². The unordered (least,
+    * greatest) key makes within-source rows the diagonal.
+    */
+  def q_source_overlap(s: SparkSession, d: String,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val pairs = q_dedup_minhash(s, d).filter(col("jaccard") >= minJaccard)
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Asymmetric CONTAINMENT scoring over the MinHash-LSH candidate
     * pairs — the quote/subset detector symmetric Jaccard
     * structurally misses: a short document fully embedded in a long

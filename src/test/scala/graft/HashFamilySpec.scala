@@ -131,4 +131,28 @@ class HashFamilySpec extends AnyFunSuite {
       }
     } finally spark.conf.unset("spark.graft.hashFamily")
   }
+
+  test("q_source_overlap: planted within/cross-source dup pairs land on the right cells") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("srcovl").toString
+    def doc(seed: Int): String =
+      (0 until 40).map(i => s"w${seed}_$i").mkString(" ")
+    Seq(
+      (0L, doc(100), "srcA"), (1L, doc(100), "srcB"), // cross-source dup
+      (2L, doc(200), "srcC"), (3L, doc(200), "srcC"), // within-source dup
+      (4L, doc(300), "srcA"), (5L, doc(999), "srcB")) // unique docs
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q_source_overlap")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_pairs"))).toSet
+    assert(got == Set(("srcA", "srcB", 1L), ("srcC", "srcC", 1L)))
+    // corpus reconciliation: matrix total == confirmed pair count
+    val confirmed = SparkEntry.queries("q_dedup_minhash")(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5).count()
+    val matrix = SparkEntry.queries("q_source_overlap")(spark, TestSpark.sf)
+      .collect()
+    assert(matrix.map(_.getAs[Long]("n_pairs")).sum == confirmed)
+    matrix.foreach(r => assert(r.getString(0) <= r.getString(1)))
+  }
 }
