@@ -125,6 +125,7 @@ object SparkEntry {
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
+    "q_chi2"         -> (TextOps.q_chi2 _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
@@ -1826,6 +1827,23 @@ object SparkEntry {
         |        (CAST(n_terms*sxx - sx*sx AS DOUBLE) *
         |         CAST(n_terms*syy - sy*sy AS DOUBLE)), 6) AS r2
         |FROM a""".stripMargin,
+    // chi-square independence: dense marginal-cross spine, fraction
+    // cleared to (O*N - R*C)^2 / (N*R*C), x1e6 round-half-up
+    "q_chi2" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |      FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS cc FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |sp AS (SELECT rt.lang, ct.source, rt.r, ct.cc FROM rt CROSS JOIN ct)
+        |SELECT sp.lang, sp.source,
+        |  CAST(coalesce(c.o, 0) AS BIGINT) AS n_docs,
+        |  sp.r AS n_lang, sp.cc AS n_source,
+        |  (2 * (coalesce(c.o, 0)*n.n - sp.r*sp.cc)
+        |     * (coalesce(c.o, 0)*n.n - sp.r*sp.cc) * 1000000
+        |   + n.n*sp.r*sp.cc) // (2 * n.n*sp.r*sp.cc) AS chi2_fp
+        |FROM sp LEFT JOIN c ON sp.lang = c.lang AND sp.source = c.source, n
+        |ORDER BY sp.lang, sp.source""".stripMargin,
     // PSI drift: even/odd doc_id split over shared equi-width length
     // buckets; +1 Laplace smoothing; psi term via |A|*|ln9| so the
     // trunc-vs-floor negative-division divergence cannot arise

@@ -1175,6 +1175,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Pearson chi-square independence report for the (lang, source)
+    * contingency table — the categorical-association test a pipeline
+    * runs before stratifying on one dimension and assuming the other
+    * stays balanced (a source that skews French breaks any
+    * language-balanced sample drawn by source). Per cell: observed
+    * count, both marginals, and the chi-square contribution
+    * (O−E)²/E with E = R·C/N, cleared of fractions to
+    * (O·N − R·C)² / (N·R·C) and reported as the ×1e6 round-half-up
+    * fixed point — zero divisions until the final exact-integer
+    * round. The DENSE spine (marginal × marginal cross) keeps
+    * structurally-absent cells in the statistic, where they belong.
+    *
+    * Scale shape: one map-side-combined (lang, source) count —
+    * output bounded by |langs|·|sources| — after which everything is
+    * arithmetic on that tiny table; the spine cross join is two
+    * broadcast marginal dims. Overflow headroom: (O·N − R·C)²·10⁶
+    * needs O·N ≲ 3·10⁶ per cell × corpus — fine to ~10⁶ docs per
+    * cell; beyond, drop to ×1e3 quantization (documented, the
+    * q_skew_stats HHI stance).
+    */
+  def q_chi2(s: SparkSession, d: String): DataFrame = {
+    val c = documents(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // referenced 4x: both marginals, total, cells
+    val rt = c.groupBy("lang").agg(sum(col("o")).as("r"))
+    val ct = c.groupBy("source").agg(sum(col("o")).as("cc"))
+    val n = c.agg(sum(col("o")).as("n"))
+    rt.crossJoin(broadcast(ct))
+      .join(c, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("o"), col("r"), col("cc"))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o").as("n_docs"),
+        col("r").as("n_lang"), col("cc").as("n_source"),
+        expr("(2 * (o*n - r*cc) * (o*n - r*cc) * 1000000 + n*r*cc) div " +
+          "(2 * n*r*cc)").as("chi2_fp"))
+      .orderBy("lang", "source")
+  }
+
   /** Zipf rank-frequency fit — the power-law diagnostic behind every
     * vocabulary-size and tokenizer decision (Zipf's law says
     * freq ∝ rank^slope with slope ≈ −1 for natural text; a flat slope

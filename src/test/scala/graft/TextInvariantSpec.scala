@@ -316,6 +316,34 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("q_chi2: exact independence gives zero; a diagonal table gives chi2 = N") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, String)], name: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      rows.map { case (id, l, src) => (id, "t", l, src, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    // balanced 2x2 with equal cells -> O*N == R*C exactly -> all zero
+    val indep = (0 until 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fr", if (i < 10) "s0" else "s1"))
+    val zi = SparkEntry.queries("q_chi2")(spark, write(indep, "chi2i")).collect()
+    assert(zi.length == 4)
+    zi.foreach(r => assert(r.getAs[Long]("chi2_fp") == 0L))
+    // perfectly dependent diagonal -> every cell contributes N/4 = 5
+    val dep = (0 until 20).map(i =>
+      (i.toLong, if (i < 10) "en" else "fr", if (i < 10) "s0" else "s1"))
+    val zd = SparkEntry.queries("q_chi2")(spark, write(dep, "chi2d")).collect()
+    assert(zd.length == 4)
+    zd.foreach(r => assert(r.getAs[Long]("chi2_fp") == 5000000L))
+    // corpus: dense spine reconciles to the doc count; contributions >= 0
+    val corpus = SparkEntry.queries("q_chi2")(spark, sf).collect()
+    assert(corpus.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    corpus.foreach(r => assert(r.getAs[Long]("chi2_fp") >= 0L))
+  }
+
   test("q_drift_psi: identical halves give zero PSI; planted shift is detected") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("psi").toString
