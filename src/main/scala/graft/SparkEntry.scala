@@ -85,6 +85,7 @@ object SparkEntry {
     "q_scd2_lookup"    -> (Windows.q_scd2_lookup _),
     "q_transitions"    -> (TimeSeries.q_transitions _),
     "q_spikes"         -> ((s, d) => TimeSeries.q_spikes(s, d)),
+    "q_rfm"            -> (TimeSeries.q_rfm _),
     "q_window_dist"    -> (Windows.q_window_dist _),
     "q_window_range"   -> (Relational.q_window_range _),
     "q_string_agg"     -> (Relational.q_string_agg _),
@@ -783,6 +784,35 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         |  (2 * n * 1000000 + tot) // (2 * tot) AS p_fp
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    // RFM: per-user purchase recency/frequency/cents with position
+    // quintiles from row_number ((rn-1)*5 // n + 1 — not ntile, whose
+    // remainder rule is engine lore), user-id tie-breaks throughout
+    "q_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |       FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |per AS (SELECT user_id, max(day) AS last_day,
+        |          CAST(count(*) AS BIGINT) AS frequency,
+        |          CAST(sum(cents) AS BIGINT) AS monetary_c
+        |        FROM p GROUP BY 1),
+        |g AS (SELECT max(last_day) AS gmax, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM per),
+        |b AS (SELECT user_id, gmax - last_day AS recency_days, frequency,
+        |        monetary_c, n_users FROM per, g),
+        |r AS (SELECT *,
+        |        CAST(row_number() OVER (ORDER BY recency_days ASC, user_id) AS BIGINT) AS rn_r,
+        |        CAST(row_number() OVER (ORDER BY frequency ASC, user_id) AS BIGINT) AS rn_f,
+        |        CAST(row_number() OVER (ORDER BY monetary_c ASC, user_id) AS BIGINT) AS rn_m
+        |      FROM b),
+        |sc AS (SELECT user_id, recency_days, frequency, monetary_c,
+        |         6 - (((rn_r - 1) * 5) // n_users + 1) AS r_score,
+        |         ((rn_f - 1) * 5) // n_users + 1 AS f_score,
+        |         ((rn_m - 1) * 5) // n_users + 1 AS m_score
+        |       FROM r)
+        |SELECT user_id, recency_days, frequency, monetary_c,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM sc ORDER BY user_id""".stripMargin,
     // 3-sigma hourly spike flags by integer cross-multiplication:
     // (w*n-S)^2 > 9(w*Q-S^2), upward-only, 12-hour warm-up
     "q_spikes" ->

@@ -188,6 +188,64 @@ object TimeSeries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** RFM user segmentation — the recency / frequency / monetary
+    * scoring behind every customer-value report (and the
+    * contributor-activity readout in the reference's domain: how
+    * recently, how often, and how much): per purchasing user, days
+    * since last purchase, purchase count, and exact cents spent,
+    * each scored into position quintiles 1–5 (5 = best) and combined
+    * into the classic three-digit RFM code.
+    *
+    * Quintiles are POSITION quintiles from row_number —
+    * `(rn−1)·5 div n + 1` over a total order with the user-id
+    * tie-break — not ntile(): the formula is one exact integer
+    * expression identical in both engines, where ntile's
+    * remainder-distribution rule is engine lore. Scale shape: one
+    * map-side-combined per-user agg, then three global sorts over
+    * the O(users) report table (range-partitioned exchanges — the
+    * q_sort class); the one-row (max day, user count) aggregate
+    * rides as a broadcast. Money stays in the DECIMAL(18,2)→cents
+    * long idiom; day arithmetic is the integral epoch-day pair.
+    * Users with no purchases are absent by definition (they have no
+    * R/F/M to score).
+    */
+  def q_rfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        (Relational.dec2(col("value")) * 100).cast("long").as("cents"))
+    val per = p.groupBy("user_id").agg(
+      max(col("day")).as("last_day"),
+      count(lit(1)).as("frequency"),
+      sum(col("cents")).as("monetary_c"))
+    val g = per.agg(max(col("last_day")).as("gmax"),
+      count(lit(1)).as("n_users"))
+    val wr = Window.orderBy(col("recency_days").asc, col("user_id"))
+    val wf = Window.orderBy(col("frequency").asc, col("user_id"))
+    val wm = Window.orderBy(col("monetary_c").asc, col("user_id"))
+    per.crossJoin(broadcast(g))
+      .select(col("user_id"),
+        (col("gmax") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_c"), col("n_users"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_c"), col("n_users"),
+        row_number().over(wr).cast("long").as("rn_r"),
+        row_number().over(wf).cast("long").as("rn_f"),
+        row_number().over(wm).cast("long").as("rn_m"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_c"),
+        expr("6 - (((rn_r - 1) * 5) div n_users + 1)").as("r_score"),
+        expr("((rn_f - 1) * 5) div n_users + 1").as("f_score"),
+        expr("((rn_m - 1) * 5) div n_users + 1").as("m_score"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_c"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .as("rfm_code"))
+      .orderBy("user_id")
+  }
+
   /** Event-rate spike detector — the ingestion-health monitor that
     * pages before a bad feed poisons a training snapshot: hourly
     * counts per event type, each hour tested against its type's

@@ -247,6 +247,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rfm: scores match a driver-side position-quintile recompute") {
+    val rows = q("q_rfm").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    def score(order: Array[Long]): Map[Long, Long] =
+      order.zipWithIndex.map { case (u, i) => u -> ((i.toLong * 5L) / n + 1L) }.toMap
+    val byR = score(rows.sortBy(r =>
+      (r.getAs[Long]("recency_days"), r.getAs[Long]("user_id")))
+      .map(_.getAs[Long]("user_id")))
+    val byF = score(rows.sortBy(r =>
+      (r.getAs[Long]("frequency"), r.getAs[Long]("user_id")))
+      .map(_.getAs[Long]("user_id")))
+    val byM = score(rows.sortBy(r =>
+      (r.getAs[Long]("monetary_c"), r.getAs[Long]("user_id")))
+      .map(_.getAs[Long]("user_id")))
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("r_score") == 6L - byR(u))
+      assert(r.getAs[Long]("f_score") == byF(u))
+      assert(r.getAs[Long]("m_score") == byM(u))
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[Long]("rfm_code") == rs * 100 + fs * 10 + ms)
+      assert(r.getAs[Long]("recency_days") >= 0L)
+    }
+    // the most recent purchaser anchors recency 0; quintiles balanced
+    assert(rows.map(_.getAs[Long]("recency_days")).min == 0L)
+    val fCounts = rows.groupBy(_.getAs[Long]("f_score")).view.mapValues(_.length)
+    assert(fCounts.values.max - fCounts.values.min <= (n / 5 + 1).toInt)
+  }
+
   test("q_transitions: row-stochastic matrix over exactly N - U transitions") {
     val rows = q("q_transitions").collect()
     assert(rows.nonEmpty)
