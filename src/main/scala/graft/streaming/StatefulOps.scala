@@ -248,6 +248,38 @@ object StatefulOps {
       }
   }
 
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of [[graft.queries.TimeSeries.q_transitions]] —
+    * the Markov transition stream as incremental CEP: state is ONE
+    * string per user (the last event type), and every arriving event
+    * emits its (prev, next) transition row. Downstream, a streaming
+    * `groupBy(prev_type, next_type).count()` IS the batch matrix —
+    * the mergeable-statistic stance of streamingValueHist. Events
+    * are ordered per batch by the batch key's exact (epoch-second,
+    * event_id) contract, so an ordered replay emits precisely the
+    * batch key's transition multiset (tested count-for-count).
+    */
+  def streamingTransitions(events: Dataset[Ev]): Dataset[Transition] = {
+    implicit val stateEnc: Encoder[String]    = Encoders.STRING
+    implicit val outEnc: Encoder[Transition]  = Encoders.product[Transition]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[String]) =>
+          val sorted = evs.toSeq.sortBy(e =>
+            (Math.floorDiv(e.ts.getTime, 1000L), e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption.orNull
+          sorted.foreach { e =>
+            if (last != null) out += Transition(user, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   final case class HourCount(hr: Long, n: Long)
 
   final case class SpikeState(
