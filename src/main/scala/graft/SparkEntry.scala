@@ -64,6 +64,7 @@ object SparkEntry {
     // §2.6 sorts / top-k
     "q_sort" -> (Relational.q_sort _),
     "q_topk" -> (Relational.q_topk _),
+    "q_topk_group" -> ((s, d) => Relational.q_topk_group(s, d)),
     // §2.7 set ops / dedup
     "q_union"     -> (Relational.q_union _),
     "q_intersect" -> (Relational.q_intersect _),
@@ -700,6 +701,15 @@ object SparkEntry {
         |      ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer)
         |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    // the custom bounded-heap operator must equal the declarative
+    // rank-filter, rank column included
+    "q_topk_group" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rank
+        |  FROM customer)
+        |WHERE rank <= 3 ORDER BY c_nationkey, rank""".stripMargin,
     "q_window_lag" ->
       """SELECT user_id, event_id,
         |  (epoch_us(ts) // 1000000)

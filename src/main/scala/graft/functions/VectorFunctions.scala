@@ -266,6 +266,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // conf-gated optimizer rule: pure point-in-range inner joins
     // rewrite to the binned equi-join (see RewriteRangeJoinRule)
     e.injectOptimizerRule(s => new graft.plans.RewriteRangeJoinRule(s))
+    // whole-operator custom plan: bounded-heap top-k per group
+    // (TopKPerGroupNode -> partial/final execs; see plans.TopKPerGroup)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

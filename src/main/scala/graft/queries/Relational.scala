@@ -263,6 +263,22 @@ object Relational {
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
       .limit(10)
 
+  /** Top-k per group through the CUSTOM whole-operator plan
+    * ([[graft.plans.TopKPerGroup]]: logical node → planner strategy →
+    * partial/final bounded-heap execs) — q_window_rank's semantics
+    * without its plan shape: no per-partition Sort, no Window, and
+    * only ≤ k·partitions candidate rows per group ever cross the
+    * exchange (vs the window form shuffling the whole table). The
+    * ordering carries the custkey tie-break — the operator's
+    * total-order determinism contract.
+    */
+  def q_topk_group(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
+        customer(s, d).select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_nationkey")),
+        Seq(col("c_acctbal").desc, col("c_custkey")), k)
+      .orderBy("c_nationkey", "rank")
+
   /** UNION ALL (SURVEY.md §2.7 U1: per-repo results appended into one
     * table). unionByName is a zero-shuffle narrow op.
     */

@@ -81,6 +81,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("injected planner strategy plans a raw TopKPerGroupNode without ensureStrategy") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, SortOrder}
+    import org.apache.spark.sql.types.LongType
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // hand-built node, deliberately NOT via TopKPerGroup.topKPerGroup
+      // (which registers the experimental strategy itself) — only the
+      // session-extension injection can plan this
+      val df = s2.range(10).selectExpr("id % 3 AS g", "id AS v")
+      val child = df.queryExecution.analyzed
+      val node = graft.plans.TopKPerGroupNode(
+        Seq(child.output.find(_.name == "g").get),
+        Seq(SortOrder(child.output.find(_.name == "v").get, Descending)),
+        1,
+        AttributeReference("rank", LongType, nullable = false)(),
+        child)
+      val got = org.apache.spark.sql.GraftSqlBridge.ofRows(s2, node)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((0L, 9L, 1L), (1L, 7L, 1L), (2L, 8L, 1L)))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("analysis rejects non-float-array inputs with a clear message") {
     val spark = TestSpark.spark
     graft.functions.VectorFunctions.register(spark)
