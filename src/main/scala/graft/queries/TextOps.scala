@@ -548,11 +548,13 @@ object TextOps {
     val scored = tf.join(df, "term").crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("doc_id"), col("term"), col("tfidf"), col("rank").cast("long").as("rank"))
+    // per-doc top-k through the custom bounded-heap operator
+    // (plans.TopKPerGroup) instead of the window rank-filter: same
+    // rows under the (tfidf DESC, term) total order, no per-partition
+    // sort on either side of the exchange
+    graft.plans.TopKPerGroup.topKPerGroup(scored,
+        Seq(col("doc_id")), Seq(desc("tfidf"), col("term")), topK)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
       .orderBy("doc_id", "rank")
   }
 
