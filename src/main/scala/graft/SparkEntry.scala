@@ -184,6 +184,7 @@ object SparkEntry {
     "q_sample_hash"      -> (SampleOps.q_sample_hash _),
     "q_sample_weighted"  -> (SampleOps.q_sample_weighted _),
     "q_sample_balance"   -> (SampleOps.q_sample_balance _),
+    "q_sample_stratified" -> ((s, d) => SampleOps.q_sample_stratified(s, d)),
     "q_chunk"            -> (SampleOps.q_chunk _),
     "q_quality_gate"     -> (SampleOps.q_quality_gate _),
     "q_split"            -> (SampleOps.q_split _),
@@ -1727,6 +1728,18 @@ object SparkEntry {
          |SELECT doc_id, lang, bucket, keep_rate
          |FROM d JOIN r USING (lang)
          |WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin
+    },
+    // exactly-k-per-stratum: smallest md5 draws per language, doc_id
+    // tie-break — the custom heap operator vs the rank-filter oracle
+    "q_sample_stratified" -> {
+      val draw6 = duckHashDraw(6)
+      s"""WITH d AS (SELECT doc_id, lang, $draw6 AS draw FROM documents),
+         |r AS (SELECT doc_id, lang, draw,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY draw, doc_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT doc_id, lang, draw, rank FROM r
+         |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
     },
     // per-token log-probs are 1e-9 fixed-point longs BEFORE the
     // per-doc sum (exact, order-independent — the q_corpus_report

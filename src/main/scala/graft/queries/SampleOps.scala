@@ -78,6 +78,27 @@ object SampleOps {
     * integers, the rate division is a single floor on exact operands,
     * and the draw is the md5 bridge — reruns keep their selections.
     */
+  /** Exactly-k-per-stratum deterministic sampling through the CUSTOM
+    * whole-operator plan ([[graft.plans.TopKPerGroup]]) — the
+    * deliberate physical A/B twin of [[q_sample_reservoir]]: the same
+    * contract (per language, the k docs with the smallest md5 draws,
+    * doc_id tie-break) computed by the repo's two §2.12 machineries —
+    * there a typed Aggregator with bounded array state inside a hash
+    * aggregate, here the planner-injected bounded-heap operator pair.
+    * Each key carries its own independent DuckDB oracle, and
+    * SampleSpec additionally pins the two outputs row-identical — two
+    * implementations, two oracles, one answer, so a regression in
+    * either machinery surfaces as a three-way disagreement.
+    */
+  def q_sample_stratified(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      hashDraw(col("doc_id"), 6).as("draw"))
+    graft.plans.TopKPerGroup.topKPerGroup(base,
+        Seq(col("lang")), Seq(col("draw"), col("doc_id")), k)
+      .select(col("doc_id"), col("lang"), col("draw"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
   def q_sample_balance(s: SparkSession, d: String): DataFrame = {
     val counts = documents(s, d).groupBy("lang")
       .agg(count(lit(1)).as("n_lang"))

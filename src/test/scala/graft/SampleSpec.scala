@@ -462,4 +462,19 @@ class SampleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_sample_stratified equals q_sample_reservoir row for row (operator vs aggregator)") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("draw"))).toSet
+    val strat = rows("q_sample_stratified")
+    assert(strat == rows("q_sample_reservoir"))
+    assert(strat.nonEmpty)
+    // contract shape: contiguous ranks, draws non-decreasing per lang
+    strat.groupBy(_._1).values.foreach { g =>
+      val sorted = g.toSeq.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.length))
+      assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
 }
