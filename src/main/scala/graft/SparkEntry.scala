@@ -158,6 +158,7 @@ object SparkEntry {
     "q_minhash_calib" -> (DedupOps.q_minhash_calib _),
     "q_dedup_agreement" -> (DedupOps.q_dedup_agreement _),
     "q_source_overlap"  -> ((s, d) => DedupOps.q_source_overlap(s, d)),
+    "q_cdc_chunks"      -> ((s, d) => DedupOps.q_cdc_chunks(s, d)),
     "q_substr_runs"  -> ((s, d) => DedupOps.q_substr_runs(s, d)),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_containment"   -> (DedupOps.q_containment _),
@@ -1228,6 +1229,39 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // CDC: boundaries where the 4-gram hash60 = 0 mod 16; spans from
+    // prepend/append of the boundary list; chunk fp = md5 of the
+    // token slice; df across the corpus
+    "q_cdc_chunks" -> {
+      val h60g = duckHexValue("md5(array_to_string(w[p:p+3], ' '))", 1, 15)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, w, len(w) AS n,
+         |        CASE WHEN len(w) >= 4 THEN
+         |          [CAST(p - 1 AS BIGINT) FOR p IN range(1, len(w) - 2)
+         |           IF ($h60g) % 16 = 0]
+         |        ELSE [] END AS bpos
+         |      FROM t),
+         |c AS (SELECT doc_id, w,
+         |        list_prepend(CAST(0 AS BIGINT),
+         |          [CAST(p + 4 AS BIGINT) FOR p IN bpos]) AS starts,
+         |        list_append([CAST(p + 3 AS BIGINT) FOR p IN bpos],
+         |          CAST(n - 1 AS BIGINT)) AS ends
+         |      FROM b),
+         |u AS (SELECT doc_id, w,
+         |        CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_id,
+         |        unnest(starts) AS st, unnest(ends) AS en
+         |      FROM c),
+         |ch AS (SELECT doc_id, chunk_id, st AS start_pos,
+         |         en - st + 1 AS n_tokens,
+         |         md5(array_to_string(w[st+1 : en+1], ' ')) AS chunk_fp
+         |       FROM u WHERE st <= en),
+         |dfc AS (SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM ch GROUP BY 1)
+         |SELECT doc_id, chunk_id, start_pos, n_tokens, chunk_fp, df
+         |FROM ch JOIN dfc USING (chunk_fp)
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
     // Provenance matrix: q_dedup_minhash's pairs at jaccard >= 0.5
     // (compared on the ROUNDED value), sources attached both sides,
     // unordered (least, greatest) key

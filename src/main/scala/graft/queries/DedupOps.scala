@@ -500,6 +500,66 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Content-defined chunking (CDC) — the rolling-hash boundary
+    * segmentation storage dedup is built on (and the
+    * insertion-robust alternative to [[SampleOps.q_chunk]]'s fixed
+    * stride): a chunk boundary falls wherever the 4-gram hash60
+    * satisfies fp ≡ 0 (mod 16), so boundaries are CONTENT-anchored —
+    * insert a sentence and only the chunks it touches change, where
+    * fixed-stride chunking shifts every later window and destroys
+    * chunk-level dedup. Output: one row per chunk (start, length,
+    * content fingerprint) plus the chunk's corpus document frequency
+    * — df ≥ 2 chunks are the shared passages a chunk-level dedup or
+    * a RAG chunk store would collapse. Expected chunk length is the
+    * modulus (16 tokens) + gram overhang.
+    *
+    * Scale shape: boundary detection, span assembly, and chunk
+    * fingerprints are all row-local array expressions in the scan
+    * stage (the [[shinglesN]] let-binding discipline: each derived
+    * array lands in its OWN projection, so the twice-referenced
+    * boundary list materializes once per row — the q_repetition
+    * CollapseProject rule); the only exchanges are the explode-side
+    * df count (map-side combined, bounded by distinct chunks) and
+    * its join back. Short docs (< 4 tokens) and boundary-free docs
+    * are a single whole-doc chunk; null docs carry no chunks.
+    */
+  def q_cdc_chunks(s: SparkSession, d: String, k: Int = 4,
+                   mod: Int = 16): DataFrame = {
+    val h60 = (g: Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val staged = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        shinglesN(col("text"), k, fallbackToText = false).as("grams"))
+      .select(col("doc_id"), col("w"),
+        filter(
+          transform(col("grams"),
+            (g, i) => when(h60(g) % mod === 0, i.cast("long")).otherwise(lit(-1L))),
+          p => p >= 0).as("bpos"))
+      .select(col("doc_id"), col("w"),
+        concat(array(lit(0L)), transform(col("bpos"), p => p + k)).as("starts"),
+        concat(transform(col("bpos"), p => p + (k - 1)),
+          array((size(col("w")) - 1).cast("long"))).as("ends"))
+      .select(col("doc_id"), col("w"),
+        posexplode(filter(
+          zip_with(col("starts"), col("ends"),
+            (s0, e0) => struct(s0.as("st"), e0.as("en"))),
+          c => c.getField("st") <= c.getField("en"))).as(Seq("chunk_id", "c")))
+    val chunks = staged.select(
+      col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+      col("c.st").as("start_pos"),
+      (col("c.en") - col("c.st") + 1).as("n_tokens"),
+      md5(array_join(
+        slice(col("w"), col("c.st") + 1, col("c.en") - col("c.st") + 1),
+        " ")).as("chunk_fp"))
+    val dfc = chunks.groupBy("chunk_fp")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    chunks.join(dfc, "chunk_fp")
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("n_tokens"), col("chunk_fp"), col("df"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Cross-source duplication provenance — the near-dup pair matrix
     * by (source, source): which feeds duplicate WITHIN themselves
     * (re-crawls, mirrored shards) and which duplicate EACH OTHER

@@ -716,4 +716,44 @@ class SimTextSpec extends AnyFunSuite {
     // ordering: the top row is the best pair
     assert(rows.head.getAs[Double]("cosine") == rows.map(_.getAs[Double]("cosine")).max)
   }
+
+  test("q_cdc_chunks: chunks tile each doc; boundaries survive an insertion") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = Seq.fill(200)(words(rnd.nextInt(words.length)))
+    val inserted = base.take(100) ++ Seq("INS1", "INS2", "INS3", "INS4", "INS5") ++
+      base.drop(100)
+    Seq(
+      (0L, base.mkString(" "), "en", "s0", 0L),
+      (1L, inserted.mkString(" "), "en", "s0", 0L),
+      (2L, "tiny doc", "en", "s0", 0L)) // < 4 tokens: one whole-doc chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q_cdc_chunks")(spark, tmp).collect()
+    // tiling: per doc, chunks cover [0, n-1] contiguously in chunk order
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.head.getAs[Long]("start_pos") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("start_pos") + a.getAs[Long]("n_tokens") ==
+            b.getAs[Long]("start_pos"), s"gap in doc $id")
+        case _ => ()
+      }
+    }
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getAs[Long]("n_tokens") == 2L)
+    // insertion robustness: most of doc 0's chunk fingerprints
+    // reappear in doc 1 (content-anchored boundaries re-synchronize)
+    val fp0 = byDoc(0L).map(_.getAs[String]("chunk_fp")).toSet
+    val fp1 = byDoc(1L).map(_.getAs[String]("chunk_fp")).toSet
+    val shared = fp0.intersect(fp1).size
+    assert(shared * 2 >= fp0.size,
+      s"only $shared of ${fp0.size} chunks survived the insertion")
+    // and the shared chunks show up as df = 2 rows
+    assert(rows.exists(_.getAs[Long]("df") == 2L))
+  }
 }
