@@ -171,4 +171,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKPerGroup operator equals the window rank-filter on arbitrary data with nulls") {
+    // rows: (id, group, value) — group and value may be NULL; the id
+    // tie-break keeps the order total (the operator's contract)
+    val rowGen = for {
+      g <- Gen.option(Gen.chooseNum(0L, 4L))
+      v <- Gen.option(Gen.chooseNum(0L, 9L))
+    } yield (g, v)
+    val rowsGen = Gen.nonEmptyListOf(rowGen)
+    forAll(rowsGen, Gen.chooseNum(1, 4)) { (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) =>
+        (i.toLong, g.map(java.lang.Long.valueOf).orNull,
+          v.map(java.lang.Long.valueOf).orNull)
+      }.toDF("id", "g", "v").repartition(5) // force multi-partition partials
+      val heap = graft.plans.TopKPerGroup.topKPerGroup(df,
+          Seq(col("g")), Seq(col("v").desc, col("id")), k)
+        .collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+          r.getAs[Long]("rank"))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val win = df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+          r.getAs[Long]("rank"))).toSet
+      assert(heap == win, s"k=$k rows=${rows.length}")
+    }
+  }
 }
