@@ -128,6 +128,8 @@ object SparkEntry {
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
+    "q_lorenz"       -> (TextOps.q_lorenz _),
+    "q_ks"           -> (TextOps.q_ks _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
@@ -1889,6 +1891,51 @@ object SparkEntry {
         |        doc_id, score_fp FROM agg)
         |SELECT query_id, rank, doc_id, score_fp FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Lorenz/Gini: ascending-token-count position deciles (the q_rfm
+    // quintile formula at 10), cumulative mass over the 10-row table,
+    // Gini cleared to (2*Sum(i*t) - (n+1)*S) / (n*S), all x1e6
+    "q_lorenz" ->
+      """WITH per AS (SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           t -> len(t) > 0)) AS BIGINT) AS t
+        |       FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT t, CAST(row_number() OVER (ORDER BY t, doc_id) AS BIGINT) AS rn
+        |      FROM per),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(t) AS BIGINT) AS s_tok,
+        |          CAST(sum(rn * t) AS BIGINT) AS s_rt FROM r),
+        |dec AS (SELECT (rn - 1) * 10 // n + 1 AS decile,
+        |          CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(t) AS BIGINT) AS tokens,
+        |          any_value(n) AS n, any_value(s_tok) AS s_tok,
+        |          any_value(s_rt) AS s_rt
+        |        FROM r, tot GROUP BY 1)
+        |SELECT decile, n_docs, tokens,
+        |  CAST(sum(tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+        |  (2 * CAST(sum(tokens) OVER (ORDER BY decile) AS BIGINT) * 1000000
+        |     + s_tok) // (2 * s_tok) AS cum_share_fp,
+        |  (2 * (2 * s_rt - (n + 1) * s_tok) * 1000000 + n * s_tok)
+        |    // (2 * n * s_tok) AS gini_fp
+        |FROM dec ORDER BY decile""".stripMargin,
+    // exact two-sample KS: D found by integer cross-multiplication
+    // |cum1*n2 - cum2*n1| over the value-count table, one division
+    "q_ks" ->
+      """WITH vc AS (SELECT n_chars AS v,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |       FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v,
+        |          CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+        |          CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+        |        FROM vc),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |          CAST(sum(c2) AS BIGINT) AS n2 FROM vc),
+        |agg AS (SELECT any_value(n1) AS n_ref, any_value(n2) AS n_cur,
+        |          max(abs(cum1 * n2 - cum2 * n1)) AS d_num
+        |        FROM cum, tot)
+        |SELECT n_ref, n_cur, CAST(d_num AS BIGINT) AS d_num,
+        |  (2 * d_num * 1000000 + n_ref * n_cur) // (2 * n_ref * n_cur) AS ks_fp
+        |FROM agg""".stripMargin,
     // Zipf fit: quantized-ln points over the top-100 vocab, exact
     // integer moment sums, slope/r2 as one mirrored double expr each
     "q_zipf" ->

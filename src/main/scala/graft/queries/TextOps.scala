@@ -1177,6 +1177,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Lorenz curve + Gini coefficient of token mass over documents —
+    * the corpus-concentration readout data-mixing work reports ("10%
+    * of documents carry 38% of tokens"): documents ranked ascending
+    * by token count (doc_id tie-break), bucketed into position
+    * deciles, each row carrying the decile's doc count, token mass,
+    * cumulative mass, cumulative share, and the corpus Gini
+    * G = (2·Σi·tᵢ − (n+1)·S) / (n·S) as a constant column.
+    *
+    * Scale shape: one Zipf-bounded per-doc count, ONE global sort
+    * (range-partitioned — the q_sort class) for ranks, then a
+    * map-side-combined 10-row decile agg; the cumulative window runs
+    * over 10 rows. Everything integer: position deciles are the
+    * q_rfm `(rn−1)·10 div n + 1` formula, shares and Gini the ×1e6
+    * round-half-up fixed point of exact long sums (Σi·tᵢ < 2⁶³ to
+    * ~10⁹ docs × 10⁴ tokens — beyond, sum as DECIMAL(38,0)).
+    */
+  def q_lorenz(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("t"))
+      .filter(col("t") >= 0) // null text -> null t -> comparison null -> dropped
+    val ranked = per
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("t"), col("doc_id"))).cast("long"))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("t")).as("s_tok"),
+      sum(col("rn") * col("t")).as("s_rt"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .groupBy(expr("(rn - 1) * 10 div n + 1").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"),
+        first(col("n")).as("n"), first(col("s_tok")).as("s_tok"),
+        first(col("s_rt")).as("s_rt"))
+    dec
+      .withColumn("cum_tokens",
+        sum(col("tokens")).over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_docs"), col("tokens"), col("cum_tokens"),
+        expr("(2 * cum_tokens * 1000000 + s_tok) div (2 * s_tok)")
+          .as("cum_share_fp"),
+        expr("(2 * (2 * s_rt - (n + 1) * s_tok) * 1000000 + n * s_tok) div " +
+          "(2 * n * s_tok)").as("gini_fp"))
+      .orderBy("decile")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the even-
+    * and odd-doc_id length distributions — the nonparametric sibling
+    * of [[q_drift_psi]] (PSI needs binning and smoothing choices; KS
+    * is D = max |F₁ − F₂| over the raw values, assumption-free). The
+    * comparison is the exact integer cross-multiplication
+    * |cum₁·n₂ − cum₂·n₁| (both CDFs cleared of their denominators),
+    * so D is found without a single division; only the final ×1e6
+    * report divides, round-half-up on exact longs.
+    *
+    * Scale shape: one map-side-combined (value, side) count agg
+    * bounded by the value domain, a cumulative window over that
+    * table ordered by value, and a one-row max — the q_outliers
+    * value-table pattern.
+    */
+  def q_ks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("c2"))
+    val cum = vc.select(col("v"),
+      sum(col("c1")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum1"),
+      sum(col("c2")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum2"))
+    val tot = vc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("n1")).as("n_ref"), first(col("n2")).as("n_cur"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("d_num"))
+      .select(col("n_ref"), col("n_cur"), col("d_num"),
+        expr("(2 * d_num * 1000000 + n_ref * n_cur) div " +
+          "(2 * n_ref * n_cur)").as("ks_fp"))
+  }
+
   /** Pearson chi-square independence report for the (lang, source)
     * contingency table — the categorical-association test a pipeline
     * runs before stratifying on one dimension and assuming the other

@@ -31,7 +31,7 @@ class EmptyInputSpec extends AnyFunSuite {
   // (q_sketch_merge's union row is a global aggregate too)
   private val globalAggs =
     Set("q_agg_count", "q_agg_distinct", "q_agg_approx", "q_sketch_merge",
-      "q_sketch_exact", "q_sketch_kmv", "q_zipf")
+      "q_sketch_exact", "q_sketch_kmv", "q_zipf", "q_ks")
 
   // the ablation report is a global aggregate exploded to one row per
   // RULE: an empty corpus yields its 4 rule rows (n_docs=0, null

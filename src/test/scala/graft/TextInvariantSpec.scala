@@ -316,6 +316,59 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("q_lorenz: uniform corpus gives Gini 0; total concentration gives (n-1)/n") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)], name: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      rows.map { case (id, t) => (id, t, "en", "s0", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    // 10 docs x 5 tokens: perfectly equal -> gini 0, shares d/10
+    val uni = (0L until 10L).map(i => (i, "a b c d e"))
+    val u = SparkEntry.queries("q_lorenz")(spark, write(uni, "lorenzu")).collect()
+    assert(u.length == 10)
+    u.foreach { r =>
+      assert(r.getAs[Long]("gini_fp") == 0L)
+      assert(r.getAs[Long]("cum_share_fp") == r.getAs[Long]("decile") * 100000L)
+    }
+    // 9 empty docs + 1 carrying all 10 tokens -> gini = 0.9 exactly
+    val skew = (0L until 9L).map(i => (i, "")) :+ (9L, Seq.fill(10)("w").mkString(" "))
+    val sk = SparkEntry.queries("q_lorenz")(spark, write(skew, "lorenzs")).collect()
+    assert(sk.forall(_.getAs[Long]("gini_fp") == 900000L))
+    assert(sk.map(_.getAs[Long]("tokens")).sum == 10L)
+    // corpus: shares are monotone, reach exactly 1e6, gini in [0, 1e6)
+    val c = SparkEntry.queries("q_lorenz")(spark, sf).collect().sortBy(_.getAs[Long]("decile"))
+    assert(c.last.getAs[Long]("cum_share_fp") == 1000000L)
+    assert(c.map(_.getAs[Long]("cum_share_fp")).sliding(2)
+      .forall(w => w.length < 2 || w(0) <= w(1)))
+    val g = c.head.getAs[Long]("gini_fp")
+    assert(g >= 0L && g < 1000000L)
+  }
+
+  test("q_ks: identical halves give 0; disjoint supports give 1e6") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, Long)], name: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      rows.map { case (id, nc) => (id, "t", "en", "s0", nc) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    val same = (0L until 20L).map(i => (i, 100L + (i / 2) * 7L))
+    val s0 = SparkEntry.queries("q_ks")(spark, write(same, "kss")).collect().head
+    assert(s0.getAs[Long]("d_num") == 0L && s0.getAs[Long]("ks_fp") == 0L)
+    val disj = (0L until 20L).map(i => (i, if (i % 2 == 0) 100L else 200L))
+    val d0 = SparkEntry.queries("q_ks")(spark, write(disj, "ksd")).collect().head
+    assert(d0.getAs[Long]("ks_fp") == 1000000L)
+    // corpus: bounded statistic, populations reconcile
+    val c = SparkEntry.queries("q_ks")(spark, sf).collect().head
+    assert(c.getAs[Long]("ks_fp") >= 0L && c.getAs[Long]("ks_fp") <= 1000000L)
+    assert(c.getAs[Long]("n_ref") + c.getAs[Long]("n_cur") ==
+      Tables.documents(spark, sf).filter(col("n_chars").isNotNull).count())
+  }
+
   test("q_chi2: exact independence gives zero; a diagonal table gives chi2 = N") {
     import spark.implicits._
     def write(rows: Seq[(Long, String, String)], name: String): String = {
