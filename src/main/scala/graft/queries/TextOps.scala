@@ -1463,4 +1463,61 @@ object TextOps {
         expr("(2 * abs(pc_num - pr_num) * abs(ln9) + den) div (2 * den)").as("psi_fp"))
       .orderBy("bucket")
   }
+
+  /** Mann–Whitney rank-sum test: do English documents have the same
+    * length distribution as the rest of the corpus? The parametric-
+    * free sibling of [[q_ks]] (KS reports the worst CDF gap;
+    * Mann–Whitney reports the probability-of-superiority shift — the
+    * statistic a quality gate thresholds when one language's crawl
+    * suddenly shortens). Everything except the final z is EXACT
+    * integer arithmetic on the (value → count-per-side) table:
+    * doubled U (2·U₁ = Σ_v c₁(v)·(2·below₂(v) + c₂(v)), doubling
+    * clears the ½-credit ties get) and the tie term T = Σ(t³−t) are
+    * order-free long sums, so ties are handled exactly, not by
+    * fractional average ranks. z is the one mirrored `round(double,6)`
+    * expression over those longs (the [[q_zipf]] stance):
+    * z = (2U₁−n₁n₂)·√(3n(n−1) / (n₁n₂((n+1)n(n−1)−T))).
+    *
+    * Scale shape: one map-side-combined value-count agg bounded by
+    * the value domain ([[q_ks]]'s shape), one cumulative window over
+    * that table, one-row output. Overflow: T needs (max tie)³ < 2⁶³
+    * — fine to ~10⁶ docs sharing one exact length; the z factors are
+    * evaluated as doubles.
+    */
+  def q_mannwhitney(s: SparkSession, d: String): DataFrame =
+    mannWhitneyOf(documents(s, d)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("n_chars").as("v"), (col("lang") === "en").as("is1")))
+
+  /** The tie-exact rank-sum kernel of [[q_mannwhitney]], factored so
+    * unit tests can drive it with hand-built (v, is1) rows.
+    */
+  private[graft] def mannWhitneyOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = vals
+      .groupBy(col("v"))
+      .agg(sum(when(col("is1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is1"), 1L).otherwise(0L)).as("c2"))
+    val cum = vc.select(col("v"), col("c1"), col("c2"),
+      (sum(col("c2")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("c2")).as("below2"))
+    cum.agg(sum(col("c1")).as("n_en"), sum(col("c2")).as("n_other"),
+        sum(col("c1") * (lit(2L) * col("below2") + col("c2"))).as("u2_en"),
+        sum((col("c1") + col("c2")) * (col("c1") + col("c2"))
+          * (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("tie_t"))
+      .select(col("n_en"), col("n_other"),
+        col("u2_en"),
+        (lit(2L) * col("n_en") * col("n_other") - col("u2_en"))
+          .as("u2_other"),
+        col("tie_t"),
+        expr("CASE WHEN n_en = 0 OR n_other = 0 OR " +
+          "(n_en+n_other+1)*(n_en+n_other)*(n_en+n_other-1) - tie_t = 0 " +
+          "THEN NULL ELSE " +
+          "round(CAST(u2_en - n_en*n_other AS DOUBLE) * " +
+          "sqrt(3.0 * (n_en+n_other) * (n_en+n_other-1) / " +
+          "(CAST(n_en AS DOUBLE) * n_other * " +
+          "((n_en+n_other+1.0) * (n_en+n_other) * (n_en+n_other-1) " +
+          "- tie_t))), 6) END").as("z"))
+  }
 }

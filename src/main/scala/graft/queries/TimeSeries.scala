@@ -423,4 +423,171 @@ object TimeSeries {
         col("n"))
       .orderBy("event_type", "bucket")
   }
+
+  /** OLS linear trend of the DAILY event count — the ingestion-volume
+    * drift monitor next to [[q_spikes]] (spikes page on an hour;
+    * trend answers "is the feed growing or decaying week over week",
+    * the question behind capacity planning and staleness alarms).
+    * The series is the DENSE day spine from min to max observed day
+    * (a missing day is a real zero, not an absent sample — skipping
+    * it would bias the slope toward the surviving days), x = day
+    * offset from the first day, y = that day's event count.
+    *
+    * Oracle determinism: the six moment sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) are exact order-free longs; slope / intercept / r² are one
+    * mirrored `round(double, 6)` expression each over those longs —
+    * the [[TextOps.q_zipf]] stance (the doubles are a deterministic
+    * function of identical integers, so both engines round the same
+    * value; no float accumulation order exists anywhere).
+    *
+    * Scale shape: one map-side-combined day-count agg bounded by the
+    * calendar (O(days), not O(events)), a broadcast one-row bounds
+    * row exploded into the spine, and everything after runs on that
+    * O(days) table. Moment overflow: Σx²·y terms stay < 2⁶³ while
+    * days·(daily count)² < 9·10¹⁸ — fine to ~10⁸ events/day over a
+    * decade; beyond, widen the moments to DECIMAL(38,0) (the
+    * [[TextOps.q_chi2]] documented headroom stance).
+    */
+  def q_trend(s: SparkSession, d: String): DataFrame =
+    trendOf(events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("y")))
+
+  /** The dense-spine OLS kernel of [[q_trend]], factored so unit
+    * tests can drive it with hand-built (day, y) rows (the
+    * [[funnelOf]] stance).
+    */
+  private[graft] def trendOf(dayCounts: DataFrame): DataFrame = {
+    val dayCnt = dayCounts
+      .localCheckpoint() // referenced 2x: bounds + the spine join
+    val bounds = dayCnt.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+    val xy = spine.join(dayCnt, Seq("day"), "left")
+      .crossJoin(broadcast(bounds))
+      .select((col("day") - col("d0")).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    xy.agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_days"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"),
+        expr("CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL ELSE " +
+          "round(CAST(n_days*sxy - sx*sy AS DOUBLE) / " +
+          "CAST(n_days*sxx - sx*sx AS DOUBLE), 6) END").as("slope"),
+        expr("CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL ELSE " +
+          "round(CAST(sy*sxx - sx*sxy AS DOUBLE) / " +
+          "CAST(n_days*sxx - sx*sx AS DOUBLE), 6) END").as("intercept"),
+        expr("CASE WHEN (n_days*sxx - sx*sx) * (n_days*syy - sy*sy) = 0 " +
+          "THEN NULL ELSE " +
+          "round(CAST(n_days*sxy - sx*sy AS DOUBLE) * " +
+          "CAST(n_days*sxy - sx*sy AS DOUBLE) / " +
+          "(CAST(n_days*sxx - sx*sx AS DOUBLE) * " +
+          "CAST(n_days*syy - sy*sy AS DOUBLE)), 6) END").as("r2"))
+  }
+
+  /** Autocorrelation of the HOURLY event count at lags 1..`maxLag` —
+    * the periodicity detector that tells a pipeline whether its feed
+    * has a daily/weekly pulse before it trusts any "rate changed"
+    * alarm ([[q_spikes]] and [[q_trend]] both assume exchangeable
+    * residuals; a 24-hour acf spike says they aren't). Series = dense
+    * hour spine (missing hour = real zero, as in [[q_trend]]);
+    * r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², computed EXACTLY by
+    * clearing the mean's denominator: both sides ×n² gives
+    * num_k = Σ(n·x_t−S)(n·x_{t+k}−S) over t ≤ n−k and
+    * den = Σ(n·x_t−S)² with S = Σx — integer arithmetic only, no
+    * float accumulation. The report is the ×1e6 round-half-up fixed
+    * point applied to |num| with the sign reattached, because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — on a
+    * NEGATIVE numerator the two disagree by one ulp, so the division
+    * is only ever run on non-negative operands (the q_drift_psi
+    * sign-separation rule).
+    *
+    * Scale shape: one map-side-combined hour-count agg bounded by the
+    * calendar, a broadcast one-row total, and a lag self-join of the
+    * O(hours) dense table against itself on hr+k — every post-agg
+    * row count is O(hours·maxLag), independent of corpus size.
+    * Overflow: |n·x−S| ≤ n·max_count, so num terms need
+    * hours²·(peak hourly count)² < 2⁶³ — fine to ~10⁵ hours × ~10⁴
+    * events/hour; beyond, widen to DECIMAL(38,0).
+    */
+  def q_acf(s: SparkSession, d: String, maxLag: Int = 6): DataFrame =
+    acfOf(events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("y")), maxLag)
+
+  /** The dense-spine autocorrelation kernel of [[q_acf]], factored so
+    * unit tests can drive it with hand-built (hr, y) rows.
+    */
+  private[graft] def acfOf(hourCounts: DataFrame, maxLag: Int): DataFrame = {
+    val s = hourCounts.sparkSession
+    val hrCnt = hourCounts
+      .localCheckpoint() // referenced 2x: bounds + the spine join
+    val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hrCnt, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // referenced 3x: total, lag-left, lag-right
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val lags = s.range(1, maxLag + 1).select(col("id").as("lag"))
+    val left = dense.crossJoin(broadcast(lags))
+      .select(col("lag"), col("hr"), col("y").as("ya"))
+    val pairs = left.join(
+        dense.select(col("hr").as("hrb"), col("y").as("yb")),
+        col("hrb") === col("hr") + col("lag"))
+      .crossJoin(broadcast(tot))
+    val perLag = pairs
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("n") * col("ya") - col("s")) *
+            (col("n") * col("yb") - col("s"))).as("num"),
+        first(col("n")).as("n"), first(col("s")).as("s"))
+    val den = dense.crossJoin(broadcast(tot))
+      .agg(sum((col("n") * col("y") - col("s")) *
+               (col("n") * col("y") - col("s"))).as("den"))
+    perLag.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+        expr("CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+          "((2 * abs(num) * 1000000 + den) div (2 * den))").as("acf_fp"))
+      .orderBy("lag")
+  }
+
+  /** Day-of-week × hour-of-day seasonality profile — the periodic
+    * fingerprint behind [[q_acf]]'s lag spikes, materialized as the
+    * 168-cell matrix every on-call dashboard draws: per cell the
+    * event count and its lift vs the uniform rate (lift 1.0 = the
+    * cell carries exactly 1/168 of the week). Day-of-week is computed
+    * ARITHMETICALLY from the epoch day ((day+4) mod 7, Sunday = 0 —
+    * 1970-01-01 was a Thursday) rather than from either engine's
+    * calendar functions, whose numbering conventions differ (DuckDB
+    * dayofweek is 0-based Sunday, Spark's is 1-based Sunday, and both
+    * are locale-stable only by documentation); integer arithmetic on
+    * the epoch cannot drift. The DENSE 168-cell spine keeps never-hit
+    * cells in the profile as zeros, where a dashboard needs them.
+    *
+    * Scale shape: one map-side-combined (dow, hod) count agg with an
+    * output bounded at 168 rows regardless of corpus size, joined to
+    * a generated 7×24 spine; lift is the ×1e6 round-half-up fixed
+    * point of 168·n/total on exact longs.
+    */
+  def q_seasonality(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("(unix_timestamp(ts) div 3600) % 24").as("hod"))
+      .select(expr("(day + 4) % 7").as("dow"), col("hod"))
+      .groupBy("dow", "hod").agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // referenced 2x: total + the spine join
+    val spine = s.range(7).select(col("id").as("dow"))
+      .crossJoin(broadcast(s.range(24).select(col("id").as("hod"))))
+    val tot = cells.agg(sum(col("n_events")).as("tot"))
+    spine.join(cells, Seq("dow", "hod"), "left")
+      .select(col("dow"), col("hod"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hod"), col("n_events"),
+        expr("(2 * 168 * n_events * 1000000 + tot) div (2 * tot)")
+          .as("lift_fp"))
+      .orderBy("dow", "hod")
+  }
 }

