@@ -102,6 +102,8 @@ object SparkEntry {
     "q_trend"        -> (TimeSeries.q_trend _),
     "q_acf"          -> ((s, d) => TimeSeries.q_acf(s, d)),
     "q_seasonality"  -> (TimeSeries.q_seasonality _),
+    "q_concurrency"  -> (TimeSeries.q_concurrency _),
+    "q_ewma"         -> ((s, d) => TimeSeries.q_ewma(s, d)),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -155,6 +157,7 @@ object SparkEntry {
     "q_pagerank_seed" -> ((s, d) => GraphOps.q_pagerank_seeded(s, d)),
     "q_graph_triangles" -> ((s, d) => GraphOps.q_graph_triangles(s, d)),
     "q_graph_degree"    -> (GraphOps.q_graph_degree _),
+    "q_graph_hits"      -> ((s, d) => GraphOps.q_graph_hits(s, d)),
     "q_graph_jaccard" -> ((s, d) => GraphOps.q_graph_jaccard(s, d)),
     "q_graph_adamic" -> ((s, d) => GraphOps.q_graph_adamic(s, d)),
     "q_graph_lpa" -> ((s, d) => GraphOps.q_graph_lpa(s, d)),
@@ -922,6 +925,57 @@ object SparkEntry {
         |    // (2 * t.tot) AS lift_fp
         |FROM spine s LEFT JOIN c ON s.dow = c.dow AND s.hod = c.hod, tot t
         |ORDER BY s.dow, s.hod""".stripMargin,
+    // peak concurrent sessions per day: sweep-line over the session
+    // intervals (q_time_session's gaps-and-islands construction),
+    // ends before starts at equal t (half-open intervals), hourly
+    // carry partials + in-hour prefix sums
+    "q_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS eus FROM events),
+        |m AS (SELECT user_id, eus,
+        |  CASE WHEN lag(eus) OVER w IS NULL
+        |       OR eus - lag(eus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY eus)),
+        |g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY eus
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m),
+        |sessn AS (SELECT min(eus) AS s_us, max(eus) + 1800000000 AS e_us
+        |          FROM g GROUP BY user_id, sess),
+        |deltas AS (SELECT s_us AS t, CAST(1 AS BIGINT) AS delta FROM sessn
+        |           UNION ALL
+        |           SELECT e_us AS t, CAST(-1 AS BIGINT) AS delta FROM sessn),
+        |carry AS (SELECT hr, CAST(sum(d_h) OVER (ORDER BY hr
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - d_h AS BIGINT) AS carry
+        |          FROM (SELECT t // 3600000000 AS hr,
+        |                  CAST(sum(delta) AS BIGINT) AS d_h
+        |                FROM deltas GROUP BY 1)),
+        |run AS (SELECT d.t, d.delta,
+        |          c.carry + CAST(sum(d.delta) OVER (PARTITION BY d.t // 3600000000
+        |            ORDER BY d.t, d.delta
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |            AS open
+        |        FROM deltas d JOIN carry c ON d.t // 3600000000 = c.hr)
+        |SELECT t // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n_changes,
+        |  max(open) AS peak
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
+    // EWMA (alpha=1/2, w=20 truncation): power-of-two weights make
+    // the smoothing exact integer arithmetic; renormalized by the
+    // actual weight total at the series-start warm-up
+    "q_ewma" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hc),
+        |dense AS (SELECT s.hr, CAST(coalesce(hc.y, 0) AS BIGINT) AS y
+        |          FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) s
+        |          LEFT JOIN hc ON s.hr = hc.hr),
+        |offs AS (SELECT o AS off,
+        |           CAST(1 AS BIGINT) << CAST(19 - o AS INT) AS wt
+        |         FROM (SELECT unnest(generate_series(0, 19)) AS o)),
+        |c AS (SELECT d.hr + o.off AS t, d.y, o.wt FROM dense d, offs o),
+        |a AS (SELECT c.t, CAST(sum(c.y * c.wt) AS BIGINT) AS num,
+        |        CAST(sum(c.wt) AS BIGINT) AS den
+        |      FROM c JOIN dense dd ON c.t = dd.hr GROUP BY 1)
+        |SELECT a.t AS hr, d.y, (2 * num * 1000000 + den) // (2 * den) AS ewma_fp
+        |FROM a JOIN dense d ON a.t = d.hr ORDER BY hr""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
@@ -2794,6 +2848,38 @@ object SparkEntry {
         |  CAST(coalesce(pc.aa_fp, 0) AS BIGINT) AS aa_fp
         |FROM e LEFT JOIN pc ON pc.a = e.a AND pc.b = e.b
         |ORDER BY aa_fp DESC, e.a, e.b LIMIT 5000""".stripMargin,
+    // HITS: unrolled half-step CTEs (auth-raw / auth / hub-raw / hub
+    // per iteration), max-normalized x1e6 fixed point — all-positive
+    // integer ops so // and div agree; sums CAST BIGINT (HUGEINT)
+    "q_graph_hits" -> {
+      val iters = 4
+      val steps = (1 to iters).map { i =>
+        val hp = s"h${i - 1}"
+        s"""ar$i AS (SELECT e.dst, CAST(sum(h.hub) AS BIGINT) AS raw
+           |        FROM e JOIN $hp h ON e.src = h.node GROUP BY 1),
+           |a$i AS (SELECT n.node,
+           |          CAST((coalesce(ar.raw, 0) * 1000000)
+           |               // max(ar.raw) OVER () AS BIGINT) AS auth
+           |        FROM n LEFT JOIN ar$i ar ON n.node = ar.dst),
+           |hr$i AS (SELECT e.src, CAST(sum(a.auth) AS BIGINT) AS raw
+           |        FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+           |h$i AS (SELECT n.node,
+           |          CAST((coalesce(hr.raw, 0) * 1000000)
+           |               // max(hr.raw) OVER () AS BIGINT) AS hub
+           |        FROM n LEFT JOIN hr$i hr ON n.node = hr.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         |                's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+         |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+         |$steps
+         |SELECT h.node, h.hub AS hub_fp, a.auth AS auth_fp,
+         |  CAST(h.hub AS DOUBLE) / 1e6 AS hub,
+         |  CAST(a.auth AS DOUBLE) / 1e6 AS auth
+         |FROM h$iters h JOIN a$iters a ON h.node = a.node
+         |ORDER BY h.node""".stripMargin
+    },
     "q_pagerank" -> {
       val iters = 3
       val steps = (1 to iters).map { i =>

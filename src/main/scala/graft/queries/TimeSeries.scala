@@ -553,6 +553,120 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Peak concurrent user-sessions per day — the interval-overlap
+    * sweep every capacity dashboard runs over sessionized activity
+    * ([[q_time_session]] builds the intervals; this operator asks how
+    * many are OPEN at once). Classic sweep-line: each session emits
+    * (+1 at start, −1 at end), the running sum over time order IS the
+    * concurrency, and the tie rule (at equal timestamps, ends sort
+    * before starts via `delta` ascending) encodes half-open [start,
+    * end) intervals — a session ending exactly when another starts
+    * never overlaps it. Reported peak is the maximum over the states
+    * REACHED BY a change within the day (the change-stream semantics
+    * a monitoring system reports; a day whose whole span is one
+    * unchanged plateau inherited from the previous day has no rows
+    * here, and the plateau was already counted on the day its last
+    * change occurred).
+    *
+    * Scale shape — the sweep distributes via hourly carry partials
+    * instead of one global running window (which would serialize the
+    * corpus through a single task): per-hour delta totals (a
+    * map-side-combined O(hours) agg) get a cumulative carry via a
+    * window over that calendar-bounded table; the in-hour running sum
+    * is then a window PARTITIONED by hour; each row's concurrency =
+    * hour carry + in-hour prefix. Equal-(t, delta) rows commute
+    * inside the prefix sum, so the per-day max is deterministic.
+    */
+  def q_concurrency(s: SparkSession, d: String): DataFrame =
+    concurrencyOf(events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us")))
+
+  /** The hourly-carry sweep kernel of [[q_concurrency]], factored so
+    * unit tests can drive it with hand-built (s_us, e_us) intervals.
+    */
+  private[graft] def concurrencyOf(sessions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessions
+      .localCheckpoint() // referenced 2x: the +1 and -1 branches
+    val deltas = sess.select(col("s_us").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("e_us").as("t"), lit(-1L).as("delta")))
+      .localCheckpoint() // referenced 2x: hour totals + in-hour sweep
+    val carry = deltas
+      .groupBy(expr("t div 3600000000").as("hr"))
+      .agg(sum(col("delta")).as("d_h"))
+      .select(col("hr"),
+        (sum(col("d_h")).over(Window.orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("d_h")).as("carry"))
+    val run = deltas.withColumn("hr", expr("t div 3600000000"))
+      .join(broadcast(carry), Seq("hr"))
+      .select(col("t"), col("delta"),
+        (col("carry") + sum(col("delta")).over(
+          Window.partitionBy("hr").orderBy(col("t"), col("delta"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("open"))
+    run.groupBy(expr("t div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_changes"), max(col("open")).as("peak"))
+      .orderBy("day")
+  }
+
+  /** Exponentially-weighted moving average of the hourly event count
+    * — the smoothed-rate line drawn under [[q_spikes]]' flags (the 3σ
+    * test needs a window statistic; operators watch the EWMA). α=1/2
+    * with a `window`-hour truncation makes the smoothing EXACT
+    * integer arithmetic: the weights are powers of two
+    * (y_{t−j} · 2^{w−1−j}), so the weighted sum and the weight total
+    * are plain long sums and the report is the ×1e6 round-half-up
+    * fixed point of their ratio — no float, no order dependence, no
+    * recursive state (the recursion s_t = (s_{t−1}+x_t)/2 would carry
+    * unbounded denominators; truncation at w=20 drops terms below
+    * 2⁻²⁰ — sub-integer for any realistic count — and renormalizes
+    * by the ACTUAL weight total, which also defines the warm-up rows
+    * near the series start). Dense hour spine as in [[q_acf]].
+    *
+    * Scale shape: the O(hours) dense table cross-joined with the
+    * w-row offset table (calendar-bounded ×20), one map-side-combined
+    * groupBy on the target hour. Overflow: num ≤ peak-count·2^w —
+    * fine to ~10¹² events/hour at w=20.
+    */
+  def q_ewma(s: SparkSession, d: String, w: Int = 20): DataFrame =
+    ewmaOf(events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("y")), w)
+
+  /** The truncated power-of-two smoothing kernel of [[q_ewma]],
+    * factored so unit tests can drive it with hand-built (hr, y)
+    * rows.
+    */
+  private[graft] def ewmaOf(hourCounts: DataFrame, w: Int): DataFrame = {
+    val s = hourCounts.sparkSession
+    val hrCnt = hourCounts
+      .localCheckpoint() // referenced 2x: bounds + the spine join
+    val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hrCnt, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // referenced 3x: contributions, domain, readout
+    val offs = s.range(w).select(col("id").as("off"))
+      .select(col("off"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w - 1} - off AS INT))")
+          .as("wt"))
+    val contrib = dense.crossJoin(broadcast(offs))
+      .select((col("hr") + col("off")).as("t"), col("y"), col("wt"))
+      // targets past the series end would have partial windows built
+      // from the FUTURE edge; restrict to the dense domain
+      .join(dense.select(col("hr").as("t")), Seq("t"))
+    contrib.groupBy("t")
+      .agg(sum(col("y") * col("wt")).as("num"), sum(col("wt")).as("den"))
+      .join(dense.select(col("hr").as("t"), col("y")), Seq("t"))
+      .select(col("t").as("hr"), col("y"),
+        expr("(2 * num * 1000000 + den) div (2 * den)").as("ewma_fp"))
+      .orderBy("hr")
+  }
+
   /** Day-of-week × hour-of-day seasonality profile — the periodic
     * fingerprint behind [[q_acf]]'s lag spikes, materialized as the
     * 168-cell matrix every on-call dashboard draws: per cell the

@@ -126,6 +126,46 @@ class StatTrendSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(2) == 0L)
   }
 
+  test("concurrencyOf: sweep with half-open tie rule and cross-hour carry") {
+    import spark.implicits._
+    // three sessions in one hour: [0,100) [50,150) [100,200) — the
+    // end at 100 sorts before the start at 100, so peak is 2, not 3
+    val sess = Seq((0L, 100L), (50L, 150L), (100L, 200L)).toDF("s_us", "e_us")
+    val r = TimeSeries.concurrencyOf(sess).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 6L && r(0).getLong(2) == 2L)
+    // cross-hour carry: [0, 2h) spans hour 1 entirely; a short session
+    // inside hour 1 must see it as carry-in
+    val sess2 = Seq((0L, 7200000000L), (3600000005L, 3600000010L))
+      .toDF("s_us", "e_us")
+    val r2 = TimeSeries.concurrencyOf(sess2).collect()
+    assert(r2.length == 1 && r2(0).getLong(2) == 2L)
+  }
+
+  test("ewmaOf: power-of-two weights, warm-up renormalization, gap zeros") {
+    import spark.implicits._
+    // counts (4, 0, 8) at w=2: weights (2, 1)
+    val hc = Seq((0L, 4L), (2L, 8L)).toDF("hr", "y") // hr 1 is a spine zero
+    val rows = TimeSeries.ewmaOf(hc, 2).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 4L, 4000000L),   // warm-up: only its own weight
+        (1L, 0L, 1333333L),     // (0*2 + 4*1)/3
+        (2L, 8L, 5333333L)))    // (8*2 + 0*1)/3
+  }
+
+  test("hitsKernel: hand-computed max-normalized fixed point on a bipartite fixture") {
+    import spark.implicits._
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    val m = graft.queries.GraphOps.hitsKernel(edges, 2).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // iter1: auth s1=1e6 s2=5e5; hub c1=1e6 c2=666666
+    // iter2: auth s1=1e6 s2=600000; hub c1=1e6 c2=625000
+    assert(m("c1") == ((1000000L, 0L)))
+    assert(m("c2") == ((625000L, 0L)))
+    assert(m("s1") == ((0L, 1000000L)))
+    assert(m("s2") == ((0L, 600000L)))
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
