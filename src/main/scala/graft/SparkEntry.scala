@@ -104,6 +104,7 @@ object SparkEntry {
     "q_seasonality"  -> (TimeSeries.q_seasonality _),
     "q_concurrency"  -> (TimeSeries.q_concurrency _),
     "q_ewma"         -> ((s, d) => TimeSeries.q_ewma(s, d)),
+    "q_join_overlap" -> (TimeSeries.q_join_overlap _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_lorenz"       -> (TextOps.q_lorenz _),
     "q_ks"           -> (TextOps.q_ks _),
     "q_mannwhitney"  -> (TextOps.q_mannwhitney _),
+    "q_readability"  -> (TextOps.q_readability _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
@@ -976,6 +978,32 @@ object SparkEntry {
         |      FROM c JOIN dense dd ON c.t = dd.hr GROUP BY 1)
         |SELECT a.t AS hr, d.y, (2 * num * 1000000 + den) // (2 * den) AS ewma_fp
         |FROM a JOIN dense d ON a.t = d.hr ORDER BY hr""".stripMargin,
+    // interval-overlap self-join over the session table: hour-binned
+    // (the range-binned idiom on a self-join), each pair credited
+    // once in the bin holding its overlap start; half-open overlap
+    "q_join_overlap" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS eus FROM events),
+        |m AS (SELECT user_id, eus,
+        |  CASE WHEN lag(eus) OVER w IS NULL
+        |       OR eus - lag(eus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY eus)),
+        |g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY eus
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m),
+        |sessn AS (SELECT user_id, min(eus) AS s_us, max(eus) + 1800000000 AS e_us
+        |          FROM g GROUP BY user_id, sess),
+        |bn AS (SELECT user_id, s_us, e_us,
+        |         unnest(generate_series(s_us // 3600000000,
+        |                               (e_us - 1) // 3600000000)) AS hr
+        |       FROM sessn),
+        |p AS (SELECT x.user_id AS user_a, y.user_id AS user_b,
+        |        least(x.e_us, y.e_us) - greatest(x.s_us, y.s_us) AS ov
+        |      FROM bn x JOIN bn y ON x.hr = y.hr
+        |        AND x.user_id < y.user_id
+        |        AND x.s_us < y.e_us AND y.s_us < x.e_us
+        |      WHERE x.hr = greatest(x.s_us, y.s_us) // 3600000000)
+        |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(ov) AS BIGINT) AS total_overlap_us
+        |FROM p GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
@@ -2097,6 +2125,25 @@ object SparkEntry {
         |         ((n_en+n_other+1.0) * (n_en+n_other) * (n_en+n_other-1)
         |          - tie_t))), 6) END AS z
         |FROM a""".stripMargin,
+    // Flesch-Kincaid per doc: regexp-count proxies, fraction cleared
+    // to (195W^2 + 5900SV - 7795SW)/(500SW), sign-separated x1e6
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         t -> len(t) > 0)) AS BIGINT) AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |         1) AS sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |         AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, w, sent, v,
+        |        195 * w * w + 5900 * sent * v - 7795 * sent * w AS num,
+        |        500 * sent * w AS den
+        |      FROM c WHERE w > 0)
+        |SELECT doc_id, w AS n_words, sent AS n_sentences, v AS n_syllables,
+        |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |    ((2 * abs(num) * 1000000 + den) // (2 * den)) AS fk_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
     // Zipf fit: quantized-ln points over the top-100 vocab, exact
     // integer moment sums, slope/r2 as one mirrored double expr each
     "q_zipf" ->

@@ -1464,6 +1464,53 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Flesch–Kincaid readability grade per document — the reading-level
+    * gate a curriculum-ordered training mix sorts by (simple text
+    * first) and a quality pipeline thresholds (a "grade" of 40 means
+    * the sentence splitter failed, not that the text is hard). Counts
+    * are the classic proxies: words = nonempty `\s+` splits (the house
+    * tokenizer), sentences = runs of terminal punctuation `[.!?]+`
+    * (floored at 1 so fragments don't divide by zero), syllables =
+    * vowel-group runs `[aeiouy]+` of the lowercased text (the standard
+    * rough syllable estimator). The grade
+    * 0.39·W/S + 11.8·V/W − 15.59 is cleared of fractions to
+    * (195·W² + 5900·S·V − 7795·S·W) / (500·S·W) and reported as the
+    * ×1e6 round-half-up fixed point with the SIGN SEPARATED (short
+    * fragments go negative; Spark `div` truncates where DuckDB `//`
+    * floors, so the division only ever sees non-negative operands —
+    * the q_drift_psi rule).
+    *
+    * Scale shape: zero shuffles — three codegen'd regexp counts and
+    * integer arithmetic per row, then only the output sort. Overflow:
+    * 195·W²·1e6 needs W ≲ 2·10⁵ words per document; beyond, widen to
+    * DECIMAL(38,0) (the q_chi2 stance).
+    */
+  def q_readability(s: SparkSession, d: String): DataFrame =
+    readabilityOf(documents(s, d))
+
+  /** The regexp-count kernel of [[q_readability]], factored so unit
+    * tests can drive it with hand-built (doc_id, text) rows.
+    */
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("w"),
+        greatest(expr("regexp_count(text, '[.!?]+')").cast("long"), lit(1L))
+          .as("sent"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("long").as("v"))
+      .filter(col("w") > 0)
+      .withColumn("num",
+        lit(195L) * col("w") * col("w") + lit(5900L) * col("sent") * col("v")
+          - lit(7795L) * col("sent") * col("w"))
+      .withColumn("den", lit(500L) * col("sent") * col("w"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        col("sent").as("n_sentences"), col("v").as("n_syllables"),
+        expr("CASE WHEN num < 0 THEN -1 ELSE 1 END * " +
+          "((2 * abs(num) * 1000000 + den) div (2 * den))").as("fk_fp"))
+      .orderBy("doc_id")
+
   /** Mann–Whitney rank-sum test: do English documents have the same
     * length distribution as the rest of the corpus? The parametric-
     * free sibling of [[q_ks]] (KS reports the worst CDF gap;

@@ -577,12 +577,74 @@ object TimeSeries {
     * hour carry + in-hour prefix. Equal-(t, delta) rows commute
     * inside the prefix sum, so the per-day max is deterministic.
     */
-  def q_concurrency(s: SparkSession, d: String): DataFrame =
-    concurrencyOf(events(s, d)
+  /** The per-user 30-minute-gap session intervals shared by
+    * [[q_concurrency]] and [[q_join_overlap]] — the same
+    * `session_window` construction [[q_time_session]] reports,
+    * reduced to (user_id, [s_us, e_us)) half-open micro intervals.
+    */
+  private def sessionIntervals(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(unix_micros(col("session_window.start")).as("s_us"),
-        unix_micros(col("session_window.end")).as("e_us")))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"))
+
+  def q_concurrency(s: SparkSession, d: String): DataFrame =
+    concurrencyOf(sessionIntervals(s, d).select("s_us", "e_us"))
+
+  /** Interval-overlap SELF-join over the session table: which user
+    * pairs were online simultaneously, how often, and for how long —
+    * the co-presence affinity mining behind "suggest a teammate" and
+    * fraud-ring features, and the remaining member of the temporal-
+    * join family (equi = [[Relational.q_join_inner]], point-in-range
+    * = [[Relational.q_join_range]], nearest-past = [[Windows
+    * .q_join_asof]], point-in-validity = [[Windows.q_scd2_lookup]];
+    * this one is interval × interval). Overlap is the half-open test
+    * a.s < b.e AND b.s < a.e; the reported duration is the exact
+    * integer min(e)−max(s) micros.
+    *
+    * Scale shape — the [[Relational.q_join_range_binned]] rewrite
+    * applied to a SELF-join: a naive interval self-join is O(n²) in
+    * sessions; instead each session explodes to the HOURS it covers
+    * (bounded by session length, not corpus), the join runs on the
+    * hour bin (+ user_a < user_b to orient pairs), and each
+    * overlapping pair is CREDITED EXACTLY ONCE in the bin containing
+    * its overlap start (`hr = max(s₁,s₂) div 1h` — the standard
+    * bin-credit dedup, cheaper than a post-join distinct on session
+    * ids because it filters inside the join). Output is bounded by
+    * co-present user pairs. Skewed hours (everyone online at 9am)
+    * re-bound the same way as [[Relational.q_join_skew]]: salt the
+    * bin key.
+    */
+  def q_join_overlap(s: SparkSession, d: String): DataFrame =
+    overlapOf(sessionIntervals(s, d))
+
+  /** The hour-binned overlap-join kernel of [[q_join_overlap]],
+    * factored so unit tests can drive it with hand-built
+    * (user_id, s_us, e_us) intervals.
+    */
+  private[graft] def overlapOf(sessions: DataFrame): DataFrame = {
+    val binned = sessions
+      .select(col("user_id"), col("s_us"), col("e_us"),
+        explode(expr("sequence(s_us div 3600000000, (e_us - 1) div 3600000000)"))
+          .as("hr"))
+      .localCheckpoint() // referenced 2x: both sides of the self-join
+    val a = binned.select(col("hr"), col("user_id").as("ua"),
+      col("s_us").as("sa"), col("e_us").as("ea"))
+    val b = binned.select(col("hr"), col("user_id").as("ub"),
+      col("s_us").as("sb"), col("e_us").as("eb"))
+    a.join(b, Seq("hr"))
+      .filter(col("ua") < col("ub") &&
+        col("sa") < col("eb") && col("sb") < col("ea") &&
+        col("hr") === expr("greatest(sa, sb) div 3600000000"))
+      .select(col("ua").as("user_a"), col("ub").as("user_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("ov"))
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("ov")).as("total_overlap_us"))
+      .orderBy("user_a", "user_b")
+  }
 
   /** The hourly-carry sweep kernel of [[q_concurrency]], factored so
     * unit tests can drive it with hand-built (s_us, e_us) intervals.

@@ -166,6 +166,44 @@ class StatTrendSpec extends AnyFunSuite {
     assert(m("s2") == ((0L, 600000L)))
   }
 
+  test("overlapOf: bin-credit counts each overlapping pair exactly once") {
+    import spark.implicits._
+    val H = 3600000000L
+    val sess = Seq(
+      (1L, 0L, 10 * H),      // u1: ten hours
+      (2L, 5 * H, 6 * H),    // u2: inside u1's span -> one overlap, 1h
+      (2L, 0L, 2 * H),       // u2 again: same bins 0,1 as u1 -> credit ONCE
+      (3L, 20 * H, 21 * H)   // u3: no co-presence
+    ).toDF("user_id", "s_us", "e_us")
+    val got = TimeSeries.overlapOf(sess).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 3 * H)))
+  }
+
+  test("overlapOf: touching half-open intervals do not overlap") {
+    import spark.implicits._
+    val H = 3600000000L
+    val sess = Seq((1L, 0L, 2 * H), (2L, 2 * H, 3 * H))
+      .toDF("user_id", "s_us", "e_us")
+    assert(TimeSeries.overlapOf(sess).collect().isEmpty)
+  }
+
+  test("readabilityOf: hand-computed Flesch-Kincaid with sign separation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // W=6 S=2 V=6 -> fk = -2.62
+      (2L, null.asInstanceOf[String]),   // dropped
+      (3L, "unpunctuated fragment")      // S floored at 1
+    ).toDF("doc_id", "text")
+    val got = TextOps.readabilityOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(got.head == ((1L, 6L, 2L, 6L, -2620000L)))
+    // doc 3: W=2 S=1 V= vowel groups in "unpunctuated fragment":
+    // u,u,ua,e,a,e = 6 -> fk = 0.39*2 + 11.8*3 - 15.59 = 20.59
+    assert(got(1) == ((3L, 2L, 1L, 6L, 20590000L)))
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
