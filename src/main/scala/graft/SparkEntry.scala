@@ -105,6 +105,7 @@ object SparkEntry {
     "q_concurrency"  -> (TimeSeries.q_concurrency _),
     "q_ewma"         -> ((s, d) => TimeSeries.q_ewma(s, d)),
     "q_join_overlap" -> (TimeSeries.q_join_overlap _),
+    "q_ab_test"      -> (TimeSeries.q_ab_test _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -1004,6 +1005,31 @@ object SparkEntry {
         |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps,
         |  CAST(sum(ov) AS BIGINT) AS total_overlap_us
         |FROM p GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin,
+    // two-proportion A/B z-test: exact integer counts/rates, pooled z
+    // pre-cleared to (x_a*n_b - x_b*n_a)*sqrt(n/(n_a*n_b*x*(n-x))) as
+    // the one mirrored round(double,6); degenerate splits -> NULL z
+    "q_ab_test" ->
+      """WITH per AS (SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |       FROM events GROUP BY 1),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM per)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE
+        |    (2 * x_a * 1000000 + n_a) // (2 * n_a) END AS rate_a_fp,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE
+        |    (2 * x_b * 1000000 + n_b) // (2 * n_b) END AS rate_b_fp,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0 OR
+        |    x_a + x_b = n_a + n_b THEN NULL ELSE
+        |    round(CAST(x_a*n_b - x_b*n_a AS DOUBLE) *
+        |      sqrt(CAST(n_a + n_b AS DOUBLE) /
+        |        (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
+        |         (n_a + n_b - x_a - x_b))), 6) END AS z
+        |FROM c""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value

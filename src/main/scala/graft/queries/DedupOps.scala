@@ -1235,9 +1235,16 @@ object DedupOps {
     val pairs = (1 until w).map { i =>
       withLeads.filter(col(s"id_$i").isNotNull)
         .select(col("doc_id").as("a_id"), col(s"id_$i").as("b_id"),
-          levenshtein(col("norm"), col(s"norm_$i")).cast("long").as("dist"))
+          // the THRESHOLD overload runs the banded O(maxDist·n) DP
+          // with early exit instead of the full O(n·m) matrix — the
+          // dominant cost at scale since most neighbors are far
+          // apart; it returns the exact distance when ≤ maxDist and
+          // −1 otherwise, so kept rows carry identical values to the
+          // oracle's plain levenshtein under `dist <= maxDist`
+          levenshtein(col("norm"), col(s"norm_$i"), maxDist)
+            .cast("long").as("dist"))
     }.reduce(_ unionAll _)
-    pairs.filter(col("dist") <= maxDist)
+    pairs.filter(col("dist") =!= -1L)
       .orderBy("a_id", "b_id")
   }
 }

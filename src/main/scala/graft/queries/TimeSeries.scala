@@ -577,6 +577,51 @@ object TimeSeries {
     * hour carry + in-hour prefix. Equal-(t, delta) rows commute
     * inside the prefix sum, so the per-day max is deterministic.
     */
+  /** Two-proportion A/B conversion test over the event stream — the
+    * experimentation readout run before any mix or quality change
+    * ships: cohort A = even user ids, cohort B = odd (the stand-in
+    * for a real assignment column), conversion = the user ever
+    * purchased. Counts and the ×1e6 conversion rates are exact
+    * integers; the pooled two-proportion z-statistic is the one
+    * mirrored `round(double, 6)` over those longs (the
+    * [[TextOps.q_zipf]] stance), with the fraction pre-cleared:
+    * z = (x_a·n_b − x_b·n_a)·√(n / (n_a·n_b·x·(n−x))), x = x_a+x_b —
+    * algebraically the classic (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)).
+    * Degenerate splits (an empty cohort, zero or total conversion)
+    * report NULL z identically in both engines instead of dividing
+    * by zero.
+    *
+    * Scale shape: ONE map-side-combined per-user agg (output bounded
+    * by users), then a one-row reduction — no further shuffle.
+    */
+  def q_ab_test(s: SparkSession, d: String): DataFrame =
+    abTestOf(events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv")))
+
+  /** The pooled-z kernel of [[q_ab_test]], factored so unit tests can
+    * drive it with hand-built (user_id, conv) rows.
+    */
+  private[graft] def abTestOf(per: DataFrame): DataFrame = {
+    per.agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 === 0, col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("user_id") % 2 =!= 0, col("conv")).otherwise(0L)).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("CASE WHEN n_a = 0 THEN NULL ELSE " +
+          "(2 * x_a * 1000000 + n_a) div (2 * n_a) END").as("rate_a_fp"),
+        expr("CASE WHEN n_b = 0 THEN NULL ELSE " +
+          "(2 * x_b * 1000000 + n_b) div (2 * n_b) END").as("rate_b_fp"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0 OR " +
+          "x_a + x_b = n_a + n_b THEN NULL ELSE " +
+          "round(CAST(x_a*n_b - x_b*n_a AS DOUBLE) * " +
+          "sqrt(CAST(n_a + n_b AS DOUBLE) / " +
+          "(CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) * " +
+          "(n_a + n_b - x_a - x_b))), 6) END").as("z"))
+  }
+
   /** The per-user 30-minute-gap session intervals shared by
     * [[q_concurrency]] and [[q_join_overlap]] — the same
     * `session_window` construction [[q_time_session]] reports,

@@ -349,4 +349,74 @@ object StatefulOps {
           out.result().iterator
       }
   }
+
+  final case class SessState(sUs: Long, lastUs: Long)
+
+  final case class SessionOut(user_id: Long, s_us: Long, e_us: Long)
+
+  /** Streaming sessionization — the stateful counterpart of
+    * [[graft.queries.TimeSeries.q_time_session]]'s `session_window`
+    * (and the interval FEED for [[graft.queries.TimeSeries
+    * .q_concurrency]] / [[graft.queries.TimeSeries.q_join_overlap]],
+    * which consume exactly these half-open [s_us, e_us) intervals):
+    * per-user state is TWO longs (session start, last event time); a
+    * new event extends the open session when it lands strictly within
+    * `gapUs` of the last one (the `session_window` rule: a gap ≥ 30
+    * minutes closes), otherwise the closed session is emitted with
+    * e_us = last + gap and a fresh session opens. Sessions whose gap
+    * never arrives close by EVENT-TIME TIMEOUT: when the watermark
+    * passes last + gap the state expires and the session is emitted —
+    * so every session is emitted exactly once, closed by data or by
+    * the watermark, and state is bounded by the LIVE user population.
+    *
+    * Parity contract ([[streamingFunnel]] stance): intra-batch
+    * disorder is absorbed by sorting each batch's events; across
+    * batches the fold cannot rewind, so batch parity holds under
+    * ordered replay or a watermark that holds back stragglers.
+    * AggregatorSpec pins interval-for-interval equality with the
+    * batch `session_window` over a replay whose sessions close both
+    * ways (by a later event and by expiry).
+    */
+  def streamingSessions(events: Dataset[Ev],
+      gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val outEnc   = Encoders.product[SessionOut]
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.sUs, s.lastUs + gapUs))
+          } else {
+            val sorted = evs.map(e => micros(e.ts)).toArray.sorted
+            val closed = List.newBuilder[SessionOut]
+            var st = state.getOption
+            sorted.foreach { tu =>
+              st match {
+                case Some(s) if tu - s.lastUs < gapUs =>
+                  st = Some(SessState(s.sUs, math.max(s.lastUs, tu)))
+                case Some(s) =>
+                  closed += SessionOut(user, s.sUs, s.lastUs + gapUs)
+                  st = Some(SessState(tu, tu))
+                case None =>
+                  st = Some(SessState(tu, tu))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // close by watermark when no later event arrives; clamp
+              // above the current watermark (Spark rejects timeouts at
+              // or below it) for sessions already stale on arrival
+              state.setTimeoutTimestamp(
+                math.max((s.lastUs + gapUs) / 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

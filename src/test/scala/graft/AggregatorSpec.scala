@@ -229,6 +229,53 @@ class AggregatorSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 2)), s"got ${rows.toList}")
   }
 
+  test("streamingSessions: gap-close and watermark-close, interval parity with session_window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, u: Long) =
+      StatefulOps.Ev(id, Timestamp.valueOf(t), u, "view", 0.0)
+    val batch1 = Seq(
+      ev(1, "2024-01-01 09:00:00", 1),
+      ev(2, "2024-01-01 09:10:00", 1), // extends u1's open session
+      ev(4, "2024-01-01 09:05:00", 2))
+    val batch2 = Seq(
+      ev(3, "2024-01-01 10:00:00", 1)) // 50 min gap -> closes the first
+    val input = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.streamingSessions(
+        input.toDS().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    // advance the watermark far past everything, then one more batch
+    // so the timeouts actually fire (the funnel-expiry harness)
+    input.addData(ev(9, "2024-01-02 12:00:00", 99)); q.processAllAvailable()
+    input.addData(ev(10, "2024-01-02 12:30:01", 99)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s_us"),
+        r.getAs[Long]("e_us"))).toSet
+    // batch reference: session_window over ALL replayed events; the
+    // only session missing from the stream is u99's LAST one (still
+    // open at stop — its 12:30:01 sentinel never gapped out)
+    val all = (batch1 ++ batch2 ++ Seq(
+      ev(9, "2024-01-02 12:00:00", 99), ev(10, "2024-01-02 12:30:01", 99)))
+      .toDS()
+    val batch = all
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stillOpen = batch.filter(_._1 == 99L).maxBy(_._2)
+    assert(streamed == batch - stillOpen,
+      s"streamed=$streamed batch=$batch open=$stillOpen")
+    // u1 x2 (one gap-closed, one expired), u2 expired, u99 gap-closed
+    assert(streamed.size == 4)
+  }
+
   test("TopKAggregator: bounded buffer, tie-break on smaller id, merge keeps global best") {
     val a = new graft.functions.TopKAggregator(3)
     val fed = Seq((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.7, 2L))

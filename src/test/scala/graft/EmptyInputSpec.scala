@@ -31,13 +31,19 @@ class EmptyInputSpec extends AnyFunSuite {
   // (q_sketch_merge's union row is a global aggregate too)
   private val globalAggs =
     Set("q_agg_count", "q_agg_distinct", "q_agg_approx", "q_sketch_merge",
-      "q_sketch_exact", "q_sketch_kmv", "q_zipf", "q_ks")
+      "q_sketch_exact", "q_sketch_kmv", "q_zipf", "q_ks",
+      // round-9 one-row reports: OLS moments, rank-sum, pooled A/B —
+      // all emit their single aggregate row (counts 0, NULL stats)
+      "q_trend", "q_mannwhitney", "q_ab_test")
 
   // the ablation report is a global aggregate exploded to one row per
   // RULE: an empty corpus yields its 4 rule rows (n_docs=0, null
   // sums), mirroring DuckDB's one-aggregate-row-per-rule UNION
   private val fixedRowReports =
-    Map("q_quality_ablation" -> 4L, "q_profile" -> 5L)
+    Map("q_quality_ablation" -> 4L, "q_profile" -> 5L,
+      // the seasonality spine is the full 7x24 calendar even over an
+      // empty corpus (0 counts, NULL lift — the dashboard contract)
+      "q_seasonality" -> 168L)
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events

@@ -204,6 +204,22 @@ class StatTrendSpec extends AnyFunSuite {
     assert(got(1) == ((3L, 2L, 1L, 6L, 20590000L)))
   }
 
+  test("abTestOf: hand-computed pooled z with exact rates; degenerate split yields NULL z") {
+    import spark.implicits._
+    // A (even): u0 converted, u2 not; B (odd): u1, u3 both converted
+    val per = Seq((0L, 1L), (1L, 1L), (2L, 0L), (3L, 1L))
+      .toDF("user_id", "conv")
+    val r = TimeSeries.abTestOf(per).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 1000000L)
+    // z = (1*2 - 2*2) * sqrt(4 / (2*2*3*1)) = -1.154701
+    assert(r.getDouble(6) == -1.154701)
+    // all-converted input: pooled variance is zero -> NULL z, no error
+    val degenerate = Seq((0L, 1L), (1L, 1L)).toDF("user_id", "conv")
+    assert(TimeSeries.abTestOf(degenerate).collect()(0).isNullAt(6))
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
