@@ -106,6 +106,8 @@ object SparkEntry {
     "q_ewma"         -> ((s, d) => TimeSeries.q_ewma(s, d)),
     "q_join_overlap" -> (TimeSeries.q_join_overlap _),
     "q_ab_test"      -> (TimeSeries.q_ab_test _),
+    "q_burstiness"   -> (TimeSeries.q_burstiness _),
+    "q_gap_stats"    -> (TimeSeries.q_gap_stats _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -140,6 +142,7 @@ object SparkEntry {
     "q_ks"           -> (TextOps.q_ks _),
     "q_mannwhitney"  -> (TextOps.q_mannwhitney _),
     "q_readability"  -> (TextOps.q_readability _),
+    "q_heaps"        -> (TextOps.q_heaps _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
@@ -878,7 +881,7 @@ object SparkEntry {
         |  CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL ELSE
         |    round(CAST(sy*sxx - sx*sxy AS DOUBLE) /
         |          CAST(n_days*sxx - sx*sx AS DOUBLE), 6) END AS intercept,
-        |  CASE WHEN (n_days*sxx - sx*sx) * (n_days*syy - sy*sy) = 0
+        |  CASE WHEN n_days*sxx - sx*sx = 0 OR n_days*syy - sy*sy = 0
         |  THEN NULL ELSE
         |    round(CAST(n_days*sxy - sx*sy AS DOUBLE) *
         |          CAST(n_days*sxy - sx*sy AS DOUBLE) /
@@ -1030,6 +1033,55 @@ object SparkEntry {
         |        (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
         |         (n_a + n_b - x_a - x_b))), 6) END AS z
         |FROM c""".stripMargin,
+    // Fano factor per event type over the global dense hour spine:
+    // F = (wQ - S^2)/(wS) on exact longs, x1e6 round-half-up (the
+    // numerator is >= 0 by Cauchy-Schwarz, no sign handling)
+    "q_burstiness" ->
+      """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hc),
+        |ty AS (SELECT DISTINCT event_type FROM hc),
+        |sp AS (SELECT ty.event_type, s.hr FROM ty,
+        |         (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) s),
+        |dn AS (SELECT sp.event_type, CAST(coalesce(hc.y, 0) AS BIGINT) AS y
+        |       FROM sp LEFT JOIN hc
+        |         ON sp.event_type = hc.event_type AND sp.hr = hc.hr),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS w,
+        |        CAST(sum(y) AS BIGINT) AS n_events,
+        |        CAST(sum(y*y) AS BIGINT) AS q FROM dn GROUP BY 1)
+        |SELECT event_type, w, n_events,
+        |  (2 * (w*q - n_events*n_events) * 1000000 + w*n_events)
+        |    // (2 * w*n_events) AS fano_fp
+        |FROM a ORDER BY event_type""".stripMargin,
+    // inter-arrival gaps per type: lag micros with (ts, event_id)
+    // tie-break, float-free cum*100 >= n*p percentiles, round-half-up
+    // integer mean
+    "q_gap_stats" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS tu, event_id FROM events),
+        |g AS (SELECT event_type, tu - lag(tu) OVER
+        |        (PARTITION BY event_type ORDER BY tu, event_id) AS gap
+        |      FROM ev),
+        |gc AS (SELECT event_type, gap, CAST(count(*) AS BIGINT) AS c
+        |       FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_gaps,
+        |          min(gap) AS min_gap, max(gap) AS max_gap,
+        |          CAST(sum(gap*c) AS BIGINT) AS s_gap FROM gc GROUP BY 1),
+        |cum AS (SELECT event_type, gap,
+        |          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gap
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum
+        |        FROM gc),
+        |p50 AS (SELECT c.event_type, min(c.gap) AS p50_gap FROM cum c
+        |        JOIN tot t ON c.event_type = t.event_type
+        |        WHERE c.cum * 100 >= t.n_gaps * 50 GROUP BY 1),
+        |p90 AS (SELECT c.event_type, min(c.gap) AS p90_gap FROM cum c
+        |        JOIN tot t ON c.event_type = t.event_type
+        |        WHERE c.cum * 100 >= t.n_gaps * 90 GROUP BY 1)
+        |SELECT t.event_type, t.n_gaps, t.min_gap, p50.p50_gap, p90.p90_gap,
+        |  t.max_gap, (2 * t.s_gap + t.n_gaps) // (2 * t.n_gaps) AS mean_gap
+        |FROM tot t JOIN p50 ON t.event_type = p50.event_type
+        |           JOIN p90 ON t.event_type = p90.event_type
+        |ORDER BY t.event_type""".stripMargin,
     "q_time_tumble" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
@@ -2150,6 +2202,49 @@ object SparkEntry {
         |        (CAST(n_en AS DOUBLE) * n_other *
         |         ((n_en+n_other+1.0) * (n_en+n_other) * (n_en+n_other-1)
         |          - tie_t))), 6) END AS z
+        |FROM a""".stripMargin,
+    // Heaps fit: exact first-sighting counts, one cumulative window
+    // (the Spark side's two-level prefix is algebraically identical),
+    // x1e3 quantized-ln points, zipf-style moment fit
+    "q_heaps" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |t2 AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+        |       FROM t2 GROUP BY 1),
+        |fs AS (SELECT min(doc_id) AS doc_id FROM t2 GROUP BY term),
+        |fn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM fs GROUP BY 1),
+        |dr AS (SELECT pd.doc_id, pd.n_toks,
+        |         CAST(coalesce(fn.n_new, 0) AS BIGINT) AS n_new
+        |       FROM pd LEFT JOIN fn ON pd.doc_id = fn.doc_id),
+        |pts AS (SELECT CAST(sum(n_toks) OVER w AS BIGINT) AS cum_t,
+        |               CAST(sum(n_new) OVER w AS BIGINT) AS cum_v
+        |        FROM dr WINDOW w AS (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT CAST(round(ln(CAST(cum_t AS DOUBLE)) * 1e3) AS BIGINT) AS x,
+        |             CAST(round(ln(CAST(cum_v AS DOUBLE)) * 1e3) AS BIGINT) AS y
+        |      FROM pts WHERE cum_t > 0 AND cum_v > 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(y*y) AS BIGINT) AS syy FROM p)
+        |SELECT n_points, sx, sy, sxx, sxy,
+        |  CASE WHEN n_points*sxx - sx*sx = 0 THEN NULL ELSE
+        |    round(CAST(n_points*sxy - sx*sy AS DOUBLE) /
+        |          CAST(n_points*sxx - sx*sx AS DOUBLE), 6) END AS beta,
+        |  CASE WHEN n_points*sxx - sx*sx = 0 THEN NULL ELSE
+        |    round((CAST(sy AS DOUBLE) -
+        |      CAST(n_points*sxy - sx*sy AS DOUBLE) /
+        |      CAST(n_points*sxx - sx*sx AS DOUBLE) * sx)
+        |      / n_points / 1000.0, 6) END AS ln_k,
+        |  CASE WHEN n_points*sxx - sx*sx = 0 OR n_points*syy - sy*sy = 0
+        |  THEN NULL ELSE
+        |    round(CAST(n_points*sxy - sx*sy AS DOUBLE) *
+        |          CAST(n_points*sxy - sx*sy AS DOUBLE) /
+        |          (CAST(n_points*sxx - sx*sx AS DOUBLE) *
+        |           CAST(n_points*syy - sy*sy AS DOUBLE)), 6) END AS r2
         |FROM a""".stripMargin,
     // Flesch-Kincaid per doc: regexp-count proxies, fraction cleared
     // to (195W^2 + 5900SV - 7795SW)/(500SW), sign-separated x1e6

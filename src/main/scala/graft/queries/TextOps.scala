@@ -1464,6 +1464,98 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Heaps' law fit — the vocabulary-growth scaling law
+    * V(n) ≈ K·n^β that sizes a tokenizer's vocab and predicts how
+    * many new types the next 10× of corpus will bring ([[q_zipf]]'s
+    * sibling: Zipf describes the frequency of what you have, Heaps
+    * how fast the inventory grows). Documents are consumed in doc_id
+    * order; at each document boundary the point
+    * (ln cumulative tokens, ln cumulative distinct terms) is taken,
+    * and β / ln K / r² come from the same quantized-ln OLS as
+    * [[q_zipf]]. "First sighting" is exact: a term's contribution to
+    * the distinct count lands on min(doc_id) over its occurrences —
+    * one Zipf-bounded term agg, no running distinct-state.
+    *
+    * Quantization is ×1e3 (not q_zipf's ×1e6) because here a POINT
+    * PER DOCUMENT enters the moments: Σx² ≤ docs·(ln(1e12)·10³)² keeps
+    * exact-long headroom to ~10¹⁰ documents, where ×1e6 would overflow
+    * past ~10⁴ (q_zipf caps its points at topN=100, so it can afford
+    * the finer grid).
+    *
+    * Scale shape: the cumulative sums distribute through the
+    * [[TimeSeries.q_concurrency]] two-level prefix trick — bucket
+    * partials (doc_id div 1024) get a carry via a window over the
+    * O(docs/1024) bucket table, the in-bucket prefix is a window
+    * PARTITIONED by bucket — no corpus-sized single-partition window
+    * anywhere. Everything before the final 1-row fit is exact longs.
+    */
+  def q_heaps(s: SparkSession, d: String): DataFrame =
+    heapsOf(documents(s, d))
+
+  /** The first-sighting cumulative kernel of [[q_heaps]], factored so
+    * unit tests can drive it with hand-built (doc_id, text) rows.
+    */
+  private[graft] def heapsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1024L
+    val tok = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint() // referenced 2x: per-doc counts + first sightings
+    val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val firstSeen = tok.groupBy("term").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val docRows = perDoc.join(firstSeen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("bkt", expr(s"doc_id div $B"))
+      .localCheckpoint() // referenced 2x: bucket partials + in-bucket prefix
+    val carry = docRows.groupBy("bkt")
+      .agg(sum(col("n_toks")).as("bt"), sum(col("n_new")).as("bv"))
+      .select(col("bkt"),
+        (sum(col("bt")).over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("bt")).as("ct"),
+        (sum(col("bv")).over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("bv")).as("cv"))
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val points = docRows.join(broadcast(carry), Seq("bkt"))
+      .select(
+        (col("ct") + sum(col("n_toks")).over(wIn)).as("cum_t"),
+        (col("cv") + sum(col("n_new")).over(wIn)).as("cum_v"))
+      .filter(col("cum_t") > 0 && col("cum_v") > 0)
+      .select(
+        expr("CAST(round(ln(CAST(cum_t AS DOUBLE)) * 1e3) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(cum_v AS DOUBLE)) * 1e3) AS BIGINT)").as("y"))
+    points
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_points"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        expr("CASE WHEN n_points*sxx - sx*sx = 0 THEN NULL ELSE " +
+          "round(CAST(n_points*sxy - sx*sy AS DOUBLE) / " +
+          "CAST(n_points*sxx - sx*sx AS DOUBLE), 6) END").as("beta"),
+        // intercept via (Σy − slope·Σx)/n in doubles: the closed form
+        // sy·sxx − sx·sxy overflows int64 once points ≈ corpus docs
+        // (found at sf0.1); every long entering THIS form stays < 2⁶³
+        expr("CASE WHEN n_points*sxx - sx*sx = 0 THEN NULL ELSE " +
+          "round((CAST(sy AS DOUBLE) - " +
+          "CAST(n_points*sxy - sx*sy AS DOUBLE) / " +
+          "CAST(n_points*sxx - sx*sx AS DOUBLE) * sx) " +
+          "/ n_points / 1000.0, 6) END").as("ln_k"),
+        expr("CASE WHEN n_points*sxx - sx*sx = 0 OR n_points*syy - sy*sy = 0 " +
+          "THEN NULL ELSE " +
+          "round(CAST(n_points*sxy - sx*sy AS DOUBLE) * " +
+          "CAST(n_points*sxy - sx*sy AS DOUBLE) / " +
+          "(CAST(n_points*sxx - sx*sx AS DOUBLE) * " +
+          "CAST(n_points*syy - sy*sy AS DOUBLE)), 6) END").as("r2"))
+  }
+
   /** Flesch–Kincaid readability grade per document — the reading-level
     * gate a curriculum-ordered training mix sorts by (simple text
     * first) and a quality pipeline thresholds (a "grade" of 40 means

@@ -479,7 +479,7 @@ object TimeSeries {
         expr("CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL ELSE " +
           "round(CAST(sy*sxx - sx*sxy AS DOUBLE) / " +
           "CAST(n_days*sxx - sx*sx AS DOUBLE), 6) END").as("intercept"),
-        expr("CASE WHEN (n_days*sxx - sx*sx) * (n_days*syy - sy*sy) = 0 " +
+        expr("CASE WHEN n_days*sxx - sx*sx = 0 OR n_days*syy - sy*sy = 0 " +
           "THEN NULL ELSE " +
           "round(CAST(n_days*sxy - sx*sy AS DOUBLE) * " +
           "CAST(n_days*sxy - sx*sy AS DOUBLE) / " +
@@ -620,6 +620,90 @@ object TimeSeries {
           "sqrt(CAST(n_a + n_b AS DOUBLE) / " +
           "(CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) * " +
           "(n_a + n_b - x_a - x_b))), 6) END").as("z"))
+  }
+
+  /** Fano factor (variance-to-mean ratio) of the hourly count per
+    * event type — the burstiness diagnostic that separates a Poisson
+    * feed (F ≈ 1) from a bursty one (F ≫ 1, e.g. batched uploads) or
+    * an anti-bursty rate-limited one (F < 1); [[q_spikes]] flags
+    * individual hours, this scores the TYPE's whole arrival process.
+    * Series = the GLOBAL dense hour spine per type (an hour with no
+    * events of a type is a real zero for that type). With w hours,
+    * S = Σy, Q = Σy²: F = σ²/μ = (w·Q − S²)/(w·S), reported as the
+    * ×1e6 round-half-up fixed point on exact longs (w·Q − S² ≥ 0 by
+    * Cauchy–Schwarz, so no sign handling is needed).
+    *
+    * Scale shape: one map-side-combined (type, hour) count agg
+    * bounded by |types|·hours, a |types|×O(hours) spine, and an
+    * O(types)-row output. Overflow: (w·Q − S²)·1e6 needs
+    * hours²·(peak hourly count)² ≲ 4·10¹² — fine to ~10³ events/hour
+    * over a decade of hours; beyond, widen to DECIMAL(38,0).
+    */
+  def q_burstiness(s: SparkSession, d: String): DataFrame = {
+    val hc = events(s, d)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // referenced 3x: bounds, types, the spine join
+    val bounds = hc.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val types = hc.select("event_type").distinct()
+    val spine = types.crossJoin(broadcast(
+      bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))))
+    spine.join(hc, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("w"), sum(col("y")).as("n_events"),
+        sum(col("y") * col("y")).as("q"))
+      .select(col("event_type"), col("w"), col("n_events"),
+        expr("(2 * (w*q - n_events*n_events) * 1000000 + w*n_events) div " +
+          "(2 * w*n_events)").as("fano_fp"))
+      .orderBy("event_type")
+  }
+
+  /** Inter-arrival-time report per event type — the gap distribution
+    * (min / p50 / p90 / max / mean micros between consecutive events
+    * of a type) that sizes watermarks, session gaps, and timeout
+    * budgets; the distributional companion to [[q_burstiness]]'s
+    * one-number summary. Gaps are exact micros between consecutive
+    * events ordered by (ts, event_id) within each type (the unique-id
+    * tie-break makes simultaneous events a deterministic zero gap);
+    * percentiles use the float-free `cum·100 ≥ n·p` rank test on the
+    * per-type gap-value count table (the q_skew_stats idiom) and the
+    * mean is the `(2S+n) div 2n` round-half-up integer.
+    *
+    * Scale shape: one lag window partitioned by type, one
+    * map-side-combined (type, gap) count agg bounded by distinct gap
+    * values, cumulative windows over that table, O(types) output.
+    */
+  def q_gap_stats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("tu"),
+        col("event_id"))
+    val gaps = ev
+      .withColumn("gap", col("tu") - lag(col("tu"), 1).over(
+        Window.partitionBy("event_type").orderBy(col("tu"), col("event_id"))))
+      .filter(col("gap").isNotNull)
+    val gc = gaps.groupBy(col("event_type"), col("gap"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // referenced 2x: totals + the cum window
+    val tot = gc.groupBy("event_type")
+      .agg(sum(col("c")).as("n_gaps"), min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"),
+        sum(col("gap") * col("c")).as("s_gap"))
+    val cum = gc.select(col("event_type"), col("gap"),
+      sum(col("c")).over(Window.partitionBy("event_type").orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val p50 = cum.join(broadcast(tot), Seq("event_type"))
+      .filter(col("cum") * 100 >= col("n_gaps") * 50)
+      .groupBy("event_type").agg(min(col("gap")).as("p50_gap"))
+    val p90 = cum.join(broadcast(tot), Seq("event_type"))
+      .filter(col("cum") * 100 >= col("n_gaps") * 90)
+      .groupBy("event_type").agg(min(col("gap")).as("p90_gap"))
+    tot.join(p50, Seq("event_type")).join(p90, Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"), col("min_gap"),
+        col("p50_gap"), col("p90_gap"), col("max_gap"),
+        expr("(2 * s_gap + n_gaps) div (2 * n_gaps)").as("mean_gap"))
+      .orderBy("event_type")
   }
 
   /** The per-user 30-minute-gap session intervals shared by

@@ -34,7 +34,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "q_sketch_exact", "q_sketch_kmv", "q_zipf", "q_ks",
       // round-9 one-row reports: OLS moments, rank-sum, pooled A/B —
       // all emit their single aggregate row (counts 0, NULL stats)
-      "q_trend", "q_mannwhitney", "q_ab_test")
+      "q_trend", "q_mannwhitney", "q_ab_test", "q_heaps")
 
   // the ablation report is a global aggregate exploded to one row per
   // RULE: an empty corpus yields its 4 rule rows (n_docs=0, null

@@ -220,6 +220,59 @@ class StatTrendSpec extends AnyFunSuite {
     assert(TimeSeries.abTestOf(degenerate).collect()(0).isNullAt(6))
   }
 
+  test("heapsOf: hand-computed first sightings, cumulative points, and OLS moments") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = TextOps.heapsOf(docs).collect()(0)
+    // points (cumT, cumV): (2,2) (4,3) (8,4); x/y = round(ln*1e3)
+    val xs = Seq(2L, 4L, 8L).map(t => math.round(math.log(t.toDouble) * 1e3))
+    val ys = Seq(2L, 3L, 4L).map(v => math.round(math.log(v.toDouble) * 1e3))
+    val (n, sx, sy) = (3L, xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((n, sx, sy, sxx, sxy)))
+    val beta = r.getDouble(5)
+    val expBeta = BigDecimal((n * sxy - sx * sy).toDouble /
+      (n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(beta == expBeta)
+    assert(beta > 0 && beta <= 1.0) // vocabulary grows sublinearly
+  }
+
+  test("q_burstiness/q_gap_stats: driver-side recompute from raw events agrees") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    graft.Tables.events(spark, sf).createOrReplaceTempView("ev_bs")
+    // burstiness: recompute per-type (w, S, Q) over the global dense
+    // hour spine in SQL and apply the same integer formula
+    val hrs = spark.sql(
+      """SELECT event_type, unix_timestamp(ts) div 3600 AS hr, count(*) AS y
+        |FROM ev_bs GROUP BY 1, 2""".stripMargin).collect()
+    val h0 = hrs.map(_.getLong(1)).min
+    val h1 = hrs.map(_.getLong(1)).max
+    val types = hrs.map(_.getString(0)).distinct.sorted
+    val byTh = hrs.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = types.map { t =>
+      val ys = (h0 to h1).map(h => byTh.getOrElse((t, h), 0L))
+      val w = ys.length.toLong
+      val sS = ys.sum
+      val q = ys.map(y => y * y).sum
+      t -> ((2 * (w * q - sS * sS) * 1000000L + w * sS) / (2 * w * sS))
+    }.toMap
+    val got = q("q_burstiness").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+    // gap stats: every percentile column must be an actual observed
+    // gap and the ordering p50 <= p90 <= max, min <= mean must hold
+    q("q_gap_stats").collect().foreach { r =>
+      val (mn, p50, p90, mx, mean) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+      assert(mn <= mean && mean <= mx)
+    }
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
