@@ -108,6 +108,7 @@ object SparkEntry {
     "q_ab_test"      -> (TimeSeries.q_ab_test _),
     "q_burstiness"   -> (TimeSeries.q_burstiness _),
     "q_gap_stats"    -> (TimeSeries.q_gap_stats _),
+    "q_winsorize"    -> (TimeSeries.q_winsorize _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "q_embed_stats"    -> (EmbedOps.q_embed_stats _),
     "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
     "q_embed_calib"    -> (EmbedOps.q_embed_calib _),
+    "q_embed_drift"    -> (EmbedOps.q_embed_drift _),
     "q_embed_rp"       -> (EmbedOps.q_embed_rp _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
     "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
@@ -1033,6 +1035,40 @@ object SparkEntry {
         |        (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
         |         (n_a + n_b - x_a - x_b))), 6) END AS z
         |FROM c""".stripMargin,
+    // winsorized mean per type: float-free p10/p90 cuts on the value-
+    // count table, clamp re-aggregates counts, round-half-up cents
+    // with sign separation (value cents can be negative)
+    "q_winsorize" ->
+      """WITH vc AS (SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nr,
+        |          CAST(sum(c*n) AS BIGINT) AS s_raw FROM vc GROUP BY 1),
+        |cum AS (SELECT event_type, c,
+        |          CAST(sum(n) OVER (PARTITION BY event_type ORDER BY c
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum
+        |        FROM vc),
+        |p10 AS (SELECT cum.event_type, min(c) AS p10_c FROM cum
+        |        JOIN tot ON cum.event_type = tot.event_type
+        |        WHERE cum * 100 >= nr * 10 GROUP BY 1),
+        |p90 AS (SELECT cum.event_type, min(c) AS p90_c FROM cum
+        |        JOIN tot ON cum.event_type = tot.event_type
+        |        WHERE cum * 100 >= nr * 90 GROUP BY 1),
+        |w AS (SELECT vc.event_type, CAST(sum(n) AS BIGINT) AS n,
+        |        CAST(sum(greatest(least(c, p90_c), p10_c) * n) AS BIGINT) AS s_w,
+        |        any_value(p10_c) AS p10_c, any_value(p90_c) AS p90_c
+        |      FROM vc JOIN p10 ON vc.event_type = p10.event_type
+        |              JOIN p90 ON vc.event_type = p90.event_type
+        |      GROUP BY 1)
+        |SELECT w.event_type, w.n, w.p10_c, w.p90_c,
+        |  CASE WHEN t.s_raw >= 0 THEN (2 * t.s_raw + w.n) // (2 * w.n)
+        |       ELSE -((2 * abs(t.s_raw) + w.n) // (2 * w.n)) END AS mean_c,
+        |  CASE WHEN w.s_w >= 0 THEN (2 * w.s_w + w.n) // (2 * w.n)
+        |       ELSE -((2 * abs(w.s_w) + w.n) // (2 * w.n)) END AS wmean_c
+        |FROM w JOIN tot t ON w.event_type = t.event_type
+        |ORDER BY w.event_type""".stripMargin,
     // Fano factor per event type over the global dense hour spine:
     // F = (wQ - S^2)/(wS) on exact longs, x1e6 round-half-up (the
     // numerator is >= 0 by Cauchy-Schwarz, no sign handling)
@@ -1910,6 +1946,28 @@ object SparkEntry {
         |  min_val, max_val,
         |  CASE WHEN greatest(abs(min_val), abs(max_val)) > 0
         |       THEN round(127.0 / greatest(abs(min_val), abs(max_val)), 6) END AS scale
+        |FROM a ORDER BY dim""".stripMargin,
+    // per-dim mean drift: floor(v*1e6+0.5) grid, mean difference
+    // cleared to (s_ref*n_cur - s_cur*n_ref)/(n_ref*n_cur), sign
+    // separated before the round-half-up division
+    "q_embed_drift" ->
+      """WITH x AS (SELECT vec_id % 2 = 0 AS ref,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |a AS (SELECT dim,
+        |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |    CAST(sum(CASE WHEN ref THEN CAST(floor(v * 1e6 + 0.5) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS s_ref,
+        |    CAST(sum(CASE WHEN NOT ref THEN CAST(floor(v * 1e6 + 0.5) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS s_cur
+        |  FROM x WHERE v IS NOT NULL GROUP BY dim)
+        |SELECT dim, n_ref, n_cur, s_ref, s_cur,
+        |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL ELSE
+        |    (CASE WHEN s_ref*n_cur - s_cur*n_ref < 0 THEN -1 ELSE 1 END) *
+        |    ((2 * abs(s_ref*n_cur - s_cur*n_ref) + n_ref*n_cur) //
+        |     (2 * n_ref*n_cur)) END AS mean_diff_fp
         |FROM a ORDER BY dim""".stripMargin,
     // JL projection oracle is GENERATED from the same pinned sign
     // matrix the Spark expressions read (EmbedOps.rpSigns)

@@ -246,4 +246,46 @@ object EmbedOps {
        |         // (2 * $RpOutDims * norm2) END AS ratio_fp
        |FROM r ORDER BY vec_id""".stripMargin
   }
+
+  /** Per-dimension embedding drift — the mean-shift monitor an
+    * embedding pipeline runs when the encoder, preprocessing, or
+    * upstream corpus changes (a single dimension drifting flags a
+    * feature-extraction bug long before recall metrics move; the
+    * embedding-space sibling of [[graft.queries.TextOps
+    * .q_drift_psi]]). Reference = even vec_ids, current = odd (the
+    * stand-in for a snapshot column); per dimension the report is
+    * both counts, both fixed-point sums, and the mean difference
+    * μ_ref − μ_cur cleared of its denominators
+    * ((s_ref·n_cur − s_cur·n_ref)/(n_ref·n_cur)) as the sign-
+    * separated round-half-up value in the same ×1e6 units as the
+    * inputs (elements quantize via the [[q_embed_calib]]
+    * floor(v·1e6 + 0.5) grid — engine round() modes disagree on the
+    * exact .5 ties float grids do hit).
+    *
+    * Scale shape: one map-side-combined per-dim agg — output bounded
+    * by the embedding width regardless of corpus size. Overflow:
+    * s·n < 2⁶³ holds to ~10⁶ vectors per side at unit-normed inputs;
+    * beyond, widen the sums to DECIMAL(38,0)/HUGEINT (the
+    * [[q_embed_calib]] pairing).
+    */
+  def q_embed_drift(s: SparkSession, d: String): DataFrame = {
+    val x = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
+    embeddings(s, d)
+      .select((col("vec_id") % 2 === 0).as("ref"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("v").isNotNull)
+      .select(col("ref"), col("dim").cast("long").as("dim"), x.as("x"))
+      .groupBy("dim")
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("n_cur"),
+        sum(when(col("ref"), col("x")).otherwise(0L)).as("s_ref"),
+        sum(when(!col("ref"), col("x")).otherwise(0L)).as("s_cur"))
+      .select(col("dim"), col("n_ref"), col("n_cur"), col("s_ref"),
+        col("s_cur"),
+        expr("CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL ELSE " +
+          "(CASE WHEN s_ref*n_cur - s_cur*n_ref < 0 THEN -1 ELSE 1 END) * " +
+          "((2 * abs(s_ref*n_cur - s_cur*n_ref) + n_ref*n_cur) div " +
+          "(2 * n_ref*n_cur)) END").as("mean_diff_fp"))
+      .orderBy("dim")
+  }
 }

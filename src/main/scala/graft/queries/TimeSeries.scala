@@ -622,6 +622,55 @@ object TimeSeries {
           "(n_a + n_b - x_a - x_b))), 6) END").as("z"))
   }
 
+  /** Winsorized mean per event type — the robust location estimate
+    * between [[q_outliers]]' median (throws away all magnitude
+    * information) and the raw mean (one corrupted feed drags it
+    * arbitrarily): values below the (lower) p10 clamp UP to p10,
+    * above p90 clamp DOWN to p90, then the mean is taken — the
+    * standard 10% winsorization a metrics pipeline applies before
+    * averaging noisy usage values. Percentiles come from the
+    * float-free `cum·100 ≥ n·p` rank test on the per-type value-count
+    * table (the q_skew_stats idiom); the clamped sum re-aggregates
+    * VALUE COUNTS, never raw rows, and both means are exact
+    * round-half-up integer cents.
+    *
+    * Scale shape: ONE corpus-scale exchange — the map-side-combined
+    * (type, cents) count agg bounded by the value domain — then
+    * windows and joins over that tiny table; O(types) output.
+    */
+  def q_winsorize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    val vc = events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), cents.as("c")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // referenced 3x: totals, cum window, clamp sum
+    val tot = vc.groupBy("event_type")
+      .agg(sum(col("n")).as("nr"), sum(col("c") * col("n")).as("s_raw"))
+    val cum = vc.select(col("event_type"), col("c"),
+      sum(col("n")).over(Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .localCheckpoint() // referenced 2x: the p10 and p90 cuts
+    def pcut(p: Int, out: String) =
+      cum.join(broadcast(tot.select(col("event_type"), col("nr"))),
+          Seq("event_type"))
+        .filter(col("cum") * 100 >= col("nr") * p)
+        .groupBy("event_type").agg(min(col("c")).as(out))
+    val bounds = pcut(10, "p10_c").join(pcut(90, "p90_c"), Seq("event_type"))
+    vc.join(broadcast(bounds), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(greatest(least(col("c"), col("p90_c")), col("p10_c")) * col("n"))
+          .as("s_w"),
+        first(col("p10_c")).as("p10_c"), first(col("p90_c")).as("p90_c"))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("p10_c"), col("p90_c"),
+        expr("CASE WHEN s_raw >= 0 THEN (2 * s_raw + n) div (2 * n) " +
+          "ELSE -((2 * abs(s_raw) + n) div (2 * n)) END").as("mean_c"),
+        expr("CASE WHEN s_w >= 0 THEN (2 * s_w + n) div (2 * n) " +
+          "ELSE -((2 * abs(s_w) + n) div (2 * n)) END").as("wmean_c"))
+      .orderBy("event_type")
+  }
+
   /** Fano factor (variance-to-mean ratio) of the hourly count per
     * event type — the burstiness diagnostic that separates a Poisson
     * feed (F ≈ 1) from a bursty one (F ≫ 1, e.g. batched uploads) or

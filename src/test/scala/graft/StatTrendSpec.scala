@@ -273,6 +273,56 @@ class StatTrendSpec extends AnyFunSuite {
     }
   }
 
+  test("q_embed_drift: dimension 0 agrees with a driver-side recompute") {
+    val rows = q("q_embed_drift").collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding[0] AS DOUBLE) AS v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val ref = emb.filter(_._1 % 2 == 0).map(x => q6(x._2))
+    val cur = emb.filter(_._1 % 2 != 0).map(x => q6(x._2))
+    val num = ref.sum * cur.length - cur.sum * ref.length
+    val den = ref.length.toLong * cur.length
+    val expect = (if (num < 0) -1L else 1L) *
+      ((2 * math.abs(num) + den) / (2 * den))
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert((d0.getLong(1), d0.getLong(2)) == ((ref.length.toLong, cur.length.toLong)))
+    assert(d0.getLong(5) == expect)
+    // every embedding element is accounted for in exactly one side
+    val width = rows.length
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum ==
+      width.toLong * (ref.length + cur.length))
+  }
+
+  test("q_winsorize: clamp bounds are observed values and order mean sanity holds") {
+    val rows = q("q_winsorize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p10, p90, mean, wmean) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p10 <= p90)
+      // the winsorized mean lives inside the clamp bounds by construction
+      assert(p10 <= wmean && wmean <= p90)
+      // a 10% winsorization cannot move the mean past the bounds either
+      assert(mean >= p10 - math.abs(mean) && mean <= p90 + math.abs(mean))
+    }
+    // driver-side recompute for one event type
+    val t = rows.head.getString(0)
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === t && col("value").isNotNull)
+      .selectExpr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS c")
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    def cut(p: Int): Long = vals(((n * p + 99) / 100 - 1).toInt max 0)
+    val p10 = cut(10); val p90 = cut(90)
+    val sW = vals.map(c => math.max(math.min(c, p90), p10)).sum
+    val expW =
+      if (sW >= 0) (2 * sW + n) / (2 * n) else -((2 * math.abs(sW) + n) / (2 * n))
+    val r0 = rows.head
+    assert((r0.getLong(2), r0.getLong(3)) == ((p10, p90)))
+    assert(r0.getLong(5) == expW)
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
