@@ -109,6 +109,9 @@ object SparkEntry {
     "q_burstiness"   -> (TimeSeries.q_burstiness _),
     "q_gap_stats"    -> (TimeSeries.q_gap_stats _),
     "q_winsorize"    -> (TimeSeries.q_winsorize _),
+    "q_cusum"        -> (TimeSeries.q_cusum _),
+    "q_mk_trend"     -> (TimeSeries.q_mk_trend _),
+    "q_benford"      -> (TimeSeries.q_benford _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -1035,6 +1038,84 @@ object SparkEntry {
         |        (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
         |         (n_a + n_b - x_a - x_b))), 6) END AS z
         |FROM c""".stripMargin,
+    // CUSUM via the max-prefix identity S_t = P_t - min prefix; mean
+    // cleared by x n (the q_acf trick); 5-sigma decision integer-only
+    // via cusum^2 > 25(nQ - S^2)
+    "q_cusum" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hc),
+        |dense AS (SELECT s.hr, CAST(coalesce(hc.y, 0) AS BIGINT) AS y
+        |          FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) s
+        |          LEFT JOIN hc ON s.hr = hc.hr),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(y) AS BIGINT) AS s,
+        |          CAST(sum(y*y) AS BIGINT) AS q FROM dense),
+        |pp AS (SELECT hr, y, n, s, q,
+        |         CAST(sum(n*y - s) OVER (ORDER BY hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS p
+        |       FROM dense, tot),
+        |m AS (SELECT hr, y, n, s, q, p,
+        |        min(p) OVER (ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn,
+        |        max(p) OVER (ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        |      FROM pp)
+        |SELECT hr, y, p - mn AS cusum_up, mx - p AS cusum_dn,
+        |  (p - mn)*(p - mn) > 25*(n*q - s*s) AS up_flag,
+        |  (mx - p)*(mx - p) > 25*(n*q - s*s) AS dn_flag
+        |FROM m ORDER BY hr""".stripMargin,
+    // Mann-Kendall: exact pair-sign sum over the dense day spine,
+    // tie-corrected var x18, continuity-corrected z as the one
+    // mirrored round(double,6)
+    "q_mk_trend" ->
+      """WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+        |dense AS (SELECT s.day, CAST(coalesce(dc.y, 0) AS BIGINT) AS y
+        |          FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM b) s
+        |          LEFT JOIN dc ON s.day = dc.day),
+        |sp AS (SELECT CAST(coalesce(sum(CASE WHEN bj.y > ai.y THEN 1
+        |                 WHEN bj.y < ai.y THEN -1 ELSE 0 END), 0) AS BIGINT)
+        |         AS s_mk
+        |       FROM dense ai JOIN dense bj ON ai.day < bj.day),
+        |ti AS (SELECT CAST(sum(t) AS BIGINT) AS n_days,
+        |         CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS t18
+        |       FROM (SELECT y, CAST(count(*) AS BIGINT) AS t
+        |             FROM dense GROUP BY 1))
+        |SELECT ti.n_days, sp.s_mk,
+        |  ti.n_days*(ti.n_days-1)*(2*ti.n_days+5) - ti.t18 AS var18,
+        |  CASE WHEN ti.n_days*(ti.n_days-1)*(2*ti.n_days+5) - ti.t18 <= 0
+        |       THEN NULL
+        |       WHEN sp.s_mk > 0 THEN round((sp.s_mk - 1) * sqrt(18.0 /
+        |         (ti.n_days*(ti.n_days-1)*(2*ti.n_days+5) - ti.t18)), 6)
+        |       WHEN sp.s_mk < 0 THEN round((sp.s_mk + 1) * sqrt(18.0 /
+        |         (ti.n_days*(ti.n_days-1)*(2*ti.n_days+5) - ti.t18)), 6)
+        |       ELSE 0.0 END AS z
+        |FROM sp, ti""".stripMargin,
+    // Benford first digit from the decimal STRING of positive cents
+    // (engine-neutral; float log10 paths are not); expectations are
+    // pinned x1e6 literals
+    "q_benford" ->
+      """WITH d AS (SELECT substr(CAST(c AS VARCHAR), 1, 1) AS dg
+        |       FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |               AS c FROM events WHERE value IS NOT NULL)
+        |       WHERE c > 0),
+        |c AS (SELECT CAST(dg AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |e(digit, benford_fp) AS (VALUES (1, 301030), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+        |  (8, 51153), (9, 45757))
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  (2 * coalesce(c.n, 0) * 1000000 + t.tot) // (2 * t.tot) AS share_fp,
+        |  CAST(e.benford_fp AS BIGINT) AS benford_fp,
+        |  abs((2 * coalesce(c.n, 0) * 1000000 + t.tot) // (2 * t.tot)
+        |      - e.benford_fp) AS dev_fp
+        |FROM e LEFT JOIN c ON e.digit = c.digit, tot t
+        |ORDER BY digit""".stripMargin,
     // winsorized mean per type: float-free p10/p90 cuts on the value-
     // count table, clamp re-aggregates counts, round-half-up cents
     // with sign separation (value cents can be negative)

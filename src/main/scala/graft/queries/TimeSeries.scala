@@ -622,6 +622,160 @@ object TimeSeries {
           "(n_a + n_b - x_a - x_b))), 6) END").as("z"))
   }
 
+  /** CUSUM change-point detector over the hourly event count — the
+    * monitor that catches a PERSISTENT small shift ([[q_spikes]]
+    * needs one loud hour; a feed that quietly drops 10% forever never
+    * trips 3σ but accumulates in CUSUM). The recursion
+    * S_t = max(0, S_{t−1} + (x_t − μ)) is not window-expressible
+    * directly, but distributes EXACTLY through the max-prefix
+    * identity S_t = P_t − min_{j≤t} P_j with P the running sum of
+    * deviations — two cumulative windows, no recursion. Deviations
+    * are mean-cleared integers (n·x_t − S, the [[q_acf]] trick), so
+    * the whole statistic is exact longs; the decision threshold is
+    * the classic h = 5σ, compared integer-only via
+    * cusum² > 25·(nQ − S²)  (both sides ×n²). Both one-sided
+    * detectors are reported (upward = P − min-prefix, downward =
+    * max-prefix − P).
+    *
+    * Scale shape: one map-side-combined hour-count agg; the
+    * cumulative windows run over the calendar-bounded dense hour
+    * table (the q_ks stance). Overflow: cusum ≤ hours·n·peak, so the
+    * squared compare needs (hours²·peak)² ≲ 2⁶³ — fine to ~10⁴
+    * events/hour over a decade; beyond, widen to DECIMAL(38,0).
+    */
+  def q_cusum(s: SparkSession, d: String): DataFrame =
+    cusumOf(events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("y")))
+
+  /** The max-prefix kernel of [[q_cusum]], factored so unit tests can
+    * drive it with hand-built (hr, y) rows.
+    */
+  private[graft] def cusumOf(hourCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hrCnt = hourCounts
+      .localCheckpoint() // referenced 2x: bounds + the spine join
+    val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hrCnt, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // referenced 2x: totals + the deviation scan
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+      sum(col("y") * col("y")).as("q"))
+    val wCum = Window.orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.crossJoin(broadcast(tot))
+      .select(col("hr"), col("y"), col("n"), col("s"), col("q"),
+        sum(col("n") * col("y") - col("s")).over(wCum).as("p"))
+      .select(col("hr"), col("y"), col("n"), col("s"), col("q"), col("p"),
+        min(col("p")).over(wCum).as("mn"),
+        max(col("p")).over(wCum).as("mx"))
+      .select(col("hr"), col("y"),
+        (col("p") - col("mn")).as("cusum_up"),
+        (col("mx") - col("p")).as("cusum_dn"),
+        ((col("p") - col("mn")) * (col("p") - col("mn")) >
+          lit(25L) * (col("n") * col("q") - col("s") * col("s")))
+          .as("up_flag"),
+        ((col("mx") - col("p")) * (col("mx") - col("p")) >
+          lit(25L) * (col("n") * col("q") - col("s") * col("s")))
+          .as("dn_flag"))
+      .orderBy("hr")
+  }
+
+  /** Mann–Kendall trend test over the daily event count — the
+    * nonparametric companion to [[q_trend]] (OLS asks "what line";
+    * Mann–Kendall asks "is there ANY monotone trend", immune to
+    * outliers and distribution shape — the standard test in
+    * operations and environmental monitoring). S = Σ_{i<j}
+    * sign(y_j − y_i) over the dense day spine is an exact integer
+    * pair sum; the tie-corrected variance is cleared of its /18
+    * (var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5)); z applies the ±1
+    * continuity correction and is the one mirrored `round(double,6)`
+    * over those longs: z = (S ∓ 1)·√(18/var18).
+    *
+    * Scale shape: the pair sum is a self-join of the calendar-bounded
+    * day table (O(days²) pairs — 30 days = 435, a decade ≈ 6.7M;
+    * bounded by the calendar, not the corpus), tie counts one more
+    * O(days) agg.
+    */
+  def q_mk_trend(s: SparkSession, d: String): DataFrame =
+    mkTrendOf(events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("y")))
+
+  /** The pair-sign kernel of [[q_mk_trend]], factored so unit tests
+    * can drive it with hand-built (day, y) rows.
+    */
+  private[graft] def mkTrendOf(dayCounts: DataFrame): DataFrame = {
+    val dayCnt = dayCounts
+      .localCheckpoint() // referenced 2x: bounds + the spine join
+    val bounds = dayCnt.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(dayCnt, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // referenced 3x: both pair sides + ties
+    val a = dense.select(col("day").as("di"), col("y").as("yi"))
+    val b = dense.select(col("day").as("dj"), col("y").as("yj"))
+    val sSum = a.join(broadcast(b), col("di") < col("dj"))
+      .agg(coalesce(sum(signum(col("yj") - col("yi")).cast("long")), lit(0L))
+        .as("s_mk"))
+    val ties = dense.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("t18"))
+    sSum.crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_mk"),
+        (col("n_days") * (col("n_days") - 1)
+          * (lit(2L) * col("n_days") + 5) - col("t18")).as("var18"))
+      .select(col("n_days"), col("s_mk"), col("var18"),
+        expr("CASE WHEN var18 <= 0 THEN NULL " +
+          "WHEN s_mk > 0 THEN round((s_mk - 1) * sqrt(18.0 / var18), 6) " +
+          "WHEN s_mk < 0 THEN round((s_mk + 1) * sqrt(18.0 / var18), 6) " +
+          "ELSE 0.0 END").as("z"))
+  }
+
+  /** Benford first-digit conformance over the money values — the
+    * classic fabricated-data screen (organically-grown magnitudes
+    * follow P(d) = log₁₀(1+1/d); synthetic or truncated feeds don't):
+    * per leading digit the observed count, observed ×1e6 share, the
+    * Benford expectation (PINNED ×1e6 literals — no engine log in the
+    * hot path), and the absolute deviation. The leading digit is
+    * extracted from the DECIMAL STRING of the positive integer cents
+    * — `substring(CAST(c AS STRING), 1, 1)` is engine-neutral where
+    * floor(log₁₀) float paths are not. The dense 1..9 spine keeps
+    * never-seen digits in the report.
+    *
+    * Scale shape: one map-side-combined 9-key count agg; everything
+    * after runs on 9 rows.
+    */
+  def q_benford(s: SparkSession, d: String): DataFrame = {
+    val benfordFp: Map[Int, Long] = Map(1 -> 301030L, 2 -> 176091L,
+      3 -> 124939L, 4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    val digits = events(s, d).filter(col("value").isNotNull)
+      .select(cents.as("c")).filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // referenced 2x: total + the spine join
+    val tot = digits.agg(sum(col("n")).as("tot"))
+    val spine = s.range(1, 10).select(col("id").as("digit"))
+      .withColumn("benford_fp",
+        benfordFp.foldLeft(lit(0L)) { case (acc, (dg, fp)) =>
+          when(col("digit") === dg, lit(fp)).otherwise(acc)
+        })
+    spine.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("benford_fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(2 * n * 1000000 + tot) div (2 * tot)").as("share_fp"),
+        col("benford_fp"),
+        expr("abs((2 * n * 1000000 + tot) div (2 * tot) - benford_fp)")
+          .as("dev_fp"))
+      .orderBy("digit")
+  }
+
   /** Winsorized mean per event type — the robust location estimate
     * between [[q_outliers]]' median (throws away all magnitude
     * information) and the raw mean (one corrupted feed drags it

@@ -34,7 +34,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "q_sketch_exact", "q_sketch_kmv", "q_zipf", "q_ks",
       // round-9 one-row reports: OLS moments, rank-sum, pooled A/B —
       // all emit their single aggregate row (counts 0, NULL stats)
-      "q_trend", "q_mannwhitney", "q_ab_test", "q_heaps")
+      "q_trend", "q_mannwhitney", "q_ab_test", "q_heaps", "q_mk_trend")
 
   // the ablation report is a global aggregate exploded to one row per
   // RULE: an empty corpus yields its 4 rule rows (n_docs=0, null
@@ -43,7 +43,9 @@ class EmptyInputSpec extends AnyFunSuite {
     Map("q_quality_ablation" -> 4L, "q_profile" -> 5L,
       // the seasonality spine is the full 7x24 calendar even over an
       // empty corpus (0 counts, NULL lift — the dashboard contract)
-      "q_seasonality" -> 168L)
+      "q_seasonality" -> 168L,
+      // the Benford digit spine is always its 9 rows (0 counts)
+      "q_benford" -> 9L)
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events

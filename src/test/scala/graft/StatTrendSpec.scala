@@ -323,6 +323,44 @@ class StatTrendSpec extends AnyFunSuite {
     assert(r0.getLong(5) == expW)
   }
 
+  test("cusumOf: hand-computed max-prefix statistic, both one-sided detectors") {
+    import spark.implicits._
+    // y = (1,1,5,5): d = 4y-12 = (-8,-8,8,8); P = (-8,-16,-8,0)
+    val hc = Seq((0L, 1L), (1L, 1L), (2L, 5L), (3L, 5L)).toDF("hr", "y")
+    val rows = TimeSeries.cusumOf(hc).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, false, false),
+      (0L, 8L, false, false),
+      (8L, 0L, false, false),
+      (16L, 0L, false, false))) // 16^2 = 256 < 25*(4*52-144) = 1600
+  }
+
+  test("mkTrendOf: strictly increasing series gives S = n(n-1)/2 and the corrected z") {
+    import spark.implicits._
+    val dc = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("day", "y")
+    val r = TimeSeries.mkTrendOf(dc).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 66L)))
+    // z = (3-1) * sqrt(18/66) = 1.044466
+    assert(r.getDouble(3) == 1.044466)
+    // all-equal series: S = 0, var18 = 0 after full tie correction -> NULL
+    val flat = Seq((10L, 2L), (11L, 2L), (12L, 2L)).toDF("day", "y")
+    val rf = TimeSeries.mkTrendOf(flat).collect()(0)
+    assert(rf.getLong(1) == 0L && rf.isNullAt(3))
+  }
+
+  test("q_benford: dense digit spine, counts conserve, shares sum to ~1e6") {
+    val rows = q("q_benford").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val nPos = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .selectExpr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS c")
+      .filter(col("c") > 0).count()
+    assert(rows.map(_.getLong(1)).sum == nPos)
+    val shareSum = rows.map(_.getLong(2)).sum
+    assert(math.abs(shareSum - 1000000L) <= 9) // rounding slack per digit
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
