@@ -112,6 +112,9 @@ object SparkEntry {
     "q_cusum"        -> (TimeSeries.q_cusum _),
     "q_mk_trend"     -> (TimeSeries.q_mk_trend _),
     "q_benford"      -> (TimeSeries.q_benford _),
+    "q_ltv"          -> (TimeSeries.q_ltv _),
+    "q_survival"     -> (TimeSeries.q_survival _),
+    "q_decompose"    -> (TimeSeries.q_decompose _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -1038,6 +1041,92 @@ object SparkEntry {
         |        (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b) *
         |         (n_a + n_b - x_a - x_b))), 6) END AS z
         |FROM c""".stripMargin,
+    // cohort LTV: retention's cohort definition + exact integer cents,
+    // dense age spine, per-cohort cumulative, sign-separated div
+    "q_ltv" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         event_type, value FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM coh GROUP BY 1),
+        |dm AS (SELECT max(day) AS d1 FROM ev),
+        |rev AS (SELECT c.cohort_day, e.day - c.cohort_day AS age,
+        |         CAST(sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           AS BIGINT) AS rev_c
+        |       FROM ev e JOIN coh c ON e.user_id = c.user_id
+        |       WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |       GROUP BY 1, 2),
+        |sp AS (SELECT sz.cohort_day, sz.n_cohort,
+        |         unnest(generate_series(0, dm.d1 - sz.cohort_day)) AS age
+        |       FROM sz, dm),
+        |j AS (SELECT sp.cohort_day, sp.age, sp.n_cohort,
+        |        CAST(coalesce(rev.rev_c, 0) AS BIGINT) AS rev_c
+        |      FROM sp LEFT JOIN rev ON sp.cohort_day = rev.cohort_day
+        |        AND sp.age = rev.age),
+        |cc AS (SELECT *, CAST(sum(rev_c) OVER (PARTITION BY cohort_day
+        |         ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_rev_c FROM j)
+        |SELECT cohort_day, age, n_cohort, rev_c, cum_rev_c,
+        |  CASE WHEN cum_rev_c >= 0
+        |       THEN (2 * cum_rev_c + n_cohort) // (2 * n_cohort)
+        |       ELSE -((2 * abs(cum_rev_c) + n_cohort) // (2 * n_cohort)) END
+        |    AS ltv_c
+        |FROM cc ORDER BY cohort_day, age""".stripMargin,
+    // Kaplan-Meier: quantized-ln product via cumulative long sum,
+    // final-lifetime S = 0 emitted directly instead of ln(0)
+    "q_survival" ->
+      """WITH lf AS (SELECT user_id, max(d) - min(d) AS t
+        |       FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+        |             FROM events) GROUP BY 1),
+        |dd AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM lf GROUP BY 1),
+        |tt AS (SELECT CAST(sum(d) AS BIGINT) AS n_users FROM dd),
+        |rk AS (SELECT t, d, n_users -
+        |         (CAST(sum(d) OVER (ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) - d) AS n_risk
+        |       FROM dd, tt),
+        |lq AS (SELECT t, d, n_risk,
+        |        CASE WHEN n_risk > d THEN
+        |          CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e9)
+        |            AS BIGINT) ELSE 0 END AS lq
+        |      FROM rk),
+        |cl AS (SELECT *, CAST(sum(lq) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_lq FROM lq)
+        |SELECT t AS t_days, n_risk, d,
+        |  CASE WHEN n_risk = d THEN 0 ELSE
+        |    CAST(round(exp(CAST(cum_lq AS DOUBLE) / 1e9) * 1e6) AS BIGINT) END
+        |    AS km_fp
+        |FROM cl ORDER BY t_days""".stripMargin,
+    // additive decomposition: full-window 25h MA trend, exact x1e6
+    // detrending, sign-separated per-hod seasonal mean
+    "q_decompose" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hc),
+        |dense AS (SELECT s.hr, CAST(coalesce(hc.y, 0) AS BIGINT) AS y
+        |          FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) s
+        |          LEFT JOIN hc ON s.hr = hc.hr),
+        |ma AS (SELECT hr, y, CAST(count(*) OVER wd AS BIGINT) AS w_n,
+        |         CAST(sum(y) OVER wd AS BIGINT) AS w_s
+        |       FROM dense WINDOW wd AS (ORDER BY hr
+        |         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |dt AS (SELECT hr, y,
+        |         CASE WHEN w_n = 25 THEN (2 * w_s * 1000000 + 25) // 50 END
+        |           AS trend_fp,
+        |         y * 1000000 - CASE WHEN w_n = 25
+        |           THEN (2 * w_s * 1000000 + 25) // 50 END AS det_fp
+        |       FROM ma),
+        |se AS (SELECT hod, CASE WHEN sd >= 0 THEN (2*sd + nd) // (2*nd)
+        |         ELSE -((2*abs(sd) + nd) // (2*nd)) END AS seasonal_fp
+        |       FROM (SELECT hr % 24 AS hod, CAST(sum(det_fp) AS BIGINT) AS sd,
+        |               CAST(count(*) AS BIGINT) AS nd
+        |             FROM dt WHERE det_fp IS NOT NULL GROUP BY 1))
+        |SELECT dt.hr, dt.y, dt.trend_fp,
+        |  CASE WHEN dt.det_fp IS NOT NULL THEN se.seasonal_fp END AS seasonal_fp,
+        |  dt.det_fp - se.seasonal_fp AS resid_fp
+        |FROM dt JOIN se ON dt.hr % 24 = se.hod
+        |ORDER BY dt.hr""".stripMargin,
     // CUSUM via the max-prefix identity S_t = P_t - min prefix; mean
     // cleared by x n (the q_acf trick); 5-sigma decision integer-only
     // via cusum^2 > 25(nQ - S^2)

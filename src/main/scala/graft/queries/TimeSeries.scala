@@ -622,6 +622,150 @@ object TimeSeries {
           "(n_a + n_b - x_a - x_b))), 6) END").as("z"))
   }
 
+  /** Cohort lifetime-value curve — [[q_retention]]'s revenue twin:
+    * per (cohort, age) the purchase revenue that cohort generated at
+    * that age, its running total, and the per-user LTV (cumulative
+    * cents div cohort size, round-half-up). Cohort = each user's
+    * first-active epoch-day over ALL events (the retention
+    * definition, so the two reports join on identical cohorts); the
+    * age axis is DENSE from 0 to the cohort's last observable age —
+    * an age with no purchases is a flat step on the curve, not a
+    * missing x (the [[q_trend]] spine argument).
+    *
+    * Scale shape: one distinct (user, day) pass for cohorts (the
+    * retention shape), one purchase-rows pass joined to the broadcast
+    * O(users) cohort dim, a (cohort, age) agg bounded by days², and
+    * the cumulative window runs per cohort over that bounded table.
+    * All money is exact integer cents (DECIMAL(18,2) ×100).
+    */
+  def q_ltv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
+        col("event_type"), col("value"))
+      .localCheckpoint() // referenced 3x: cohorts, bounds, purchases
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      .localCheckpoint() // referenced 3x: sizes, purchase join, spine
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    val dMax = ev.agg(max(col("day")).as("d1"))
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    val rev = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("day"), cents.as("c"))
+      .join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age"))
+      .agg(sum(col("c")).as("rev_c"))
+    val spine = sizes.crossJoin(broadcast(dMax))
+      .select(col("cohort_day"), col("n_cohort"),
+        explode(expr("sequence(0, d1 - cohort_day)")).as("age"))
+    spine.join(rev, Seq("cohort_day", "age"), "left")
+      .select(col("cohort_day"), col("age"), col("n_cohort"),
+        coalesce(col("rev_c"), lit(0L)).as("rev_c"))
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(
+        Window.partitionBy("cohort_day").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cohort_day"), col("age"), col("n_cohort"), col("rev_c"),
+        col("cum_rev_c"),
+        expr("CASE WHEN cum_rev_c >= 0 THEN " +
+          "(2 * cum_rev_c + n_cohort) div (2 * n_cohort) " +
+          "ELSE -((2 * abs(cum_rev_c) + n_cohort) div (2 * n_cohort)) END")
+          .as("ltv_c"))
+      .orderBy("cohort_day", "age")
+  }
+
+  /** Kaplan–Meier user-lifetime curve — the survival-analysis readout
+    * behind churn modeling: lifetime = days between a user's first
+    * and last observed event; at each distinct lifetime t the report
+    * carries the at-risk count, the deaths, and the KM survival
+    * estimate S(t) = Π_{i≤t}(1 − dᵢ/nᵢ). The product is computed as
+    * exp of a SUM of ×1e9-quantized lns of exact integer ratios —
+    * order-free longs inside the cumulative window, one deterministic
+    * `exp`/`round` readout per row (the §5.3 quantized-ln stance used
+    * by q_entropy/q_zipf); the final lifetime (n = d) reports S = 0
+    * directly instead of ln(0). All users are uncensored by
+    * construction (the corpus ends; a production variant would carry
+    * a censoring flag into dᵢ).
+    *
+    * Scale shape: one per-user min/max agg, then everything runs on
+    * the O(distinct lifetimes) ≤ days table.
+    */
+  def q_survival(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val life = events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("user_id")
+      .agg((max(col("day")) - min(col("day"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // referenced 2x: total + the risk window
+    val tot = life.agg(sum(col("d")).as("n_users"))
+    val risk = life.crossJoin(broadcast(tot))
+      .select(col("t"), col("d"),
+        (col("n_users") - (sum(col("d")).over(Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("d"))).as("n_risk"))
+    risk
+      .withColumn("lq",
+        when(col("n_risk") > col("d"),
+          expr("CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e9) " +
+            "AS BIGINT)").cast("long")).otherwise(lit(0L)))
+      .withColumn("cum_lq", sum(col("lq")).over(Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d"),
+        expr("CASE WHEN n_risk = d THEN 0 ELSE " +
+          "CAST(round(exp(CAST(cum_lq AS DOUBLE) / 1e9) * 1e6) AS BIGINT) " +
+          "END").as("km_fp"))
+      .orderBy("t_days")
+  }
+
+  /** Additive seasonal decomposition of the hourly event count —
+    * y = trend + seasonal + residual, the STL-style readout behind
+    * every "is this drop real or just 3am" question ([[q_seasonality]]
+    * profiles the cycle; this SUBTRACTS it so the residual is
+    * monitorable). Trend = centered 25-hour moving average (full
+    * windows only — edge rows report NULL rather than a biased
+    * partial mean); detrended = y·1e6 − trend_fp exactly; seasonal =
+    * per hour-of-day mean of the detrended values (sign-separated
+    * round-half-up — detrended values are negative half the time);
+    * residual = detrended − seasonal. Every non-NULL output is an
+    * exact long in ×1e6 units.
+    *
+    * Scale shape: the trend window runs over the calendar-bounded
+    * dense hour table (the q_ks stance); the seasonal profile is a
+    * 24-row agg joined back by broadcast.
+    */
+  def q_decompose(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hrCnt = events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // referenced 2x: bounds + the spine join
+    val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
+      .join(hrCnt, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
+    val wMa = Window.orderBy("hr").rowsBetween(-12, 12)
+    val trended = dense
+      .withColumn("w_n", count(lit(1)).over(wMa))
+      .withColumn("w_s", sum(col("y")).over(wMa))
+      .withColumn("trend_fp",
+        when(col("w_n") === 25, expr("(2 * w_s * 1000000 + 25) div 50")))
+      .withColumn("det_fp", col("y") * 1000000L - col("trend_fp"))
+      .localCheckpoint() // referenced 2x: seasonal agg + final join
+    val seasonal = trended.filter(col("det_fp").isNotNull)
+      .groupBy((col("hr") % 24).as("hod"))
+      .agg(sum(col("det_fp")).as("sd"), count(lit(1)).as("nd"))
+      .select(col("hod"),
+        expr("CASE WHEN sd >= 0 THEN (2 * sd + nd) div (2 * nd) " +
+          "ELSE -((2 * abs(sd) + nd) div (2 * nd)) END").as("seasonal_fp"))
+    trended
+      .withColumn("hod", col("hr") % 24)
+      .join(broadcast(seasonal), Seq("hod"))
+      .select(col("hr"), col("y"), col("trend_fp"),
+        when(col("det_fp").isNotNull, col("seasonal_fp")).as("seasonal_fp"),
+        (col("det_fp") - col("seasonal_fp")).as("resid_fp"))
+      .orderBy("hr")
+  }
+
   /** CUSUM change-point detector over the hourly event count — the
     * monitor that catches a PERSISTENT small shift ([[q_spikes]]
     * needs one loud hour; a feed that quietly drops 10% forever never

@@ -361,6 +361,61 @@ class StatTrendSpec extends AnyFunSuite {
     assert(math.abs(shareSum - 1000000L) <= 9) // rounding slack per digit
   }
 
+  test("q_survival: KM curve is monotone nonincreasing, starts <= 1e6, ends at 0") {
+    val rows = q("q_survival").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.reverse.toSeq)
+    assert(rows.head._4 <= 1000000L)
+    assert(rows.last._4 == 0L) // everyone is uncensored: S hits 0
+    // at-risk counts telescope: n_risk(t_i+1) = n_risk(t_i) - d(t_i)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._2 - a._3)
+    }
+    // n_risk at the first lifetime is the full user population
+    val nUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.head._2 == nUsers)
+  }
+
+  test("q_ltv: ages are dense per cohort and revenue conserves") {
+    val rows = q("q_ltv").collect()
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, rs) =>
+      val ages = rs.map(_.getLong(1)).sorted
+      assert(ages.toSeq == (0L to ages.max)) // dense spine
+    }
+    val totalRev = rows.map(_.getLong(3)).sum
+    val expect = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .selectExpr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS c")
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(totalRev == expect)
+    // cumulative telescopes within each cohort
+    byCohort.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getLong(4) == a.getLong(4) + b.getLong(3))
+      }
+    }
+  }
+
+  test("q_decompose: exact additive identity on interior rows, NULL edges") {
+    val rows = q("q_decompose").collect()
+    assert(rows.length >= 25)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        // y*1e6 == trend + seasonal + resid EXACTLY (integer identity)
+        assert(r.getLong(1) * 1000000L ==
+          r.getLong(2) + r.getLong(3) + r.getLong(4))
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+    // exactly 12 partial-window rows at each edge
+    assert(rows.count(_.isNullAt(2)) == 24)
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
