@@ -229,6 +229,7 @@ object SparkEntry {
     "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
     "q_embed_calib"    -> (EmbedOps.q_embed_calib _),
     "q_embed_drift"    -> (EmbedOps.q_embed_drift _),
+    "q_embed_outliers" -> ((s, d) => EmbedOps.q_embed_outliers(s, d)),
     "q_embed_rp"       -> (EmbedOps.q_embed_rp _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
     "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
@@ -2117,6 +2118,27 @@ object SparkEntry {
         |  CASE WHEN greatest(abs(min_val), abs(max_val)) > 0
         |       THEN round(127.0 / greatest(abs(min_val), abs(max_val)), 6) END AS scale
         |FROM a ORDER BY dim""".stripMargin,
+    // centroid-distance outliers: x1e6 grid, sign-separated centroid
+    // rounding, exact integer d2, row_number mirrors the heap ranks
+    "q_embed_outliers" ->
+      """WITH el AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    CAST(floor(unnest(embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings),
+        |cen AS (SELECT dim,
+        |    CASE WHEN sum(x) >= 0
+        |      THEN (2 * CAST(sum(x) AS BIGINT) + count(*)) // (2 * count(*))
+        |      ELSE -((2 * abs(CAST(sum(x) AS BIGINT)) + count(*))
+        |             // (2 * count(*))) END AS c
+        |  FROM el WHERE x IS NOT NULL GROUP BY 1),
+        |d2 AS (SELECT el.vec_id,
+        |    CAST(sum((el.x - cen.c) * (el.x - cen.c)) AS BIGINT) AS d2
+        |  FROM el JOIN cen ON el.dim = cen.dim
+        |  WHERE el.x IS NOT NULL GROUP BY 1),
+        |r AS (SELECT vec_id, d2, CAST(row_number() OVER
+        |        (ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank FROM d2)
+        |SELECT vec_id, d2, rank FROM r WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
     // per-dim mean drift: floor(v*1e6+0.5) grid, mean difference
     // cleared to (s_ref*n_cur - s_cur*n_ref)/(n_ref*n_cur), sign
     // separated before the round-half-up division

@@ -268,6 +268,40 @@ object EmbedOps {
     * beyond, widen the sums to DECIMAL(38,0)/HUGEINT (the
     * [[q_embed_calib]] pairing).
     */
+  /** Embedding outlier report — the k vectors farthest from the
+    * corpus centroid, the quick screen for encoder failures and
+    * garbage inputs (a zero vector, a saturated one, an off-manifold
+    * point) before they poison an index or a k-means seed. Distances
+    * are EXACT integers: elements quantize on the ×1e6 grid
+    * ([[q_embed_calib]]), the centroid is the sign-separated
+    * round-half-up per-dim mean on that grid, and d² = Σ(x−c)² is an
+    * exact long (≤ dims·(4·10⁶)² ≈ 10¹⁵ at unit-normed inputs). The
+    * global top-k runs through the bounded-heap custom operator
+    * ([[graft.plans.TopKPerGroup]], constant group) — partial heaps
+    * per partition, k rows to the driver-side of the exchange, never
+    * a full sort.
+    */
+  def q_embed_outliers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val x = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
+    val el = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("v").isNotNull)
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), x.as("x"))
+      .localCheckpoint() // referenced 2x: centroid + distances
+    val cen = el.groupBy("dim")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        expr("CASE WHEN sx >= 0 THEN (2 * sx + n) div (2 * n) " +
+          "ELSE -((2 * abs(sx) + n) div (2 * n)) END").as("c"))
+    val d2 = el.join(broadcast(cen), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    graft.plans.TopKPerGroup.topKPerGroup(
+        d2, Seq(lit(1)), Seq(col("d2").desc, col("vec_id")), k)
+      .select(col("vec_id"), col("d2"), col("rank"))
+      .orderBy("rank")
+  }
+
   def q_embed_drift(s: SparkSession, d: String): DataFrame = {
     val x = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
     embeddings(s, d)

@@ -416,6 +416,28 @@ class StatTrendSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(2)) == 24)
   }
 
+  test("q_embed_outliers: heap top-k equals a full-sort reference and d2 is exact") {
+    val rows = q("q_embed_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20 && rows.map(_._3).toSeq == (1L to 20L))
+    // full-sort reference: recompute every d2 driver-side
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    val dims = emb.head._2.length
+    val cen = (0 until dims).map { i =>
+      val xs = emb.map(e => q6(e._2(i)))
+      val sx = xs.sum; val n = xs.length.toLong
+      if (sx >= 0) (2 * sx + n) / (2 * n) else -((2 * math.abs(sx) + n) / (2 * n))
+    }
+    val d2s = emb.map { case (id, v) =>
+      (id, (0 until dims).map(i => { val d = q6(v(i)) - cen(i); d * d }).sum)
+    }
+    val ref = d2s.sortBy { case (id, d2) => (-d2, id) }.take(20)
+    assert(rows.map(r => (r._1, r._2)).toSeq == ref.toSeq)
+  }
+
   test("q_trend/q_acf on testdata: moments agree with an independent SQL recount") {
     val r = q("q_trend").collect()(0)
     spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_st")
