@@ -115,6 +115,9 @@ object SparkEntry {
     "q_ltv"          -> (TimeSeries.q_ltv _),
     "q_survival"     -> (TimeSeries.q_survival _),
     "q_decompose"    -> (TimeSeries.q_decompose _),
+    "q_bootstrap"    -> ((s, d) => TimeSeries.q_bootstrap(s, d)),
+    "q_attribution"  -> (TimeSeries.q_attribution _),
+    "q_session_paths" -> ((s, d) => TimeSeries.q_session_paths(s, d)),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -174,6 +177,7 @@ object SparkEntry {
     "q_graph_jaccard" -> ((s, d) => GraphOps.q_graph_jaccard(s, d)),
     "q_graph_adamic" -> ((s, d) => GraphOps.q_graph_adamic(s, d)),
     "q_graph_lpa" -> ((s, d) => GraphOps.q_graph_lpa(s, d)),
+    "q_graph_modularity" -> ((s, d) => GraphOps.q_graph_modularity(s, d)),
     "q_graph_kcore" -> ((s, d) => GraphOps.q_graph_kcore(s, d)),
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
@@ -195,6 +199,7 @@ object SparkEntry {
     "q_overlap"       -> ((s, d) => DedupOps.q_overlap(s, d)),
     "q_dedup_block"   -> ((s, d) => DedupOps.q_dedup_block(s, d)),
     "q_dedup_sorted"  -> ((s, d) => DedupOps.q_dedup_sorted(s, d)),
+    "q_dedup_allpairs" -> (DedupOps.q_dedup_allpairs _),
     "q_boilerplate"   -> ((s, d) => DedupOps.q_boilerplate(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
@@ -1128,6 +1133,103 @@ object SparkEntry {
         |  dt.det_fp - se.seasonal_fp AS resid_fp
         |FROM dt JOIN se ON dt.hr % 24 = se.hod
         |ORDER BY dt.hr""".stripMargin,
+    // Poisson bootstrap: replicate weights from the shared md5-nibble
+    // 52-bit uniform against ⌊CDF_Poisson(1)·2^52⌋ integer thresholds —
+    // both engines compare identical longs, so every weight matches
+    // bit-for-bit; sums re-cast to BIGINT (DuckDB sum(BIGINT) widens
+    // to HUGEINT — the q_corpus_report lesson).
+    "q_bootstrap" -> {
+      val h = "md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR))"
+      val u = duckHexValue(h, 1, 13)
+      val ts = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+        4418084571138597L, 4487117142562638L, 4500923656847446L,
+        4503224742561580L, 4503553469092171L)
+      val caseCnt = ts.zipWithIndex.map { case (t, k) =>
+        s"WHEN $u < $t THEN $k" }.mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH base AS (SELECT event_type, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |       FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT base.*, rep FROM base
+        |      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep)),
+        |w AS (SELECT event_type, rep, cents,
+        |        CAST($caseCnt AS BIGINT) AS cnt FROM r),
+        |bm AS (SELECT event_type, rep,
+        |         CAST(sum(cnt * cents) AS BIGINT) AS num,
+        |         CAST(sum(cnt) AS BIGINT) AS den
+        |       FROM w GROUP BY 1, 2),
+        |mm AS (SELECT event_type, rep,
+        |         (2 * num * 10000 + den) // (2 * den) AS m_fp
+        |       FROM bm WHERE den > 0),
+        |rk AS (SELECT event_type, m_fp,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY m_fp, rep) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nb
+        |       FROM mm),
+        |ci AS (SELECT event_type,
+        |         max(CASE WHEN rn = 2 THEN m_fp END) AS boot_lo_fp,
+        |         max(CASE WHEN rn = nb - 1 THEN m_fp END) AS boot_hi_fp
+        |       FROM rk GROUP BY 1),
+        |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s FROM base GROUP BY 1)
+        |SELECT f.event_type, f.n, (2 * s * 10000 + n) // (2 * n) AS mean_fp,
+        |  ci.boot_lo_fp, ci.boot_hi_fp
+        |FROM f LEFT JOIN ci ON f.event_type = ci.event_type
+        |ORDER BY f.event_type""".stripMargin
+    },
+    // Attribution oracle: the O(purchases × touches-per-user)
+    // inequality join + row_number form — correct and simple at oracle
+    // scale; the Spark side is the one-exchange windowed form.
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |         epoch_us(ts) AS tu,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |       FROM events),
+        |p AS (SELECT user_id, event_id, tu, cents FROM ev
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id, tu, event_type FROM ev
+        |      WHERE event_type IN ('signup', 'view', 'click')),
+        |pair AS (SELECT p.event_id AS pid, t.event_type, t.tu,
+        |           t.event_id AS tid
+        |         FROM p JOIN t ON p.user_id = t.user_id
+        |          AND (t.tu < p.tu OR (t.tu = p.tu AND t.event_id < p.event_id))),
+        |rk AS (SELECT pid, event_type,
+        |         row_number() OVER (PARTITION BY pid ORDER BY tu, tid) AS rf,
+        |         row_number() OVER (PARTITION BY pid
+        |           ORDER BY tu DESC, tid DESC) AS rl
+        |       FROM pair),
+        |fst AS (SELECT pid, event_type FROM rk WHERE rf = 1),
+        |lst AS (SELECT pid, event_type FROM rk WHERE rl = 1),
+        |m AS (SELECT 'first' AS model,
+        |        coalesce(fst.event_type, '(none)') AS touch_type, p.cents
+        |      FROM p LEFT JOIN fst ON fst.pid = p.event_id
+        |      UNION ALL
+        |      SELECT 'last', coalesce(lst.event_type, '(none)'), p.cents
+        |      FROM p LEFT JOIN lst ON lst.pid = p.event_id)
+        |SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_conv,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM m GROUP BY model, touch_type
+        |ORDER BY model, touch_type""".stripMargin,
+    // Session paths: 30-min-gap sessionization via the lag-flag cumsum
+    // (engine-neutral, unlike session_window's internal ids); in-path
+    // order pinned by ORDER BY inside string_agg ↔ array_sort structs.
+    "q_session_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |         epoch_us(ts) AS tu FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |         AS new_s
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |      FROM g),
+        |p AS (SELECT string_agg(event_type, '>' ORDER BY tu, event_id) AS path
+        |      FROM s GROUP BY user_id, sess_id),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM p GROUP BY path),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |         AS BIGINT) AS rn, path, n_sessions FROM c)
+        |SELECT rn, path, n_sessions FROM r WHERE rn <= 20
+        |ORDER BY rn""".stripMargin,
     // CUSUM via the max-prefix identity S_t = P_t - min prefix; mean
     // cleared by x n (the q_acf trick); 5-sigma decision integer-only
     // via cusum^2 > 25(nQ - S^2)
@@ -1984,6 +2086,29 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 10) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    // AllPairs truth: the quadratic inverted-index form (co-occurring
+    // pair intersection counts) — prefix filtering is EXACT, so the
+    // scalable Spark plan must reproduce this byte for byte.
+    "q_dedup_allpairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE text IS NOT NULL)
+        |  WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(g) AS sh FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            CAST(count(*) AS BIGINT) AS n_inter
+        |          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+        |  (2 * n_inter * 1000000 + (sa.n + sb.n - n_inter))
+        |    // (2 * (sa.n + sb.n - n_inter)) AS j_fp
+        |FROM inter JOIN sz sa ON doc_a = sa.doc_id
+        |           JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE 3 * n_inter >= sa.n + sb.n
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_sim_topk" ->
       """SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -3152,6 +3277,51 @@ object SparkEntry {
          |       FROM l$iters GROUP BY label)
          |SELECT l.node, l.label, sz.comm_size
          |FROM l$iters l JOIN sz USING (label) ORDER BY l.node""".stripMargin
+    },
+    // Newman modularity over the LPA labels: composes the q_graph_lpa
+    // CTE chain, then all-integer per-community terms with the
+    // negative branch sign-separated (trunc-toward-zero both engines)
+    "q_graph_modularity" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS (SELECT node, label FROM (
+           |  SELECT dst AS node, label,
+           |    row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+           |  FROM (SELECT e.dst, r.label, count(*) AS c
+           |        FROM sym e JOIN $prev r ON e.src = r.node
+           |        GROUP BY e.dst, r.label))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem),
+         |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+         |      FROM so x JOIN so y ON x.ok = y.ok AND x.sk < y.sk),
+         |sym AS (SELECT a AS src, b AS dst FROM e
+         |        UNION ALL SELECT b AS src, a AS dst FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |$steps,
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |dl AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_sum,
+         |         CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM l$iters l JOIN deg d USING (node) GROUP BY 1),
+         |ie AS (SELECT la.label, CAST(count(*) AS BIGINT) AS m_intra
+         |       FROM e JOIN l$iters la ON e.a = la.node
+         |              JOIN l$iters lb ON e.b = lb.node
+         |       WHERE la.label = lb.label GROUP BY 1)
+         |SELECT dl.label, dl.n_nodes,
+         |  CAST(coalesce(ie.m_intra, 0) AS BIGINT) AS m_intra, dl.d_sum,
+         |  CASE WHEN 4 * mm.m * coalesce(ie.m_intra, 0)
+         |            - dl.d_sum * dl.d_sum >= 0
+         |    THEN ((4 * mm.m * coalesce(ie.m_intra, 0)
+         |           - dl.d_sum * dl.d_sum) * 1000000) // (4 * mm.m * mm.m)
+         |    ELSE -(((dl.d_sum * dl.d_sum
+         |           - 4 * mm.m * coalesce(ie.m_intra, 0)) * 1000000)
+         |          // (4 * mm.m * mm.m))
+         |  END AS term_fp
+         |FROM dl LEFT JOIN ie USING (label), mm
+         |ORDER BY dl.label""".stripMargin
     },
     // degree-oriented triangle counting over the part co-occurrence
     // graph; clustering = one IEEE division on exact integer

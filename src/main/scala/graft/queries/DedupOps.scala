@@ -1247,4 +1247,88 @@ object DedupOps {
     pairs.filter(col("dist") =!= -1L)
       .orderBy("a_id", "b_id")
   }
+
+  /** EXACT all-pairs similarity join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW 2007; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW 2008): every document
+    * pair with 3-gram-shingle-set Jaccard ≥ 1/2, with NO false
+    * negatives — the exact complement to [[q_dedup_minhash]]'s
+    * probabilistic LSH recall. Emits (doc_a, doc_b, n_inter, n_a,
+    * n_b, j_fp) with the Jaccard as a ×1e6 round-half-up long.
+    *
+    * Why this is exact: order all shingles by ascending global
+    * document frequency (rarest first, ties by hash — any consistent
+    * total order works); for threshold t, two sets with J ≥ t MUST
+    * share at least one of each other's first `|d| − ⌈t·|d|⌉ + 1`
+    * elements (if the prefixes were disjoint, the intersection is
+    * confined to the suffixes, too small to reach t). So bucketing by
+    * prefix tokens generates a candidate superset, and the exact
+    * verify keeps precisely the qualifying pairs. Candidate
+    * generation runs on xxhash64 fingerprints (hash collisions can
+    * only MERGE shingles, which raises hashed-set Jaccard — the
+    * candidate superset only grows, never loses a pair); the verify
+    * intersects the RAW shingle arrays, so the output is
+    * collision-proof and independent of the internal ordering.
+    *
+    * Scale shape: df is one map-side-combined exchange; per-doc
+    * ordering is a row-local array_sort after the df attach (shuffle
+    * on fp, Zipf-bounded keys); candidate buckets hold only docs
+    * whose PREFIX contains the token — prefixes are rare-token-heavy
+    * by construction, so buckets stay small exactly where df is
+    * large. The in-bucket PPJoin length filter (t·|A| ≤ |B| ≤ |A|/t)
+    * prunes before the exchange-side distinct. The shingled corpus is
+    * referenced three times (df build + both verify sides) →
+    * checkpointed once, the signature-table rule. Worst-case remains
+    * a stop-gram resident in many SHORT docs' prefixes (short docs
+    * have proportionally long prefixes); the positional filter of
+    * PPJoin and prefix-token df caps are the documented escalation
+    * path — not needed at this corpus's measured bucket sizes.
+    */
+  def q_dedup_allpairs(s: SparkSession, d: String): DataFrame =
+    allPairsOf(documents(s, d))
+
+  /** The [[q_dedup_allpairs]] kernel over (doc_id, text) rows,
+    * factored so unit tests can drive it with planted fixtures.
+    */
+  private[graft] def allPairsOf(input: DataFrame): DataFrame = {
+    val docs = input.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(shinglesN(col("text"), 3, fallbackToText = false))
+          .as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), col("g"),
+        array_distinct(transform(col("g"), x => xxhash64(x))).as("fps"))
+      .localCheckpoint()
+    val ex = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+    // prefix for t = 1/2 over the HASHED set of size n:
+    // p = n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1
+    val pe = ex.join(dfreq, "fp")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("fp")))).as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        explode(expr(
+          "slice(transform(ord, x -> x.fp), 1, (size(ord) div 2) + 1)"))
+          .as("fp"))
+    val cand = pe.as("a").join(pe.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+          // PPJoin length filter for t = 1/2: sizes within 2x
+          col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"))
+      .filter(expr("3 * n_inter >= n_a + n_b")) // J >= 1/2, cross-multiplied
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"),
+        expr("""(2 * n_inter * 1000000 + (n_a + n_b - n_inter))
+               | div (2 * (n_a + n_b - n_inter))""".stripMargin).as("j_fp"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -845,4 +845,63 @@ object GraphOps {
         (col("auth_fp").cast("double") / 1e6).as("auth"))
       .orderBy("node")
   }
+
+  /** Newman modularity of the [[q_graph_lpa]] communities — the
+    * standard did-the-clustering-find-real-structure score
+    * (Q = Σ_c [m_c/m − (d_c/2m)²]; Newman & Girvan 2004), reported
+    * per community so each label's contribution is auditable: node
+    * count, intra-community edge count, degree mass, and the
+    * community's Q term as a ×1e6 long.
+    *
+    * Exactness: the term is ((4·m·m_c − d_c²)·1e6) div (4·m²) with
+    * the negative branch sign-separated (both engines then truncate
+    * toward zero — Spark's `div` and DuckDB's `//` disagree on
+    * NEGATIVE operands, floor vs trunc, so the sign never reaches
+    * the division). Truncation rather than round-half-up here: the
+    * half-up form needs a 2× factor that would overflow int64 at
+    * this graph's edge count (|num|·1e6 ≤ 4m²·1e6 ≈ 5.7e18 at
+    * sf0.1's m = 1.196M — headroom to m ≈ 1.5e6 edges; beyond that
+    * the same expression runs in decimal(38,0) on both engines).
+    *
+    * Scale shape: the LPA label table is the expensive input — built
+    * once via [[lpaLabels]] and checkpointed (referenced three
+    * times: degree attach + both endpoint joins of the intra-edge
+    * count); `m` rides as a broadcast one-row aggregate; every
+    * aggregation is map-side combinable with O(labels) output.
+    */
+  def q_graph_modularity(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    modularityOf(partCoEdges(s, d), iters)
+
+  /** The [[q_graph_modularity]] kernel over a DISTINCT undirected
+    * `a < b` edge list, factored so unit tests can drive it with
+    * hand-built graphs.
+    */
+  private[graft] def modularityOf(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint() // referenced 3x below
+    val labels = lpaLabels(e, iters).select(col("node"), col("label"))
+      .localCheckpoint()
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dl = labels.join(deg, "node")
+      .groupBy("label")
+      .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
+    val ie = e
+      .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("m_intra"))
+    dl.join(ie, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("m_intra"), lit(0L)).as("m_intra"), col("d_sum"),
+        expr("""CASE WHEN 4 * m * coalesce(m_intra, 0) - d_sum * d_sum >= 0
+               |  THEN ((4 * m * coalesce(m_intra, 0) - d_sum * d_sum)
+               |        * 1000000) div (4 * m * m)
+               |  ELSE -(((d_sum * d_sum - 4 * m * coalesce(m_intra, 0))
+               |        * 1000000) div (4 * m * m))
+               |END""".stripMargin).as("term_fp"))
+      .orderBy("label")
+  }
 }

@@ -1242,4 +1242,174 @@ object TimeSeries {
           .as("lift_fp"))
       .orderBy("dow", "hod")
   }
+
+  /** Poisson-bootstrap confidence interval for the mean event value per
+    * type — the resampling method that actually runs at corpus scale
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", 2012): instead of materializing B resamples, every row
+    * draws B independent Poisson(1) replicate weights from a hash of
+    * (event_id, replicate), so ALL B resamples fuse into one scan and
+    * one map-side-combined aggregation whose output is exactly
+    * types × B rows. A driver-side loop over B samples — the textbook
+    * bootstrap — would re-scan the corpus B times; this shape reads it
+    * once regardless of B.
+    *
+    * Determinism/parity: the replicate weight is the inverse-CDF of
+    * Poisson(1) applied to a 52-bit uniform from the repo's standard
+    * md5-nibble draw (SampleOps.hashDraw idiom), with the CDF
+    * thresholds pre-scaled to integers (⌊CDF·2^52⌋, capped at 8 —
+    * tail mass beyond 8 is 1.1e-6); both engines compare the same
+    * longs, so every weight is bit-identical cross-engine. Replicate
+    * means are the `(2a+d) div 2d` round-half-up fixed point
+    * (cents × 1e4) on exact long sums; the CI is rank-based (2nd
+    * smallest / 2nd largest of the B=32 replicate means ≈ a 94% CI),
+    * so no float enters the output. Overflow headroom: per-(type,rep)
+    * `num ≤ 8·maxCents·n` stays under 2^63 up to ~10^12 rows per type.
+    *
+    * Scale shape: the ×B row expansion is scan-side (no shuffle
+    * carries it — partial aggregation collapses each partition to
+    * ≤ types×B rows before the exchange); the base scan is read once
+    * per subtree but never checkpointed — it is a bare
+    * scan+projection, and materializing the whole corpus to save a
+    * second columnar scan would be the wrong trade. Everything after
+    * the two aggregations is O(types × B).
+    */
+  def q_bootstrap(s: SparkSession, d: String, reps: Int = 32): DataFrame = {
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    bootstrapOf(events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), cents.as("cents")), reps)
+  }
+
+  /** ⌊CDF_Poisson(1)(k)·2^52⌋ for k = 0..7; u ≥ last ⇒ weight 8 —
+    * shared with the spec's independent driver-side recompute.
+    */
+  private[graft] val PoissonThresholds: Seq[Long] =
+    Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+      4418084571138597L, 4487117142562638L, 4500923656847446L,
+      4503224742561580L, 4503553469092171L)
+
+  /** The [[q_bootstrap]] kernel over (event_type, event_id, cents)
+    * rows, factored so unit tests can drive it with hand-built data.
+    */
+  private[graft] def bootstrapOf(base: DataFrame, reps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thresholds = PoissonThresholds
+    val u = conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":"), col("rep").cast("string"))), 1, 13), 16, 10).cast("long")
+    val cnt = thresholds.tail.zipWithIndex
+      .foldLeft(when(u < thresholds.head, 0)) { case (acc, (th, i)) =>
+        acc.when(u < th, i + 1)
+      }.otherwise(8).cast("long")
+    val bm = base
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("cnt", cnt)
+      .groupBy(col("event_type"), col("rep"))
+      .agg(sum(col("cnt") * col("cents")).as("num"), sum(col("cnt")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("rep"),
+        expr("(2 * num * 10000 + den) div (2 * den)").as("m_fp"))
+    val ranked = bm
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("m_fp"), col("rep"))))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("event_type")))
+    val ci = ranked.groupBy("event_type").agg(
+      max(when(col("rn") === 2, col("m_fp"))).as("boot_lo_fp"),
+      max(when(col("rn") === col("nb") - 1, col("m_fp"))).as("boot_hi_fp"))
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .select(col("event_type"), col("n"),
+        expr("(2 * s * 10000 + n) div (2 * n)").as("mean_fp"))
+      .join(ci, Seq("event_type"), "left")
+      .select("event_type", "n", "mean_fp", "boot_lo_fp", "boot_hi_fp")
+      .orderBy("event_type")
+  }
+
+  /** First- and last-touch revenue attribution — the conversion-credit
+    * readout every growth team runs: each purchase credits (a) the
+    * user's earliest preceding touch (signup/view/click) and (b) the
+    * most recent one, and the report aggregates conversions and
+    * revenue cents per (model, touch_type). Purchases with no
+    * preceding touch report under '(none)' so the two models' totals
+    * both reconcile to the purchase count.
+    *
+    * Scale shape: ONE exchange (the per-user window partitioning);
+    * the first/last touch ride as `first/last(…, ignoreNulls)` over
+    * the rows-preceding frame — no self-join, no per-purchase scan of
+    * the user's history (the oracle SQL does the quadratic
+    * inequality-join + row_number form precisely because the oracle
+    * need not scale). Strict (tu, event_id) ordering makes same-
+    * microsecond ties deterministic and identical cross-engine.
+    */
+  def q_attribution(s: SparkSession, d: String): DataFrame = {
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    attributionOf(events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("tu"), cents.as("cents")))
+  }
+
+  /** The [[q_attribution]] kernel over (user_id, event_id, event_type,
+    * tu, cents) rows, factored for hand-built fixtures.
+    */
+  private[graft] def attributionOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(
+      col("event_type").isin("signup", "view", "click"), col("event_type"))
+    ev.withColumn("first_t", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_t", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("cents"), explode(array(
+        struct(lit("first").as("model"),
+          coalesce(col("first_t"), lit("(none)")).as("touch_type")),
+        struct(lit("last").as("model"),
+          coalesce(col("last_t"), lit("(none)")).as("touch_type")))).as("a"))
+      .groupBy(col("a.model").as("model"), col("a.touch_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_conv"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("model", "touch_type")
+  }
+
+  /** Top-N session paths — the path-mining / Sankey-source readout:
+    * sessionize each user's events with a 30-minute inactivity gap
+    * (the q_time_session cutoff, hand-rolled via the lag-flag cumsum
+    * so the session id is engine-neutral), render each session as its
+    * ordered `a>b>c` event-type string, and rank the N most frequent
+    * paths (ties broken by path text, so the cut is total-ordered and
+    * deterministic).
+    *
+    * Scale shape: one per-user window exchange + one groupBy(path)
+    * exchange, both map-side combinable; the global rank runs on the
+    * top-N rows AFTER a sort-limit (TakeOrderedAndProject — the
+    * distributed top-N physical op), not a single-partition window
+    * over all distinct paths. In-session order is pinned by
+    * array_sort over (tu, event_id, type) structs — collect_list
+    * order is not a contract (the funnelOf idiom).
+    */
+  def q_session_paths(s: SparkSession, d: String, topN: Int = 20): DataFrame =
+    sessionPathsOf(events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("tu")), topN)
+
+  /** The [[q_session_paths]] kernel over (user_id, event_id,
+    * event_type, tu) rows, factored for hand-built fixtures.
+    */
+  private[graft] def sessionPathsOf(ev: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    val gap = col("tu") - lag(col("tu"), 1).over(wOrd)
+    val counted = ev
+      .withColumn("new_s",
+        when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(array_sort(collect_list(
+        struct(col("tu"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(expr("transform(evs, e -> e.event_type)"), ">")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    counted.orderBy(col("n_sessions").desc, col("path")).limit(topN)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .select("rn", "path", "n_sessions")
+      .orderBy("rn")
+  }
 }

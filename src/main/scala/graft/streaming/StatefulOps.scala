@@ -419,4 +419,56 @@ object StatefulOps {
           }
       }
   }
+
+  final case class TouchState(first: String, last: String)
+
+  final case class Credit(user_id: Long, event_id: Long, model: String,
+      touch_type: String, cents: Long)
+
+  /** Streaming twin of [[graft.queries.TimeSeries.q_attribution]] —
+    * attribution as incremental CEP: state is TWO strings per user
+    * (the earliest and the most recent touch type so far — the full
+    * sufficient statistic for both models, hard-bounded with no
+    * timeout, the streamingSpikes stance), and every arriving
+    * purchase emits its two (model, touch_type, cents) credit rows
+    * the moment it lands. Downstream, a streaming
+    * `groupBy(model, touch_type).agg(count, sum(cents))` IS the batch
+    * report. Events are ordered per batch by the batch key's exact
+    * (tu, event_id) contract — micros derived from the Timestamp so
+    * same-millisecond events order identically to the batch window's
+    * `unix_micros` sort. Cents use the batch side's DECIMAL(18,2)
+    * HALF_UP contract via BigDecimal.
+    */
+  def streamingAttribution(events: Dataset[Ev]): Dataset[Credit] = {
+    implicit val stEnc: Encoder[TouchState] = Encoders.product[TouchState]
+    implicit val outEnc: Encoder[Credit] = Encoders.product[Credit]
+    val touches = Set("signup", "view", "click")
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[TouchState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(TouchState(null, null))
+          val out = Seq.newBuilder[Credit]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") {
+              val cents = java.math.BigDecimal.valueOf(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+              out += Credit(user, e.event_id, "first",
+                Option(st.first).getOrElse("(none)"), cents)
+              out += Credit(user, e.event_id, "last",
+                Option(st.last).getOrElse("(none)"), cents)
+            } else if (touches(e.event_type)) {
+              st = TouchState(
+                if (st.first == null) e.event_type else st.first,
+                e.event_type)
+            }
+          }
+          if (st.first != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

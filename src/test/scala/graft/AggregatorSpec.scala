@@ -524,6 +524,35 @@ class AggregatorSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamingAttribution credits aggregate to the batch q_attribution report") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => StatefulOps.Ev(r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"),
+        Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue).getOrElse(0.0)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[StatefulOps.Ev]
+    val q = StatefulOps.streamingAttribution(input.toDS())
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_stream").collect()
+      .groupBy(r => (r.getAs[String]("model"), r.getAs[String]("touch_type")))
+      .view.mapValues(rs =>
+        (rs.length.toLong, rs.map(_.getAs[Long]("cents")).sum)).toMap
+    val batch = SparkEntry.queries("q_attribution")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[String]("touch_type")) ->
+        ((r.getAs[Long]("n_conv"), r.getAs[Long]("revenue_cents")))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingSpikes equals batch q_spikes hour-for-hour over an ordered replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // real corpus events, arrival-ordered, replayed in two batches

@@ -295,4 +295,103 @@ class EventAnalyticsSpec extends AnyFunSuite {
       rs.foreach(r => assert(r.getAs[Long]("n") > 0L))
     }
   }
+
+  test("attributionOf: first/last credit, (none) fallback, same-tu tie-break") {
+    import spark.implicits._
+    // user 1: view(t1) click(t2) purchase(t3) signup(t4) purchase(t5)
+    //   -> p3: first=view last=click; p5: first=view last=signup
+    // user 2: purchase with no prior touch -> (none)/(none)
+    // user 3: touch at the SAME tu as the purchase, smaller event_id
+    //   -> counts (strict (tu, event_id) order); larger-id touch at the
+    //      same tu must NOT count
+    val ev = Seq(
+      (1L, 10L, "view", 100L, 0L), (1L, 11L, "click", 200L, 0L),
+      (1L, 12L, "purchase", 300L, 1000L), (1L, 13L, "signup", 400L, 0L),
+      (1L, 14L, "purchase", 500L, 2000L),
+      (2L, 20L, "purchase", 100L, 700L),
+      (3L, 30L, "click", 100L, 0L), (3L, 31L, "purchase", 100L, 500L),
+      (3L, 32L, "view", 100L, 0L))
+      .toDF("user_id", "event_id", "event_type", "tu", "cents")
+    val rows = TimeSeries.attributionOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_conv"), r.getAs[Long]("revenue_cents"))).toMap
+    assert(rows(("first", "view")) == (2L, 3000L))
+    assert(rows(("first", "(none)")) == (1L, 700L))
+    assert(rows(("first", "click")) == (1L, 500L))
+    assert(rows(("last", "click")) == (2L, 1500L))
+    assert(rows(("last", "signup")) == (1L, 2000L))
+    assert(rows(("last", "(none)")) == (1L, 700L))
+    // both models' totals reconcile to the purchase count and revenue
+    Seq("first", "last").foreach { m =>
+      val mrows = rows.filter(_._1._1 == m).values
+      assert(mrows.map(_._1).sum == 4L && mrows.map(_._2).sum == 4200L)
+    }
+  }
+
+  test("q_attribution corpus invariants: models reconcile to purchases") {
+    val rows = q("q_attribution").collect()
+    val ev = Tables.events(spark, sf)
+    val nP = ev.filter(col("event_type") === "purchase").count()
+    Seq("first", "last").foreach { m =>
+      val mrows = rows.filter(_.getAs[String]("model") == m)
+      assert(mrows.map(_.getAs[Long]("n_conv")).sum == nP)
+    }
+  }
+
+  test("sessionPathsOf: gap split, in-session order, deterministic top cut") {
+    import spark.implicits._
+    val G = 1800L * 1000000L
+    val ev = Seq(
+      // user 1: [view, click] then a fresh session [purchase]
+      (1L, 10L, "view", 0L), (1L, 11L, "click", 10L * 1000000L),
+      (1L, 12L, "purchase", 2 * G + 100L),
+      // user 2: same two-event path; same-tu order pinned by event_id
+      (2L, 20L, "view", 50L), (2L, 21L, "click", 50L),
+      // user 3: singleton
+      (3L, 30L, "purchase", 0L))
+      .toDF("user_id", "event_id", "event_type", "tu")
+    val rows = TimeSeries.sessionPathsOf(ev, 20).collect()
+      .map(r => (r.getAs[Long]("rn"), r.getAs[String]("path"),
+        r.getAs[Long]("n_sessions")))
+    assert(rows.toSeq == Seq((1L, "purchase", 2L), (2L, "view>click", 2L)))
+  }
+
+  test("q_bootstrap: CI equals an independent driver-side Poisson recompute") {
+    val out = q("q_bootstrap").collect()
+    assert(out.nonEmpty)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val base = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), cents.as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u52(eid: Long, rep: Int): Long = {
+      val hex = md.digest(s"$eid:$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(eid: Long, rep: Int): Long = {
+      val u = u52(eid, rep)
+      val i = TimeSeries.PoissonThresholds.indexWhere(u < _)
+      if (i < 0) 8L else i.toLong
+    }
+    def div(a: BigInt, b: BigInt): Long = (a / b).toLong // operands > 0
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rows = base.filter(_._1 == t)
+      val n = rows.length.toLong
+      val s = rows.map(_._3).sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("mean_fp") ==
+        div(BigInt(2) * s * 10000 + n, BigInt(2) * n))
+      val means = (0 until 32).flatMap { rep =>
+        val num = rows.map { case (_, eid, c) => weight(eid, rep) * c }.sum
+        val den = rows.map { case (_, eid, _) => weight(eid, rep) }.sum
+        if (den == 0) None
+        else Some((div(BigInt(2) * num * 10000 + den, BigInt(2) * den), rep))
+      }.sorted
+      assert(r.getAs[Long]("boot_lo_fp") == means(1)._1)
+      assert(r.getAs[Long]("boot_hi_fp") == means(means.length - 2)._1)
+      assert(means(1)._1 <= means(means.length - 2)._1)
+    }
+  }
 }

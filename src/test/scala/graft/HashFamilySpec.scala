@@ -155,4 +155,54 @@ class HashFamilySpec extends AnyFunSuite {
     assert(matrix.map(_.getAs[Long]("n_pairs")).sum == confirmed)
     matrix.foreach(r => assert(r.getString(0) <= r.getString(1)))
   }
+
+  test("allPairsOf: equals driver-side brute force over every doc pair (exactness)") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}_$i")
+    val fixture: Seq[(Long, String)] = Seq(
+      0L -> words(0, 40).mkString(" "),
+      1L -> words(0, 40).mkString(" "),                   // exact dup of 0
+      2L -> (words(0, 30) ++ words(9, 10)).mkString(" "), // near-dup, J≈0.58
+      3L -> words(3, 40).mkString(" "),                   // disjoint
+      4L -> words(4, 5).mkString(" "),                    // tiny, disjoint
+      5L -> "a b",                                        // <3 words: excluded
+      6L -> null)
+    val out = DedupOps.allPairsOf(fixture.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("j_fp"))).toMap
+    // brute force: every qualifying pair, exact integer jaccard
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = fixture.collect {
+      case (id, t) if t != null && t.split(" ").length >= 3 => id -> sh(t)
+    }
+    val expected = (for {
+      (ida, sa) <- sets; (idb, sb) <- sets if ida < idb
+      inter = (sa & sb).size
+      if 3 * inter >= sa.size + sb.size
+    } yield {
+      val u = BigInt(sa.size + sb.size - inter)
+      (ida, idb) -> (inter.toLong, sa.size.toLong, sb.size.toLong,
+        ((BigInt(2) * inter * 1000000 + u) / (u * 2)).toLong)
+    }).toMap
+    assert(out == expected)
+    assert(expected.contains((0L, 1L)) && expected((0L, 1L))._4 == 1000000L)
+    assert(expected.contains((0L, 2L)) && expected.contains((1L, 2L)))
+    assert(expected.size == 3) // and nothing across disjoint vocabularies
+  }
+
+  test("q_dedup_allpairs covers every LSH-confirmed J>=0.5 pair on the corpus") {
+    val ap = SparkEntry.queries("q_dedup_allpairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("j_fp")).toMap
+    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.5)
+    assert(lsh.nonEmpty, "corpus-era guard: expected near-dup pairs at sf0.001")
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(ap.contains(k), s"LSH pair $k missing from exact all-pairs")
+      assert(math.abs(ap(k) / 1e6 - r.getAs[Double]("jaccard")) <= 1e-6)
+    }
+  }
 }

@@ -246,6 +246,36 @@ class PageRankSpec extends AnyFunSuite {
       ref.filter(_._1 >= 10).values.toSet).isEmpty, "cliques stayed separate")
   }
 
+  test("modularityOf matches a hand-computed Newman Q on the bridged-cliques graph") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (4L, 10L))
+    val rows = graft.queries.GraphOps.modularityOf(edges.toDF("a", "b"), 3)
+      .collect()
+    // LPA keeps the two cliques separate (previous test); each
+    // community: 4 nodes, 6 intra edges; degrees 3+3+3+4 = 13; m = 13.
+    // term = (4·13·6 − 13²)/(4·13²) = (312 − 169)/676 = 143/676
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 4L)
+      assert(r.getAs[Long]("m_intra") == 6L)
+      assert(r.getAs[Long]("d_sum") == 13L)
+      assert(r.getAs[Long]("term_fp") ==
+        (BigInt(143) * 1000000 / 676).toLong)
+    }
+    // whole-graph sanity on the corpus: every |term| <= 1e6 and the
+    // total Q = Σ terms lands in (-1e6, 1e6]
+    val corpus = SparkEntry.queries("q_graph_modularity")(spark, TestSpark.sf)
+      .collect()
+    assert(corpus.nonEmpty)
+    val q = corpus.map(_.getAs[Long]("term_fp")).sum
+    assert(q > -1000000L && q <= 1000000L, s"total Q_fp $q out of range")
+    assert(corpus.map(_.getAs[Long]("m_intra")).sum <=
+      corpus.map(_.getAs[Long]("d_sum")).sum / 2)
+  }
+
   test("q_pagerank_copart produces row-identical ranks to the broadcast kernel") {
     val a = SparkEntry.queries("q_pagerank")(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[String]("node"), r.getAs[Long]("deg"),
