@@ -116,6 +116,8 @@ object SparkEntry {
     "q_survival"     -> (TimeSeries.q_survival _),
     "q_decompose"    -> (TimeSeries.q_decompose _),
     "q_bootstrap"    -> ((s, d) => TimeSeries.q_bootstrap(s, d)),
+    "q_forecast"     -> ((s, d) => TimeSeries.q_forecast(s, d)),
+    "q_spearman"     -> (TimeSeries.q_spearman _),
     "q_attribution"  -> (TimeSeries.q_attribution _),
     "q_session_paths" -> ((s, d) => TimeSeries.q_session_paths(s, d)),
     // §2.11 text analysis
@@ -234,6 +236,7 @@ object SparkEntry {
     "q_embed_quant"    -> (EmbedOps.q_embed_quant _),
     "q_embed_calib"    -> (EmbedOps.q_embed_calib _),
     "q_embed_drift"    -> (EmbedOps.q_embed_drift _),
+    "q_embed_cov"      -> (EmbedOps.q_embed_cov _),
     "q_embed_outliers" -> ((s, d) => EmbedOps.q_embed_outliers(s, d)),
     "q_embed_rp"       -> (EmbedOps.q_embed_rp _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
@@ -1133,6 +1136,67 @@ object SparkEntry {
         |  dt.det_fp - se.seasonal_fp AS resid_fp
         |FROM dt JOIN se ON dt.hr % 24 = se.hod
         |ORDER BY dt.hr""".stripMargin,
+    // Seasonal-naive MASE backtest on the dense per-type hour spine;
+    // the MASE double fraction cleared by cross-multiplication into
+    // the (2a+d) // 2d round-half-up fixed point
+    "q_forecast" ->
+      """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hc),
+        |dense AS (SELECT t.event_type, s.hr, b.h1,
+        |            CAST(coalesce(hc.y, 0) AS BIGINT) AS y
+        |          FROM (SELECT DISTINCT event_type FROM hc) t
+        |          CROSS JOIN b
+        |          CROSS JOIN (SELECT unnest(generate_series(
+        |            (SELECT h0 FROM b), (SELECT h1 FROM b))) AS hr) s
+        |          LEFT JOIN hc ON hc.event_type = t.event_type
+        |                      AND hc.hr = s.hr),
+        |l AS (SELECT event_type, hr, h1, y,
+        |        abs(y - lag(y, 24) OVER w) AS nav,
+        |        abs(y - lag(y, 1) OVER w) AS stp,
+        |        hr > h1 - 48 AS is_test
+        |      FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |a AS (SELECT event_type,
+        |        CAST(count(CASE WHEN is_test AND nav IS NOT NULL
+        |                   THEN 1 END) AS BIGINT) AS n_test,
+        |        CAST(sum(CASE WHEN is_test THEN nav END) AS BIGINT) AS e_sum,
+        |        CAST(count(CASE WHEN NOT is_test AND stp IS NOT NULL
+        |                   THEN 1 END) AS BIGINT) AS n_train,
+        |        CAST(sum(CASE WHEN NOT is_test THEN stp END) AS BIGINT)
+        |          AS d_sum
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n_test, e_sum, n_train, d_sum,
+        |  CASE WHEN d_sum > 0
+        |    THEN (2 * e_sum * n_train * 1000000 + n_test * d_sum)
+        |         // (2 * n_test * d_sum) END AS mase_fp
+        |FROM a ORDER BY event_type""".stripMargin,
+    // Spearman with average ranks kept integral (2r = 2·min_rank +
+    // tie_count − 1) and CENTERED (x = 2r − (n+1)) so every moment
+    // stays under n³ — rho is the one mirrored double expression
+    "q_spearman" ->
+      """WITH ev AS (SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hod
+        |       FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type,
+        |        count(*) OVER (PARTITION BY event_type) AS n,
+        |        rank() OVER (PARTITION BY event_type ORDER BY v) AS fa,
+        |        count(*) OVER (PARTITION BY event_type, v) AS ca,
+        |        rank() OVER (PARTITION BY event_type ORDER BY hod) AS fb,
+        |        count(*) OVER (PARTITION BY event_type, hod) AS cb
+        |      FROM ev),
+        |x AS (SELECT event_type, n,
+        |        2 * fa + ca - 1 - (n + 1) AS xa,
+        |        2 * fb + cb - 1 - (n + 1) AS xb FROM r),
+        |a AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |        CAST(sum(xa * xb) AS BIGINT) AS sxy,
+        |        CAST(sum(xa * xa) AS BIGINT) AS sxx,
+        |        CAST(sum(xb * xb) AS BIGINT) AS syy
+        |      FROM x GROUP BY 1)
+        |SELECT event_type, n, sxy, sxx, syy,
+        |  CASE WHEN sxx > 0 AND syy > 0
+        |    THEN round(sxy / (sqrt(sxx) * sqrt(syy)), 6) END AS rho
+        |FROM a ORDER BY event_type""".stripMargin,
     // Poisson bootstrap: replicate weights from the shared md5-nibble
     // 52-bit uniform against ⌊CDF_Poisson(1)·2^52⌋ integer thresholds —
     // both engines compare identical longs, so every weight matches
@@ -2289,6 +2353,37 @@ object SparkEntry {
     // JL projection oracle is GENERATED from the same pinned sign
     // matrix the Spark expressions read (EmbedOps.rpSigns)
     "q_embed_rp" -> graft.queries.EmbedOps.rpOracleSql,
+    // Covariance truth: self-join the per-(vec, dim) quantized table
+    // on vec_id (quadratic in d, fine at oracle scale); the Spark
+    // side is the one-shuffle bounded-key row-local pair build. Sums
+    // re-cast to BIGINT (DuckDB widens to HUGEINT); corr is the one
+    // mirrored double expression.
+    "q_embed_cov" ->
+      """WITH x0 AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT vec_id, d, CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS q
+        |      FROM x0),
+        |cells AS (SELECT a.d AS i, b.d AS j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+        |  GROUP BY 1, 2),
+        |dv AS (SELECT d, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) * CAST(sum(q * q) AS BIGINT)
+        |      - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS vnum
+        |  FROM x GROUP BY 1)
+        |SELECT c.i, c.j, c.n, c.s_ij,
+        |  CASE WHEN c.n * c.s_ij - di.s * dj.s >= 0
+        |    THEN (c.n * c.s_ij - di.s * dj.s) // (c.n * c.n)
+        |    ELSE -((di.s * dj.s - c.n * c.s_ij) // (c.n * c.n))
+        |  END AS cov_fp12,
+        |  CASE WHEN di.vnum > 0 AND dj.vnum > 0
+        |    THEN round((c.n * c.s_ij - di.s * dj.s)
+        |               / (sqrt(di.vnum) * sqrt(dj.vnum)), 6)
+        |  END AS corr
+        |FROM cells c JOIN dv di ON c.i = di.d JOIN dv dj ON c.j = dj.d
+        |ORDER BY c.i, c.j""".stripMargin,
     // list(v ORDER BY vec_id) fixes the accumulation order on both
     // sides — float sums are order-dependent in the last bits
     "q_embed_centroid" ->

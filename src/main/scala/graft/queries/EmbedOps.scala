@@ -322,4 +322,68 @@ object EmbedOps {
           "(2 * n_ref*n_cur)) END").as("mean_diff_fp"))
       .orderBy("dim")
   }
+
+  /** Single-pass exact covariance + correlation matrix over the
+    * embedding corpus — the input to PCA/whitening and the standard
+    * redundant-dimension diagnostic. Upper triangle only (i ≤ j),
+    * d(d+1)/2 = 2,080 output cells at d = 64.
+    *
+    * Determinism: elements fix-point to longs via the q_embed_drift
+    * quantizer (floor(v·1e6 + 0.5) — floor-plus-half, not round,
+    * because ±k/128 inputs hit exact .5 ties), so every moment sum
+    * (s_ij, s_i, s_i²) is an exact order-free long sum. cov_fp12 =
+    * (n·s_ij − s_i·s_j) div n² is the covariance ×1e12, with the
+    * negative branch sign-separated (trunc-toward-zero on both
+    * engines); corr is the one mirrored double expression
+    * num/(√v_i·√v_j) (the q_trend stance — int64→double conversion
+    * is IEEE-deterministic and identical cross-engine), NULL for
+    * constant dimensions. Overflow headroom: |num| ≤ n²·q_max² ≈
+    * 2.7e18 at n = 2000, q_max = 5.8e5 — safe to n ≈ 3,900 vectors
+    * at this scale; beyond that, mean-center per partition first or
+    * run the moment sums in decimal(38,0) (both engines support it).
+    *
+    * Scale shape: ONE map-side-combined aggregation whose key space
+    * is fixed at d² regardless of corpus size — each partition
+    * collapses to ≤ 2,080 cells before the exchange (the CMS-style
+    * bounded-key shape). The per-row pair build is row-local HOF
+    * work (the quantized array is let-bound in its own projection so
+    * the d² products read, not recompute, it); the 64-row dim-stats
+    * table attaches twice via broadcast.
+    */
+  def q_embed_cov(s: SparkSession, d: String): DataFrame = {
+    val qd = embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(transform(col("embedding"),
+        v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+    val cells = qd
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("q")) - 1), i => transform(
+          sequence(i, size(col("q")) - 1), j => struct(
+            i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
+              .as("p")))))).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
+    val dimStats = qd
+      .select(posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy("d")
+      .agg(count(lit(1)).as("nd"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("d").cast("long").as("d"), col("s"),
+        expr("nd * s2 - s * s").as("vnum"))
+    cells
+      .join(broadcast(dimStats.select(col("d").as("i"),
+        col("s").as("s_i"), col("vnum").as("v_i"))), "i")
+      .join(broadcast(dimStats.select(col("d").as("j"),
+        col("s").as("s_j"), col("vnum").as("v_j"))), "j")
+      .select(col("i"), col("j"), col("n"), col("s_ij"),
+        expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
+               |  THEN (n * s_ij - s_i * s_j) div (n * n)
+               |  ELSE -((s_i * s_j - n * s_ij) div (n * n))
+               |END""".stripMargin).as("cov_fp12"),
+        when(col("v_i") > 0 && col("v_j") > 0,
+          round(expr("(n * s_ij - s_i * s_j) / (sqrt(v_i) * sqrt(v_j))"), 6))
+          .as("corr"))
+      .orderBy("i", "j")
+  }
 }

@@ -1384,6 +1384,112 @@ object TimeSeries {
     * array_sort over (tu, event_id, type) structs — collect_list
     * order is not a contract (the funnelOf idiom).
     */
+  /** Seasonal-naive forecast backtest with MASE — the baseline every
+    * forecasting pipeline must beat, and the monitoring readout that
+    * says whether a series is even predictable: forecast each hour as
+    * the same hour yesterday (ŷ_t = y_{t−24}), score the last 48
+    * observed hours, and normalize by the in-sample one-step naive
+    * MAE (Hyndman & Koehler 2006 — MASE = test MAE / train naive
+    * MAE, scale-free across series). mase_fp < 1e6 means daily
+    * seasonality beats a random walk on that series.
+    *
+    * Exactness: counts are integers, absolute errors are integer
+    * |y − lag(y)|, and MASE clears its two fractions by
+    * cross-multiplication into the standard (2a+d) div 2d
+    * round-half-up fixed point — no float anywhere. NULL when the
+    * train segment is constant (d_sum = 0) in both engines.
+    *
+    * Scale shape: one map-side-combined (type, hour) aggregation,
+    * then everything runs on the DENSE type × 720-hour spine
+    * (O(types·hours) rows — gaps must score as zeros, the q_decompose
+    * spine rule); both lag windows and the final agg share the
+    * per-type partitioning, so the spine costs ONE exchange. The
+    * hour-count table is referenced twice (bounds + spine join) →
+    * checkpointed.
+    */
+  def q_forecast(s: SparkSession, d: String, season: Int = 24,
+      hTest: Int = 48): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hc = events(s, d)
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val b = hc.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val dense = hc.select("event_type").distinct()
+      .crossJoin(broadcast(b))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1")))
+        .as("hr"), col("h1"))
+      .join(hc, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), col("h1"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    dense
+      .withColumn("nav", abs(col("y") - lag(col("y"), season).over(w)))
+      .withColumn("stp", abs(col("y") - lag(col("y"), 1).over(w)))
+      .withColumn("is_test", col("hr") > col("h1") - hTest)
+      .groupBy("event_type").agg(
+        count(when(col("is_test") && col("nav").isNotNull, lit(1)))
+          .as("n_test"),
+        sum(when(col("is_test"), col("nav"))).as("e_sum"),
+        count(when(!col("is_test") && col("stp").isNotNull, lit(1)))
+          .as("n_train"),
+        sum(when(!col("is_test"), col("stp"))).as("d_sum"))
+      .select(col("event_type"), col("n_test"), col("e_sum"),
+        col("n_train"), col("d_sum"),
+        when(col("d_sum") > 0,
+          expr("""(2 * e_sum * n_train * 1000000 + n_test * d_sum)
+                 | div (2 * n_test * d_sum)""".stripMargin))
+          .as("mase_fp"))
+      .orderBy("event_type")
+  }
+
+  /** Exact Spearman rank correlation between event value and
+    * hour-of-day, per type — "is value seasonal in rank?", the
+    * nonparametric sibling of q_seasonality's lift matrix. Ties are
+    * handled with textbook AVERAGE ranks, kept integral by the 2r
+    * trick: a tied run starting at min-rank f with c members has
+    * average position f + (c−1)/2, so 2r = 2f + c − 1 is an exact
+    * integer from rank() + a same-partition count window. Ranks are
+    * then CENTERED (x = 2r − (n+1), Σx ≡ 0), which both kills the
+    * mean-subtraction term and caps every moment at n³ — without
+    * centering, n·Σxy − ΣxΣy overflows int64 at n ≈ 40k; centered,
+    * the headroom is n ≈ 2M rows per group. rho is the one mirrored
+    * double expression Σx_ax_b/(√Σx_a²·√Σx_b²) on exact integer
+    * moments (the q_trend stance), NULL when either variable is
+    * constant.
+    *
+    * Scale shape: both rank windows and the count windows share the
+    * per-type partitioning — ONE exchange, consecutive sorts — and
+    * the output is one row per type from a map-side-combinable agg.
+    * Values rank as exact cents (the money idiom), never raw doubles.
+    */
+  def q_spearman(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    val ev = events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("v"),
+        expr("(unix_timestamp(ts) div 3600) % 24").as("hod"))
+    val p = Window.partitionBy("event_type")
+    val ranked = ev
+      .withColumn("n", count(lit(1)).over(p))
+      .withColumn("fa", rank().over(p.orderBy("v")))
+      .withColumn("ca", count(lit(1)).over(Window.partitionBy("event_type", "v")))
+      .withColumn("fb", rank().over(p.orderBy("hod")))
+      .withColumn("cb", count(lit(1)).over(Window.partitionBy("event_type", "hod")))
+      .select(col("event_type"), col("n"),
+        (lit(2) * col("fa") + col("ca") - 1 - (col("n") + 1)).as("xa"),
+        (lit(2) * col("fb") + col("cb") - 1 - (col("n") + 1)).as("xb"))
+    ranked.groupBy("event_type").agg(
+        max(col("n")).as("n"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .select(col("event_type"), col("n"), col("sxy"), col("sxx"), col("syy"),
+        when(col("sxx") > 0 && col("syy") > 0,
+          round(expr("sxy / (sqrt(sxx) * sqrt(syy))"), 6)).as("rho"))
+      .orderBy("event_type")
+  }
+
   def q_session_paths(s: SparkSession, d: String, topN: Int = 20): DataFrame =
     sessionPathsOf(events(s, d).select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("tu")), topN)

@@ -160,4 +160,31 @@ class EmbedSpec extends AnyFunSuite {
     val med = ratios(ratios.length / 2)
     assert(med > 500000L && med < 2000000L, s"median ratio_fp $med")
   }
+
+  test("q_embed_cov equals a driver-side moment recompute; diagonal corr is 1") {
+    val rows = SparkEntry.queries("q_embed_cov")(spark, TestSpark.sf).collect()
+    assert(rows.length == 64 * 65 / 2)
+    // independent recompute from the raw vectors
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(v =>
+        math.floor(v.toDouble * 1e6 + 0.5).toLong))
+    val n = vecs.length.toLong
+    val dims = 64
+    val s = Array.tabulate(dims)(i => vecs.map(_(i)).sum)
+    val s2 = Array.tabulate(dims)(i => vecs.map(v => v(i) * v(i)).sum)
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      assert(r.getAs[Long]("n") == n)
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      assert(r.getAs[Long]("s_ij") == sij)
+      val num = BigInt(n) * sij - BigInt(s(i)) * s(j)
+      val cov = if (num >= 0) num / (n * n) else -((-num) / (n * n))
+      assert(r.getAs[Long]("cov_fp12") == cov.toLong, s"cov cell ($i,$j)")
+      if (i == j) {
+        val vn = n * s2(i) - s(i) * s(i)
+        if (vn > 0) assert(r.getAs[Double]("corr") == 1.0, s"diag ($i,$i)")
+      }
+    }
+  }
 }

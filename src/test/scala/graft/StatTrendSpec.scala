@@ -454,4 +454,65 @@ class StatTrendSpec extends AnyFunSuite {
     // autocorrelation is a correlation: |acf_fp| <= 1e6
     assert(acf.forall(a => Math.abs(a.getLong(4)) <= 1000000L))
   }
+
+  test("q_forecast equals a driver-side seasonal-naive recompute on the dense spine") {
+    val rows = q("q_forecast").collect()
+    assert(rows.nonEmpty)
+    val hc = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "hr").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h0 = hc.keys.map(_._2).min
+    val h1 = hc.keys.map(_._2).max
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val y = (h0 to h1).map(h => hc.getOrElse((t, h), 0L))
+      val span = y.length
+      val test = (span - 48) until span
+      val eSum = test.map(i => math.abs(y(i) - y(i - 24))).sum
+      val dSum = (1 until span - 48).map(i => math.abs(y(i) - y(i - 1))).sum
+      assert(r.getAs[Long]("n_test") == 48L)
+      assert(r.getAs[Long]("n_train") == (span - 49).toLong)
+      assert(r.getAs[Long]("e_sum") == eSum)
+      assert(r.getAs[Long]("d_sum") == dSum)
+      if (dSum > 0) {
+        val expected = (BigInt(2) * eSum * (span - 49) * 1000000 +
+          BigInt(48) * dSum) / (BigInt(2) * 48 * dSum)
+        assert(r.getAs[Long]("mase_fp") == expected.toLong, s"mase for $t")
+      }
+    }
+  }
+
+  test("q_spearman equals a driver-side centered-average-rank recompute") {
+    val rows = q("q_spearman").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        expr("(unix_timestamp(ts) div 3600) % 24").as("hod"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def centeredRanks(xs: Seq[Long]): Seq[Long] = {
+      val n = xs.length
+      // 2·avg-rank per value: 2·minRank + ties − 1, centered by n+1
+      val sorted = xs.sorted
+      val minRank = sorted.zipWithIndex.reverse.toMap.map {
+        case (v, _) => v -> (sorted.indexOf(v) + 1) }
+      val ties = xs.groupBy(identity).view.mapValues(_.length).toMap
+      xs.map(x => 2L * minRank(x) + ties(x) - 1 - (n + 1))
+    }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val grp = ev.filter(_._1 == t)
+      val xa = centeredRanks(grp.map(_._2))
+      val xb = centeredRanks(grp.map(_._3))
+      assert(r.getAs[Long]("n") == grp.length.toLong)
+      assert(xa.sum == 0L && xb.sum == 0L, "centered ranks sum to zero")
+      assert(r.getAs[Long]("sxy") == xa.zip(xb).map { case (a, b) => a * b }.sum)
+      assert(r.getAs[Long]("sxx") == xa.map(a => a * a).sum)
+      assert(r.getAs[Long]("syy") == xb.map(b => b * b).sum)
+      val rho = r.getAs[java.lang.Double]("rho")
+      if (rho != null) assert(math.abs(rho) <= 1.0)
+    }
+  }
 }
