@@ -120,6 +120,7 @@ object SparkEntry {
     "q_spearman"     -> (TimeSeries.q_spearman _),
     "q_attribution"  -> (TimeSeries.q_attribution _),
     "q_session_paths" -> ((s, d) => TimeSeries.q_session_paths(s, d)),
+    "q_basket"       -> (TimeSeries.q_basket _),
     // §2.11 text analysis
     "q_text_stats"   -> (TextOps.q_text_stats _),
     "q_tokens"       -> (TextOps.q_tokens _),
@@ -1273,6 +1274,39 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM m GROUP BY model, touch_type
         |ORDER BY model, touch_type""".stripMargin,
+    // Basket mining over sessions: same sessionization CTE as
+    // q_session_paths; pairs via DISTINCT (sess, type) self-join
+    // (quadratic is fine at oracle scale — the Spark side builds
+    // pairs row-locally from the sorted basket array)
+    "q_basket" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |         epoch_us(ts) AS tu FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |         AS new_s
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |      FROM g),
+        |bt AS (SELECT DISTINCT user_id, sess_id, event_type FROM s),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |        FROM (SELECT DISTINCT user_id, sess_id FROM s)),
+        |sg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |       FROM bt GROUP BY 1),
+        |pr AS (SELECT x.event_type AS a, y.event_type AS b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bt x JOIN bt y ON x.user_id = y.user_id
+        |         AND x.sess_id = y.sess_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT pr.a, pr.b, pr.n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+        |  tot.n_sessions,
+        |  (2 * pr.n_ab * 1000000 + tot.n_sessions)
+        |    // (2 * tot.n_sessions) AS support_fp,
+        |  (2 * pr.n_ab * tot.n_sessions * 1000000 + sa.n_t * sb.n_t)
+        |    // (2 * sa.n_t * sb.n_t) AS lift_fp
+        |FROM pr JOIN sg sa ON pr.a = sa.event_type
+        |        JOIN sg sb ON pr.b = sb.event_type, tot
+        |ORDER BY pr.a, pr.b""".stripMargin,
     // Session paths: 30-min-gap sessionization via the lag-flag cumsum
     // (engine-neutral, unlike session_window's internal ids); in-path
     // order pinned by ORDER BY inside string_agg ↔ array_sort structs.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Time-windowed aggregation inventory (SURVEY.md §2.10). The reference
@@ -1291,18 +1291,40 @@ object TimeSeries {
   /** The [[q_bootstrap]] kernel over (event_type, event_id, cents)
     * rows, factored so unit tests can drive it with hand-built data.
     */
-  private[graft] def bootstrapOf(base: DataFrame, reps: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The hash-derived Poisson(1) replicate weight for (event_id, rep)
+    * — factored so the streaming twin applies the identical draw.
+    */
+  private[graft] def poissonWeight(eventId: Column, rep: Column): Column = {
     val thresholds = PoissonThresholds
-    val u = conv(substring(md5(concat(col("event_id").cast("string"),
-      lit(":"), col("rep").cast("string"))), 1, 13), 16, 10).cast("long")
-    val cnt = thresholds.tail.zipWithIndex
+    val u = conv(substring(md5(concat(eventId.cast("string"),
+      lit(":"), rep.cast("string"))), 1, 13), 16, 10).cast("long")
+    thresholds.tail.zipWithIndex
       .foldLeft(when(u < thresholds.head, 0)) { case (acc, (th, i)) =>
         acc.when(u < th, i + 1)
       }.otherwise(8).cast("long")
+  }
+
+  /** The per-(type, replicate) weighted moment stage of
+    * [[q_bootstrap]] over the corpus — exposed so the streaming
+    * parity spec compares the identical sufficient statistics
+    * (StreamingOps.streamingBootstrap).
+    */
+  private[graft] def bootstrapMoments(s: SparkSession, d: String,
+      reps: Int): DataFrame = {
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), cents.as("cents"))
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("cnt", poissonWeight(col("event_id"), col("rep")))
+      .groupBy("event_type", "rep")
+      .agg(sum(col("cnt") * col("cents")).as("num"), sum(col("cnt")).as("den"))
+  }
+
+  private[graft] def bootstrapOf(base: DataFrame, reps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bm = base
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("cnt", cnt)
+      .withColumn("cnt", poissonWeight(col("event_id"), col("rep")))
       .groupBy(col("event_type"), col("rep"))
       .agg(sum(col("cnt") * col("cents")).as("num"), sum(col("cnt")).as("den"))
       .filter(col("den") > 0)
@@ -1488,6 +1510,67 @@ object TimeSeries {
         when(col("sxx") > 0 && col("syy") > 0,
           round(expr("sxy / (sqrt(sxx) * sqrt(syy))"), 6)).as("rho"))
       .orderBy("event_type")
+  }
+
+  /** Session-basket association mining — support and lift for every
+    * event-type pair co-occurring in a session (the market-basket
+    * readout over behavioral sessions; lift > 1e6 means the pair
+    * co-occurs above independence). The set-co-occurrence complement
+    * to [[q_transitions]]' adjacency counts.
+    *
+    * All metrics are ×1e6 round-half-up integers on exact session
+    * counts: support = n_ab/N, lift = n_ab·N/(n_a·n_b) — the double
+    * fraction cleared by cross-multiplication (headroom:
+    * n_ab·N·1e6 < 2^63 to N ≈ 3e6 sessions; beyond that the same
+    * expression runs in decimal(38,0)).
+    *
+    * Scale shape: sessionization is the one per-user window exchange
+    * (shared with [[q_session_paths]]'s contract); baskets collapse
+    * to ≤ |types| entries per session via collect_set, pairs are
+    * built row-locally from the SORTED basket (≤ C(|types|,2) per
+    * session — bounded, not a self-join), and the pair/single/total
+    * aggregations are all map-side combinable with O(|types|²)
+    * output. Singles and the total attach via broadcast.
+    */
+  def q_basket(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("tu"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    val gap = col("tu") - lag(col("tu"), 1).over(wOrd)
+    val baskets = ev
+      .withColumn("new_s",
+        when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .localCheckpoint() // referenced 3x: pairs, singles, total
+    val pairs = baskets
+      // size >= 2 guard: Spark's sequence(0, size-2) would run
+      // DESCENDING for singleton baskets and fabricate (b, a)/(a, a)
+      .filter(size(col("types")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("types")) - 2), i => transform(
+          sequence(i + 1, size(col("types")) - 1), j => struct(
+            element_at(col("types"), i + 1).as("a"),
+            element_at(col("types"), j + 1).as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val singles = baskets.select(explode(col("types")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val total = baskets.agg(count(lit(1)).as("n_sessions"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("a"), col("n_t").as("n_a"))), "a")
+      .join(broadcast(singles.select(col("t").as("b"), col("n_t").as("n_b"))), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_sessions"),
+        expr("(2 * n_ab * 1000000 + n_sessions) div (2 * n_sessions)")
+          .as("support_fp"),
+        expr("""(2 * n_ab * n_sessions * 1000000 + n_a * n_b)
+               | div (2 * n_a * n_b)""".stripMargin).as("lift_fp"))
+      .orderBy("a", "b")
   }
 
   def q_session_paths(s: SparkSession, d: String, topN: Int = 20): DataFrame =

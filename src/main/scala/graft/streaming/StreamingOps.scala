@@ -203,4 +203,26 @@ object StreamingOps {
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Streaming twin of [[graft.queries.TimeSeries.q_bootstrap]]'s
+    * replicate moments — live uncertainty monitoring: every arriving
+    * event contributes its B hash-derived Poisson(1) replicate
+    * weights (the identical [[graft.queries.TimeSeries.poissonWeight]]
+    * draw, so batch/stream weights are bit-equal), and the running
+    * per-(type, replicate) weighted sums ARE the bootstrap sufficient
+    * statistics — state is hard-bounded at types × B counters
+    * regardless of stream length (the mergeable-statistic stance of
+    * streamingValueHist). The CI finish (rank the B replicate means)
+    * is an O(types × B) batch step over the sink at read time.
+    */
+  def streamingBootstrap(events: DataFrame, reps: Int = 32): DataFrame = {
+    val cents = col("value").cast("decimal(18,2)").multiply(100).cast("long")
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), cents.as("cents"))
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("cnt",
+        graft.queries.TimeSeries.poissonWeight(col("event_id"), col("rep")))
+      .groupBy("event_type", "rep")
+      .agg(sum(col("cnt") * col("cents")).as("num"), sum(col("cnt")).as("den"))
+  }
 }

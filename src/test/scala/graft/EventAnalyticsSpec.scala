@@ -356,6 +356,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "purchase", 2L), (2L, "view>click", 2L)))
   }
 
+  test("q_basket equals a driver-side sessionize-and-pair recompute") {
+    val rows = q("q_basket").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // sessionize: 30-min gap on the (tu, event_id)-sorted per-user run
+    val baskets = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val out = scala.collection.mutable.ArrayBuffer[Set[String]]()
+      var cur = Set.empty[String]
+      var last = Long.MinValue
+      sorted.foreach { e =>
+        if (last != Long.MinValue && e._4 - last > 1800L * 1000000L) {
+          out += cur; cur = Set.empty
+        }
+        cur += e._3; last = e._4
+      }
+      if (cur.nonEmpty) out += cur
+      out
+    }.toSeq
+    val n = baskets.length.toLong
+    val singles = baskets.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val pairCounts = baskets.flatMap(b =>
+      b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == pairCounts.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_sessions") == n)
+      assert(r.getAs[Long]("n_ab") == pairCounts(k))
+      assert(r.getAs[Long]("n_a") == singles(k._1))
+      assert(r.getAs[Long]("n_b") == singles(k._2))
+      val lift = (BigInt(2) * pairCounts(k) * n * 1000000 +
+        BigInt(singles(k._1)) * singles(k._2)) /
+        (BigInt(2) * singles(k._1) * singles(k._2))
+      assert(r.getAs[Long]("lift_fp") == lift.toLong)
+    }
+  }
+
   test("q_bootstrap: CI equals an independent driver-side Poisson recompute") {
     val out = q("q_bootstrap").collect()
     assert(out.nonEmpty)

@@ -317,7 +317,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamTotals == keyTotals)
   }
 
-
+  test("streaming bootstrap moments equal the batch replicate sums, counter-for-counter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, TestSpark.sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = graft.streaming.StreamingOps.streamingBootstrap(
+        input.toDF().toDF("event_type", "event_id", "value"))
+      .writeStream.format("memory").queryName("boot_stream")
+      .outputMode("complete").start()
+    val replay = rows.map { case (t, id, c) => (t, id, c.toDouble / 100.0) }
+    val (b1, b2) = replay.splitAt(replay.length / 2)
+    input.addData(b1: _*); stream.processAllAvailable()
+    input.addData(b2: _*); stream.processAllAvailable()
+    stream.stop()
+    val streamed = spark.table("boot_stream").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rep")) ->
+        ((r.getAs[Long]("num"), r.getAs[Long]("den")))).toMap
+    // batch reference: the same moments through the batch kernel path
+    val batch = graft.queries.TimeSeries
+      .bootstrapMoments(spark, TestSpark.sf, 32)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rep")) ->
+        ((r.getAs[Long]("num"), r.getAs[Long]("den")))).toMap
+    assert(streamed == batch)
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
