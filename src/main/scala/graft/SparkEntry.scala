@@ -146,6 +146,7 @@ object SparkEntry {
     "q_dedup_bloom"  -> (TextOps.q_dedup_bloom _),
     "q_lm_score"     -> (TextOps.q_lm_score _),
     "q_lm_bigram"    -> (TextOps.q_lm_bigram _),
+    "q_lm_backoff"   -> (TextOps.q_lm_backoff _),
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
@@ -222,6 +223,7 @@ object SparkEntry {
     "q_quality_gate"     -> (SampleOps.q_quality_gate _),
     "q_split"            -> (SampleOps.q_split _),
     "q_split_leakage"    -> (SampleOps.q_split_leakage _),
+    "q_split_group"      -> (SampleOps.q_split_group _),
     "q_mix_budget"       -> ((s, d) => SampleOps.q_mix_budget(s, d)),
     "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
@@ -238,10 +240,12 @@ object SparkEntry {
     "q_embed_calib"    -> (EmbedOps.q_embed_calib _),
     "q_embed_drift"    -> (EmbedOps.q_embed_drift _),
     "q_embed_cov"      -> (EmbedOps.q_embed_cov _),
+    "q_pca_power"      -> ((s, d) => EmbedOps.q_pca_power(s, d)),
     "q_embed_outliers" -> ((s, d) => EmbedOps.q_embed_outliers(s, d)),
     "q_embed_rp"       -> (EmbedOps.q_embed_rp _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
     "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
+    "q_silhouette"     -> ((s, d) => KMeansOps.q_silhouette(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -267,6 +271,36 @@ object SparkEntry {
        |$votes
        |FROM h GROUP BY doc_id),
        |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v)""".stripMargin
+  }
+
+  /** The k-means kernel's DuckDB CTE chain (v, c0, then s/a/pe/m/c per
+    * iteration, ending in c`iters`): bounded window vec_id < 256,
+    * first-8-by-id init, ordered-fold M-step rounded to 6 and cast
+    * REAL so both engines carry bit-identical centroids. Shared by the
+    * q_embed_train and q_silhouette oracles so the evaluated model
+    * cannot drift from the trained one.
+    */
+  private def duckKmeansCtes(iters: Int): String = {
+    val stepCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""s$i AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.cv) AS c
+         |  FROM v, $prev c),
+         |a$i AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |    FROM s$i) WHERE rn = 1),
+         |pe$i AS (SELECT a.cell, v.vec_id,
+         |    CAST(generate_subscripts(v.e,1) - 1 AS BIGINT) AS dim, unnest(v.e) AS val
+         |  FROM a$i a JOIN v USING (vec_id)),
+         |m$i AS (SELECT cell, dim,
+         |    CAST(round(list_sum(list(val ORDER BY vec_id)) / count(*), 6) AS REAL) AS m
+         |  FROM pe$i GROUP BY cell, dim),
+         |c$i AS (SELECT cell AS cent_id, list(m::DOUBLE ORDER BY dim) AS cv
+         |  FROM m$i GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 256),
+       |c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+       |$stepCtes""".stripMargin
   }
 
   /** Integer value of the first `chars` hex chars of md5(doc_id) in
@@ -1985,6 +2019,59 @@ object SparkEntry {
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n"))
     },
+    // Group-aware split: union of the two near-dup pair families
+    // (MinHash exact-jaccard >= 0.5 on the ROUNDED value + SimHash
+    // hamming <= 1), recursive min-label components (the
+    // q_dup_clusters oracle's CC form), draw on 'grp:' || group_id.
+    // CTE namespaces don't collide: minhash uses sh/sig/bands/cand/
+    // dsh/mh, simhash w/h/v/s.
+    "q_split_group" -> {
+      val draw = duckHexValue("md5('grp:' || CAST(group_id AS VARCHAR))", 1, 4)
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |mh AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
+        |  WHERE round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)
+        |          / len(list_distinct(x.sset || y.sset)), 10) >= 0.5),
+        |$duckSimhashCtes,
+        |p AS (SELECT doc_a, doc_b FROM mh
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.simhash, b.simhash)) <= 1),
+        |e AS (SELECT doc_a AS u, doc_b AS vtx FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |lab(node, label) AS (
+        |  SELECT u, least(u, min(vtx)) FROM e GROUP BY u
+        |  UNION
+        |  SELECT e.u, l.label FROM e JOIN lab l ON e.vtx = l.node),
+        |lbl AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+        |base AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node)
+        |SELECT doc_id, group_id, $draw % 1000 AS bucket,
+        |  CASE WHEN $draw % 1000 < 800 THEN 'train'
+        |       WHEN $draw % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM base ORDER BY doc_id""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n"))
+    },
     // Calibration: q_dedup_minhash's candidate CTEs plus the
     // signature-agreement count; every output column is an integer
     // (est = n_agree*125000 exactly; exact jaccard is x1e6
@@ -2418,6 +2505,55 @@ object SparkEntry {
         |  END AS corr
         |FROM cells c JOIN dv di ON c.i = di.d JOIN dv dj ON c.j = dj.d
         |ORDER BY c.i, c.j""".stripMargin,
+    // Power-iteration truth: the same covariance cells, mirrored to
+    // the full matrix, then K = 8 unrolled integer iterations (join +
+    // max-abs normalize per step) — every op is integer, so the
+    // prefix replays identically
+    "q_pca_power" -> {
+      val iters = 8
+      // w$k is referenced twice (x$k and it$k) and the chain nests K
+      // deep: without AS MATERIALIZED, inlined-CTE re-evaluation makes
+      // the plan 2^K copies of the whole prefix (measured: the sf0.01
+      // oracle never finished). MATERIALIZED pins the
+      // evaluate-once semantics the Spark side gets from
+      // localCheckpoint.
+      val steps = (1 to iters).map { k =>
+        val prev = s"it${k - 1}"
+        s"""w$k AS MATERIALIZED (
+           |  SELECT m.i AS dim, CAST(sum(m.m * v.v) AS BIGINT) AS w
+           |  FROM mat m JOIN $prev v ON m.j = v.dim GROUP BY 1),
+           |x$k AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w$k),
+           |it$k AS (SELECT dim, CASE WHEN mx > 0 THEN
+           |    (CASE WHEN w >= 0 THEN (w * 100000) // mx
+           |     ELSE -(((-w) * 100000) // mx) END)
+           |  ELSE 0 END AS v FROM w$k, x$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x0 AS (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         |    unnest(embedding::DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |xq AS (SELECT vec_id, d, CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS q
+         |       FROM x0),
+         |cells AS (SELECT a.d AS i, b.d AS j, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+         |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.d <= b.d
+         |  GROUP BY 1, 2),
+         |dvs AS (SELECT d, CAST(sum(q) AS BIGINT) AS s FROM xq GROUP BY 1),
+         |mu AS (SELECT c.i, c.j,
+         |    CASE WHEN c.n * c.s_ij - di.s * dj.s >= 0
+         |      THEN (c.n * c.s_ij - di.s * dj.s) // (c.n * c.n * 1000000)
+         |      ELSE -((di.s * dj.s - c.n * c.s_ij) // (c.n * c.n * 1000000))
+         |    END AS m
+         |  FROM cells c JOIN dvs di ON c.i = di.d JOIN dvs dj ON c.j = dj.d),
+         |mat AS MATERIALIZED (SELECT i, j, m FROM mu
+         |        UNION ALL SELECT j, i, m FROM mu WHERE i <> j),
+         |it0 AS (SELECT DISTINCT i AS dim, CAST(100000 AS BIGINT) AS v
+         |        FROM mat),
+         |$steps
+         |SELECT v.dim, v.v AS v_fp,
+         |  (SELECT mx FROM x$iters) // 100000 AS lambda_fp
+         |FROM it$iters v ORDER BY v.dim""".stripMargin
+    },
     // list(v ORDER BY vec_id) fixes the accumulation order on both
     // sides — float sums are order-dependent in the last bits
     "q_embed_centroid" ->
@@ -2436,35 +2572,42 @@ object SparkEntry {
     // E-step argmax (cosine DESC, cent_id — DuckDB ranked window vs
     // Spark's greatest over (c, -id) structs) agrees exactly, as
     // q_sim_ivf already proves for cosine ranking.
-    "q_embed_train" -> {
-      val iters = 2
-      val stepCtes = (1 to iters).map { i =>
-        val prev = if (i == 1) "c0" else s"c${i - 1}"
-        s"""s$i AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.cv) AS c
-           |  FROM v, $prev c),
-           |a$i AS (SELECT vec_id, cent_id AS cell FROM (
-           |    SELECT vec_id, cent_id,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
-           |    FROM s$i) WHERE rn = 1),
-           |pe$i AS (SELECT a.cell, v.vec_id,
-           |    CAST(generate_subscripts(v.e,1) - 1 AS BIGINT) AS dim, unnest(v.e) AS val
-           |  FROM a$i a JOIN v USING (vec_id)),
-           |m$i AS (SELECT cell, dim,
-           |    CAST(round(list_sum(list(val ORDER BY vec_id)) / count(*), 6) AS REAL) AS m
-           |  FROM pe$i GROUP BY cell, dim),
-           |c$i AS (SELECT cell AS cent_id, list(m::DOUBLE ORDER BY dim) AS cv
-           |  FROM m$i GROUP BY cell)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 256),
-         |c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
-         |$stepCtes,
+    "q_embed_train" ->
+      s"""WITH ${duckKmeansCtes(2)},
          |sf AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.cv) AS c
-         |  FROM v, c$iters c)
+         |  FROM v, c2 c)
          |SELECT vec_id, cell, round(c, 6) AS cosine FROM (
          |  SELECT vec_id, cent_id AS cell, c,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
-         |  FROM sf) WHERE rn = 1 ORDER BY vec_id""".stripMargin
-    },
+         |  FROM sf) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Silhouette over the SAME trained kernel (shared CTE chain):
+    // top-2 cosines per vector, one mirrored IEEE silhouette
+    // expression quantized x1e6 before the per-cell sum, mean by
+    // sign-separated integer division.
+    "q_silhouette" ->
+      s"""WITH ${duckKmeansCtes(2)},
+         |sf AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.cv) AS c
+         |  FROM v, c2 c),
+         |r AS (SELECT vec_id, cent_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |  FROM sf),
+         |p AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cent_id END) AS cell,
+         |    max(CASE WHEN rn = 1 THEN c END) AS c1,
+         |    max(CASE WHEN rn = 2 THEN c END) AS c2
+         |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+         |q AS (SELECT cell,
+         |    CAST(floor((CASE WHEN greatest(1.0 - c1, 1.0 - c2) = 0.0 THEN 0.0
+         |      ELSE (c1 - c2) / greatest(1.0 - c1, 1.0 - c2) END) * 1000000 + 0.5)
+         |      AS BIGINT) AS s_fp
+         |  FROM p),
+         |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(s_fp) AS BIGINT) AS sum_sil_fp
+         |  FROM q GROUP BY cell)
+         |SELECT cell, n_vecs, sum_sil_fp,
+         |  CASE WHEN sum_sil_fp >= 0 THEN sum_sil_fp // n_vecs
+         |       ELSE -((-sum_sil_fp) // n_vecs) END AS mean_sil_fp
+         |FROM g ORDER BY cell""".stripMargin,
     // Deterministic hash draw shared by the sampling oracles: integer
     // value of the first N hex chars of md5(doc_id), via per-nibble
     // strpos arithmetic (DuckDB has no base-16 conv()).
@@ -2900,6 +3043,49 @@ object SparkEntry {
         |  round(exp(-(CAST(s AS DOUBLE) / n_bigrams / 1e9)), 4) AS ppl_proxy
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Stupid backoff: count tables from the EVEN half, held-out ODD
+    // positions served tri→bi→uni by count presence; every score is
+    // an integer division of counts ×1e9 (2/5 and 4/25 clear the 0.4
+    // factors exactly), numerators non-negative so // (floor) and
+    // Spark div (trunc) agree.
+    "q_lm_backoff" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT unnest(w) AS tok FROM t WHERE doc_id % 2 = 0),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM u),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+        |   FROM t WHERE doc_id % 2 = 0 AND len(w) >= 2) GROUP BY 1),
+        |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS tg
+        |   FROM t WHERE doc_id % 2 = 0 AND len(w) >= 3) GROUP BY 1),
+        |p AS (SELECT doc_id,
+        |    unnest([w[i] for i in range(1, len(w)-1)]) AS w1,
+        |    unnest([w[i+1] for i in range(1, len(w)-1)]) AS w2,
+        |    unnest([w[i+2] for i in range(1, len(w)-1)]) AS w3
+        |  FROM t WHERE doc_id % 2 = 1 AND len(w) >= 3),
+        |sc AS (SELECT p.doc_id, t3.c AS c123, b12.c AS c12, b23.c AS c23,
+        |    u2.c AS cw2, u3.c AS cw3, nt.n_train
+        |  FROM p
+        |  LEFT JOIN c3 t3 ON t3.tg = p.w1 || ' ' || p.w2 || ' ' || p.w3
+        |  LEFT JOIN c2 b12 ON b12.bg = p.w1 || ' ' || p.w2
+        |  LEFT JOIN c2 b23 ON b23.bg = p.w2 || ' ' || p.w3
+        |  LEFT JOIN c1 u2 ON u2.tok = p.w2
+        |  LEFT JOIN c1 u3 ON u3.tok = p.w3
+        |  CROSS JOIN nt),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+        |    CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+        |    CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+        |    CAST(sum(CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000000) // c12
+        |      WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) // (5 * cw2)
+        |      ELSE (4 * coalesce(cw3, 0) * 1000000000) // (25 * n_train) END) AS BIGINT) AS sum_score_fp
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, n_trigrams, n_tri, n_bi, n_uni, sum_score_fp,
+        |  sum_score_fp // n_trigrams AS mean_score_fp
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // The appended suffix is DECOMPOSED (e+U+0301, a+U+0308) in both
     // engines, so real NFC composition sits under the hash: the
     // composed string, its codepoint count (raw - 2) and the changed

@@ -350,7 +350,23 @@ object EmbedOps {
     * the d² products read, not recompute, it); the 64-row dim-stats
     * table attaches twice via broadcast.
     */
-  def q_embed_cov(s: SparkSession, d: String): DataFrame = {
+  def q_embed_cov(s: SparkSession, d: String): DataFrame =
+    covCells(s, d)
+      .select(col("i"), col("j"), col("n"), col("s_ij"),
+        expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
+               |  THEN (n * s_ij - s_i * s_j) div (n * n)
+               |  ELSE -((s_i * s_j - n * s_ij) div (n * n))
+               |END""".stripMargin).as("cov_fp12"),
+        when(col("v_i") > 0 && col("v_j") > 0,
+          round(expr("(n * s_ij - s_i * s_j) / (sqrt(v_i) * sqrt(v_j))"), 6))
+          .as("corr"))
+      .orderBy("i", "j")
+
+  /** Shared exact-moment cell table of [[q_embed_cov]] /
+    * [[q_pca_power]]: one upper-triangle row per (i ≤ j) with the raw
+    * integer moments (n, s_ij, s_i, s_j, v_i, v_j).
+    */
+  private def covCells(s: SparkSession, d: String): DataFrame = {
     val qd = embeddings(s, d).filter(col("embedding").isNotNull)
       .select(transform(col("embedding"),
         v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
@@ -376,14 +392,63 @@ object EmbedOps {
         col("s").as("s_i"), col("vnum").as("v_i"))), "i")
       .join(broadcast(dimStats.select(col("d").as("j"),
         col("s").as("s_j"), col("vnum").as("v_j"))), "j")
-      .select(col("i"), col("j"), col("n"), col("s_ij"),
+  }
+
+  /** Dominant principal direction of the embedding corpus via K
+    * max-normalized power iterations on the exact covariance cells —
+    * the whitening/decorrelation primitive on top of [[q_embed_cov]],
+    * run entirely in integer arithmetic (the q_graph_hits iteration
+    * stance): M = cov ×1e6 (sign-separated trunc from the exact
+    * moments), v₀ = 1e5 on every dimension, and each step is
+    * w = M·v (exact 64-term long sums) followed by max-abs
+    * normalization back to ±1e5 (integer division — no sqrt, no
+    * float, so both engines replay the identical K-step prefix).
+    * lambda_fp ≈ the dominant covariance eigenvalue ×1e6, read off
+    * the final pre-normalization max (max|v| = 1e5 at convergence).
+    *
+    * Fixed K = 8 rather than convergence-tested: a data-dependent
+    * stopping rule is unverifiable cross-engine (the q_graph_kcore
+    * anytime-prefix rule). Overflow headroom: |M| ≤ 3.4e5 (cov
+    * bounded by the max elementwise variance 0.34 ×1e6), so
+    * |w| ≤ 64·|M|·1e5 ≈ 2.2e12 and the normalization product
+    * w·1e5 ≤ 2.2e17 < 2^63; the v-scale is 1e5, NOT the repo's usual
+    * 1e6, precisely to keep that product in range.
+    *
+    * Scale shape: the distributed work is the one bounded-key
+    * covariance pass (inherited from covCells); the iteration runs
+    * on the d² = 4,096-cell matrix — model-sized state, checkpointed
+    * once and reread per step, with v attached via broadcast (the
+    * PageRank kernel shape at toy size).
+    */
+  def q_pca_power(s: SparkSession, d: String, iters: Int = 8): DataFrame = {
+    val upper = covCells(s, d)
+      .select(col("i"), col("j"),
         expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
-               |  THEN (n * s_ij - s_i * s_j) div (n * n)
-               |  ELSE -((s_i * s_j - n * s_ij) div (n * n))
-               |END""".stripMargin).as("cov_fp12"),
-        when(col("v_i") > 0 && col("v_j") > 0,
-          round(expr("(n * s_ij - s_i * s_j) / (sqrt(v_i) * sqrt(v_j))"), 6))
-          .as("corr"))
-      .orderBy("i", "j")
+               |  THEN (n * s_ij - s_i * s_j) div (n * n * 1000000)
+               |  ELSE -((s_i * s_j - n * s_ij) div (n * n * 1000000))
+               |END""".stripMargin).as("m"))
+    val mat = upper.unionAll(upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("m")))
+      .localCheckpoint() // reread by all K iterations
+    var v = mat.select(col("i").as("dim")).distinct()
+      .select(col("dim"), lit(100000L).as("v"))
+    var lastMx: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val w = mat.join(broadcast(v), mat("j") === v("dim"))
+        .groupBy(mat("i").as("dim"))
+        .agg(sum(col("m") * col("v")).as("w"))
+      lastMx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(lastMx))
+        .select(col("dim"),
+          when(col("mx") > 0,
+            expr("""CASE WHEN w >= 0 THEN (w * 100000) div mx
+                   |ELSE -(((-w) * 100000) div mx) END""".stripMargin))
+            .otherwise(lit(0L)).as("v"))
+        .localCheckpoint() // twice-referenced: next step's join + output
+    }
+    v.crossJoin(broadcast(lastMx))
+      .select(col("dim"), col("v").as("v_fp"),
+        expr("mx div 100000").as("lambda_fp"))
+      .orderBy("dim")
   }
 }

@@ -154,15 +154,33 @@ object KMeansOps {
     val vecs = graft.Tables.embeddings(s, d)
       .filter(col("vec_id") < maxVecs) // bounded verification window
       .select(col("vec_id"), col("embedding"))
+    val cents = trainedKernelCents(s, vecs, k, iters)
+    if (cents.isEmpty) // degenerate corpus: no seeds, nothing to train
+      return vecs.select(col("vec_id"), col("vec_id").as("cell"),
+        lit(0.0).as("cosine")).limit(0)
+    val (bestCos, bestCell) = bestScore(col("embedding"), cents)
+    vecs.select(col("vec_id"), bestCell.as("cell"),
+        round(bestCos, 6).as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** The oracle-exact Lloyd kernel behind [[q_embed_train]] and
+    * [[q_silhouette]]: `iters` iterations of the ORDERED-fold M-step
+    * (bit-identical to the DuckDB CTE chain — see [[q_embed_train]]'s
+    * scaladoc), returning the collected K-row centroid table. Shared
+    * so the evaluation key scores the EXACT model the training key
+    * reports, not a re-derivation that could drift.
+    */
+  private[queries] def trainedKernelCents(
+      s: SparkSession, vecs: DataFrame, k: Int,
+      iters: Int): Array[(Long, Array[Float])] = {
     def collectCents(df: DataFrame): Array[(Long, Array[Float])] =
       df.collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
         .sortBy(_._1)
     var cents = collectCents(vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
-    if (cents.isEmpty) // degenerate corpus: no seeds, nothing to train
-      return vecs.select(col("vec_id"), col("vec_id").as("cell"),
-        lit(0.0).as("cosine")).limit(0)
+    if (cents.isEmpty) return cents
     (1 to iters).foreach { _ =>
       val assigned = vecs.select(col("vec_id"), col("embedding"),
         nearestCell(col("embedding"), cents).as("cell"))
@@ -181,10 +199,81 @@ object KMeansOps {
           x => x.getField("m")).as("cv"))
       cents = collectCents(next) // K rows, kilobytes — the model
     }
-    val (bestCos, bestCell) = bestScore(col("embedding"), cents)
-    vecs.select(col("vec_id"), bestCell.as("cell"),
-        round(bestCos, 6).as("cosine"))
-      .orderBy("vec_id")
+    cents
+  }
+
+  /** Per-cluster SIMPLIFIED SILHOUETTE over the trained kernel's
+    * assignment — the cluster-quality audit an embedding pipeline
+    * publishes next to its clustering (is cluster c cohesive, or a
+    * dumping ground?): for each vector, a = cosine distance (1 − cos)
+    * to its OWN centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1] — equivalently
+    * (c₁ − c₂) / max(1 − c₁, 1 − c₂) on the top-2 cosines. The
+    * simplified (centroid-based) form is the one that scales: the
+    * classic silhouette's mean-pairwise-distance a/b terms are O(n²)
+    * in cluster size; against centroids the whole audit is one scan
+    * against a K-row model literal (Hruschka et al.'s standard
+    * substitution).
+    *
+    * Determinism: the centroid table is the bit-exact
+    * [[trainedKernelCents]] kernel model; each cosine is the
+    * codegen'd `cosine_sim` (bit-identical to DuckDB's
+    * list_cosine_similarity — q_sim_ivf's hash-match proves it);
+    * top-2 selection orders (c DESC, cent_id); the silhouette is one
+    * mirrored IEEE expression quantized ×1e6 (floor(x+0.5) — exact
+    * on an exactly-shared double) BEFORE the per-cell sum, so sums
+    * are exact longs; the mean divides sign-separated (Spark div
+    * truncates, DuckDB // floors — they disagree below zero unless
+    * the magnitude divides).
+    *
+    * Scale shape: zero-shuffle K-literal scoring explode (k rows per
+    * vector, k = 8), one vec_id-partitioned window over those k rows
+    * (no skew possible — every partition is exactly k), one
+    * map-side-combined K-row agg. The bounded maxVecs window is the
+    * oracle-verification stance (q_embed_centroid); the production
+    * path drops the bound and scales linearly.
+    */
+  def q_silhouette(s: SparkSession, d: String, k: Int = 8, iters: Int = 2,
+      maxVecs: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
+    val vecs = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < maxVecs)
+      .select(col("vec_id"), col("embedding"))
+    val cents = trainedKernelCents(s, vecs, k, iters)
+    if (cents.isEmpty)
+      return vecs.select(col("vec_id").as("cell"), lit(0L).as("n_vecs"),
+        lit(0L).as("sum_sil_fp"), lit(0L).as("mean_sil_fp")).limit(0)
+    val scores = explode(array(cents.toIndexedSeq.map { case (id, cv) =>
+      struct(lit(id).as("cent_id"),
+        call_function("cosine_sim", col("embedding"), typedLit(cv)).as("c"))
+    }: _*))
+    // no null-embedding filter: mirrors the q_embed_train chain (and
+    // its oracle's v CTE) exactly — the shared window is null-free by
+    // the same evidence that hash-matches the training key
+    val sc = vecs
+      .select(col("vec_id"), scores.as("s"))
+      .select(col("vec_id"), col("s.cent_id").as("cent_id"), col("s.c").as("c"))
+    val top2 = sc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c").desc, col("cent_id"))))
+      .filter(col("rn") <= 2)
+    val per = top2.groupBy("vec_id").agg(
+      max(when(col("rn") === 1, col("cent_id"))).as("cell"),
+      max(when(col("rn") === 1, col("c"))).as("c1"),
+      max(when(col("rn") === 2, col("c"))).as("c2"))
+    val silFp = expr(
+      """CAST(floor((CASE WHEN greatest(1.0 - c1, 1.0 - c2) = 0.0 THEN 0.0
+        |  ELSE (c1 - c2) / greatest(1.0 - c1, 1.0 - c2) END) * 1000000 + 0.5)
+        |AS BIGINT)""".stripMargin)
+    per.select(col("cell"), silFp.as("s_fp"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_fp")).as("sum_sil_fp"))
+      .select(col("cell"), col("n_vecs"), col("sum_sil_fp"),
+        expr("""CASE WHEN sum_sil_fp >= 0 THEN sum_sil_fp div n_vecs
+               |ELSE -((-sum_sil_fp) div n_vecs) END""".stripMargin)
+          .as("mean_sil_fp"))
+      .orderBy("cell")
   }
 
   /** Mean within-cluster cosine — the quality metric the unit test

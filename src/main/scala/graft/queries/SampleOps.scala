@@ -329,6 +329,59 @@ object SampleOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** GROUP-AWARE train/val/test split — the fix for exactly the leak
+    * [[q_split_leakage]] measures: near-duplicates fingerprint
+    * independently under the content-keyed [[q_split]], so a
+    * paraphrased test document can sit next to its training twin (10
+    * of 25 near-dup pairs crossed boundaries at sf0.01 when the audit
+    * first ran). This operator routes every member of a near-dup
+    * GROUP to one split: the group is the connected component over
+    * the union of both near-dup evidence families — MinHash-LSH
+    * confirmed pairs at exact Jaccard ≥ 0.5 (compared on the ROUNDED
+    * value, the [[graft.queries.DedupOps.q_source_overlap]] stance)
+    * and SimHash pairs at Hamming ≤ 1 — and the split draw hashes the
+    * group id (the component's minimum doc_id; singletons route by
+    * their own id). Any near-dup evidence from either family
+    * therefore forces co-assignment, and the leakage audit over this
+    * split is zero BY CONSTRUCTION (pinned in SampleSpec).
+    *
+    * Reproducibility caveat vs [[q_split]] (documented trade): the
+    * content-keyed split never reassigns an existing doc when the
+    * corpus grows; a group split can — a new document bridging two
+    * groups merges them and may move members. That is inherent to
+    * group-aware splitting (the group IS corpus-dependent), which is
+    * why pipelines re-audit rather than re-split incrementally.
+    *
+    * Scale shape: pair generation is the two families' banded-LSH
+    * paths (bucketed, capped — nothing all-pairs); the component
+    * loop is star contraction over the pair-sized edge list; the
+    * final join attaches O(members-of-groups) labels to a zero-shuffle
+    * documents scan (left join — singletons never enter the exchange);
+    * the draw is a per-row scan expression.
+    */
+  def q_split_group(s: SparkSession, d: String): DataFrame = {
+    val mh = DedupOps.q_dedup_minhash(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val sh = DedupOps.simhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"))
+    // cross-family union can repeat a pair — let CC normalize (its
+    // initial distinct is pair-sized, not corpus-sized)
+    val labels = ClusterOps.connectedComponents(
+      mh.unionAll(sh), "doc_a", "doc_b")
+    val base = documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("group_id"))
+    val bucket =
+      hashDraw(concat(lit("grp:"), col("group_id").cast("string")), 4) % 1000
+    base
+      .select(col("doc_id"), col("group_id"), bucket.as("bucket"),
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget source mixing — the mixing step that assembles a
     * training set of `sharePerMille`/1000 of corpus tokens spread
     * UNIFORMLY across sources: each source's keep rate is its equal

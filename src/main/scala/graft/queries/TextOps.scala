@@ -1177,6 +1177,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the backoff scheme
+    * DESIGNED for distributed count-based LMs: no discounting, no
+    * normalization, so every level is a pure count ratio and the
+    * whole model stays a set of count tables):
+    * S(w3|w1 w2) = c(w1w2w3)/c(w1w2) when the trigram was seen,
+    * else 0.4·c(w2w3)/c(w2), else 0.4²·c(w3)/N. The model trains on
+    * the EVEN doc_ids and scores the held-out ODD half — scoring the
+    * training corpus with corpus-derived counts would never back off
+    * (every trigram of a training doc has count ≥ 1; measured
+    * reasoning, the q_contamination split stance), whereas the
+    * held-out half genuinely exercises all three levels. Per-doc
+    * report: positions served per level plus the exact fixed-point
+    * score sum/mean — the held-out-likelihood readout a data-quality
+    * pipeline ranks candidate corpora by.
+    *
+    * All-integer determinism: each position's score is quantized to
+    * a ×1e9 long by integer division BEFORE the per-doc sum (0.4 and
+    * 0.16 clear to the exact fractions 2/5 and 4/25), every operand
+    * is a count, and all numerators are non-negative, so Spark `div`
+    * (truncation) and DuckDB `//` (floor) agree. Backoff guards are
+    * NULL-presence tests on the joined counts: c(w1w2w3) non-null
+    * implies its prefix bigram count is non-null and positive (every
+    * training occurrence of the trigram contains the bigram), so no
+    * division is ever null-on-one-engine. Overflow: count·4e9 < 2⁶³
+    * holds to ~2.3e9 occurrences of a single n-gram — beyond that,
+    * lift the sums to DECIMAL(38,0).
+    *
+    * Scale shape: three Zipf-bounded count aggs over the train half
+    * (map-side combined; output is n-gram-vocab-sized, far below
+    * token scale) + one broadcast one-row total; the held-out
+    * position table then takes five count joins — each a shuffle of
+    * the position table on an n-gram key, the batched-lookup plan
+    * the paper's distributed serving layer implements — and one
+    * per-doc regroup. Nothing corpus-scale is ever collected or
+    * broadcast (the count tables are NOT broadcast-safe: n-gram
+    * vocabularies grow with the corpus).
+    */
+  def q_lm_backoff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val toks = train.select(explode(split(col("text"), " ")).as("tok"))
+    val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nTot = toks.agg(count(lit(1)).as("n_train"))
+    val c2 = train.select(explode(graft.queries.DedupOps
+        .shinglesN(col("text"), 2, fallbackToText = false)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+    val c3 = train.select(explode(graft.queries.DedupOps
+        .shinglesN(col("text"), 3, fallbackToText = false)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c"))
+    val pos = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(graft.queries.DedupOps
+        .shinglesN(col("text"), 3, fallbackToText = false)).as("tg"))
+      .select(col("doc_id"), col("tg"), split(col("tg"), " ").as("ws"))
+      .select(col("doc_id"), col("tg"),
+        concat_ws(" ", element_at(col("ws"), 1), element_at(col("ws"), 2)).as("b12"),
+        concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 3)).as("b23"),
+        element_at(col("ws"), 2).as("w2"), element_at(col("ws"), 3).as("w3"))
+    val scored = pos
+      .join(c3.select(col("tg"), col("c").as("c123")), Seq("tg"), "left")
+      .join(c2.select(col("bg").as("b12"), col("c").as("c12")), Seq("b12"), "left")
+      .join(c2.select(col("bg").as("b23"), col("c").as("c23")), Seq("b23"), "left")
+      .join(c1.select(col("tok").as("w2"), col("c").as("cw2")), Seq("w2"), "left")
+      .join(c1.select(col("tok").as("w3"), col("c").as("cw3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+    val scoreFp = expr(
+      """CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000000) div c12
+        |WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) div (5 * cw2)
+        |ELSE (4 * coalesce(cw3, 0) * 1000000000) div (25 * n_train)
+        |END""".stripMargin)
+    val perDoc = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_trigrams"),
+      sum(when(col("c123").isNotNull, 1L).otherwise(0L)).as("n_tri"),
+      sum(when(col("c123").isNull && col("c23").isNotNull, 1L)
+        .otherwise(0L)).as("n_bi"),
+      sum(when(col("c123").isNull && col("c23").isNull, 1L)
+        .otherwise(0L)).as("n_uni"),
+      sum(scoreFp).as("sum_score_fp"))
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_trigrams"),
+        col("n_tri"), col("n_bi"), col("n_uni"), col("sum_score_fp"),
+        expr("sum_score_fp div n_trigrams").as("mean_score_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Lorenz curve + Gini coefficient of token mass over documents —
     * the corpus-concentration readout data-mixing work reports ("10%
     * of documents carry 38% of tokens"): documents ranked ascending

@@ -161,6 +161,79 @@ class EmbedSpec extends AnyFunSuite {
     assert(med > 500000L && med < 2000000L, s"median ratio_fp $med")
   }
 
+  test("q_silhouette: scores the q_embed_train model; bounds, totals, and direction hold") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_silhouette")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // cells are exactly the training assignment's surviving cells,
+    // and per-cell counts match the assignment
+    val train = SparkEntry.queries("q_embed_train")(spark, TestSpark.sf).collect()
+    val counts = train.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("cell")).toSet == counts.keySet)
+    var total = 0L
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      val n = r.getAs[Long]("n_vecs")
+      assert(n == counts(cell), s"cell $cell size")
+      total += n
+      // silhouette is bounded: |mean| <= 1e6, |sum| <= n * 1e6
+      assert(math.abs(r.getAs[Long]("mean_sil_fp")) <= 1000000L)
+      assert(math.abs(r.getAs[Long]("sum_sil_fp")) <= n * 1000000L)
+      // mean is the sign-separated truncating division of the sum
+      val sum = r.getAs[Long]("sum_sil_fp")
+      val expMean = if (sum >= 0) sum / n else -((-sum) / n)
+      assert(r.getAs[Long]("mean_sil_fp") == expMean)
+    }
+    val window = Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") < 256).count()
+    assert(total == window, "every window vector is scored exactly once")
+    // a trained clustering on real data separates at least somewhat:
+    // the overall mean silhouette must be positive
+    val overall = rows.map(_.getAs[Long]("sum_sil_fp")).sum
+    assert(overall > 0L, s"overall silhouette sum $overall not positive")
+  }
+
+  test("q_pca_power replays the 8 integer iterations exactly; result is a dominant direction") {
+    val rows = SparkEntry.queries("q_pca_power")(spark, TestSpark.sf).collect()
+    assert(rows.length == 64)
+    // driver-side exact replay from the raw vectors: same quantization,
+    // same sign-separated truncating divisions, same K=8 unroll
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(v =>
+        math.floor(v.toDouble * 1e6 + 0.5).toLong))
+    val n = vecs.length.toLong
+    val dims = 64
+    val s = Array.tabulate(dims)(i => vecs.map(_(i)).sum)
+    def m(i: Int, j: Int): Long = {
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      val num = BigInt(n) * sij - BigInt(s(i)) * s(j)
+      val den = BigInt(n) * n * 1000000L
+      (if (num >= 0) num / den else -((-num) / den)).toLong
+    }
+    val mat = Array.tabulate(dims, dims)((i, j) => m(i, j))
+    var v = Array.fill(dims)(100000L)
+    var mx = 0L
+    (1 to 8).foreach { _ =>
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => mat(i)(j) * v(j)).sum)
+      mx = w.map(math.abs).max
+      v = w.map(wi =>
+        if (mx == 0L) 0L
+        else if (wi >= 0) wi * 100000L / mx
+        else -((-wi) * 100000L / mx))
+    }
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt
+      assert(r.getAs[Long]("v_fp") == v(d), s"v_fp dim $d")
+      assert(r.getAs[Long]("lambda_fp") == mx / 100000L)
+    }
+    // the direction is genuinely dominant: max-normalized (some |v|
+    // hits 1e5) and its Rayleigh quotient is positive
+    assert(v.map(math.abs).max == 100000L)
+    assert(mx / 100000L > 0L, "dominant covariance eigenvalue must be positive")
+  }
+
   test("q_embed_cov equals a driver-side moment recompute; diagonal corr is 1") {
     val rows = SparkEntry.queries("q_embed_cov")(spark, TestSpark.sf).collect()
     assert(rows.length == 64 * 65 / 2)

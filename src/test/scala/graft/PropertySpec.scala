@@ -172,6 +172,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_lm_backoff equals a driver-side stupid-backoff replay on random corpora") {
+    val docGen2 = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen2)
+    forAll(corpusGen, 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val tmp = java.nio.file.Files.createTempDirectory("plmbo").toString
+      docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      def words(t: String) = t.split(" ", -1).toSeq
+      val train = docs.filter(_._1 % 2 == 0)
+      val c1 = train.flatMap(d => words(d._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val nTrain = train.map(d => words(d._2).size.toLong).sum
+      def grams(n: Int) = train.flatMap { d =>
+        val w = words(d._2)
+        if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSeq else Nil
+      }
+      val c2 = grams(2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c3 = grams(3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = docs.filter(_._1 % 2 == 1).map { case (id, t) =>
+        val w = words(t)
+        val tris = if (w.length >= 3) w.sliding(3).toSeq else Nil
+        id -> (if (tris.isEmpty) None else Some {
+          var (nTri, nBi, nUni, sum) = (0L, 0L, 0L, 0L)
+          tris.foreach { g =>
+            val tg = g.mkString(" ")
+            val (b12, b23) = (s"${g(0)} ${g(1)}", s"${g(1)} ${g(2)}")
+            if (c3.contains(tg)) {
+              nTri += 1; sum += c3(tg) * 1000000000L / c2(b12)
+            } else if (c2.contains(b23)) {
+              nBi += 1; sum += 2L * c2(b23) * 1000000000L / (5L * c1(g(1)))
+            } else {
+              nUni += 1
+              sum += 4L * c1.getOrElse(g(2), 0L) * 1000000000L / (25L * nTrain)
+            }
+          }
+          (tris.size.toLong, nTri, nBi, nUni, sum, sum / tris.size)
+        })
+      }.toMap
+      val got = graft.queries.TextOps.q_lm_backoff(spark, tmp).collect()
+      assert(got.length == expected.size)
+      got.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        expected(id) match {
+          case None =>
+            assert(r.isNullAt(r.fieldIndex("n_trigrams")), s"doc $id")
+          case Some((n, t3, b2, u1, s, m)) =>
+            assert(r.getAs[Long]("n_trigrams") == n, s"doc $id n")
+            assert(r.getAs[Long]("n_tri") == t3, s"doc $id tri")
+            assert(r.getAs[Long]("n_bi") == b2, s"doc $id bi")
+            assert(r.getAs[Long]("n_uni") == u1, s"doc $id uni")
+            assert(r.getAs[Long]("sum_score_fp") == s, s"doc $id sum")
+            assert(r.getAs[Long]("mean_score_fp") == m, s"doc $id mean")
+        }
+      }
+    }
+  }
+
   test("TopKPerGroup operator equals the window rank-filter on arbitrary data with nulls") {
     // rows: (id, group, value) — group and value may be NULL; the id
     // tie-break keeps the order total (the operator's contract)

@@ -463,6 +463,41 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_split_group: zero leaks across BOTH near-dup families by construction") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_split_group")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every document gets a group split row")
+    val split = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    val group = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("group_id")).toMap
+    // the audit q_split_leakage runs over the content split must come
+    // back empty here: both pair families co-assign
+    val mh = graft.queries.DedupOps.q_dedup_minhash(spark, sf)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val sh = graft.queries.DedupOps.q_dedup_simhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    (mh ++ sh).foreach { case (a, b) =>
+      assert(group(a) == group(b), s"pair ($a,$b) split across groups")
+      assert(split(a) == split(b), s"pair ($a,$b) leaks across splits")
+    }
+    // group ids are component minima: never above the member, and a
+    // doc in no pair routes by its own id
+    val paired = (mh ++ sh).flatMap(p => Seq(p._1, p._2)).toSet
+    rows.foreach { r =>
+      val (id, g) = (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))
+      assert(g <= id)
+      if (!paired.contains(id)) assert(g == id, s"singleton $id regrouped")
+      val bucket = r.getAs[Long]("bucket")
+      assert(bucket >= 0 && bucket < 1000)
+      val expected =
+        if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(r.getAs[String]("split") == expected)
+    }
+  }
+
   test("q_sample_stratified equals q_sample_reservoir row for row (operator vs aggregator)") {
     def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
