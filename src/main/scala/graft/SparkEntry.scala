@@ -147,6 +147,7 @@ object SparkEntry {
     "q_lm_score"     -> (TextOps.q_lm_score _),
     "q_lm_bigram"    -> (TextOps.q_lm_bigram _),
     "q_lm_backoff"   -> (TextOps.q_lm_backoff _),
+    "q_ccnet_split"  -> (TextOps.q_ccnet_split _),
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
@@ -241,6 +242,7 @@ object SparkEntry {
     "q_embed_drift"    -> (EmbedOps.q_embed_drift _),
     "q_embed_cov"      -> (EmbedOps.q_embed_cov _),
     "q_pca_power"      -> ((s, d) => EmbedOps.q_pca_power(s, d)),
+    "q_pca_project"    -> (EmbedOps.q_pca_project _),
     "q_embed_outliers" -> ((s, d) => EmbedOps.q_embed_outliers(s, d)),
     "q_embed_rp"       -> (EmbedOps.q_embed_rp _),
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
@@ -301,6 +303,52 @@ object SparkEntry {
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 256),
        |c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
        |$stepCtes""".stripMargin
+  }
+
+  /** The integer power-iteration CTE chain (xq quantized vectors,
+    * covariance cells → mu → symmetric mat, it0..it`iters` iterations
+    * ending with x`iters`'s max) — shared by the q_pca_power and
+    * q_pca_project oracles. w$k is referenced twice (x$k and it$k)
+    * and the chain nests K deep: without AS MATERIALIZED, inlined-CTE
+    * re-evaluation makes the plan 2^K copies of the whole prefix
+    * (measured: the sf0.01 oracle never finished). MATERIALIZED pins
+    * the evaluate-once semantics the Spark side gets from
+    * localCheckpoint.
+    */
+  private def duckPcaCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val prev = s"it${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT m.i AS dim, CAST(sum(m.m * v.v) AS BIGINT) AS w
+         |  FROM mat m JOIN $prev v ON m.j = v.dim GROUP BY 1),
+         |x$k AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w$k),
+         |it$k AS (SELECT dim, CASE WHEN mx > 0 THEN
+         |    (CASE WHEN w >= 0 THEN (w * 100000) // mx
+         |     ELSE -(((-w) * 100000) // mx) END)
+         |  ELSE 0 END AS v FROM w$k, x$k)""".stripMargin
+    }.mkString(",\n")
+    s"""x0 AS (SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+       |    unnest(embedding::DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |xq AS (SELECT vec_id, d, CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS q
+       |       FROM x0),
+       |cells AS (SELECT a.d AS i, b.d AS j, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+       |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2),
+       |dvs AS (SELECT d, CAST(sum(q) AS BIGINT) AS s FROM xq GROUP BY 1),
+       |mu AS (SELECT c.i, c.j,
+       |    CASE WHEN c.n * c.s_ij - di.s * dj.s >= 0
+       |      THEN (c.n * c.s_ij - di.s * dj.s) // (c.n * c.n * 1000000)
+       |      ELSE -((di.s * dj.s - c.n * c.s_ij) // (c.n * c.n * 1000000))
+       |    END AS m
+       |  FROM cells c JOIN dvs di ON c.i = di.d JOIN dvs dj ON c.j = dj.d),
+       |mat AS MATERIALIZED (SELECT i, j, m FROM mu
+       |        UNION ALL SELECT j, i, m FROM mu WHERE i <> j),
+       |it0 AS (SELECT DISTINCT i AS dim, CAST(100000 AS BIGINT) AS v
+       |        FROM mat),
+       |$steps""".stripMargin
   }
 
   /** Integer value of the first `chars` hex chars of md5(doc_id) in
@@ -2509,51 +2557,24 @@ object SparkEntry {
     // the full matrix, then K = 8 unrolled integer iterations (join +
     // max-abs normalize per step) — every op is integer, so the
     // prefix replays identically
-    "q_pca_power" -> {
-      val iters = 8
-      // w$k is referenced twice (x$k and it$k) and the chain nests K
-      // deep: without AS MATERIALIZED, inlined-CTE re-evaluation makes
-      // the plan 2^K copies of the whole prefix (measured: the sf0.01
-      // oracle never finished). MATERIALIZED pins the
-      // evaluate-once semantics the Spark side gets from
-      // localCheckpoint.
-      val steps = (1 to iters).map { k =>
-        val prev = s"it${k - 1}"
-        s"""w$k AS MATERIALIZED (
-           |  SELECT m.i AS dim, CAST(sum(m.m * v.v) AS BIGINT) AS w
-           |  FROM mat m JOIN $prev v ON m.j = v.dim GROUP BY 1),
-           |x$k AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w$k),
-           |it$k AS (SELECT dim, CASE WHEN mx > 0 THEN
-           |    (CASE WHEN w >= 0 THEN (w * 100000) // mx
-           |     ELSE -(((-w) * 100000) // mx) END)
-           |  ELSE 0 END AS v FROM w$k, x$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH x0 AS (SELECT vec_id,
-         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
-         |    unnest(embedding::DOUBLE[]) AS v
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |xq AS (SELECT vec_id, d, CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS q
-         |       FROM x0),
-         |cells AS (SELECT a.d AS i, b.d AS j, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
-         |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.d <= b.d
-         |  GROUP BY 1, 2),
-         |dvs AS (SELECT d, CAST(sum(q) AS BIGINT) AS s FROM xq GROUP BY 1),
-         |mu AS (SELECT c.i, c.j,
-         |    CASE WHEN c.n * c.s_ij - di.s * dj.s >= 0
-         |      THEN (c.n * c.s_ij - di.s * dj.s) // (c.n * c.n * 1000000)
-         |      ELSE -((di.s * dj.s - c.n * c.s_ij) // (c.n * c.n * 1000000))
-         |    END AS m
-         |  FROM cells c JOIN dvs di ON c.i = di.d JOIN dvs dj ON c.j = dj.d),
-         |mat AS MATERIALIZED (SELECT i, j, m FROM mu
-         |        UNION ALL SELECT j, i, m FROM mu WHERE i <> j),
-         |it0 AS (SELECT DISTINCT i AS dim, CAST(100000 AS BIGINT) AS v
-         |        FROM mat),
-         |$steps
+    "q_pca_power" ->
+      s"""WITH ${duckPcaCtes(8)}
          |SELECT v.dim, v.v AS v_fp,
-         |  (SELECT mx FROM x$iters) // 100000 AS lambda_fp
-         |FROM it$iters v ORDER BY v.dim""".stripMargin
-    },
+         |  (SELECT mx FROM x8) // 100000 AS lambda_fp
+         |FROM it8 v ORDER BY v.dim""".stripMargin,
+    // Projection onto the q_pca_power direction (shared CTE chain):
+    // exact long dot products of the quantized vectors with the
+    // integer eigendirection; explained-variance share from the
+    // covariance trace (diagonal mu cells), x1e6 round-half-up.
+    "q_pca_project" ->
+      s"""WITH ${duckPcaCtes(8)},
+         |lam AS (SELECT mx // 100000 AS lambda_fp FROM x8),
+         |tr AS (SELECT CAST(sum(m) AS BIGINT) AS trace FROM mu WHERE i = j),
+         |pr AS (SELECT xq.vec_id, CAST(sum(xq.q * v.v) AS BIGINT) AS proj_fp
+         |       FROM xq JOIN it8 v ON xq.d = v.dim GROUP BY 1)
+         |SELECT vec_id, proj_fp, lambda_fp,
+         |  (2 * lambda_fp * 1000000 + trace) // (2 * trace) AS ev_share_fp
+         |FROM pr, lam, tr ORDER BY vec_id""".stripMargin,
     // list(v ORDER BY vec_id) fixes the accumulation order on both
     // sides — float sums are order-dependent in the last bits
     "q_embed_centroid" ->
@@ -3042,6 +3063,43 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / n_bigrams / 1e9, 6) AS mean_logp,
         |  round(exp(-(CAST(s AS DOUBLE) / n_bigrams / 1e9)), 4) AS ppl_proxy
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // CCNet tercile split: the q_lm_bigram chain, then the
+    // sign-separated mean division (log-probs are negative — // and
+    // div disagree unless sign-separated), one global rank, and the
+    // shared position-tercile formula.
+    "q_ccnet_split" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+        |    ELSE [] END) AS bg
+        |  FROM w),
+        |bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bgw GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |lp AS (
+        |  SELECT bgw.doc_id,
+        |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) * 1e9) AS BIGINT) AS lp_fp
+        |  FROM bgw JOIN c12 USING (bg) JOIN c1 USING (w1), v),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp_fp) AS BIGINT) AS s
+        |  FROM lp GROUP BY 1),
+        |sc AS (SELECT doc_id, n_bigrams,
+        |    CASE WHEN s >= 0 THEN s // n_bigrams
+        |         ELSE -((-s) // n_bigrams) END AS mean_fp
+        |  FROM per),
+        |rk AS (SELECT doc_id, n_bigrams, mean_fp,
+        |    CAST(row_number() OVER (ORDER BY mean_fp DESC, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_scored
+        |  FROM sc)
+        |SELECT d.doc_id, n_bigrams, mean_fp, rn,
+        |  CASE (rn - 1) * 3 // n_scored + 1 WHEN 1 THEN 'head'
+        |       WHEN 2 THEN 'middle' WHEN 3 THEN 'tail' END AS bucket
+        |FROM documents d LEFT JOIN rk USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // Stupid backoff: count tables from the EVEN half, held-out ODD
     // positions served tri→bi→uni by count presence; every score is

@@ -451,4 +451,49 @@ object EmbedOps {
         expr("mx div 100000").as("lambda_fp"))
       .orderBy("dim")
   }
+
+  /** Projection of every embedding onto [[q_pca_power]]'s dominant
+    * direction — the dimensionality-reduction / whitening readout on
+    * top of the trained component: per-vector principal score
+    * proj_fp = Σ qᵢ·v_fpᵢ (exact long dot product of the ×1e6
+    * quantized vector with the ×1e5 integer eigendirection — |term|
+    * ≤ 6·10¹⁰, ×64 dims ≪ 2⁶³), plus the model-level
+    * explained-variance share ev_share_fp = λ/trace(cov) ×1e6
+    * round-half-up — the "is one direction enough?" number a
+    * compression/indexing decision reads.
+    *
+    * The 64-row direction is COLLECTED (the PQ-codebook stance:
+    * kilobytes, a model not data) and attached as an array literal,
+    * so projection is a zero-shuffle scan expression; the trace is
+    * one more agg over the same exact covariance cells, broadcast as
+    * a one-row dimension.
+    */
+  def q_pca_project(s: SparkSession, d: String): DataFrame = {
+    val pca = q_pca_power(s, d).collect() // 64 rows — the model
+    if (pca.isEmpty)
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, proj_fp BIGINT, lambda_fp BIGINT, ev_share_fp BIGINT"))
+    val vmap = pca.map(r => r.getAs[Long]("dim").toInt -> r.getAs[Long]("v_fp")).toMap
+    val dims = vmap.keys.max + 1
+    val vlit = typedLit((0 until dims).map(i => vmap.getOrElse(i, 0L)))
+    val lambda = pca.head.getAs[Long]("lambda_fp")
+    val trace = covCells(s, d).filter(col("i") === col("j"))
+      .agg(sum(expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
+               |  THEN (n * s_ij - s_i * s_j) div (n * n * 1000000)
+               |  ELSE -((s_i * s_j - n * s_ij) div (n * n * 1000000))
+               |END""".stripMargin)).as("trace"))
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        aggregate(zip_with(q, vlit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("proj_fp"))
+      .crossJoin(broadcast(trace))
+      .select(col("vec_id"), col("proj_fp"),
+        lit(lambda).as("lambda_fp"),
+        expr(s"(2 * ${lambda}L * 1000000 + trace) div (2 * trace)")
+          .as("ev_share_fp"))
+      .orderBy("vec_id")
+  }
 }

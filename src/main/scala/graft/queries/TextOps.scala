@@ -1147,6 +1147,22 @@ object TextOps {
     * documents) score NULL, preserved via the left join back.
     */
   def q_lm_bigram(s: SparkSession, d: String): DataFrame = {
+    val perDoc = bigramLogpPerDoc(s, d)
+    val meanLogp = col("s").cast("double") / col("n_bigrams") / 1e9
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(meanLogp, 6).as("mean_logp"),
+        round(exp(-meanLogp), 4).as("ppl_proxy"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-doc bigram-LM table behind [[q_lm_bigram]] and
+    * [[q_ccnet_split]]: (doc_id, n_bigrams, s) with s = exact long
+    * sum of the 1e-9-quantized per-position log-probs. Rows only for
+    * docs with >= 2 tokens — callers left-join the doc spine back.
+    */
+  private def bigramLogpPerDoc(s: SparkSession, d: String): DataFrame = {
     val bgw = documents(s, d)
       .select(col("doc_id"),
         explode(graft.queries.DedupOps.shinglesN(col("text"), 2,
@@ -1161,19 +1177,57 @@ object TextOps {
     val lpFp = round(
       log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double")) * 1e9
     ).cast("long")
-    val perDoc = bgw
+    bgw
       .join(c12, "bg")
       .join(c1, "w1")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), lpFp.as("lp_fp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("s"))
-    val meanLogp = col("s").cast("double") / col("n_bigrams") / 1e9
-    documents(s, d).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+  }
+
+  /** CCNet's defining data-selection step (Wenzek et al. 2020): rank
+    * every document by language-model fluency and cut the corpus into
+    * HEAD / MIDDLE / TAIL terciles — head feeds high-quality training
+    * mixes, tail is the crawl noise CCNet discards. Fluency here is
+    * the [[q_lm_bigram]] model's mean log-prob (CCNet uses KenLM
+    * perplexity; the ordering is the same statistic, monotone in it).
+    *
+    * Determinism: the ranking key is mean_fp = the sign-separated
+    * integer division of the exact per-doc (s, n) pair (s is already
+    * a sum of 1e-9-quantized longs; plain `div` truncates while
+    * DuckDB `//` floors, and log-probs are NEGATIVE, so the division
+    * must be sign-separated — both engines then agree bit for bit),
+    * ranked (mean_fp DESC, doc_id) with the tercile from the exact
+    * position formula `(rn−1)·3 div n + 1` (the q_rfm stance: ntile's
+    * remainder rule is engine lore, the formula is shared integer
+    * arithmetic). Documents with no bigram (< 2 tokens, null text)
+    * carry NULL rank and bucket — reported, not silently dropped.
+    *
+    * Scale shape: the LM table is [[bigramLogpPerDoc]] (two
+    * Zipf-bounded count aggs + the per-doc regroup); the ranking is
+    * ONE global sort over O(docs) rows of three longs (the q_sort /
+    * q_lorenz class — range-partitioned at scale), and the bucket
+    * label is a per-row expression off the broadcast one-row count.
+    */
+  def q_ccnet_split(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogpPerDoc(s, d)
       .select(col("doc_id"), col("n_bigrams"),
-        round(meanLogp, 6).as("mean_logp"),
-        round(exp(-meanLogp), 4).as("ppl_proxy"))
+        expr("""CASE WHEN s >= 0 THEN s div n_bigrams
+               |ELSE -((-s) div n_bigrams) END""".stripMargin).as("mean_fp"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("mean_fp").desc, col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_scored"))))
+      .select(col("doc_id"), col("n_bigrams"), col("mean_fp"), col("rn"),
+        expr("(rn - 1) * 3 div n_scored + 1").as("tercile"))
+    documents(s, d).select(col("doc_id"))
+      .join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("mean_fp"), col("rn"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .when(col("tercile") === 3, "tail").as("bucket"))
       .orderBy("doc_id")
   }
 

@@ -234,6 +234,30 @@ class EmbedSpec extends AnyFunSuite {
     assert(mx / 100000L > 0L, "dominant covariance eigenvalue must be positive")
   }
 
+  test("q_pca_project: exact dot products with the trained direction; share bounded") {
+    val direction = SparkEntry.queries("q_pca_power")(spark, TestSpark.sf).collect()
+    val v = direction.sortBy(_.getAs[Long]("dim")).map(_.getAs[Long]("v_fp"))
+    val lambda = direction.head.getAs[Long]("lambda_fp")
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray.map(x =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong)).toMap
+    val rows = SparkEntry.queries("q_pca_project")(spark, TestSpark.sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val q = vecs(r.getAs[Long]("vec_id"))
+      val proj = q.indices.map(i => q(i) * v(i)).sum
+      assert(r.getAs[Long]("proj_fp") == proj)
+      assert(r.getAs[Long]("lambda_fp") == lambda)
+      val share = r.getAs[Long]("ev_share_fp")
+      assert(share > 0L && share <= 1000000L, s"ev share $share")
+    }
+    // the dominant direction carries variance: projections genuinely spread
+    val ps = rows.map(_.getAs[Long]("proj_fp"))
+    assert(ps.distinct.length > 1)
+  }
+
   test("q_embed_cov equals a driver-side moment recompute; diagonal corr is 1") {
     val rows = SparkEntry.queries("q_embed_cov")(spark, TestSpark.sf).collect()
     assert(rows.length == 64 * 65 / 2)

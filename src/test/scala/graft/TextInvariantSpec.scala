@@ -56,6 +56,36 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(out(0L).getAs[Double]("ppl_proxy") < out(1L).getAs[Double]("ppl_proxy"))
   }
 
+  test("q_ccnet_split: rank replays the LM ordering; terciles cut by the position formula") {
+    val rows = SparkEntry.queries("q_ccnet_split")(spark, TestSpark.sf).collect()
+    val nDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.length == nDocs)
+    val scored = rows.filter(!_.isNullAt(2))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("mean_fp"),
+        r.getAs[Long]("rn"), r.getAs[String]("bucket")))
+    assert(scored.nonEmpty)
+    val n = scored.length.toLong
+    // ranks are exactly the (mean_fp DESC, doc_id ASC) order
+    val expected = scored.sortBy(t => (-t._2, t._1)).zipWithIndex
+    expected.foreach { case ((id, _, rn, bucket), idx) =>
+      assert(rn == idx + 1, s"doc $id rank")
+      val terc = (rn - 1) * 3 / n + 1
+      val expBucket = terc match {
+        case 1 => "head"; case 2 => "middle"; case _ => "tail"
+      }
+      assert(bucket == expBucket, s"doc $id bucket")
+    }
+    // all three buckets are inhabited and head is at least as fluent
+    // as tail on every member pair
+    val byBucket = scored.groupBy(_._4)
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val minHead = byBucket("head").map(_._2).min
+    val maxTail = byBucket("tail").map(_._2).max
+    assert(minHead >= maxTail)
+    // unscored docs (< 2 tokens / null text) keep a row with null bucket
+    rows.filter(_.isNullAt(2)).foreach(r => assert(r.isNullAt(4)))
+  }
+
   test("q_text_clean is idempotent: cleaning already-clean text changes nothing") {
     import spark.implicits._
     val once = graft.queries.TextOps.q_text_clean(spark, dir)
