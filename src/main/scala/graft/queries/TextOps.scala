@@ -1271,6 +1271,20 @@ object TextOps {
     */
   def q_lm_backoff(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(backoffPerDoc(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_trigrams"),
+        col("n_tri"), col("n_bi"), col("n_uni"), col("sum_score_fp"),
+        expr("sum_score_fp div n_trigrams").as("mean_score_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** The held-out per-doc stupid-backoff table behind [[q_lm_backoff]]
+    * and [[q_mix_lm]]: one row per odd doc with ≥ 3 tokens —
+    * (doc_id, n_trigrams, n_tri, n_bi, n_uni, sum_score_fp).
+    */
+  private def backoffPerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
     val train = docs.filter(col("doc_id") % 2 === 0)
     val toks = train.select(explode(split(col("text"), " ")).as("tok"))
     val c1 = toks.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -1301,7 +1315,7 @@ object TextOps {
         |WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) div (5 * cw2)
         |ELSE (4 * coalesce(cw3, 0) * 1000000000) div (25 * n_train)
         |END""".stripMargin)
-    val perDoc = scored.groupBy("doc_id").agg(
+    scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_trigrams"),
       sum(when(col("c123").isNotNull, 1L).otherwise(0L)).as("n_tri"),
       sum(when(col("c123").isNull && col("c23").isNotNull, 1L)
@@ -1309,12 +1323,54 @@ object TextOps {
       sum(when(col("c123").isNull && col("c23").isNull, 1L)
         .otherwise(0L)).as("n_uni"),
       sum(scoreFp).as("sum_score_fp"))
-    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_trigrams"),
-        col("n_tri"), col("n_bi"), col("n_uni"), col("sum_score_fp"),
-        expr("sum_score_fp div n_trigrams").as("mean_score_fp"))
-      .orderBy("doc_id")
+  }
+
+  /** DoReMi-style domain reweighting by held-out LM fit (Xie et al.
+    * 2023's control signal, linearized): per SOURCE, pool the
+    * [[q_lm_backoff]] held-out scores (position-weighted — the pooled
+    * mean is Σ score / Σ positions, so long documents count by their
+    * tokens), measure each source's DEFICIT against the best-fitting
+    * source, and assign mixing weights ∝ deficit + ε — underfit
+    * domains get more sampling mass, the move DoReMi makes with
+    * exp(excess/τ) (exp is not engine-portable; the linear form keeps
+    * every output an exact integer while preserving the ordering).
+    * ε = 1000 (×1e-3 in fp units) keeps the weights defined when all
+    * sources fit equally (uniform weights, the correct limit).
+    *
+    * All-integer: pooled means are sign-separated long divisions,
+    * deficits are differences of those, weights are the ×1e6
+    * round-half-up share of the deficit sum. Sources with no scored
+    * held-out doc (< 3-token corpus slice) have no measurable fit
+    * and are absent — a report row would carry undefined fit, not
+    * zero.
+    *
+    * Scale shape: everything downstream of the backoff scorer is
+    * O(sources) — one map-side-combined agg over the per-doc table,
+    * a one-row best/total broadcast, per-row weight arithmetic.
+    */
+  def q_mix_lm(s: SparkSession, d: String): DataFrame = {
+    val perSrc = backoffPerDoc(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trigrams")).as("n_trigrams"),
+        sum(col("sum_score_fp")).as("s"))
+      .select(col("source"), col("n_docs"), col("n_trigrams"),
+        expr("""CASE WHEN s >= 0 THEN s div n_trigrams
+               |ELSE -((-s) div n_trigrams) END""".stripMargin)
+          .as("mean_score_fp"))
+    val best = perSrc.agg(max(col("mean_score_fp")).as("best"))
+    val withDef = perSrc.crossJoin(broadcast(best))
+      .select(col("source"), col("n_docs"), col("n_trigrams"),
+        col("mean_score_fp"),
+        (col("best") - col("mean_score_fp")).as("deficit_fp"))
+    val tot = withDef.agg(sum(col("deficit_fp") + 1000L).as("tot"))
+    withDef.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_trigrams"),
+        col("mean_score_fp"), col("deficit_fp"),
+        expr("(2 * (deficit_fp + 1000) * 1000000 + tot) div (2 * tot)")
+          .as("weight_fp"))
+      .orderBy("source")
   }
 
   /** Lorenz curve + Gini coefficient of token mass over documents —

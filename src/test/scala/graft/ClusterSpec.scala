@@ -141,4 +141,31 @@ class ClusterSpec extends AnyFunSuite {
     // conservation: kept + dropped == corpus
     assert(resolved.values.map(_._1).sum == clusters.length.toLong)
   }
+
+  test("q_dedup_priority: keeps the longest member per cluster; policy genuinely diverges") {
+    val rows = SparkEntry.queries("q_dedup_priority")(spark, sf).collect()
+    val clusters = SparkEntry.queries("q_dup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(rows.length == clusters.size, "one decision row per document")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      // the representative is the member maximizing (n_chars, -doc_id)
+      val best = members.minBy(r =>
+        (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      members.foreach { r =>
+        assert(r.getAs[Long]("rep_id") == best.getAs[Long]("doc_id"),
+          s"cluster $cid rep")
+        assert(r.getAs[Boolean]("kept") ==
+          (r.getAs[Long]("doc_id") == best.getAs[Long]("doc_id")))
+        // same cluster assignment as q_dup_clusters
+        assert(clusters(r.getAs[Long]("doc_id")) == cid)
+      }
+      assert(members.count(_.getAs[Boolean]("kept")) == 1,
+        s"cluster $cid keeps exactly one")
+    }
+    // measured non-degeneracy (sf0.001: 103 rows diverge): the
+    // longest-member policy must actually differ from keep-min-id
+    assert(rows.exists(r => r.getAs[Long]("rep_id") != r.getAs[Long]("cluster_id")),
+      "keep-longest never diverged from keep-min-id — policy degenerate")
+  }
 }

@@ -498,6 +498,40 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mix_lm replays exactly from the backoff per-doc table; weights share to ~1e6") {
+    val perDoc = SparkEntry.queries("q_lm_backoff")(spark, sf).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_trigrams"),
+        r.getAs[Long]("sum_score_fp")))
+    val src = graft.Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pooled = perDoc.groupBy(t => src(t._1)).view.mapValues { ds =>
+      val n = ds.map(_._2).sum; val s = ds.map(_._3).sum
+      val mean = if (s >= 0) s / n else -((-s) / n)
+      (ds.length.toLong, n, mean)
+    }.toMap
+    val best = pooled.values.map(_._3).max
+    val tot = pooled.values.map(best - _._3 + 1000L).sum
+    val rows = SparkEntry.queries("q_mix_lm")(spark, sf).collect()
+    assert(rows.length == pooled.size)
+    var wsum = 0L
+    rows.foreach { r =>
+      val (nd, nt, mean) = pooled(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_trigrams") == nt)
+      assert(r.getAs[Long]("mean_score_fp") == mean)
+      val deficit = best - mean
+      assert(r.getAs[Long]("deficit_fp") == deficit)
+      val w = (2L * (deficit + 1000L) * 1000000L + tot) / (2L * tot)
+      assert(r.getAs[Long]("weight_fp") == w)
+      wsum += w
+    }
+    // round-half-up shares reconstruct the unit within one ulp per source
+    assert(math.abs(wsum - 1000000L) <= rows.length.toLong)
+    // the control signal is live: not all sources fit equally
+    assert(rows.map(_.getAs[Long]("deficit_fp")).distinct.length > 1)
+  }
+
   test("q_sample_stratified equals q_sample_reservoir row for row (operator vs aggregator)") {
     def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
