@@ -420,13 +420,27 @@ object EmbedOps {
     * once and reread per step, with v attached via broadcast (the
     * PageRank kernel shape at toy size).
     */
-  def q_pca_power(s: SparkSession, d: String, iters: Int = 8): DataFrame = {
-    val upper = covCells(s, d)
+  def q_pca_power(s: SparkSession, d: String, iters: Int = 8): DataFrame =
+    powerIterate(covCells(s, d), iters)
+
+  /** The K-step integer power iteration over a (i, j, n, s_ij, s_i,
+    * s_j) cell table — factored so [[q_pca_project]] can feed a
+    * checkpointed cells table and reuse it for the trace instead of
+    * recomputing the corpus-scale covariance pass (the
+    * twice-referenced-state rule; recomputation measured as the
+    * suite's heaviest key at 9.6s before the split, ~2x its floor).
+    */
+  private def powerIterate(cells: DataFrame, iters: Int): DataFrame = {
+    val upper = cells
       .select(col("i"), col("j"),
         expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
                |  THEN (n * s_ij - s_i * s_j) div (n * n * 1000000)
                |  ELSE -((s_i * s_j - n * s_ij) div (n * n * 1000000))
                |END""".stripMargin).as("m"))
+      // d(d+1)/2 rows, model-sized; referenced twice by the mirror
+      // union below — without this checkpoint the corpus-scale cell
+      // pass underneath runs once per branch (no cross-branch CSE)
+      .localCheckpoint()
     val mat = upper.unionAll(upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("m")))
       .localCheckpoint() // reread by all K iterations
@@ -469,7 +483,10 @@ object EmbedOps {
     * a one-row dimension.
     */
   def q_pca_project(s: SparkSession, d: String): DataFrame = {
-    val pca = q_pca_power(s, d).collect() // 64 rows — the model
+    // ONE covariance pass: checkpointed, read by the power iteration
+    // AND the trace (the twice-referenced-state rule)
+    val cells = covCells(s, d).localCheckpoint()
+    val pca = powerIterate(cells, 8).collect() // 64 rows — the model
     if (pca.isEmpty)
       return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -478,7 +495,7 @@ object EmbedOps {
     val dims = vmap.keys.max + 1
     val vlit = typedLit((0 until dims).map(i => vmap.getOrElse(i, 0L)))
     val lambda = pca.head.getAs[Long]("lambda_fp")
-    val trace = covCells(s, d).filter(col("i") === col("j"))
+    val trace = cells.filter(col("i") === col("j"))
       .agg(sum(expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
                |  THEN (n * s_ij - s_i * s_j) div (n * n * 1000000)
                |  ELSE -((s_i * s_j - n * s_ij) div (n * n * 1000000))
