@@ -149,6 +149,7 @@ object SparkEntry {
     "q_lm_backoff"   -> (TextOps.q_lm_backoff _),
     "q_ccnet_split"  -> (TextOps.q_ccnet_split _),
     "q_mix_lm"       -> (TextOps.q_mix_lm _),
+    "q_minkprob"     -> ((s, d) => TextOps.q_minkprob(s, d)),
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
@@ -354,12 +355,14 @@ object SparkEntry {
   }
 
   /** The stupid-backoff CTE chain ending in `per` (one row per scored
-    * held-out doc: doc_id, n_trigrams, n_tri, n_bi, n_uni,
-    * sum_score_fp) — shared by the q_lm_backoff and q_mix_lm oracles
-    * so the pooled reweighting reads exactly the scored table.
+    * doc: doc_id, n_trigrams, n_tri, n_bi, n_uni, sum_score_fp) —
+    * shared by the q_lm_backoff / q_mix_lm / q_minkprob oracles so
+    * every consumer reads exactly the scored table. `posFilter`
+    * selects the scored population (held-out half for the LM evals,
+    * every doc for membership inference).
     */
-  private def duckBackoffCtes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS w
+  private def duckBackoffCtes(posFilter: String = "doc_id % 2 = 1"): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w
       |           FROM documents WHERE text IS NOT NULL),
       |u AS (SELECT unnest(w) AS tok FROM t WHERE doc_id % 2 = 0),
       |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
@@ -374,7 +377,7 @@ object SparkEntry {
       |    unnest([w[i] for i in range(1, len(w)-1)]) AS w1,
       |    unnest([w[i+1] for i in range(1, len(w)-1)]) AS w2,
       |    unnest([w[i+2] for i in range(1, len(w)-1)]) AS w3
-      |  FROM t WHERE doc_id % 2 = 1 AND len(w) >= 3),
+      |  FROM t WHERE ($posFilter) AND len(w) >= 3),
       |sc AS (SELECT p.doc_id, t3.c AS c123, b12.c AS c12, b23.c AS c23,
       |    u2.c AS cw2, u3.c AS cw3, nt.n_train
       |  FROM p
@@ -3149,17 +3152,38 @@ object SparkEntry {
     // factors exactly), numerators non-negative so // (floor) and
     // Spark div (trunc) agree.
     "q_lm_backoff" ->
-      s"""WITH $duckBackoffCtes
+      s"""WITH ${duckBackoffCtes()}
         |SELECT d.doc_id, n_trigrams, n_tri, n_bi, n_uni, sum_score_fp,
         |  sum_score_fp // n_trigrams AS mean_score_fp
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Min-K% prob: every doc scored (posFilter TRUE), per-doc sorted
+    // score list, bottom ceil(n*20/100) summed — scores are
+    // non-negative count ratios so // and div agree, and ties at the
+    // cut are sum-invariant.
+    "q_minkprob" ->
+      s"""WITH ${duckBackoffCtes("TRUE")},
+        |ps AS (SELECT doc_id,
+        |    CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000000) // c12
+        |      WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) // (5 * cw2)
+        |      ELSE (4 * coalesce(cw3, 0) * 1000000000) // (25 * n_train) END AS score_fp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    list_sort(list(score_fp)) AS xs FROM ps GROUP BY 1),
+        |ks AS (SELECT doc_id, n_trigrams,
+        |    (n_trigrams * 20 + 99) // 100 AS k, xs FROM ag),
+        |res AS (SELECT doc_id, n_trigrams, k,
+        |    CAST(list_sum(xs[1:k]) AS BIGINT) AS min_k_sum_fp FROM ks)
+        |SELECT d.doc_id, d.doc_id % 2 = 0 AS in_train, n_trigrams, k,
+        |  min_k_sum_fp, min_k_sum_fp // k AS min_k_mean_fp
+        |FROM documents d LEFT JOIN res USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // DoReMi-lite reweighting: the backoff per-doc table pooled per
     // source (position-weighted sign-separated mean), deficit vs the
     // best source, linear weights with the +1000 epsilon, x1e6
     // round-half-up share.
     "q_mix_lm" ->
-      s"""WITH $duckBackoffCtes,
+      s"""WITH ${duckBackoffCtes()},
         |src AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
         |    CAST(sum(sum_score_fp) AS BIGINT) AS s

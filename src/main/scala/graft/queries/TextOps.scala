@@ -1283,7 +1283,23 @@ object TextOps {
     * and [[q_mix_lm]]: one row per odd doc with ≥ 3 tokens —
     * (doc_id, n_trigrams, n_tri, n_bi, n_uni, sum_score_fp).
     */
-  private def backoffPerDoc(s: SparkSession, d: String): DataFrame = {
+  private def backoffPerDoc(s: SparkSession, d: String): DataFrame =
+    backoffPositions(s, d, heldOutOnly = true).groupBy("doc_id").agg(
+      count(lit(1)).as("n_trigrams"),
+      sum(when(col("is_tri"), 1L).otherwise(0L)).as("n_tri"),
+      sum(when(col("is_bi"), 1L).otherwise(0L)).as("n_bi"),
+      sum(when(!col("is_tri") && !col("is_bi"), 1L).otherwise(0L)).as("n_uni"),
+      sum(col("score_fp")).as("sum_score_fp"))
+
+  /** Per-trigram-position stupid-backoff scores (doc_id, is_tri,
+    * is_bi, score_fp) under the even-half model — the position table
+    * behind [[backoffPerDoc]] and [[q_minkprob]]. `heldOutOnly`
+    * scores only the odd half (the LM-eval stance); false scores
+    * EVERY doc, which the membership-inference key needs (the train
+    * half is the "member" population).
+    */
+  private def backoffPositions(
+      s: SparkSession, d: String, heldOutOnly: Boolean): DataFrame = {
     val docs = documents(s, d)
     val train = docs.filter(col("doc_id") % 2 === 0)
     val toks = train.select(explode(split(col("text"), " ")).as("tok"))
@@ -1295,7 +1311,7 @@ object TextOps {
     val c3 = train.select(explode(graft.queries.DedupOps
         .shinglesN(col("text"), 3, fallbackToText = false)).as("tg"))
       .groupBy("tg").agg(count(lit(1)).as("c"))
-    val pos = docs.filter(col("doc_id") % 2 === 1)
+    val pos = (if (heldOutOnly) docs.filter(col("doc_id") % 2 === 1) else docs)
       .select(col("doc_id"), explode(graft.queries.DedupOps
         .shinglesN(col("text"), 3, fallbackToText = false)).as("tg"))
       .select(col("doc_id"), col("tg"), split(col("tg"), " ").as("ws"))
@@ -1303,26 +1319,69 @@ object TextOps {
         concat_ws(" ", element_at(col("ws"), 1), element_at(col("ws"), 2)).as("b12"),
         concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 3)).as("b23"),
         element_at(col("ws"), 2).as("w2"), element_at(col("ws"), 3).as("w3"))
-    val scored = pos
+    val scoreFp = expr(
+      """CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000000) div c12
+        |WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) div (5 * cw2)
+        |ELSE (4 * coalesce(cw3, 0) * 1000000000) div (25 * n_train)
+        |END""".stripMargin)
+    pos
       .join(c3.select(col("tg"), col("c").as("c123")), Seq("tg"), "left")
       .join(c2.select(col("bg").as("b12"), col("c").as("c12")), Seq("b12"), "left")
       .join(c2.select(col("bg").as("b23"), col("c").as("c23")), Seq("b23"), "left")
       .join(c1.select(col("tok").as("w2"), col("c").as("cw2")), Seq("w2"), "left")
       .join(c1.select(col("tok").as("w3"), col("c").as("cw3")), Seq("w3"), "left")
       .crossJoin(broadcast(nTot))
-    val scoreFp = expr(
-      """CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000000) div c12
-        |WHEN c23 IS NOT NULL THEN (2 * c23 * 1000000000) div (5 * cw2)
-        |ELSE (4 * coalesce(cw3, 0) * 1000000000) div (25 * n_train)
-        |END""".stripMargin)
-    scored.groupBy("doc_id").agg(
-      count(lit(1)).as("n_trigrams"),
-      sum(when(col("c123").isNotNull, 1L).otherwise(0L)).as("n_tri"),
-      sum(when(col("c123").isNull && col("c23").isNotNull, 1L)
-        .otherwise(0L)).as("n_bi"),
-      sum(when(col("c123").isNull && col("c23").isNull, 1L)
-        .otherwise(0L)).as("n_uni"),
-      sum(scoreFp).as("sum_score_fp"))
+      .select(col("doc_id"),
+        col("c123").isNotNull.as("is_tri"),
+        (col("c123").isNull && col("c23").isNotNull).as("is_bi"),
+        scoreFp.as("score_fp"))
+  }
+
+  /** Min-K%-prob membership inference (Shi et al. 2024, "Detecting
+    * Pretraining Data from Large Language Models"): score every
+    * document's trigrams under the even-half model and average only
+    * the K% LOWEST-scoring positions — a member's worst positions
+    * were still seen in training (high floor), a non-member's worst
+    * positions back off to the unigram tail (floor near zero), so the
+    * min-k mean separates members from non-members far more sharply
+    * than the overall mean. The pipeline use is the reverse of
+    * training-set hygiene: given a model and a benchmark, this is the
+    * detector that says whether the benchmark was in the training
+    * corpus. Here the train half IS the member population, so the
+    * separation is measurable by construction (pinned in the spec and
+    * printed by the in_train flag).
+    *
+    * All-integer: positions carry the [[q_lm_backoff]] ×1e9 scores
+    * (non-negative count ratios); the per-doc bottom-k slice sums
+    * exactly (sort_array + slice — doc-bounded row-local state, the
+    * sorted-fold stance) and k = ceil(n·K/100) is the shared integer
+    * formula. Oracle ties are safe by construction: equal scores
+    * straddling the cut contribute the same sum whichever copies the
+    * engines pick.
+    *
+    * Scale shape: identical to the backoff scorer (count joins on
+    * n-gram keys) plus one per-doc regroup whose state is one sorted
+    * long array per document — bounded by document length, never by
+    * corpus.
+    */
+  def q_minkprob(s: SparkSession, d: String, pctK: Int = 20): DataFrame = {
+    val per = backoffPositions(s, d, heldOutOnly = false)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("score_fp"))).as("xs"))
+      .select(col("doc_id"),
+        size(col("xs")).cast("long").as("n_trigrams"),
+        expr(s"(cast(size(xs) as bigint) * $pctK + 99) div 100").as("k"),
+        col("xs"))
+      .select(col("doc_id"), col("n_trigrams"), col("k"),
+        aggregate(slice(col("xs"), lit(1), col("k").cast("int")),
+          lit(0L), (acc, x) => acc + x).as("min_k_sum_fp"))
+    documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 2 === 0).as("in_train"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("in_train"), col("n_trigrams"), col("k"),
+        col("min_k_sum_fp"),
+        expr("min_k_sum_fp div k").as("min_k_mean_fp"))
+      .orderBy("doc_id")
   }
 
   /** DoReMi-style domain reweighting by held-out LM fit (Xie et al.

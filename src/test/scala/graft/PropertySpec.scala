@@ -228,6 +228,38 @@ class PropertySpec extends AnyFunSuite {
             assert(r.getAs[Long]("mean_score_fp") == m, s"doc $id mean")
         }
       }
+      // q_minkprob: same model, EVERY doc scored, bottom ceil(20%) mean
+      val expMink = docs.map { case (id, t) =>
+        val w = words(t)
+        val tris = if (w.length >= 3) w.sliding(3).toSeq else Nil
+        id -> (if (tris.isEmpty) None else Some {
+          val scores = tris.map { g =>
+            val tg = g.mkString(" ")
+            val (b12, b23) = (s"${g(0)} ${g(1)}", s"${g(1)} ${g(2)}")
+            if (c3.contains(tg)) c3(tg) * 1000000000L / c2(b12)
+            else if (c2.contains(b23)) 2L * c2(b23) * 1000000000L / (5L * c1(g(1)))
+            else 4L * c1.getOrElse(g(2), 0L) * 1000000000L / (25L * nTrain)
+          }.sorted
+          val k = (tris.size.toLong * 20L + 99L) / 100L
+          val s = scores.take(k.toInt).sum
+          (tris.size.toLong, k, s, s / k)
+        })
+      }.toMap
+      val gotMink = graft.queries.TextOps.q_minkprob(spark, tmp).collect()
+      assert(gotMink.length == docs.length)
+      gotMink.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        assert(r.getAs[Boolean]("in_train") == (id % 2 == 0))
+        expMink(id) match {
+          case None =>
+            assert(r.isNullAt(r.fieldIndex("n_trigrams")), s"mink doc $id")
+          case Some((n, k, s, m)) =>
+            assert(r.getAs[Long]("n_trigrams") == n, s"mink doc $id n")
+            assert(r.getAs[Long]("k") == k, s"mink doc $id k")
+            assert(r.getAs[Long]("min_k_sum_fp") == s, s"mink doc $id sum")
+            assert(r.getAs[Long]("min_k_mean_fp") == m, s"mink doc $id mean")
+        }
+      }
     }
   }
 
