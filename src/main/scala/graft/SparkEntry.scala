@@ -215,6 +215,7 @@ object SparkEntry {
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
     "q_sim_pq"      -> (SimilarityOps.q_sim_pq _),
     "q_sim_ivfpq"   -> (SimilarityOps.q_sim_ivfpq _),
+    "q_pq_error"    -> (SimilarityOps.q_pq_error _),
     "q_sim_recall"  -> (SimilarityOps.q_sim_recall _),
     "q_sim_sparse"  -> ((s, d) => SimilarityOps.q_sim_sparse(s, d)),
     "q_dedup_semantic" -> ((s, d) => SimilarityOps.q_dedup_semantic(s, d)),
@@ -4400,6 +4401,23 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS rank
         |  FROM adc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // PQ distortion: the q_sim_pq dist CTE's per-(vec, subspace)
+    // minimum IS the assigned-centroid error; M-row report
+    "q_pq_error" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE len(embedding) = 64),
+        |cent AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT v.vec_id, s.m, c.cid,
+        |    CAST(round(1e6 * list_sum(list_transform(range(1, 9), i ->
+        |      (v.e[s.m*8 + i] - c.cv[s.m*8 + i]) * (v.e[s.m*8 + i] - c.cv[s.m*8 + i])
+        |    ))) AS BIGINT) AS dfp
+        |  FROM v, (SELECT unnest(range(0, 8)) AS m) s, cent c),
+        |best AS (SELECT vec_id, m, min(dfp) AS err_fp FROM dist GROUP BY 1, 2)
+        |SELECT CAST(m AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(err_fp) AS BIGINT) AS sum_err_fp,
+        |  CAST(sum(err_fp) AS BIGINT) // count(*) AS mean_err_fp
+        |FROM best WHERE err_fp IS NOT NULL GROUP BY 1 ORDER BY subspace""".stripMargin,
     // IVF-PQ: the q_sim_pq fixed-point machinery composed with a
     // coarse quantizer. Residuals are exact double subtractions
     // ((v-cc) identical bits in both engines); every distance is the

@@ -320,6 +320,55 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-subspace PQ reconstruction-error report — the quantization
+    * QUALITY readout next to [[q_sim_pq]]'s index: for every vector,
+    * each subspace's error is the distance to its assigned (nearest)
+    * sub-centroid — exactly the `least` struct's d field, so the
+    * report reuses the encoder's own arithmetic — and the M-row
+    * output carries per-subspace count / sum / mean of that
+    * fixed-point distortion. A subspace whose mean error dwarfs the
+    * others is where the codebook needs more centroids (or the
+    * dimensions need rotation) — the tuning decision this report
+    * feeds. Same scale shape as the encoder: K×M literal distances
+    * fused into the scan, one M-key map-side-combined agg.
+    */
+  def q_pq_error(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val m = PqM
+    val k = PqK
+    val dims = PqDims
+    val subDim = dims / m
+    val e = embeddings(s, d).filter(size(col("embedding")) === dims)
+    val cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getSeq[Float](1).toArray)
+    if (cents.isEmpty)
+      return e.select(col("vec_id").as("subspace"), lit(0L).as("n_vecs"),
+        lit(0L).as("sum_err_fp"), lit(0L).as("mean_err_fp")).limit(0)
+    def subCent(mi: Int, ki: Int): Array[Float] =
+      cents(ki).slice(mi * subDim, (mi + 1) * subDim)
+    def distFp(sub: Column, mi: Int, ki: Int): Column =
+      round(call_function("sq_l2", sub, typedLit(subCent(mi, ki))) * lit(1e6)).cast("long")
+    val subs = array((0 until m).map(mi =>
+      slice(col("embedding"), mi * subDim + 1, subDim)): _*)
+    val errCols = (0 until m).map { mi =>
+      val sub = element_at(col("subs"), mi + 1)
+      least((0 until k).map { ki =>
+        struct(distFp(sub, mi, ki).as("d"), lit(ki).as("k"))
+      }: _*).getField("d")
+    }
+    e.withColumn("subs", subs)
+      .select(col("vec_id"), posexplode(array(errCols: _*)).as(Seq("subspace", "err_fp")))
+      .filter(col("err_fp").isNotNull)
+      .groupBy(col("subspace").cast("long").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err_fp")).as("sum_err_fp"))
+      .select(col("subspace"), col("n_vecs"), col("sum_err_fp"),
+        expr("sum_err_fp div n_vecs").as("mean_err_fp"))
+      .orderBy("subspace")
+  }
+
   /** IVF-PQ geometry: coarse cells plus the PQ constants above. */
   val IvfPqCoarse = 8 // coarse centroids (cells)
   val IvfPqProbe  = 2 // cells searched per query

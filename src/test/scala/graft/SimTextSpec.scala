@@ -176,6 +176,38 @@ class SimTextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pq_error equals the driver-side per-subspace min-distance distortion exactly") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .filter(_._2.length == 64).sortBy(_._1)
+    val m = queries.SimilarityOps.PqM
+    val k = queries.SimilarityOps.PqK
+    val sub = queries.SimilarityOps.PqDims / m
+    val cents = vecs.filter(_._1 < k).map(_._2)
+    def dfp(v: Array[Float], c: Array[Float], off: Int): Long = {
+      var acc = 0.0; var i = 0
+      while (i < sub) { val d = v(off + i).toDouble - c(off + i).toDouble; acc += d * d; i += 1 }
+      BigDecimal(acc * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = (0 until m).map { mi =>
+      val errs = vecs.map { case (_, v) =>
+        (0 until k).map(ki => dfp(v, cents(ki), mi * sub)).min
+      }
+      (mi.toLong, vecs.length.toLong, errs.sum)
+    }
+    val got = q("q_pq_error").collect()
+    assert(got.length == m)
+    got.zip(want).foreach { case (r, (mi, n, s)) =>
+      assert(r.getAs[Long]("subspace") == mi)
+      assert(r.getAs[Long]("n_vecs") == n, s"subspace $mi n")
+      assert(r.getAs[Long]("sum_err_fp") == s, s"subspace $mi sum")
+      assert(r.getAs[Long]("mean_err_fp") == s / n, s"subspace $mi mean")
+    }
+    // codebook members quantize to themselves: total distortion must be
+    // strictly below a codebook-free baseline (all-zeros reference)
+    assert(want.map(_._3).sum > 0L, "distortion zero would mean a degenerate corpus")
+  }
+
   test("q_sim_pq: identical vectors quantize identically (ADC distance 0 to a duplicate query)") {
     // quantization cannot split identical inputs: a corpus vector equal
     // to the query byte-for-byte must surface at rank 1 with distance 0
