@@ -189,6 +189,7 @@ object SparkEntry {
     // §2.11 dedup family
     "q_minhash"       -> (DedupOps.q_minhash _),
     "q_dedup_minhash" -> (DedupOps.q_dedup_minhash _),
+    "q_dedup_savings" -> (DedupOps.q_dedup_savings _),
     "q_minhash_calib" -> (DedupOps.q_minhash_calib _),
     "q_dedup_agreement" -> (DedupOps.q_dedup_agreement _),
     "q_source_overlap"  -> ((s, d) => DedupOps.q_source_overlap(s, d)),
@@ -2003,6 +2004,53 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 10) AS jaccard
         |FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("SIG_COLUMNS",
+          (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
+    // Threshold sweep: the q_dedup_minhash pair CTEs, thresholds via
+    // unnest, rounded-jaccard >= thr/100.0 compare (identical IEEE
+    // division + bit-identical jaccard doubles → identical branches),
+    // literal spine keeps zero rows
+    "q_dedup_savings" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |SIG_COLUMNS
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', h1, h2, h3, h4) AS band FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', h5, h6, h7, h8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+        |        WHERE NOT (len(shingles) = 1 AND shingles[1] IS NULL)),
+        |mh AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / len(list_distinct(x.sset || y.sset)), 10) AS jaccard
+        |  FROM cand JOIN dsh x ON x.doc_id = doc_a JOIN dsh y ON y.doc_id = doc_b),
+        |thr AS (SELECT unnest([900, 925, 950, 975, 990]) AS thr_mille),
+        |pt AS (SELECT t.thr_mille, m.doc_a, m.doc_b FROM mh m, thr t
+        |       WHERE m.jaccard >= t.thr_mille / 1000.0),
+        |pc AS (SELECT thr_mille, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM pt GROUP BY 1),
+        |inv AS (SELECT DISTINCT thr_mille, doc_id FROM (
+        |    SELECT thr_mille, doc_a AS doc_id FROM pt
+        |    UNION ALL SELECT thr_mille, doc_b FROM pt)),
+        |tk AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |       FROM documents),
+        |da AS (SELECT thr_mille, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |       FROM inv JOIN tk USING (doc_id) GROUP BY 1)
+        |SELECT CAST(t.thr_mille AS BIGINT) AS thr_mille,
+        |  coalesce(pc.n_pairs, 0) AS n_pairs,
+        |  coalesce(da.n_docs, 0) AS n_docs,
+        |  coalesce(da.n_tokens, 0) AS n_tokens
+        |FROM thr t LEFT JOIN pc USING (thr_mille) LEFT JOIN da USING (thr_mille)
+        |ORDER BY thr_mille""".stripMargin
         .replace("SIG_COLUMNS",
           (1 to 8).map(i => s"    ${duckMinhash(i)} AS h$i").mkString(",\n")),
     // CDC: boundaries where the 4-gram hash60 = 0 mod 16; spans from

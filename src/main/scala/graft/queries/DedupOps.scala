@@ -614,6 +614,62 @@ object DedupOps {
     * IEEE division rounded at 10; the flag compares ROUNDED values so
     * both engines branch identically.
     */
+  /** Dedup threshold-sweep report — the tuning table consulted BEFORE
+    * committing a corpus-wide dedup pass: for each candidate Jaccard
+    * cutoff (0.900 … 0.990 per-mille — MEASURED against the confirmed
+    * pair distribution: this band geometry only surfaces resemblance
+    * ≥ ~0.9, where the pairs spread 0.90-0.99; a 0.5-0.9 sweep
+    * verified the same number four times), how many confirmed pairs
+    * clear it, how many
+    * distinct documents those pairs touch, and how many tokens ride
+    * on the touched documents (the upper bound on what resolution
+    * could reclaim). On 100 TB you read this 5-row table and pick τ
+    * instead of re-running the full cluster+resolve pipeline per
+    * candidate.
+    *
+    * Determinism: thresholds compare against the ROUNDED jaccard via
+    * `jaccard >= thr/100.0` — thr/100.0 is the same IEEE division in
+    * both engines and jaccard doubles are bit-identical (the
+    * established rounded-compare stance), so both engines branch
+    * identically. Counts and token sums are exact longs; absent
+    * thresholds (no pair clears 0.9) keep a zero row via the literal
+    * spine.
+    *
+    * Scale shape: the confirmed pair table is computed ONCE and
+    * checkpointed (it feeds the pair count and both distinct-doc
+    * branches — the twice-referenced-state rule); everything after is
+    * pair-sized (threshold explode = ×5) plus one join of the
+    * involved-doc list against a scan-side token count. Nothing
+    * corpus-scale shuffles beyond what candidate generation paid.
+    */
+  def q_dedup_savings(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Seq(900L, 925L, 950L, 975L, 990L)
+    val pairs = q_dedup_minhash(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint() // read by the pair count AND both doc branches
+    val pt = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(typedLit(thresholds)).as("thr_mille"))
+      .filter(col("jaccard") >= col("thr_mille") / lit(1000.0))
+    val perThr = pt.groupBy("thr_mille").agg(count(lit(1)).as("n_pairs"))
+    val involved = pt.select(col("thr_mille"), col("doc_a").as("doc_id"))
+      .unionAll(pt.select(col("thr_mille"), col("doc_b").as("doc_id")))
+      .distinct()
+    val toks = documents(s, d).select(col("doc_id"),
+      size(split(col("text"), "\\s+", -1)).cast("long").as("n_toks"))
+    val docAgg = involved.join(toks, Seq("doc_id")).groupBy("thr_mille")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    import s.implicits._
+    thresholds.toDF("thr_mille")
+      .join(perThr, Seq("thr_mille"), "left")
+      .join(docAgg, Seq("thr_mille"), "left")
+      .select(col("thr_mille"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("thr_mille")
+  }
+
   def q_containment(s: SparkSession, d: String): DataFrame = {
     val family = HashFamily.fromConf(s)
     val bands = signatures(s, d, family).select(col("doc_id"),

@@ -176,6 +176,29 @@ class SimTextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_savings: monotone sweep that reconciles with the confirmed pair table") {
+    val rows = SparkEntry.queries("q_dedup_savings")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("thr_mille"))
+    assert(rows.map(_.getAs[Long]("thr_mille")).toSeq ==
+      Seq(900L, 925L, 950L, 975L, 990L))
+    // tightening the threshold never adds pairs, docs, or tokens
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+      assert(lo.getAs[Long]("n_docs") >= hi.getAs[Long]("n_docs"))
+      assert(lo.getAs[Long]("n_tokens") >= hi.getAs[Long]("n_tokens"))
+    }
+    // reconciliation: the 0.900 row counts exactly the confirmed pairs
+    // at jaccard >= 0.9, and their distinct members
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+    assert(rows.head.getAs[Long]("n_pairs") == pairs.length.toLong)
+    val members = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rows.head.getAs[Long]("n_docs") == members.size.toLong)
+    // the sweep is informative on this corpus: not all rows equal
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length > 1)
+  }
+
   test("q_pq_error equals the driver-side per-subspace min-distance distortion exactly") {
     val vecs = Tables.embeddings(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
