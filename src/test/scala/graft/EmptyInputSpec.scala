@@ -45,7 +45,9 @@ class EmptyInputSpec extends AnyFunSuite {
       // empty corpus (0 counts, NULL lift — the dashboard contract)
       "q_seasonality" -> 168L,
       // the Benford digit spine is always its 9 rows (0 counts)
-      "q_benford" -> 9L)
+      "q_benford" -> 9L,
+      // the threshold-sweep spine is its 5 literal cutoffs (0 counts)
+      "q_dedup_savings" -> 5L)
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events
