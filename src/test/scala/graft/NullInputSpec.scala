@@ -42,7 +42,9 @@ class NullInputSpec extends AnyFunSuite {
     "q_corpus_slice_share", "q_corpus_slice_tokens",
     "q_corpus_slice_quality", "q_corpus_dump_toks", "q_corpus_dump_q",
     "q_shard_manifest", "q_ngram_novelty", "q_quality_classifier", "q_dsir",
-    "q_containment", "q_length_buckets", "q_corpus_diff")
+    "q_containment", "q_length_buckets", "q_corpus_diff",
+    "q_split_group", "q_lm_backoff", "q_ccnet_split", "q_mix_lm",
+    "q_minkprob", "q_dedup_priority", "q_dedup_savings")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>
