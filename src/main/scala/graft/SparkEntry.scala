@@ -129,6 +129,7 @@ object SparkEntry {
     "q_fingerprint"  -> (TextOps.q_fingerprint _),
     "q_corpus_diff"  -> (TextOps.q_corpus_diff _),
     "q_text_clean"   -> (TextOps.q_text_clean _),
+    "q_blocklist"    -> (TextOps.q_blocklist _),
     "q_corpus_report" -> (TextOps.q_corpus_report _),
     // round-9 diagnostic column-slices of q_corpus_report (driver
     // bisect for the r6-r8 hash-fail; read-out documented at
@@ -253,6 +254,7 @@ object SparkEntry {
     "q_embed_centroid" -> ((s, d) => EmbedOps.q_embed_centroid(s, d)),
     "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
     "q_silhouette"     -> ((s, d) => KMeansOps.q_silhouette(s, d)),
+    "q_prune_proto"    -> ((s, d) => KMeansOps.q_prune_proto(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -1899,6 +1901,18 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
         |  length(text) - length(clean_text) AS n_removed_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+    // blocklist literal order mirrors TextOps.blockPhrases (sorted);
+    // list_filter preserves it, so the joined hits strings agree.
+    "q_blocklist" ->
+      """WITH per AS (
+        |  SELECT doc_id,
+        |    list_filter(['big data','hash join','slow query','stream batch','table scan'],
+        |                p -> contains(lower(text), p)) AS h
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(len(h) AS BIGINT) AS n_hits,
+        |  array_to_string(h, ',') AS hits,
+        |  CASE WHEN len(h) >= 2 THEN 'drop' ELSE 'flag' END AS action
+        |FROM per WHERE len(h) > 0 ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, w,
@@ -2723,6 +2737,26 @@ object SparkEntry {
          |  CASE WHEN sum_sil_fp >= 0 THEN sum_sil_fp // n_vecs
          |       ELSE -((-sum_sil_fp) // n_vecs) END AS mean_sil_fp
          |FROM g ORDER BY cell""".stripMargin,
+    // Prototype pruning over the SAME trained kernel: cosine quantized
+    // x1e6 BEFORE the within-cell ranking (identical longs order
+    // identically in both engines); the prune cutoff is the integer
+    // cross-multiplication rnk*1000 <= n_cell*300 — no division.
+    "q_prune_proto" ->
+      s"""WITH ${duckKmeansCtes(2)},
+         |sf AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.cv) AS c
+         |  FROM v, c2 c),
+         |bst AS (SELECT vec_id, cent_id AS cell,
+         |    CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cos_fp
+         |  FROM (SELECT vec_id, cent_id, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+         |    FROM sf) WHERE rn = 1),
+         |rk AS (SELECT vec_id, cell, cos_fp,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY cos_fp DESC, vec_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+         |  FROM bst)
+         |SELECT vec_id, cell, cos_fp, rnk, n_cell,
+         |  rnk * 1000 <= n_cell * 300 AS pruned
+         |FROM rk ORDER BY vec_id""".stripMargin,
     // Deterministic hash draw shared by the sampling oracles: integer
     // value of the first N hex chars of md5(doc_id), via per-nibble
     // strpos arithmetic (DuckDB has no base-16 conv()).

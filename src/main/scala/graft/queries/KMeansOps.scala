@@ -276,6 +276,59 @@ object KMeansOps {
       .orderBy("cell")
   }
 
+  /** Prototype pruning over the trained kernel's assignment — the
+    * data-pruning pass of Sorscher et al. 2022 ("Beyond neural
+    * scaling laws") / D4 (Tirumala et al. 2023): within each cluster,
+    * rank members by cosine to their own centroid and mark the most
+    * PROTOTYPICAL (closest) fraction for removal — in the abundant-
+    * data regime easy/redundant examples contribute least, and the
+    * per-cluster form prunes evenly instead of collapsing small
+    * clusters. Complements [[q_silhouette]] (cluster quality) and
+    * q_embed_outliers (far points): this key targets the NEAR points.
+    *
+    * Output per vector: cell, ×1e6 fixed-point cosine, within-cell
+    * rank (cosine DESC, vec_id tie-break), cell size, and the pruned
+    * flag `rnk·1000 ≤ n_cell·(1000 − keepPermille)` — a pure integer
+    * cross-multiplication, so the 30%-of-cell cutoff needs no
+    * division and both engines branch identically.
+    *
+    * Determinism: centroids are the bit-exact [[trainedKernelCents]]
+    * model (the same evidence chain as [[q_embed_train]]'s
+    * hash-match); the cosine is quantized BEFORE ranking so the
+    * window orders identical longs in both engines. Scale shape:
+    * zero-shuffle K-literal scoring, then ONE exchange on `cell`
+    * shared by both window functions (row_number + count over the
+    * same partitioning — one hash exchange, two window stages, no
+    * second shuffle). Cluster sizes are corpus-scale but each
+    * partition holds one cell; at real scale the rank-within-cell is
+    * skew-bounded by K ≈ n/cell_target (the q_dedup_semantic recipe),
+    * which also bounds per-cell partition width.
+    */
+  def q_prune_proto(s: SparkSession, d: String, k: Int = 8, iters: Int = 2,
+      maxVecs: Int = 256, keepPermille: Int = 700): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
+    val vecs = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < maxVecs)
+      .select(col("vec_id"), col("embedding"))
+    val cents = trainedKernelCents(s, vecs, k, iters)
+    if (cents.isEmpty) // degenerate corpus: no seeds, nothing to prune
+      return vecs.select(col("vec_id"), col("vec_id").as("cell"),
+        lit(0L).as("cos_fp"), lit(0L).as("rnk"), lit(0L).as("n_cell"),
+        lit(false).as("pruned")).limit(0)
+    val (bestCos, bestCell) = bestScore(col("embedding"), cents)
+    val scored = vecs.select(col("vec_id"), bestCell.as("cell"),
+      floor(bestCos * 1e6 + lit(0.5)).cast("long").as("cos_fp"))
+    val byCell = Window.partitionBy("cell")
+    scored
+      .withColumn("rnk", row_number()
+        .over(byCell.orderBy(col("cos_fp").desc, col("vec_id"))).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(byCell).cast("long"))
+      .withColumn("pruned",
+        col("rnk") * 1000 <= col("n_cell") * (1000 - keepPermille))
+      .orderBy("vec_id")
+  }
+
   /** Mean within-cluster cosine — the quality metric the unit test
     * tracks across iterations (must not decrease for spherical
     * k-means on normalized-ish data).

@@ -1886,6 +1886,48 @@ object TextOps {
   /** The tie-exact rank-sum kernel of [[q_mannwhitney]], factored so
     * unit tests can drive it with hand-built (v, is1) rows.
     */
+  /** The phrase blocklist behind [[q_blocklist]] — model-sized by
+    * definition (a curated list, not data), declared sorted so both
+    * engines' order-preserving list filters emit identical `hits`
+    * strings. Phrases chosen measured-non-degenerate on this corpus
+    * (each matches ~6-8% of sf0.01 docs; 2+ hit overlap exists).
+    */
+  private[graft] val blockPhrases: Seq[String] = Seq(
+    "big data", "hash join", "slow query", "stream batch", "table scan")
+
+  /** Phrase-blocklist content filter — the C4 "badwords" pass
+    * (Raffel et al. 2020 exclude any document containing a listed
+    * phrase; Gopher/RefinedWeb keep graduated variants): every doc
+    * is scanned against a curated phrase list; matched docs report
+    * their hit set and an action (`drop` on 2+ hits, `flag` on 1 —
+    * the graduated form, so the output exercises both branches).
+    *
+    * Distributed shape: the blocklist is a LITERAL ARRAY inside one
+    * codegen'd higher-order `filter` — no join, no broadcast, no
+    * shuffle; the whole operator is scan-side and pipelines into
+    * whole-stage codegen. The matched-array column is projected in
+    * its own select and referenced three times downstream —
+    * CollapseProject keeps a non-cheap expression referenced more
+    * than once materialized (the q_cdc_chunks rule), so the HOF runs
+    * once per row. Escalation path at real blocklist sizes (C4's
+    * list is ~400 phrases; substring scan is O(len·phrases)): compile
+    * the list to one alternation regexp (single NFA pass), or an
+    * Aho-Corasick automaton in a mapPartitions for 10k+ phrases —
+    * either stays scan-side and shuffle-free.
+    */
+  def q_blocklist(s: SparkSession, d: String): DataFrame = {
+    val hits = filter(typedLit(blockPhrases),
+      p => contains(lower(col("text")), p))
+    documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), hits.as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("doc_id"),
+        size(col("h")).cast("long").as("n_hits"),
+        array_join(col("h"), ",").as("hits"),
+        when(size(col("h")) >= 2, "drop").otherwise("flag").as("action"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def mannWhitneyOf(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vc = vals

@@ -193,6 +193,39 @@ class EmbedSpec extends AnyFunSuite {
     assert(overall > 0L, s"overall silhouette sum $overall not positive")
   }
 
+  test("q_prune_proto: scores the q_embed_train model; ranks and cutoffs replay driver-side") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_prune_proto")(spark, TestSpark.sf).collect()
+    val window = Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") < 256).count()
+    assert(rows.length.toLong == window, "every window vector scored once")
+    // cell assignment and quantized cosine agree with the training key
+    // (same kernel, same argmax — cos_fp is the x1e6 form of the
+    // trained key's round-6 cosine)
+    val train = SparkEntry.queries("q_embed_train")(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Double]("cosine"))).toMap
+    rows.foreach { r =>
+      val (tCell, tCos) = train(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("cell") == tCell)
+      assert(r.getAs[Long]("cos_fp") == math.floor(tCos * 1e6 + 0.5).toLong)
+    }
+    // within each cell: ranks are a permutation of 1..n_cell ordered by
+    // (cos_fp DESC, vec_id), and pruned is the integer cross-multiplied
+    // 30% cutoff — exactly floor(0.3 * n_cell) members pruned per cell
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rs) =>
+      val n = rs.length.toLong
+      assert(rs.forall(_.getAs[Long]("n_cell") == n), s"cell $cell n_cell")
+      val sorted = rs.sortBy(r => (-r.getAs[Long]("cos_fp"), r.getAs[Long]("vec_id")))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("rnk") == i + 1L, s"cell $cell rank order")
+        assert(r.getAs[Boolean]("pruned") == ((i + 1L) * 1000 <= n * 300))
+      }
+      assert(sorted.count(_.getAs[Boolean]("pruned")) == (n * 300) / 1000,
+        s"cell $cell pruned count")
+    }
+  }
+
   test("q_pca_power replays the 8 integer iterations exactly; result is a dominant direction") {
     val rows = SparkEntry.queries("q_pca_power")(spark, TestSpark.sf).collect()
     assert(rows.length == 64)

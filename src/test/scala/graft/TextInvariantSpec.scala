@@ -86,6 +86,36 @@ class TextInvariantSpec extends AnyFunSuite {
     rows.filter(_.isNullAt(2)).foreach(r => assert(r.isNullAt(4)))
   }
 
+  test("q_blocklist: planted phrases flag/drop per the graduated rule; clean docs absent") {
+    import spark.implicits._
+    val docs = Seq[(Long, String)](
+      (0L, "big data and hash join here"),        // 2 hits -> drop
+      (1L, "a slow query only"),                  // 1 hit  -> flag
+      (2L, "perfectly clean text"),               // absent
+      (3L, null),                                 // null text -> absent
+      (4L, "TABLE SCAN in uppercase"),            // case-folded -> flag
+      (5L, "stream batch plus table scan plus slow query")) // 3 -> drop
+      .map { case (i, t) =>
+        (i, t, "en", "s", Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("blocklist").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.q_blocklist(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 4L, 5L))
+    assert(out(0L).getAs[String]("action") == "drop" &&
+      out(0L).getAs[String]("hits") == "big data,hash join")
+    assert(out(1L).getAs[String]("action") == "flag" &&
+      out(1L).getAs[String]("hits") == "slow query")
+    assert(out(4L).getAs[String]("action") == "flag" &&
+      out(4L).getAs[String]("hits") == "table scan")
+    // hits string preserves the declared (sorted) blocklist order
+    assert(out(5L).getAs[String]("action") == "drop" &&
+      out(5L).getAs[String]("hits") == "slow query,stream batch,table scan")
+    assert(out.values.forall(r =>
+      r.getAs[Long]("n_hits") == r.getAs[String]("hits").split(",").length))
+  }
+
   test("q_text_clean is idempotent: cleaning already-clean text changes nothing") {
     import spark.implicits._
     val once = graft.queries.TextOps.q_text_clean(spark, dir)
