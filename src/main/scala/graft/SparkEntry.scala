@@ -173,6 +173,7 @@ object SparkEntry {
     "q_bpe_train"    -> ((s, d) => BpeOps.q_bpe_train(s, d)),
     "q_bpe_encode"   -> ((s, d) => BpeOps.q_bpe_encode(s, d)),
     "q_tok_fertility" -> ((s, d) => BpeOps.q_tok_fertility(s, d)),
+    "q_bpe_sweep"    -> ((s, d) => BpeOps.q_bpe_sweep(s, d)),
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
     "q_pagerank_copart" -> ((s, d) => GraphOps.q_pagerank_copart(s, d)),
     "q_pagerank_dir" -> ((s, d) => GraphOps.q_pagerank_directed(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "q_dedup_agreement" -> (DedupOps.q_dedup_agreement _),
     "q_source_overlap"  -> ((s, d) => DedupOps.q_source_overlap(s, d)),
     "q_cdc_chunks"      -> ((s, d) => DedupOps.q_cdc_chunks(s, d)),
+    "q_cdc_savings"     -> ((s, d) => DedupOps.q_cdc_savings(s, d)),
     "q_substr_runs"  -> ((s, d) => DedupOps.q_substr_runs(s, d)),
     "q_ngram_jaccard" -> (DedupOps.q_ngram_jaccard _),
     "q_containment"   -> (DedupOps.q_containment _),
@@ -255,6 +257,7 @@ object SparkEntry {
     "q_embed_train"    -> ((s, d) => KMeansOps.q_embed_train(s, d)),
     "q_silhouette"     -> ((s, d) => KMeansOps.q_silhouette(s, d)),
     "q_prune_proto"    -> ((s, d) => KMeansOps.q_prune_proto(s, d)),
+    "q_kcenter"        -> ((s, d) => EmbedOps.q_kcenter(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
     "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -447,9 +450,14 @@ object SparkEntry {
 
   /** Full WITH-body CTE chain deriving the BPE merge tables m1..mK
     * (pat, mrg, cnt) plus rewritten vocabs v0..vK from the documents
-    * corpus — shared by the q_bpe_train and q_bpe_encode oracles so
-    * the fit the encoder applies is BY CONSTRUCTION the fit the
-    * trainer reports.
+    * corpus — shared by the q_bpe_train, q_bpe_encode, q_tok_fertility
+    * and q_bpe_sweep oracles so the fit the encoder applies is BY
+    * CONSTRUCTION the fit the trainer reports. v0/m_i/v_i are pinned
+    * AS MATERIALIZED (the q_pca_power inlined-CTE lesson): each m_i is
+    * referenced by v_i AND by every downstream scalar subquery
+    * (q_bpe_sweep's checkpoint columns reference m_1 four times), and
+    * DuckDB re-inlines an unmaterialized CTE per reference — the whole
+    * training prefix would re-evaluate multiplicatively.
     */
   private def duckBpeTrainCtes(merges: Int): String = {
     val steps = (1 to merges).map { i =>
@@ -459,16 +467,16 @@ object SparkEntry {
          |      '<' || syms[j] || '><' || syms[j + 1] || '>')) AS pat
          |    FROM (SELECT n, string_split(substr(r, 2, length(r) - 2), '><') AS syms
          |          FROM $prev)) GROUP BY pat),
-         |m$i AS (SELECT pat, replace(pat, '><', '') AS mrg, cnt
+         |m$i AS MATERIALIZED (SELECT pat, replace(pat, '><', '') AS mrg, cnt
          |        FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-         |v$i AS (SELECT n, replace(v.r, m.pat, m.mrg) AS r FROM $prev v, m$i m)"""
+         |v$i AS MATERIALIZED (SELECT n, replace(v.r, m.pat, m.mrg) AS r FROM $prev v, m$i m)"""
         .stripMargin
     }.mkString(",\n")
     s"""w AS (SELECT word, count(*) AS n FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |    WHERE text IS NOT NULL)
        |  WHERE length(word) > 1 GROUP BY 1),
-       |v0 AS (SELECT n, '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
+       |v0 AS MATERIALIZED (SELECT n, '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
        |       FROM w),
        |$steps""".stripMargin
   }
@@ -2100,6 +2108,55 @@ object SparkEntry {
          |FROM ch JOIN dfc USING (chunk_fp)
          |ORDER BY doc_id, chunk_id""".stripMargin
     },
+    // CDC savings: the same chunk CTE chain up to `ch`, source
+    // attached, then per-(source, fp) and per-fp collapse; n_tokens
+    // rides the fp group via min (content-determined)
+    "q_cdc_savings" -> {
+      val h60g = duckHexValue("md5(array_to_string(w[p:p+3], ' '))", 1, 15)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, w, len(w) AS n,
+         |        CASE WHEN len(w) >= 4 THEN
+         |          [CAST(p - 1 AS BIGINT) FOR p IN range(1, len(w) - 2)
+         |           IF ($h60g) % 16 = 0]
+         |        ELSE [] END AS bpos
+         |      FROM t),
+         |c AS (SELECT doc_id, w,
+         |        list_prepend(CAST(0 AS BIGINT),
+         |          [CAST(p + 4 AS BIGINT) FOR p IN bpos]) AS starts,
+         |        list_append([CAST(p + 3 AS BIGINT) FOR p IN bpos],
+         |          CAST(n - 1 AS BIGINT)) AS ends
+         |      FROM b),
+         |u AS (SELECT doc_id, w,
+         |        unnest(starts) AS st, unnest(ends) AS en
+         |      FROM c),
+         |ch AS (SELECT doc_id, en - st + 1 AS n_tokens,
+         |         md5(array_to_string(w[st+1 : en+1], ' ')) AS chunk_fp
+         |       FROM u WHERE st <= en),
+         |chs AS (SELECT d.source, ch.n_tokens, ch.chunk_fp
+         |        FROM ch JOIN documents d USING (doc_id)),
+         |per AS (SELECT source, chunk_fp, CAST(count(*) AS BIGINT) AS cnt,
+         |          CAST(min(n_tokens) AS BIGINT) AS tok
+         |        FROM chs GROUP BY 1, 2),
+         |sa AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |         CAST(count(*) AS BIGINT) AS n_unique_chunks,
+         |         CAST(sum(cnt * tok) AS BIGINT) AS total_tokens,
+         |         CAST(sum(tok) AS BIGINT) AS unique_tokens
+         |       FROM per GROUP BY 1),
+         |gp AS (SELECT chunk_fp, CAST(count(*) AS BIGINT) AS cnt,
+         |          CAST(min(n_tokens) AS BIGINT) AS tok
+         |        FROM chs GROUP BY 1),
+         |ga AS (SELECT '(all)' AS source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |         CAST(count(*) AS BIGINT) AS n_unique_chunks,
+         |         CAST(sum(cnt * tok) AS BIGINT) AS total_tokens,
+         |         CAST(sum(tok) AS BIGINT) AS unique_tokens
+         |       FROM gp)
+         |SELECT source, n_chunks, n_unique_chunks, total_tokens, unique_tokens,
+         |  (2 * (total_tokens - unique_tokens) * 1000000 + total_tokens)
+         |    // (2 * total_tokens) AS savings_fp
+         |FROM (SELECT * FROM sa UNION ALL SELECT * FROM ga)
+         |ORDER BY source""".stripMargin
+    },
     // Provenance matrix: q_dedup_minhash's pairs at jaccard >= 0.5
     // (compared on the ROUNDED value), sources attached both sides,
     // unordered (least, greatest) key
@@ -2757,6 +2814,40 @@ object SparkEntry {
          |SELECT vec_id, cell, cos_fp, rnk, n_cell,
          |  rnk * 1000 <= n_cell * 300 AS pruned
          |FROM rk ORDER BY vec_id""".stripMargin,
+    // Greedy k-center: unrolled selection CTEs, every step
+    // MATERIALIZED (the q_pca_power inlined-CTE lesson); each c$i is
+    // the farthest-point argmax (d2 DESC, vec_id), m$i the running
+    // min-distance table after adding it; exclusion by the explicit
+    // id list, mirroring the Spark isin filter
+    "q_kcenter" -> {
+      val k = 8
+      val dist = (a: String, b: String) =>
+        s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val steps = (2 to k).map { i =>
+        val notIn = (1 until i).map(j => s"SELECT vec_id FROM c$j")
+          .mkString(" UNION ALL ")
+        s"""c$i AS MATERIALIZED (SELECT vec_id, q, d2 FROM m${i - 1}
+           |  WHERE vec_id NOT IN ($notIn)
+           |  ORDER BY d2 DESC, vec_id LIMIT 1),
+           |m$i AS MATERIALIZED (SELECT m.vec_id, m.q,
+           |    least(m.d2, ${dist("m.q", "c.q")}) AS d2
+           |  FROM m${i - 1} m, c$i c)""".stripMargin
+      }.mkString(",\n")
+      val out = (s"SELECT CAST(1 AS BIGINT) AS step, vec_id, " +
+        s"CAST(0 AS BIGINT) AS radius_d2 FROM c1") +:
+        (2 to k).map(i => s"SELECT CAST($i AS BIGINT), vec_id, d2 FROM c$i")
+      s"""WITH xq AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         |c1 AS MATERIALIZED (SELECT vec_id, q FROM xq ORDER BY vec_id LIMIT 1),
+         |m1 AS MATERIALIZED (SELECT x.vec_id, x.q,
+         |    ${dist("x.q", "c.q")} AS d2 FROM xq x, c1 c),
+         |$steps
+         |SELECT * FROM (${out.mkString("\nUNION ALL\n")}) ORDER BY step""".stripMargin
+    },
     // Deterministic hash draw shared by the sampling oracles: integer
     // value of the first N hex chars of md5(doc_id), via per-nibble
     // strpos arithmetic (DuckDB has no base-16 conv()).
@@ -3756,6 +3847,52 @@ object SparkEntry {
          |  (2 * n_bpe_tokens * 1000000 + n_words) // (2 * n_words)
          |    AS tokens_per_word_fp
          |FROM pl ORDER BY lang""".stripMargin
+    },
+    // vocab-size sweep: the training CTE chain once, then each
+    // checkpoint's encoding as the full replace-prefix (the oracle
+    // pays 2+4+6+8 replaces where Spark's incremental columns pay 8 —
+    // same values, the oracle optimizes for dialect simplicity);
+    // empty-merge coalesce no-ops as in q_bpe_encode
+    "q_bpe_sweep" -> {
+      val (merges, stride) = (8, 2)
+      val cps = stride to merges by stride
+      def applied(k: Int) = (1 to k).foldLeft("r") { (acc, i) =>
+        s"replace($acc, coalesce((SELECT pat FROM m$i), '')," +
+          s" coalesce((SELECT mrg FROM m$i), ''))"
+      }
+      val encCols = cps.map(k => s"${applied(k)} AS e$k").mkString(",\n")
+      val tokSums = cps.map(k =>
+        s"CAST(sum(length(e$k) - length(replace(e$k, '>', ''))) AS BIGINT) AS t$k")
+        .mkString(",\n")
+      def nm(k: Int) =
+        if (k == 0) "CAST(0 AS BIGINT)"
+        else "CAST(" + (1 to k).map(i => s"(SELECT count(*) FROM m$i)")
+          .mkString(" + ") + " AS BIGINT)"
+      val rows = (s"""SELECT CAST(0 AS BIGINT) AS k, ${nm(0)} AS n_merges,
+        |  s0 AS total_base_symbols, s0 AS total_bpe_tokens,
+        |  (2 * s0 * 1000000 + s0) // (2 * s0) AS symbols_per_token_fp,
+        |  CAST(0 AS BIGINT) AS tokens_saved FROM tot""".stripMargin +:
+        cps.map { k =>
+          val prev = if (k - stride == 0) "s0" else s"t${k - stride}"
+          s"""SELECT CAST($k AS BIGINT), ${nm(k)}, s0, t$k,
+             |  (2 * s0 * 1000000 + t$k) // (2 * t$k), $prev - t$k
+             |FROM tot""".stripMargin
+        }).mkString("\nUNION ALL\n")
+      s"""WITH ${duckBpeTrainCtes(merges)},
+         |dw AS (SELECT word FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(word) > 0),
+         |db AS (SELECT CAST(length(word) AS BIGINT) AS ns,
+         |         '<' || array_to_string(string_split(word, ''), '><') || '>' AS r
+         |       FROM dw),
+         |de AS (SELECT ns,
+         |$encCols
+         |FROM db),
+         |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS s0,
+         |$tokSums
+         |FROM de)
+         |SELECT * FROM ($rows) ORDER BY k""".stripMargin
     },
     // PageRank: all-integer fixed-point iterations — both engines
     // carry bit-identical longs; positive operands make Spark div and

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -225,4 +225,78 @@ object BpeOps {
         expr("(2 * n_bpe_tokens * 1000000 + n_words) div (2 * n_words)")
           .as("tokens_per_word_fp"))
       .orderBy("lang")
+
+  /** Vocabulary-size sweep — the tokenizer-tuning table a pipeline
+    * reads before committing to a merge count (the [[q_dedup_savings]]
+    * stance applied to the tokenizer: one fit, every candidate cutoff
+    * read off it). BPE merges are strictly nested — the first k of a
+    * K-merge fit ARE the k-merge fit (the merge chosen at step i
+    * depends only on steps 1..i−1) — so ONE training at K yields the
+    * compression curve at every prefix: train once, then ONE corpus
+    * pass computes the encoded form at each checkpoint k ∈
+    * {0, stride, 2·stride, …, K} INCREMENTALLY (checkpoint k's
+    * encoding applies merges (k−stride, k] to checkpoint k−stride's
+    * string, never restarting from the raw symbols; each intermediate
+    * encoding lands in its own projection and is referenced twice —
+    * the token count and the next stage — so CollapseProject keeps it
+    * materialized, the [[graft.queries.DedupOps.q_cdc_chunks]] rule).
+    * Total replace work over the corpus is exactly K, the same as one
+    * full encode.
+    *
+    * Output per checkpoint: merge budget k, merges actually trained
+    * (≤ k on a corpus that exhausts pairs early), total base symbols,
+    * total BPE tokens, ×1e6 round-half-up symbols-per-token
+    * compression, and the marginal tokens saved vs the previous
+    * checkpoint — the diminishing-returns curve that picks the vocab
+    * size. k = 0 anchors the curve (tokens = base symbols,
+    * compression exactly 1e6).
+    *
+    * Scale shape: training is [[q_bpe_train]]'s proven loop (one
+    * corpus shuffle + Zipf-bounded iterations); the sweep itself is
+    * one zero-shuffle corpus pass folding K literal replaces, one
+    * map-side-combined global aggregation to a SINGLE row, and a
+    * row-local `stack` fan-out to |checkpoints| rows — nothing here
+    * grows with corpus size except the one scan.
+    */
+  def q_bpe_sweep(s: SparkSession, d: String, merges: Int = 8,
+                  stride: Int = 2): DataFrame = {
+    val trained = q_bpe_train(s, d, merges).orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"),
+        s"<${r.getAs[String]("lhs")}><${r.getAs[String]("rhs")}>",
+        s"<${r.getAs[String]("merged")}>"))
+    val checkpoints = 0L +: (stride.toLong to merges.toLong by stride.toLong)
+    val bracketed = concat(lit("<"),
+      array_join(expr("filter(split(word, ''), c -> c <> '')"), "><"), lit(">"))
+    val nTok = (c: Column) =>
+      (length(c) - length(replace(c, lit(">"), lit("")))).cast("long")
+    var staged = documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
+      .select(length(col("word")).cast("long").as("n_sym"),
+        bracketed.as("enc_0"))
+    checkpoints.drop(1).foreach { k =>
+      val step = trained.filter(t => t._1 > k - stride && t._1 <= k)
+      val prev = col(s"enc_${k - stride}")
+      staged = staged.withColumn(s"enc_$k",
+        step.foldLeft(prev) { case (c, (_, pat, mrg)) =>
+          replace(c, lit(pat), lit(mrg)) })
+    }
+    val sums = staged.agg(
+      sum(col("n_sym")).as("s0"),
+      checkpoints.drop(1).map(k => sum(nTok(col(s"enc_$k"))).as(s"t$k")): _*)
+    val rows = checkpoints.map { k =>
+      val tok = if (k == 0) "s0" else s"t$k"
+      val nm = trained.count(_._1 <= k)
+      val saved = if (k == 0) lit(0L)
+        else (col(if (k - stride == 0) "s0" else s"t${k - stride}") - col(tok))
+      struct(lit(k).as("k"), lit(nm.toLong).as("n_merges"),
+        col("s0").as("total_base_symbols"),
+        col(tok).as("total_bpe_tokens"),
+        expr(s"(2 * s0 * 1000000 + $tok) div (2 * $tok)")
+          .as("symbols_per_token_fp"),
+        saved.as("tokens_saved"))
+    }
+    sums.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("k")
+  }
 }

@@ -525,6 +525,22 @@ object DedupOps {
     */
   def q_cdc_chunks(s: SparkSession, d: String, k: Int = 4,
                    mod: Int = 16): DataFrame = {
+    val chunks = cdcChunkTable(s, d, k, mod)
+    val dfc = chunks.groupBy("chunk_fp")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    chunks.join(dfc, "chunk_fp")
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("n_tokens"), col("chunk_fp"), col("df"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** The CDC chunk table behind [[q_cdc_chunks]] and
+    * [[q_cdc_savings]]: one row per content-defined chunk
+    * (doc_id, chunk_id, start_pos, n_tokens, chunk_fp), boundary
+    * detection and span assembly all row-local in the scan stage.
+    */
+  private def cdcChunkTable(s: SparkSession, d: String, k: Int,
+                            mod: Int): DataFrame = {
     val h60 = (g: Column) =>
       conv(substring(md5(g), 1, 15), 16, 10).cast("long")
     val staged = documents(s, d)
@@ -545,19 +561,62 @@ object DedupOps {
           zip_with(col("starts"), col("ends"),
             (s0, e0) => struct(s0.as("st"), e0.as("en"))),
           c => c.getField("st") <= c.getField("en"))).as(Seq("chunk_id", "c")))
-    val chunks = staged.select(
+    staged.select(
       col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
       col("c.st").as("start_pos"),
       (col("c.en") - col("c.st") + 1).as("n_tokens"),
       md5(array_join(
         slice(col("w"), col("c.st") + 1, col("c.en") - col("c.st") + 1),
         " ")).as("chunk_fp"))
-    val dfc = chunks.groupBy("chunk_fp")
-      .agg(count_distinct(col("doc_id")).as("df"))
-    chunks.join(dfc, "chunk_fp")
-      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
-        col("n_tokens"), col("chunk_fp"), col("df"))
-      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** CDC storage-dedup savings report — the number a chunk store or
+    * a dedup-aware corpus cache reads before turning chunk-level
+    * dedup on: for each source (and the `(all)` global row), how many
+    * chunk copies collapse to how many distinct chunks, and what
+    * fraction of chunk tokens a single-instance store saves
+    * (`savings_fp`, ×1e6 round-half-up). Per-source rows dedup WITHIN
+    * the source; the `(all)` row dedups globally — the gap between
+    * the global row and the per-source sum is exactly the
+    * cross-source sharing [[q_source_overlap]] localizes by pair.
+    *
+    * Distributed shape: ONE [[cdcChunkTable]] scan joined to the
+    * (doc_id, source) dimension (AQE broadcasts it against the
+    * chunk-sized left), checkpointed because BOTH aggregations read
+    * it; each aggregation is two map-side-combined shuffles whose
+    * key cardinality is bounded by distinct chunks, and the final
+    * report is O(sources) rows. `n_tokens` rides the fp group via
+    * `min` (content-determined, so min = the value; min keeps the
+    * agg order-free in both engines).
+    */
+  def q_cdc_savings(s: SparkSession, d: String, k: Int = 4,
+                    mod: Int = 16): DataFrame = {
+    val chunks = cdcChunkTable(s, d, k, mod)
+      .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("chunk_fp"), col("n_tokens"))
+      .localCheckpoint() // referenced 2x: per-source + global rollup
+    def rollup(groups: org.apache.spark.sql.RelationalGroupedDataset,
+               src: Column): DataFrame = groups
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("cnt") * col("tok")).as("total_tokens"),
+        sum(col("tok")).as("unique_tokens"))
+      .select(src.as("source"), col("n_chunks"), col("n_unique_chunks"),
+        col("total_tokens"), col("unique_tokens"))
+    val perSrc = rollup(
+      chunks.groupBy("source", "chunk_fp")
+        .agg(count(lit(1)).as("cnt"), min(col("n_tokens")).as("tok"))
+        .groupBy("source"), col("source"))
+    val global = rollup(
+      chunks.groupBy("chunk_fp")
+        .agg(count(lit(1)).as("cnt"), min(col("n_tokens")).as("tok"))
+        .groupBy(), lit("(all)"))
+    perSrc.unionByName(global)
+      .select(col("source"), col("n_chunks"), col("n_unique_chunks"),
+        col("total_tokens"), col("unique_tokens"),
+        expr("(2 * (total_tokens - unique_tokens) * 1000000 + total_tokens)" +
+          " div (2 * total_tokens)").as("savings_fp"))
+      .orderBy("source")
   }
 
   /** Cross-source duplication provenance — the near-dup pair matrix

@@ -513,4 +513,78 @@ object EmbedOps {
           .as("ev_share_fp"))
       .orderBy("vec_id")
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985; the coverage-
+    * maximizing selection used for coreset/active-learning sampling,
+    * Sener & Savarese 2018) — the diversity complement to
+    * [[graft.queries.KMeansOps.q_prune_proto]]: prototype pruning
+    * REMOVES redundant near-centroid points; k-center KEEPS the k
+    * points that minimize the maximum distance from any vector to its
+    * nearest kept point (2-approximately). Start from the smallest
+    * vec_id, then repeatedly select the vector FARTHEST from the
+    * already-selected set. Output: the k selections in order with the
+    * covering radius each one closed (`radius_d2`, the selected
+    * vector's exact integer squared distance to the previous set) —
+    * a strictly non-increasing curve; where it flattens is the
+    * intrinsic diversity budget of the corpus.
+    *
+    * Exactness: coordinates quantize to the ×1e6 long grid
+    * ([[q_embed_outliers]]' form), every distance is an exact int64
+    * sum (|comp| ≤ 2e6 → d² ≤ 64·4e12 ≈ 2.6e14), ties on the radius
+    * break to the smallest vec_id — both engines replay the same
+    * selections bit-for-bit.
+    *
+    * Scale shape: the quantized table materializes ONCE
+    * (localCheckpoint — read by every pass); each of the k−1
+    * selection passes is one zero-shuffle scan computing
+    * `least(d²-to-center₁ … d²-to-centerᵢ)` from BROADCAST-class
+    * literal centers (i·dim longs — kilobytes) followed by a
+    * sort-limit argmax collecting ONE row. Driver state is the
+    * selected centers: k·dim longs, model-sized like the Lloyd
+    * centroids. At tokenizer-real k the per-pass expression grows
+    * linearly in k — the documented escalation is the same
+    * cells-table form the PQ/IVF codebooks use (join against a
+    * broadcast center table keyed by dim) once k·dim outgrows the
+    * literal-expression budget (~10⁴ terms).
+    */
+  def q_kcenter(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val xq = embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+      .localCheckpoint() // read once per selection pass
+    def d2To(center: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedLit(center), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val firstRows = xq.orderBy("vec_id").limit(1).collect()
+    if (firstRows.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("step", "vec_id", "radius_d2")
+    val selected = scala.collection.mutable.ArrayBuffer(
+      (1L, firstRows(0).getLong(0), 0L))
+    val centers = scala.collection.mutable.ArrayBuffer(
+      firstRows(0).getSeq[Long](1))
+    var exhausted = false
+    (2 to k).foreach { step =>
+      if (!exhausted) {
+        val minDist =
+          if (centers.size == 1) d2To(centers.head)
+          else least(centers.toSeq.map(d2To): _*)
+        val picked = selected.map(_._2)
+        val top = xq
+          .filter(!col("vec_id").isin(picked.toSeq: _*))
+          .select(col("vec_id"), col("q"), minDist.as("d2"))
+          .orderBy(col("d2").desc, col("vec_id"))
+          .limit(1)
+          .collect() // exactly one row — the model update, never data
+        if (top.isEmpty) exhausted = true
+        else {
+          selected += ((step.toLong, top(0).getLong(0), top(0).getLong(2)))
+          centers += top(0).getSeq[Long](1)
+        }
+      }
+    }
+    selected.toSeq.toDF("step", "vec_id", "radius_d2").orderBy("step")
+  }
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Source/sink surface (SURVEY.md §2.1 S5-S8). The reference's only
   * sink is SQLite (analyzer.rs:146-346); the distributed equivalents:
@@ -205,4 +206,94 @@ object Sinks {
     Seq("repositories", "logs", "changed_files").foreach { t =>
       writeJdbc(tables(t).coalesce(1), url, t, driver)
     }
+
+  // ---- snapshot-versioned table (the transaction-log pattern) ----
+  //
+  // The structural core of Delta's _delta_log (see the Delta note in
+  // the object scaladoc), built from the two primitives every
+  // filesystem gives us: immutable data files + an atomic manifest
+  // rename. Layout:
+  //
+  //   <dir>/data/v<N>/part-*.parquet   immutable, never rewritten
+  //   <dir>/_manifests/v<N>.manifest   newline list of the version's
+  //                                    data files (absolute paths)
+  //
+  // A write stages its parquet under data/v<N>/ first, then COMMITS
+  // by moving the manifest into _manifests/ with ATOMIC_MOVE: readers
+  // resolve versions from the manifest directory only, so a crashed
+  // or in-flight write (data files without a manifest) is invisible —
+  // snapshot isolation for a single writer, and readers never see a
+  // torn version. "append" manifests carry the previous version's
+  // files plus the new ones, so old versions stay readable (time
+  // travel) until a retention job deletes their manifests.
+  //
+  // At 100 TB this is exactly the Delta/Iceberg contract that makes
+  // object-store tables safe: list ONE small directory (manifests),
+  // read one small file, then open only the named data files — no
+  // eventually-consistent directory listing of the data itself.
+
+  private def manifestDir(dir: String) = java.nio.file.Paths.get(dir, "_manifests")
+
+  /** Committed versions, ascending (empty if the table doesn't exist). */
+  def snapshotVersions(dir: String): Seq[Long] = {
+    val md = manifestDir(dir)
+    if (!java.nio.file.Files.isDirectory(md)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(md)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Write `df` as the next version of the snapshot table at `dir`;
+    * returns the committed version. `overwrite = false` appends: the
+    * new manifest names the previous version's files too.
+    */
+  def writeSnapshot(df: DataFrame, dir: String,
+                    overwrite: Boolean = true): Long = {
+    val versions = snapshotVersions(dir)
+    val next = versions.lastOption.getOrElse(0L) + 1L
+    val dataDir = java.nio.file.Paths.get(dir, "data", s"v$next")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    val newFiles = {
+      val s = java.nio.file.Files.list(dataDir)
+      try s.iterator().asScala
+        .map(_.toAbsolutePath.toString)
+        .filter(_.endsWith(".parquet"))
+        .toSeq.sorted
+      finally s.close()
+    }
+    val carried =
+      if (overwrite || versions.isEmpty) Seq.empty
+      else java.nio.file.Files.readAllLines(
+        manifestDir(dir).resolve(s"v${versions.last}.manifest")).asScala.toSeq
+    java.nio.file.Files.createDirectories(manifestDir(dir))
+    val tmp = manifestDir(dir).resolve(s".v$next.manifest.tmp")
+    java.nio.file.Files.writeString(tmp, (carried ++ newFiles).mkString("\n"))
+    java.nio.file.Files.move(tmp, manifestDir(dir).resolve(s"v$next.manifest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // the commit point
+    next
+  }
+
+  /** Read a committed version (default: latest) — time travel is
+    * `readSnapshot(spark, dir, v)` for any version whose manifest
+    * survives. Only manifest-named files are opened; uncommitted
+    * data directories are never visible.
+    */
+  def readSnapshot(spark: SparkSession, dir: String,
+                   version: Long = -1L): DataFrame = {
+    val versions = snapshotVersions(dir)
+    require(versions.nonEmpty, s"no committed snapshot versions at $dir")
+    val v = if (version < 0) versions.last else version
+    require(versions.contains(v),
+      s"version $v not committed at $dir (have ${versions.mkString(",")})")
+    val files = java.nio.file.Files.readAllLines(
+      manifestDir(dir).resolve(s"v$v.manifest")).asScala.toSeq
+      .filter(_.nonEmpty)
+    spark.read.parquet(files: _*)
+  }
 }

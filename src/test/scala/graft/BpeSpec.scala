@@ -160,6 +160,35 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bpe_sweep: anchored at k=0, monotone, telescoping, reconciles with q_bpe_encode") {
+    val rows = SparkEntry.queries("q_bpe_sweep")(spark, TestSpark.sf).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    val s0 = rows.head.getAs[Long]("total_base_symbols")
+    // k = 0 anchor: no merges, tokens = symbols, compression exactly 1e6
+    assert(rows.head.getAs[Long]("total_bpe_tokens") == s0)
+    assert(rows.head.getAs[Long]("symbols_per_token_fp") == 1000000L)
+    assert(rows.head.getAs[Long]("tokens_saved") == 0L)
+    // every checkpoint shares the one base-symbol total; tokens are
+    // non-increasing in k (merges only shrink); saved telescopes
+    rows.foreach(r => assert(r.getAs[Long]("total_base_symbols") == s0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("total_bpe_tokens") <= a.getAs[Long]("total_bpe_tokens"))
+      assert(b.getAs[Long]("tokens_saved") ==
+        a.getAs[Long]("total_bpe_tokens") - b.getAs[Long]("total_bpe_tokens"))
+      assert(b.getAs[Long]("n_merges") >= a.getAs[Long]("n_merges"))
+    }
+    // the k=8 endpoint IS the full encode: totals reconcile bit-for-bit
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, TestSpark.sf).collect()
+    val last = rows.last
+    assert(last.getAs[Long]("total_bpe_tokens") ==
+      enc.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    // (encode keeps single-char words' symbols too — same corpus slice)
+    assert(s0 == enc.map(_.getAs[Long]("n_base_symbols")).sum)
+    // the corpus must actually compress (non-degenerate)
+    assert(last.getAs[Long]("total_bpe_tokens") < s0)
+  }
+
   test("fertilityWith a persisted merge table equals the composed q_tok_fertility") {
     val dir = java.nio.file.Files.createTempDirectory("fert_merges").toString
     val trained = graft.queries.BpeOps.q_bpe_train(spark, TestSpark.sf)

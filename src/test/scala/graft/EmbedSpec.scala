@@ -226,6 +226,41 @@ class EmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("q_kcenter: replays the greedy farthest-point selection exactly; radii non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_kcenter")(spark, TestSpark.sf).collect()
+      .sortBy(_.getAs[Long]("step"))
+    assert(rows.length == 8)
+    // independent driver-side replay on the quantized grid
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("embedding").isNotNull)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray)
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Vector(vecs.head)
+    var expect = Vector((1L, vecs.head._1, 0L))
+    (2 to 8).foreach { step =>
+      val cand = vecs.filter(v => !centers.exists(_._1 == v._1))
+        .map { case (id, q) => (id, centers.map(c => d2(c._2, q)).min) }
+      val (id, r) = cand.minBy { case (id, r) => (-r, id) }
+      centers :+= ((id, vecs.find(_._1 == id).get._2))
+      expect :+= ((step.toLong, id, r))
+    }
+    assert(rows.map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+      r.getAs[Long]("radius_d2"))).toVector == expect)
+    // covering radius never increases as centers are added
+    expect.drop(1).map(_._3).sliding(2).foreach {
+      case Vector(a, b) => assert(b <= a)
+      case _ => ()
+    }
+    // selections are distinct vectors
+    assert(expect.map(_._2).distinct.length == 8)
+  }
+
   test("q_pca_power replays the 8 integer iterations exactly; result is a dominant direction") {
     val rows = SparkEntry.queries("q_pca_power")(spark, TestSpark.sf).collect()
     assert(rows.length == 64)

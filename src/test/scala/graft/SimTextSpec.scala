@@ -811,4 +811,55 @@ class SimTextSpec extends AnyFunSuite {
     // and the shared chunks show up as df = 2 rows
     assert(rows.exists(_.getAs[Long]("df") == 2L))
   }
+
+  test("q_cdc_savings: per-source and (all) rows reconcile with q_cdc_chunks; dup doc saves") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdcsave").toString
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val body = Seq.fill(200)(words(rnd.nextInt(words.length))).mkString(" ")
+    val other = Seq.fill(150)(words(rnd.nextInt(words.length))).mkString(" ")
+    Seq(
+      (0L, body, "en", "s0", 0L),
+      (1L, body, "en", "s0", 0L),   // exact dup WITHIN s0
+      (2L, other, "en", "s1", 0L),
+      (3L, body, "en", "s1", 0L))   // s0's doc mirrored INTO s1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q_cdc_savings")(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("s0", "s1", "(all)"))
+    // reconcile against the chunk inventory
+    val chunks = SparkEntry.queries("q_cdc_chunks")(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk_fp"),
+        r.getAs[Long]("n_tokens")))
+    val srcOf = Map(0L -> "s0", 1L -> "s0", 2L -> "s1", 3L -> "s1")
+    Seq("s0", "s1").foreach { src =>
+      val cs = chunks.filter(c => srcOf(c._1) == src)
+      val r = rows(src)
+      assert(r.getAs[Long]("n_chunks") == cs.length.toLong)
+      assert(r.getAs[Long]("n_unique_chunks") == cs.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == cs.map(_._3).sum)
+      assert(r.getAs[Long]("unique_tokens") ==
+        cs.groupBy(_._2).values.map(_.head._3).sum)
+    }
+    val all = rows("(all)")
+    assert(all.getAs[Long]("n_chunks") == chunks.length.toLong)
+    assert(all.getAs[Long]("n_unique_chunks") ==
+      chunks.map(_._2).distinct.length.toLong)
+    // the dup inside s0 halves its chunk storage (approximately):
+    // savings strictly positive and the fixed point replays exactly
+    rows.values.foreach { r =>
+      val (tot, unq) = (r.getAs[Long]("total_tokens"), r.getAs[Long]("unique_tokens"))
+      assert(r.getAs[Long]("savings_fp") ==
+        (2 * (tot - unq) * 1000000L + tot) / (2 * tot))
+    }
+    assert(rows("s0").getAs[Long]("savings_fp") > 400000L) // ~half saved
+    // global dedup sees the cross-source mirror: strictly more saved
+    // than the per-source unions alone
+    assert(all.getAs[Long]("unique_tokens") <
+      rows("s0").getAs[Long]("unique_tokens") +
+        rows("s1").getAs[Long]("unique_tokens"))
+  }
 }

@@ -166,4 +166,28 @@ class SinksSpec extends AnyFunSuite {
     assert(covers.sum / covers.length <= 0.30,
       s"mean 2-D coverage ${covers.sum / covers.length} — not clustered")
   }
+
+  test("snapshot table: overwrite/append versioning, time travel, torn writes invisible") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString + "/tbl"
+    def df(ids: Range) = ids.map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    assert(Sinks.snapshotVersions(dir).isEmpty)
+    val v1 = Sinks.writeSnapshot(df(0 until 10), dir) // overwrite (initial)
+    val v2 = Sinks.writeSnapshot(df(10 until 15), dir, overwrite = false) // append
+    val v3 = Sinks.writeSnapshot(df(100 until 103), dir) // overwrite
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(Sinks.snapshotVersions(dir) == Seq(1L, 2L, 3L))
+    // latest = the overwrite; time travel reads every committed state
+    assert(Sinks.readSnapshot(spark, dir).select("id").as[Long].collect().sorted
+      .sameElements(100L until 103L))
+    assert(Sinks.readSnapshot(spark, dir, 1L).count() == 10)
+    assert(Sinks.readSnapshot(spark, dir, 2L).select("id").as[Long]
+      .collect().sorted.sameElements(0L until 15L)) // append carried v1
+    // a torn write — data files staged but no manifest committed —
+    // must stay invisible to readers and to the version list
+    df(900 until 950).write.parquet(s"$dir/data/v99")
+    assert(Sinks.snapshotVersions(dir) == Seq(1L, 2L, 3L))
+    assert(Sinks.readSnapshot(spark, dir).count() == 3)
+    intercept[IllegalArgumentException](Sinks.readSnapshot(spark, dir, 99L))
+  }
 }
