@@ -235,6 +235,7 @@ object SparkEntry {
     "q_split_group"      -> (SampleOps.q_split_group _),
     "q_mix_budget"       -> ((s, d) => SampleOps.q_mix_budget(s, d)),
     "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
+    "q_mix_epoch"        -> ((s, d) => SampleOps.q_mix_epoch(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
@@ -3738,6 +3739,29 @@ object SparkEntry {
          |  coalesce(kept_tokens, 0) AS kept_tokens
          |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
     },
+    // epoch allocation: q_mix_temp's sqrt weights over LANGUAGES, 4x
+    // token budget, integer allocation and round-half-up epochs; the
+    // >4-epoch cap mirrors as a pure integer comparison
+    "q_mix_epoch" ->
+      s"""WITH ps AS (SELECT lang, count(*) AS n_docs,
+         |      CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS lang_tokens
+         |    FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n_docs, lang_tokens,
+         |        CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+         |          AS weight_fp FROM ps),
+         |tt AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(weight_fp) AS BIGINT) AS w_sum FROM w),
+         |a AS (SELECT lang, n_docs, lang_tokens, weight_fp,
+         |        CAST((4 * total_tokens * weight_fp) // w_sum AS BIGINT)
+         |          AS alloc_tokens
+         |      FROM w, tt)
+         |SELECT lang, n_docs, lang_tokens, weight_fp, alloc_tokens,
+         |  (2 * alloc_tokens * 1000000 + lang_tokens) // (2 * lang_tokens)
+         |    AS epochs_fp,
+         |  (2 * alloc_tokens * 1000000 + lang_tokens) // (2 * lang_tokens)
+         |    > 4000000 AS over_cap,
+         |  least(alloc_tokens, lang_tokens * 4) AS effective_tokens
+         |FROM a ORDER BY lang""".stripMargin,
     // top-N vocabulary: exact long counts and running sum, one
     // long/long division per share; (n DESC, term) has no ties (term
     // unique post-group), so rank and the running-sum frame agree

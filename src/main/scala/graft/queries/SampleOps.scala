@@ -480,6 +480,61 @@ object SampleOps {
       .orderBy("source")
   }
 
+  /** Epoch allocation under a fixed training-token budget — the
+    * data-constrained scaling decision (Muennighoff et al. 2023:
+    * repeating data holds value for ~4 epochs, then decays fast;
+    * BLOOM/XLM-R-style multilingual training combines that cap with
+    * α = 0.5 temperature weights): given a budget of `budgetX` × the
+    * corpus's total tokens, allocate per-LANGUAGE token counts
+    * proportional to the sqrt weight ([[q_mix_temp]]'s fixed-point
+    * form — languages here are the corpus's one measured non-uniform
+    * axis; sources are uniform by construction and would verify a
+    * constant), and report each language's implied epoch count, the
+    * >4-epoch flag, and the 4-epoch-capped effective tokens. The gap
+    * between `alloc_tokens` and `effective_tokens` summed over
+    * languages is the budget a mixing stage must re-spread (or spend
+    * on new data) — the actionable number.
+    *
+    * Exactness: weight_fp = floor(sqrt(tokens)·1e6) (IEEE sqrt is
+    * correctly rounded — bit-identical cross-engine, the q_mix_temp
+    * rationale); the allocation `(budgetX · total · w) div w_sum` and
+    * the ×1e6 round-half-up epochs are pure integer arithmetic. Int64
+    * headroom: total·budgetX·w_fp < 2⁶³ up to ~10⁹ corpus tokens at
+    * budgetX = 4; beyond that divide budget by w_sum FIRST (one ulp
+    * of drift, documented) or move the product to decimal(38,0) (the
+    * q_graph_modularity escalation).
+    *
+    * Scale shape: one map-side-combined O(langs) aggregation, one
+    * broadcast one-row total, O(langs) output — nothing else touches
+    * the corpus.
+    */
+  def q_mix_epoch(s: SparkSession, d: String, budgetX: Int = 4,
+                  capEpochs: Int = 4): DataFrame = {
+    val toks = size(split(col("text"), "\\s+", -1)).cast("long")
+    val perLang = documents(s, d)
+      .select(col("lang"), toks.as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_tokens"))
+      .withColumn("weight_fp",
+        floor(sqrt(col("lang_tokens").cast("double")) * 1e6).cast("long"))
+    val total = perLang.agg(
+      sum(col("lang_tokens")).as("total_tokens"),
+      sum(col("weight_fp")).as("w_sum"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("weight_fp"),
+        expr(s"($budgetX * total_tokens * weight_fp) div w_sum")
+          .as("alloc_tokens"))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("weight_fp"),
+        col("alloc_tokens"),
+        expr("(2 * alloc_tokens * 1000000 + lang_tokens) div (2 * lang_tokens)")
+          .as("epochs_fp"),
+        (expr("(2 * alloc_tokens * 1000000 + lang_tokens) div (2 * lang_tokens)")
+          > capEpochs * 1000000L).as("over_cap"),
+        least(col("alloc_tokens"), col("lang_tokens") * capEpochs)
+          .as("effective_tokens"))
+      .orderBy("lang")
+  }
+
   /** Deterministic corpus shuffle into training shards — the final
     * layout step before sequence packing: a pseudo-random but
     * reproducible global order (md5 of the doc id), sharded by the

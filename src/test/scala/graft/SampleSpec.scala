@@ -546,4 +546,36 @@ class SampleSpec extends AnyFunSuite {
       assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
     }
   }
+
+  test("q_mix_epoch: integer allocation replays; both cap branches exercised; budget conserved") {
+    val rows = SparkEntry.queries("q_mix_epoch")(spark, sf).collect()
+    assert(rows.length == 5) // the corpus's five languages
+    val total = rows.map(_.getAs[Long]("lang_tokens")).sum
+    val wSum = rows.map(_.getAs[Long]("weight_fp")).sum
+    rows.foreach { r =>
+      val (lt, w) = (r.getAs[Long]("lang_tokens"), r.getAs[Long]("weight_fp"))
+      assert(w == math.floor(math.sqrt(lt.toDouble) * 1e6).toLong)
+      val alloc = 4L * total * w / wSum
+      assert(r.getAs[Long]("alloc_tokens") == alloc)
+      val epochs = (2 * alloc * 1000000L + lt) / (2 * lt)
+      assert(r.getAs[Long]("epochs_fp") == epochs)
+      assert(r.getAs[Boolean]("over_cap") == (epochs > 4000000L))
+      assert(r.getAs[Long]("effective_tokens") == math.min(alloc, 4 * lt))
+    }
+    // measured non-degenerate: en (high-resource) stays under the
+    // 4-epoch cap, at least one low-resource language exceeds it
+    assert(rows.exists(r => r.getAs[Boolean]("over_cap")))
+    assert(rows.exists(r => !r.getAs[Boolean]("over_cap")))
+    // allocations exhaust the budget up to one truncated token per lang
+    val budget = 4L * total
+    val allocSum = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(allocSum <= budget && budget - allocSum < rows.length,
+      s"alloc $allocSum vs budget $budget")
+    // effective <= alloc, strictly less exactly on the capped langs
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("effective_tokens"))
+      assert(e <= a)
+      assert((e < a) == r.getAs[Boolean]("over_cap"))
+    }
+  }
 }
