@@ -279,6 +279,52 @@ object Sinks {
     next
   }
 
+  /** Idempotent per-batch commit for Structured Streaming
+    * `foreachBatch` — the Delta txn-id pattern that upgrades
+    * at-least-once batch replay to EXACTLY-ONCE file output: the
+    * snapshot version is pinned to `batchId + 1`, so a batch replayed
+    * after a crash-restart finds its manifest already committed and
+    * becomes a no-op (returns false) instead of double-appending.
+    * A torn earlier attempt (data staged, no manifest) is restaged
+    * with overwrite and only becomes visible at the manifest rename —
+    * the same commit point as [[writeSnapshot]]. Batches append:
+    * version N's manifest carries version N−1's files.
+    *
+    * Wire-up: `ds.writeStream.foreachBatch((df, id) =>
+    * Sinks.writeSnapshotBatch(df, dir, id)): Unit` — tested in
+    * StreamingSpec with an explicit replay.
+    */
+  def writeSnapshotBatch(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    val v = batchId + 1L
+    val committed = snapshotVersions(dir)
+    if (committed.contains(v)) return false // replayed batch: no-op
+    val dataDir = java.nio.file.Paths.get(dir, "data", s"v$v")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val newFiles = {
+      val s = java.nio.file.Files.list(dataDir)
+      try s.iterator().asScala
+        .map(_.toAbsolutePath.toString)
+        .filter(_.endsWith(".parquet"))
+        .toSeq.sorted
+      finally s.close()
+    }
+    val carried =
+      if (!committed.contains(v - 1)) Seq.empty
+      else java.nio.file.Files.readAllLines(
+        manifestDir(dir).resolve(s"v${v - 1}.manifest")).asScala.toSeq
+    java.nio.file.Files.createDirectories(manifestDir(dir))
+    val tmp = manifestDir(dir).resolve(s".v$v.manifest.tmp")
+    java.nio.file.Files.writeString(tmp, (carried ++ newFiles).mkString("\n"))
+    try {
+      java.nio.file.Files.move(tmp, manifestDir(dir).resolve(s"v$v.manifest"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { // lost a commit race: the other writer's manifest stands
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp); false
+    }
+  }
+
   /** Read a committed version (default: latest) — time travel is
     * `readSnapshot(spark, dir, v)` for any version whose manifest
     * survives. Only manifest-named files are opened; uncommitted

@@ -349,6 +349,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size == batch.size && streamed.nonEmpty)
   }
+
+  test("foreachBatch into the snapshot sink: one version per batch, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstream").toString + "/tbl"
+    val input = MemoryStream[Doc]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        graft.sources.Sinks.writeSnapshotBatch(df, dir, id): Unit
+      }
+      .start()
+    input.addData(Doc(ts("2024-01-01 10:00:00"), 1L, "en", "a"))
+    q.processAllAvailable()
+    input.addData(Doc(ts("2024-01-01 10:01:00"), 2L, "en", "b"),
+      Doc(ts("2024-01-01 10:02:00"), 3L, "en", "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.sources.Sinks.snapshotVersions(dir) == Seq(1L, 2L))
+    // appends accumulate: latest version sees every batch's rows
+    val latest = graft.sources.Sinks.readSnapshot(spark, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(latest.sameElements(Seq(1L, 2L, 3L)))
+    // a crash-restart replay of batch 1 must be a no-op, not a dup
+    val replay = Seq(Doc(ts("2024-01-01 10:01:00"), 2L, "en", "b"),
+      Doc(ts("2024-01-01 10:02:00"), 3L, "en", "c")).toDF()
+    assert(!graft.sources.Sinks.writeSnapshotBatch(replay, dir, 1L))
+    assert(graft.sources.Sinks.readSnapshot(spark, dir).count() == 3)
+    // time travel still sees the pre-append state
+    assert(graft.sources.Sinks.readSnapshot(spark, dir, 1L).count() == 1)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
