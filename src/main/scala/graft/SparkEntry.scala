@@ -159,6 +159,7 @@ object SparkEntry {
     "q_lorenz"       -> (TextOps.q_lorenz _),
     "q_ks"           -> (TextOps.q_ks _),
     "q_mannwhitney"  -> (TextOps.q_mannwhitney _),
+    "q_welch"        -> (TextOps.q_welch _),
     "q_readability"  -> (TextOps.q_readability _),
     "q_heaps"        -> (TextOps.q_heaps _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "q_mix_temp"         -> ((s, d) => SampleOps.q_mix_temp(s, d)),
     "q_mix_epoch"        -> ((s, d) => SampleOps.q_mix_epoch(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
+    "q_shard_quality"    -> ((s, d) => SampleOps.q_shard_quality(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
@@ -3091,6 +3093,22 @@ object SparkEntry {
         |         ((n_en+n_other+1.0) * (n_en+n_other) * (n_en+n_other-1)
         |          - tie_t))), 6) END AS z
         |FROM a""".stripMargin,
+    // Welch t: the moment CTE feeds the SAME welchT/welchDf double
+    // expressions the Spark side parses (shared Scala vals — one
+    // source of truth for the IEEE op sequence)
+    "q_welch" ->
+      s"""WITH m AS (SELECT
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+         |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sum_1,
+         |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sum_2,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS sumsq_1,
+         |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS sumsq_2
+         |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+         |SELECT n_1, n_2, sum_1, sum_2, sumsq_1, sumsq_2,
+         |  ${graft.queries.TextOps.welchT} AS t,
+         |  ${graft.queries.TextOps.welchDf} AS df
+         |FROM m""".stripMargin,
     // Heaps fit: exact first-sighting counts, one cumulative window
     // (the Spark side's two-level prefix is algebraically identical),
     // x1e3 quantized-ln points, zipf-style moment fit
@@ -4327,6 +4345,25 @@ object SparkEntry {
          |    AS BIGINT) AS seq,
          |  rkey
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+    // shard-mix audit: same draw, (shard, lang) cells, integer
+    // cross-multiplied per-mille deviation, max per shard
+    "q_shard_quality" -> {
+      val draw8 = duckHashDraw(8)
+      s"""WITH c AS (SELECT ($draw8) % 8 AS shard, lang,
+         |      CAST(count(*) AS BIGINT) AS n_sl
+         |    FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+         |bs AS (SELECT shard, CAST(sum(n_sl) AS BIGINT) AS n_s,
+         |         CAST(count(*) AS BIGINT) AS n_langs FROM c GROUP BY 1),
+         |bl AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l FROM c GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n_total FROM c),
+         |dev AS (SELECT c.shard, bs.n_s, bs.n_langs,
+         |    (2 * 1000 * abs(c.n_sl * n_total - bl.n_l * bs.n_s) + bs.n_s * n_total)
+         |      // (2 * bs.n_s * n_total) AS dev_mille
+         |  FROM c JOIN bl USING (lang) JOIN bs USING (shard), tt)
+         |SELECT shard, n_s AS n_docs, n_langs,
+         |  CAST(max(dev_mille) AS BIGINT) AS max_dev_mille
+         |FROM dev GROUP BY shard, n_s, n_langs ORDER BY shard""".stripMargin
     },
     // shard manifests: same doc_id draw as q_shuffle_shards; content
     // checksum = bit_xor of 60-bit md5(text) fingerprints (order-free;

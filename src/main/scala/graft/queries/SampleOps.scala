@@ -561,6 +561,54 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Shard-mix quality audit — the check that runs AFTER
+    * [[q_shuffle_shards]] and before training starts: each shard
+    * should be an unbiased sample of the corpus, so any shard whose
+    * language mix deviates from the global mix signals a broken
+    * shuffle (a hash draw correlated with content, a skewed
+    * partitioner) that would feed the trainer non-stationary batches.
+    * Per shard: document count, distinct languages present, and the
+    * max per-language absolute share deviation vs the corpus in
+    * per-mille (`max_dev_mille`, round-half-up on the exact
+    * cross-multiplication |n_sl·N − n_l·n_s|·1000 / (n_s·N) — zero
+    * divisions until the final integer round; int64 to ~10⁸ docs ×
+    * 1000 shards, decimal(38,0) beyond, the q_graph_modularity
+    * escalation).
+    *
+    * Scale shape: ONE (shard, lang) aggregation (key cardinality
+    * shards × langs), lang marginals re-aggregated from those partials
+    * (never a second corpus pass), both small sides broadcast back.
+    * The sharding itself re-derives the [[q_shuffle_shards]] draw as
+    * a scan-side expression — composing over the declared output
+    * would pay its presentation ORDER BY (the q_dedup_priority
+    * lesson).
+    */
+  def q_shard_quality(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+    val cell = documents(s, d)
+      .filter(col("lang").isNotNull)
+      .select(pmod(hashDraw(col("doc_id"), 8), lit(shards.toLong)).as("shard"),
+        col("lang"))
+      .groupBy("shard", "lang")
+      .agg(count(lit(1)).as("n_sl"))
+      .localCheckpoint() // shards x langs rows; read 3x below
+    val byShard = cell.groupBy("shard").agg(sum(col("n_sl")).as("n_s"),
+      count(lit(1)).as("n_langs"))
+    val byLang = cell.groupBy("lang").agg(sum(col("n_sl")).as("n_l"))
+    val total = cell.agg(sum(col("n_sl")).as("n_total"))
+    cell
+      .join(broadcast(byLang), Seq("lang"))
+      .join(broadcast(byShard), Seq("shard"))
+      .crossJoin(broadcast(total))
+      .select(col("shard"), col("n_s"), col("n_langs"),
+        expr("(2 * 1000 * abs(n_sl * n_total - n_l * n_s) + n_s * n_total)" +
+          " div (2 * n_s * n_total)").as("dev_mille"))
+      .groupBy("shard", "n_s", "n_langs")
+      .agg(max(col("dev_mille")).as("max_dev_mille"))
+      .select(col("shard"), col("n_s").as("n_docs"), col("n_langs"),
+        col("max_dev_mille"))
+      .orderBy("shard")
+  }
+
   /** Composed corpus-prep pipeline — the end-to-end shape a training
     * mix actually runs: quality gate → language allow-list → exact
     * near-order-insensitive dedup (min doc per normalized fingerprint)

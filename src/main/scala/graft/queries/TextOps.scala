@@ -1956,4 +1956,62 @@ object TextOps {
           "((n_en+n_other+1.0) * (n_en+n_other) * (n_en+n_other-1) " +
           "- tie_t))), 6) END").as("z"))
   }
+
+  /** Welch's unequal-variance t-test on en-vs-rest document lengths —
+    * the PARAMETRIC twin of [[q_mannwhitney]] (same populations, same
+    * question): a pipeline runs both because they disagree exactly
+    * when the length distributions are skewed or heavy-tailed, which
+    * is itself the finding. Reports the exact integer moments (n, Σx,
+    * Σx² per group), the t statistic, and the Welch–Satterthwaite
+    * effective degrees of freedom.
+    *
+    * Exactness: the moments are order-free long sums from ONE
+    * map-side-combined aggregation (Σx² headroom: n_chars² ≤ 10⁸ —
+    * int64 holds past 10¹⁰ docs); t and df are the one mirrored
+    * `round(double, 6)` expression over those longs, written token
+    * for token as the oracle SQL so both engines execute the same
+    * IEEE op sequence (the q_mannwhitney z stance). Degenerate
+    * inputs (a group under 2 rows, or both variances zero) yield
+    * NULL in both engines.
+    */
+  def q_welch(s: SparkSession, d: String): DataFrame = {
+    val en = col("lang") === "en"
+    val x = col("n_chars")
+    documents(s, d)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .agg(
+        sum(when(en, 1L).otherwise(0L)).as("n_1"),
+        sum(when(!en, 1L).otherwise(0L)).as("n_2"),
+        sum(when(en, x).otherwise(0L)).as("sum_1"),
+        sum(when(!en, x).otherwise(0L)).as("sum_2"),
+        sum(when(en, x * x).otherwise(0L)).as("sumsq_1"),
+        sum(when(!en, x * x).otherwise(0L)).as("sumsq_2"))
+      .select(col("n_1"), col("n_2"), col("sum_1"), col("sum_2"),
+        col("sumsq_1"), col("sumsq_2"),
+        expr(welchT).as("t"), expr(welchDf).as("df"))
+  }
+
+  /** The mirrored double expressions of [[q_welch]] — shared verbatim
+    * with the generated oracle SQL (identical IEEE op sequence on
+    * identical exact longs).
+    */
+  private[graft] val welchGuard: String =
+    "n_1 < 2 OR n_2 < 2 OR " +
+      "(CAST(sumsq_1 AS DOUBLE) - CAST(sum_1 AS DOUBLE)*sum_1/n_1) + " +
+      "(CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2) = 0.0"
+  private[graft] val welchT: String =
+    s"CASE WHEN $welchGuard THEN NULL ELSE " +
+      "round((CAST(sum_1 AS DOUBLE)/n_1 - CAST(sum_2 AS DOUBLE)/n_2) / " +
+      "sqrt((CAST(sumsq_1 AS DOUBLE) - CAST(sum_1 AS DOUBLE)*sum_1/n_1)/(n_1-1)/n_1 + " +
+      "(CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2)/(n_2-1)/n_2), 6) END"
+  private[graft] val welchDf: String =
+    s"CASE WHEN $welchGuard THEN NULL ELSE " +
+      "round(((CAST(sumsq_1 AS DOUBLE) - CAST(sum_1 AS DOUBLE)*sum_1/n_1)/(n_1-1)/n_1 + " +
+      "(CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2)/(n_2-1)/n_2) * " +
+      "((CAST(sumsq_1 AS DOUBLE) - CAST(sum_1 AS DOUBLE)*sum_1/n_1)/(n_1-1)/n_1 + " +
+      "(CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2)/(n_2-1)/n_2) / " +
+      "((CAST(sumsq_1 AS DOUBLE) - CAST(sum_1 AS DOUBLE)*sum_1/n_1)/(n_1-1)/n_1 * " +
+      "((CAST(sumsq_1 AS DOUBLE) - CAST(sum_1 AS DOUBLE)*sum_1/n_1)/(n_1-1)/n_1) / (n_1-1) + " +
+      "(CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2)/(n_2-1)/n_2 * " +
+      "((CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2)/(n_2-1)/n_2) / (n_2-1)), 6) END"
 }

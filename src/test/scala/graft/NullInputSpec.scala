@@ -45,7 +45,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_containment", "q_length_buckets", "q_corpus_diff",
     "q_split_group", "q_lm_backoff", "q_ccnet_split", "q_mix_lm",
     "q_minkprob", "q_dedup_priority", "q_dedup_savings", "q_blocklist",
-    "q_bpe_sweep", "q_cdc_savings", "q_mix_epoch")
+    "q_bpe_sweep", "q_cdc_savings", "q_mix_epoch", "q_welch",
+    "q_shard_quality")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>

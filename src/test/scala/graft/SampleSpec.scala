@@ -578,4 +578,38 @@ class SampleSpec extends AnyFunSuite {
       assert((e < a) == r.getAs[Boolean]("over_cap"))
     }
   }
+
+  test("q_shard_quality replays from q_shuffle_shards + lang joins; hash shards mix well") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_shard_quality")(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(rows.keySet == (0L until 8L).toSet)
+    // independent replay: shard assignment from the declared
+    // q_shuffle_shards output, langs from the documents table
+    val shardOf = SparkEntry.queries("q_shuffle_shards")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val langs = Tables.documents(spark, sf)
+      .filter(col("lang").isNotNull)
+      .select("doc_id", "lang").collect()
+      .map(r => (shardOf(r.getAs[Long]("doc_id")), r.getAs[String]("lang")))
+    val byCell = langs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val byLang = langs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val total = langs.length.toLong
+    (0L until 8L).foreach { sh =>
+      val cells = byCell.filter(_._1._1 == sh)
+      val nS = cells.values.sum
+      assert(rows(sh).getAs[Long]("n_docs") == nS)
+      assert(rows(sh).getAs[Long]("n_langs") == cells.size.toLong)
+      val dev = cells.map { case ((_, lang), nSl) =>
+        val num = 2L * 1000L * math.abs(nSl * total - byLang(lang) * nS) + nS * total
+        num / (2L * nS * total)
+      }.max
+      assert(rows(sh).getAs[Long]("max_dev_mille") == dev)
+    }
+    // the md5 draw is content-independent, so deviations are pure
+    // binomial noise: at sf0.001's ~62 docs/shard the per-lang share
+    // std is ~45 per-mille — allow ~4 sigma, which a content-correlated
+    // draw (the defect this audit exists to catch) would blow through
+    assert(rows.values.map(_.getAs[Long]("max_dev_mille")).max < 250L)
+  }
 }

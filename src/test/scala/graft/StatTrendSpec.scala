@@ -515,4 +515,45 @@ class StatTrendSpec extends AnyFunSuite {
       if (rho != null) assert(math.abs(rho) <= 1.0)
     }
   }
+
+  test("q_welch: moments replay driver-side; planted two-group fixture matches hand math") {
+    import spark.implicits._
+    // corpus run: moments reconcile and t/df replay through the same
+    // double op sequence
+    val r = SparkEntry.queries("q_welch")(spark, TestSpark.sf).collect().head
+    val (n1, n2) = (r.getAs[Long]("n_1"), r.getAs[Long]("n_2"))
+    val (s1, s2) = (r.getAs[Long]("sum_1"), r.getAs[Long]("sum_2"))
+    val (q1, q2) = (r.getAs[Long]("sumsq_1"), r.getAs[Long]("sumsq_2"))
+    assert(n1 > 0 && n2 > 0)
+    val v1 = (q1.toDouble - s1.toDouble * s1 / n1) / (n1 - 1) / n1
+    val v2 = (q2.toDouble - s2.toDouble * s2 / n2) / (n2 - 1) / n2
+    // Spark's round(double, 6) = BigDecimal.valueOf + HALF_UP
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val t = round6((s1.toDouble / n1 - s2.toDouble / n2) / math.sqrt(v1 + v2))
+    val df = round6((v1 + v2) * (v1 + v2) / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)))
+    assert(math.abs(r.getAs[Double]("t") - t) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df") - df) < 1e-9)
+    assert(r.getAs[Double]("df") >= math.min(n1, n2) - 1.0) // Welch df lower bound
+    // planted fixture: en = {10,12,14}, rest = {30,34} — hand-checked
+    // means 12 vs 32, variances 4 vs 8
+    val tmp = java.nio.file.Files.createTempDirectory("welch").toString
+    Seq((1L, "en", 10L), (2L, "en", 12L), (3L, "en", 14L),
+      (4L, "fr", 30L), (5L, "de", 34L))
+      .map { case (i, l, n) => (i, "x", l, "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val f = graft.queries.TextOps.q_welch(spark, tmp).collect().head
+    // se^2 = 4/3 + 8/2 = 16/3; t = -20/sqrt(16/3)
+    val tExp = java.math.BigDecimal.valueOf(-20.0 / math.sqrt(16.0 / 3))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(f.getAs[Double]("t") == tExp)
+    // degenerate: one group under 2 rows -> NULL in both stats
+    Seq((1L, "en", 10L), (4L, "fr", 30L), (5L, "de", 34L))
+      .map { case (i, l, n) => (i, "x", l, "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val g = graft.queries.TextOps.q_welch(spark, tmp).collect().head
+    assert(g.isNullAt(g.fieldIndex("t")) && g.isNullAt(g.fieldIndex("df")))
+  }
 }
