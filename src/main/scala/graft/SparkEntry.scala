@@ -267,6 +267,7 @@ object SparkEntry {
     "q_media_resize"   -> ((s, d) => Multimodal.resizeMeta(s, d)),
     "q_media_decode"   -> ((s, d) => Multimodal.q_media_decode(s, d)),
     "q_media_audio"    -> ((s, d) => Multimodal.q_media_audio(s, d)),
+    "q_media_phash"    -> ((s, d) => Multimodal.q_media_phash(s, d)),
     "q_media_frame_meta" -> ((s, d) => Multimodal.q_media_frame_meta(s, d)),
   )
 
@@ -2568,6 +2569,34 @@ object SparkEntry {
         |  CAST(sum((media_id*37 + x*5 + y*11 + 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((media_id*37 + x*5 + y*11 + 6) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // Perceptual aHash over the REAL codec (Multimodal.q_media_phash):
+    // the oracle rebuilds the 8x8 luma-block hash and the Hamming
+    // nearest neighbor from the closed-form pixels alone — integer
+    // cross-multiplied mean test, 63-bit hash, bit_count(xor) NN
+    "q_media_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, g1.x, g2.y,
+        |    299*((media_id*37 + x*5 + y*11) % 256)
+        |    + 587*((media_id*37 + x*5 + y*11 + 3) % 256)
+        |    + 114*((media_id*37 + x*5 + y*11 + 6) % 256) AS luma
+        |  FROM documents, generate_series(0, 15) g1(x), generate_series(0, 15) g2(y)
+        |  WHERE doc_id < 64),
+        |bl AS (SELECT media_id, (y // 2) * 8 + (x // 2) AS b,
+        |         CAST(sum(luma) AS BIGINT) AS bs
+        |       FROM px GROUP BY 1, 2),
+        |tt AS (SELECT media_id, CAST(sum(bs) AS BIGINT) AS total
+        |       FROM bl GROUP BY 1),
+        |ph AS (SELECT bl.media_id,
+        |    CAST(sum(CASE WHEN b < 63 AND 64 * bs > total
+        |             THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM bl JOIN tt USING (media_id) GROUP BY 1),
+        |pr AS (SELECT x.media_id, x.phash, y.media_id AS nn_id,
+        |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS nn_hamming,
+        |    row_number() OVER (PARTITION BY x.media_id
+        |      ORDER BY bit_count(xor(x.phash, y.phash)), y.media_id) AS rn
+        |  FROM ph x JOIN ph y ON x.media_id <> y.media_id)
+        |SELECT media_id, phash, nn_id, nn_hamming
+        |FROM pr WHERE rn = 1 ORDER BY media_id""".stripMargin,
     // REAL audio codec round-trip (Multimodal.q_media_audio): Spark
     // encodes a deterministic 256-sample 16-bit PCM mono WAV per id
     // with javax.sound.sampled, decodes it back, and emits integer

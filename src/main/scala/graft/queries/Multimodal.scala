@@ -136,6 +136,38 @@ object Multimodal {
     }
   }
 
+  /** [[decodeImage]] reshaped to the aHash block grid: decode, then
+    * sum the exact ×1000 integer luma (299R + 587G + 114B — no
+    * division, no float) over each `grid`×`grid` cell of a
+    * `grid`-way downsample. Returns row-major cell sums; None on a
+    * non-image payload.
+    */
+  private[graft] def decodeLumaBlocks(
+      bytes: Array[Byte], grid: Int): Option[Array[Long]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val (cw, ch) = (w / grid, h / grid)
+      val blocks = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val luma = 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          blocks(math.min(y / ch, grid - 1) * grid +
+            math.min(x / cw, grid - 1)) += luma
+          x += 1
+        }
+        y += 1
+      }
+      blocks
+    }
+  }
+
   /** [[decodeImage]] reshaped to the 8-float feature contract of
     * [[mediaFeatures]]: (w, h, n_px, meanR, meanG, meanB, meanLuma, 0).
     */
@@ -204,6 +236,73 @@ object Multimodal {
         }
       }
       .toDF()
+      .orderBy("media_id")
+  }
+
+  final case class PhashRow(media_id: Long, phash: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL image codec — the
+    * image-dedup primitive (pHash-family near-dup detection: two
+    * crops/re-encodes of the same picture land within a few Hamming
+    * bits; the multimodal counterpart of [[graft.queries.DedupOps]]'
+    * SimHash): decode the PNG, downsample to the 8×8 luma-block grid,
+    * and set bit b iff block b's luma is above the image mean —
+    * expressed as the exact integer cross-multiplication
+    * `64·block_b > total` on ×1000 integer luma (299R+587G+114B), so
+    * no division or float touches the hash. 63 bits (block 63
+    * dropped), keeping the hash a positive BIGINT — the
+    * [[graft.queries.TextOps]] SimHash convention. Output per image:
+    * the hash plus its nearest neighbor by Hamming distance
+    * (tie → smallest id) — the decision readout an image-dedup pass
+    * thresholds.
+    *
+    * Oracle stance: like [[q_media_decode]], Spark runs the ACTUAL
+    * ImageIO encode→decode→raster path executor-side over the bounded
+    * id window, while DuckDB reproduces hash and neighbors from the
+    * closed-form pixels alone — a hash match proves codec + block
+    * arithmetic, not just plumbing. Scale shape: the hash is one
+    * mapPartitions decode pass (codec init amortized per partition);
+    * the all-pairs neighbor scan is bounded by the oracle window, and
+    * at corpus scale is replaced verbatim by the banded-LSH machinery
+    * of q_dedup_simhash (63-bit hash, 4×16-bit bands → Hamming ≤ 3
+    * guaranteed by pigeonhole) — the hash column, not this report, is
+    * the production surface.
+    */
+  def q_media_phash(s: SparkSession, d: String, maxDocs: Int = 64,
+      w: Int = 16, h: Int = 16): DataFrame = {
+    import s.implicits._
+    val hashes = documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < maxDocs)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val blocks = decodeLumaBlocks(encodePng(id, w, h), 8)
+            .getOrElse(sys.error(s"PNG round-trip failed for media_id=$id"))
+          val total = blocks.sum
+          var hash = 0L
+          var b = 0
+          while (b < 63) { // bit 63 would sign the long
+            if (64L * blocks(b) > total) hash |= (1L << b)
+            b += 1
+          }
+          PhashRow(id, hash)
+        }
+      }
+      .toDF().localCheckpoint() // referenced twice: both pair sides
+    // broadcast the bounded hash table: BroadcastNestedLoopJoin, never
+    // a shuffled cartesian (the all-pairs scan is oracle-window-sized
+    // by contract; corpus scale goes through banded LSH instead)
+    val pairs = hashes.as("x").join(broadcast(hashes.as("y")),
+        col("x.media_id") =!= col("y.media_id"))
+      .select(col("x.media_id").as("media_id"), col("x.phash").as("phash"),
+        col("y.media_id").as("nn_id"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("long").as("nn_hamming"))
+    val byImg = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy(col("nn_hamming"), col("nn_id"))
+    pairs.withColumn("rn", row_number().over(byImg))
+      .filter(col("rn") === 1)
+      .select("media_id", "phash", "nn_id", "nn_hamming")
       .orderBy("media_id")
   }
 

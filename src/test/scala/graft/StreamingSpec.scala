@@ -462,6 +462,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(3) >= 0f && feats(3) <= 255f)
   }
 
+  test("q_media_phash: NN readout consistent; one-pixel perturbation barely moves the hash") {
+    val rows = SparkEntry.queries("q_media_phash")(spark, sf).collect()
+    assert(rows.length == 64)
+    val hashOf = rows.map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    rows.foreach { r =>
+      val (id, nn) = (r.getAs[Long]("media_id"), r.getAs[Long]("nn_id"))
+      assert(id != nn)
+      assert(java.lang.Long.bitCount(hashOf(id) ^ hashOf(nn)) ==
+        r.getAs[Long]("nn_hamming"))
+    }
+    // hashes discriminate: the 64 closed-form images are not clones
+    assert(hashOf.values.toSet.size > 32)
+    // perceptual property, through the REAL codec: bump one pixel's R
+    // channel and the hash moves at most a couple of bits (only the
+    // touched block and near-threshold blocks can flip), while the
+    // operator's own rows show unrelated images many bits apart
+    def hashBytes(bytes: Array[Byte]): Long = {
+      val blocks = Multimodal.decodeLumaBlocks(bytes, 8).get
+      val total = blocks.sum
+      (0 until 63).foldLeft(0L)((h, b) =>
+        if (64L * blocks(b) > total) h | (1L << b) else h)
+    }
+    val base = Multimodal.encodePng(1L, 16, 16)
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    im.setRGB(0, 0, im.getRGB(0, 0) ^ 0x280000) // flip some R bits at (0,0)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    val moved = java.lang.Long.bitCount(hashBytes(base) ^ hashBytes(out.toByteArray))
+    assert(moved <= 4, s"one-pixel edit moved $moved bits")
+    assert(hashBytes(base) == hashOf(1L)) // codec path = operator path
+  }
+
   test("q_media_decode: one row per bounded doc, dims decoded from the container") {
     val rows = SparkEntry.queries("q_media_decode")(spark, sf).collect()
     val expected = Tables.documents(spark, sf)
