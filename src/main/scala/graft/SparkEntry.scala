@@ -98,6 +98,7 @@ object SparkEntry {
     "q_funnel"       -> (TimeSeries.q_funnel _),
     "q_outliers"     -> (TimeSeries.q_outliers _),
     "q_value_hist"   -> ((s, d) => TimeSeries.q_value_hist(s, d)),
+    "q_ohlc"         -> (TimeSeries.q_ohlc _),
     // round-9 (official) time-series additions
     "q_trend"        -> (TimeSeries.q_trend _),
     "q_acf"          -> ((s, d) => TimeSeries.q_acf(s, d)),
@@ -1636,6 +1637,26 @@ object SparkEntry {
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // OHLC bars: exact cents, first/last by the (ts, event_id) total
+    // order via two opposite-sort row_numbers, one grouped agg
+    "q_ohlc" ->
+      """WITH b AS (SELECT
+        |    CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |    event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY w_start, event_type
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY w_start, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM b)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  CAST(max(CASE WHEN rf = 1 THEN c END) AS BIGINT) AS open_cents,
+        |  CAST(max(c) AS BIGINT) AS high_cents,
+        |  CAST(min(c) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rl = 1 THEN c END) AS BIGINT) AS close_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_time_slide" ->
       """SELECT ((epoch_us(ts) // 900000000) * 900 - t.k * 900) AS w_start,
         |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value

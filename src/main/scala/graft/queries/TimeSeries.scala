@@ -156,6 +156,42 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** OHLC resample — the canonical time-series downsample (candlestick
+    * bars): per (hour, event_type), the OPEN (first value by event
+    * time), HIGH, LOW, CLOSE (last value), and count. Completes the
+    * resampling family next to [[q_time_tumble]]'s sums and
+    * [[q_ewma]]'s smoothing: monitoring dashboards and feature
+    * pipelines both consume bars, not raw ticks.
+    *
+    * Exactness: money in exact integer cents (the DECIMAL(18,2)
+    * contract); first/last are defined by the TOTAL order
+    * (ts, event_id), so same-microsecond ticks resolve identically in
+    * both engines. Distributed shape: two opposite-sort row_number
+    * windows over the SAME (hour, type) partitioning + the final
+    * aggregation on that key — one hash exchange total, the q_scd2
+    * one-exchange rule; open/close ride the aggregation as
+    * max(CASE rn = 1) so no self-join re-reads the bars.
+    */
+  def q_ohlc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (Relational.dec2(col("value")) * 100).cast("long")
+    val base = events(s, d).select(
+      unix_timestamp(date_trunc("hour", col("ts"))).as("w_start"),
+      col("event_type"), col("ts"), col("event_id"), cents.as("c"))
+    val w = Window.partitionBy("w_start", "event_type")
+    base
+      .withColumn("rf", row_number().over(w.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rl", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy("w_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rf") === 1, col("c"))).as("open_cents"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        max(when(col("rl") === 1, col("c"))).as("close_cents"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** Event-type transition matrix — the first-order Markov readout of
     * user behavior (what follows what, and with what probability):
     * per user, events ordered by (epoch second, event_id — the

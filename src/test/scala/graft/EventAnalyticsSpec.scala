@@ -437,4 +437,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(means(1)._1 <= means(means.length - 2)._1)
     }
   }
+
+  test("q_ohlc: bars replay from raw ticks; low <= open/close <= high; counts conserve") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp, date_trunc}
+    val bars = q("q_ohlc").collect()
+      .map(r => (r.getAs[Long]("w_start"), r.getAs[String]("event_type")) -> r).toMap
+    val ticks = Tables.events(spark, sf)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("w"),
+        col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map { r =>
+        val cents = Option(r.get(4)).map(_ =>
+          (BigDecimal(r.getAs[Double]("value")).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val micros = t.getTime / 1000 * 1000000L + t.getNanos / 1000 // full µs order
+        ((r.getAs[Long]("w"), r.getAs[String]("event_type")),
+          (micros, r.getAs[Long]("event_id"), cents))
+      }
+    assert(bars.keySet == ticks.map(_._1).toSet)
+    ticks.groupBy(_._1).foreach { case (key, ts0) =>
+      val r = bars(key)
+      val sorted = ts0.map(_._2).sortBy(t => (t._1, t._2))
+      assert(r.getAs[Long]("n") == ts0.length.toLong)
+      def cmp(name: String, v: Option[Long]): Unit = v match {
+        case Some(x) => assert(r.getAs[Long](name) == x, s"$key $name")
+        case None => assert(r.isNullAt(r.fieldIndex(name)), s"$key $name null")
+      }
+      cmp("open_cents", sorted.head._3)
+      cmp("close_cents", sorted.last._3)
+      val vals = sorted.flatMap(_._3)
+      cmp("high_cents", if (vals.isEmpty) None else Some(vals.max))
+      cmp("low_cents", if (vals.isEmpty) None else Some(vals.min))
+      vals.headOption.foreach { _ =>
+        assert(r.getAs[Long]("low_cents") <= r.getAs[Long]("high_cents"))
+      }
+    }
+  }
 }
