@@ -34,7 +34,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "q_sketch_exact", "q_sketch_kmv", "q_zipf", "q_ks",
       // round-9 one-row reports: OLS moments, rank-sum, pooled A/B —
       // all emit their single aggregate row (counts 0, NULL stats)
-      "q_trend", "q_mannwhitney", "q_ab_test", "q_heaps", "q_mk_trend")
+      "q_trend", "q_mannwhitney", "q_ab_test", "q_heaps", "q_mk_trend",
+      // round-14: Welch moments are the same one-aggregate-row shape;
+      // cdc savings always emits its '(all)' global rollup row
+      "q_welch", "q_cdc_savings")
 
   // the ablation report is a global aggregate exploded to one row per
   // RULE: an empty corpus yields its 4 rule rows (n_docs=0, null
@@ -47,7 +50,9 @@ class EmptyInputSpec extends AnyFunSuite {
       // the Benford digit spine is always its 9 rows (0 counts)
       "q_benford" -> 9L,
       // the threshold-sweep spine is its 5 literal cutoffs (0 counts)
-      "q_dedup_savings" -> 5L)
+      "q_dedup_savings" -> 5L,
+      // the vocab-sweep spine is its 5 merge checkpoints (null sums)
+      "q_bpe_sweep" -> 5L)
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events
