@@ -35,6 +35,7 @@ object SparkEntry {
     "q_join_skew"      -> (Relational.q_join_skew _),
     "q_skew_stats"     -> (Relational.q_skew_stats _),
     "q_join_asof"      -> (Windows.q_join_asof _),
+    "q_join_asof_tol"  -> ((s, d) => Windows.q_join_asof_tol(s, d)),
     "q_sql_report"     -> (Relational.q_sql_report _),
     // §2.4 aggregations
     "q_agg_hash"     -> (Relational.q_agg_hash _),
@@ -1668,6 +1669,18 @@ object SparkEntry {
         |p AS (SELECT user_id, es, arg_max(value, event_id) AS p_value
         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, es)
         |SELECT e.event_id, e.user_id, e.es, p.p_value AS last_purchase
+        |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es >= p.es
+        |ORDER BY event_id""".stripMargin,
+    // tolerance as-of: DuckDB's ASOF join surfaces the matched p.es,
+    // so gap and cutoff are plain projections over the same match
+    "q_join_asof_tol" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts)//1000000 AS es FROM events),
+        |p AS (SELECT user_id, es, arg_max(value, event_id) AS p_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, es)
+        |SELECT e.event_id, e.user_id, e.es,
+        |  e.es - p.es AS gap_s,
+        |  CASE WHEN e.es - p.es <= 3600 THEN p.p_value END AS last_purchase_tol
         |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es >= p.es
         |ORDER BY event_id""".stripMargin,
     "q_retention" ->

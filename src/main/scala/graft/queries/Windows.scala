@@ -106,6 +106,49 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** As-of join with a MATCH TOLERANCE — pandas
+    * `merge_asof(tolerance=...)` semantics, the form feature
+    * pipelines actually need: a last-purchase older than
+    * `tolSeconds` is reported as NULL (a stale as-of value is a
+    * feature leak, not a feature), and the gap itself is surfaced so
+    * the cutoff is auditable. Same ONE-pass tag-union kernel as
+    * [[q_join_asof]]: the purchase (time, value) rides the window as
+    * a single struct `last(..., ignoreNulls)` — one extra window
+    * function over the SAME frame, zero additional shuffles, and the
+    * struct keeps gap and value from the same purchase row even when
+    * the purchase's value is NULL (two separate last() calls would
+    * skip nulls asymmetrically and pair a new gap with an older
+    * value).
+    */
+  def q_join_asof_tol(s: SparkSession, d: String,
+                      tolSeconds: Long = 3600): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_timestamp(col("ts")).as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "es")
+      .agg(max_by(col("value"), col("event_id")).as("p_value"))
+    val leftTagged = ev.select(
+      col("user_id"), col("es"), lit(0).as("is_p"), col("event_id"),
+      lit(null).cast("double").as("p_value"))
+    val rightTagged = purchases.select(
+      col("user_id"), col("es"), lit(1).as("is_p"),
+      lit(null).cast("long").as("event_id"), col("p_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("is_p").desc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("lp", last(
+        when(col("is_p") === 1, struct(col("es").as("p_es"),
+          col("p_value").as("pv"))), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id"), col("user_id"), col("es"),
+        (col("es") - col("lp.p_es")).as("gap_s"),
+        when(col("es") - col("lp.p_es") <= tolSeconds, col("lp.pv"))
+          .as("last_purchase_tol"))
+      .orderBy("event_id")
+  }
+
   /** Explicit frame spec — running total per customer ordered by date
     * (cumulative churn in the reference's domain).
     */

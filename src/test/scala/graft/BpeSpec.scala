@@ -160,6 +160,15 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("merge nesting: the first k of a K-merge fit ARE the k-merge fit (q_bpe_sweep's premise)") {
+    def fit(k: Int) = graft.queries.BpeOps.q_bpe_train(spark, TestSpark.sf, k)
+      .collect().map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt"))).toSeq
+    val k8 = fit(8)
+    assert(fit(4) == k8.take(4))
+    assert(fit(2) == k8.take(2))
+  }
+
   test("q_bpe_sweep: anchored at k=0, monotone, telescoping, reconciles with q_bpe_encode") {
     val rows = SparkEntry.queries("q_bpe_sweep")(spark, TestSpark.sf).collect()
       .sortBy(_.getAs[Long]("k"))
