@@ -162,6 +162,7 @@ object SparkEntry {
     "q_ks"           -> (TextOps.q_ks _),
     "q_mannwhitney"  -> (TextOps.q_mannwhitney _),
     "q_welch"        -> (TextOps.q_welch _),
+    "q_distinct_n"   -> ((s, d) => TextOps.q_distinct_n(s, d)),
     "q_readability"  -> (TextOps.q_readability _),
     "q_heaps"        -> (TextOps.q_heaps _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
@@ -3156,6 +3157,28 @@ object SparkEntry {
         |         ((n_en+n_other+1.0) * (n_en+n_other) * (n_en+n_other-1)
         |          - tie_t))), 6) END AS z
         |FROM a""".stripMargin,
+    // distinct-n diversity: the three gram branches mirror shinglesN's
+    // inclusive-slice windows; exact counts, x1e6 fixed-point ratio
+    "q_distinct_n" ->
+      """WITH wd AS (SELECT source, string_split(text, ' ') AS w
+        |            FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT source, CAST(1 AS BIGINT) AS n, unnest(w) AS g FROM wd
+        |  UNION ALL
+        |  SELECT source, CAST(2 AS BIGINT), unnest(
+        |      CASE WHEN len(w) >= 2
+        |        THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+        |        ELSE [] END) FROM wd
+        |  UNION ALL
+        |  SELECT source, CAST(3 AS BIGINT), unnest(
+        |      CASE WHEN len(w) >= 3
+        |        THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+        |        ELSE [] END) FROM wd)
+        |SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+        |  (2 * count(DISTINCT g) * 1000000 + count(*)) // (2 * count(*))
+        |    AS distinct_fp
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Welch t: the moment CTE feeds the SAME welchT/welchDf double
     // expressions the Spark side parses (shared Scala vals — one
     // source of truth for the IEEE op sequence)

@@ -1957,6 +1957,39 @@ object TextOps {
           "- tie_t))), 6) END").as("z"))
   }
 
+  /** Distinct-n n-gram diversity per source (Li et al. 2016 — the
+    * NLG/corpus diversity metric): for n = 1..3, the fraction of
+    * n-gram OCCURRENCES that are distinct. A source whose distinct-2/3
+    * collapses is template-generated or mirror-duplicated text — the
+    * symptom a diversity-aware mixer downweights before the dedup
+    * pass even runs; reads next to [[q_repetition]] (within-document
+    * duplication) as the ACROSS-document duplication readout.
+    *
+    * Scale shape: the three explode branches union into ONE
+    * aggregation whose map side combines per (source, n, gram); the
+    * distinct count is the standard two-phase count_distinct expand —
+    * both shuffles are bounded by distinct grams (Zipf-bounded), never
+    * corpus occurrences. The ratio is the ×1e6 round-half-up integer
+    * fixed point on exact long counts.
+    */
+  def q_distinct_n(s: SparkSession, d: String, maxN: Int = 3): DataFrame = {
+    val docs = documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("text"))
+    val grams = (1 to maxN).map { n =>
+      docs.select(col("source"), lit(n.toLong).as("n"),
+        explode(DedupOps.shinglesN(col("text"), n, fallbackToText = false))
+          .as("g"))
+    }.reduce(_ unionAll _)
+    grams.groupBy("source", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        count_distinct(col("g")).as("distinct_ngrams"))
+      .select(col("source"), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        expr("(2 * distinct_ngrams * 1000000 + total_ngrams)" +
+          " div (2 * total_ngrams)").as("distinct_fp"))
+      .orderBy("source", "n")
+  }
+
   /** Welch's unequal-variance t-test on en-vs-rest document lengths —
     * the PARAMETRIC twin of [[q_mannwhitney]] (same populations, same
     * question): a pipeline runs both because they disagree exactly

@@ -116,6 +116,44 @@ class TextInvariantSpec extends AnyFunSuite {
       r.getAs[Long]("n_hits") == r.getAs[String]("hits").split(",").length))
   }
 
+  test("q_distinct_n: replays from raw docs; a template source collapses distinct-2") {
+    import spark.implicits._
+    // full corpus replay at the suite sf
+    val rows = SparkEntry.queries("q_distinct_n")(spark, TestSpark.sf).collect()
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    def gramsOf(w: Seq[String], n: Int): Seq[String] =
+      if (w.length < n) Seq.empty else w.sliding(n).map(_.mkString(" ")).toSeq
+    rows.foreach { r =>
+      val (src, n) = (r.getAs[String]("source"), r.getAs[Long]("n").toInt)
+      val gs = docs.filter(_._1 == src).flatMap(d => gramsOf(d._2, n))
+      assert(r.getAs[Long]("total_ngrams") == gs.length.toLong, s"$src n=$n total")
+      assert(r.getAs[Long]("distinct_ngrams") == gs.distinct.length.toLong)
+      assert(r.getAs[Long]("distinct_fp") ==
+        (2L * gs.distinct.length * 1000000L + gs.length) / (2L * gs.length))
+    }
+    // planted fixture: template text repeats verbatim, varied doesn't
+    val tmp = java.nio.file.Files.createTempDirectory("distinctn").toString
+    Seq(
+      (0L, "the quick brown fox", "en", "tmpl", 0L),
+      (1L, "the quick brown fox", "en", "tmpl", 0L),
+      (2L, "the quick brown fox", "en", "tmpl", 0L),
+      (3L, "alpha beta gamma delta", "en", "var", 0L),
+      (4L, "epsilon zeta eta theta", "en", "var", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val f = graft.queries.TextOps.q_distinct_n(spark, tmp).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n")) -> r).toMap
+    // template: 9 bigram occurrences, 3 distinct -> 1/3
+    assert(f(("tmpl", 2L)).getAs[Long]("total_ngrams") == 9L)
+    assert(f(("tmpl", 2L)).getAs[Long]("distinct_ngrams") == 3L)
+    assert(f(("tmpl", 2L)).getAs[Long]("distinct_fp") == 333333L)
+    // varied: every bigram unique -> exactly 1e6
+    assert(f(("var", 2L)).getAs[Long]("distinct_fp") == 1000000L)
+  }
+
   test("q_text_clean is idempotent: cleaning already-clean text changes nothing") {
     import spark.implicits._
     val once = graft.queries.TextOps.q_text_clean(spark, dir)
