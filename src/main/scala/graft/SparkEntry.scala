@@ -242,6 +242,7 @@ object SparkEntry {
     "q_mix_epoch"        -> ((s, d) => SampleOps.q_mix_epoch(s, d)),
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_shard_quality"    -> ((s, d) => SampleOps.q_shard_quality(s, d)),
+    "q_dp_hist"          -> ((s, d) => SampleOps.q_dp_hist(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
@@ -4431,6 +4432,24 @@ object SparkEntry {
          |    AS BIGINT) AS seq,
          |  rkey
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+    // DP Laplace release: integer nibble draw over md5(lang), sign
+    // from the raw draw, x1e6-quantized ln, 2^-32 floor on mag
+    "q_dp_hist" -> {
+      val draw = duckHexValue("md5(lang)", 1, 8)
+      s"""WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |    FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |dr AS (SELECT lang, n, $draw AS draw FROM pl),
+         |nz AS (SELECT lang, n,
+         |    CAST(CASE WHEN draw >= 2147483648 THEN 1 ELSE -1 END AS BIGINT) AS sgn,
+         |    greatest(1.0 - 2.0 * abs(draw / 4294967296.0 - 0.5),
+         |             1.0 / 4294967296.0) AS mag
+         |  FROM dr)
+         |SELECT lang, n,
+         |  sgn * CAST(round(-ln(mag) * 1000000.0) AS BIGINT) AS noise_fp,
+         |  n * 1000000 + sgn * CAST(round(-ln(mag) * 1000000.0) AS BIGINT)
+         |    AS noisy_n_fp
+         |FROM nz ORDER BY lang""".stripMargin
     },
     // shard-mix audit: same draw, (shard, lang) cells, integer
     // cross-multiplied per-mille deviation, max per shard

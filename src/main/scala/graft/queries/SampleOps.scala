@@ -561,6 +561,49 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Differentially-private count release — the Laplace mechanism
+    * (Dwork et al. 2006) over the per-language document counts:
+    * noise ~ Laplace(Δ/ε) with sensitivity Δ = 1 (one document moves
+    * one count by one), drawn by inverse-CDF transform
+    * `noise = −(Δ/ε)·sign(u−½)·ln(1−2|u−½|)` of a uniform u. The
+    * statistic a pipeline publishes about a private corpus without
+    * revealing membership — the release-side complement of
+    * [[graft.queries.TextOps.q_minkprob]]'s attack-side readout.
+    *
+    * NOISE SOURCE, honestly stated: u here is the md5 hash draw of
+    * the group key — DETERMINISTIC, because the oracle contract
+    * verifies the mechanism (inverse CDF, sensitivity accounting,
+    * fixed-point release) rather than the sampling. A real release
+    * swaps ONE line — the draw — for a CSPRNG; hash-seeded noise is
+    * NOT private (the adversary can recompute it), and the scaladoc
+    * is the warning label. The ε accounting itself is real: at ε = 1
+    * the released `noisy_n_fp` is the count ±O(1) — utility a 5-group
+    * histogram keeps, membership a single document loses.
+    *
+    * Parity shape: the draw is exact integer nibble arithmetic; sign
+    * is an integer comparison on the raw draw (never the float u);
+    * ln is the ×1e6-quantized precedent ([[graft.queries.TextOps
+    * .q_lm_score]]'s 1e9 form); `mag` is floored at 2⁻³² so a zero
+    * draw cannot reach ln(0). One O(langs) aggregation, zero extra
+    * shuffles.
+    */
+  def q_dp_hist(s: SparkSession, d: String): DataFrame = {
+    val perLang = documents(s, d)
+      .filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("draw", hashDraw(col("lang"), 8))
+    val mag = greatest(
+      lit(1.0) - lit(2.0) * abs(col("draw").cast("double") / 4294967296.0 - 0.5),
+      lit(1.0 / 4294967296.0))
+    val noise = (when(col("draw") >= 2147483648L, 1L).otherwise(-1L) *
+      round(-log(mag) * 1e6)).cast("long")
+    perLang
+      .select(col("lang"), col("n"), noise.as("noise_fp"))
+      .select(col("lang"), col("n"), col("noise_fp"),
+        (col("n") * 1000000L + col("noise_fp")).as("noisy_n_fp"))
+      .orderBy("lang")
+  }
+
   /** Shard-mix quality audit — the check that runs AFTER
     * [[q_shuffle_shards]] and before training starts: each shard
     * should be an unbiased sample of the corpus, so any shard whose

@@ -579,6 +579,30 @@ class SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dp_hist: the Laplace inverse-CDF replays bit-for-bit from md5 driver-side") {
+    val rows = SparkEntry.queries("q_dp_hist")(spark, sf).collect()
+    assert(rows.length == 5)
+    val trueN = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(lang.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val draw = java.lang.Long.parseLong(md.take(8), 16)
+      val mag = math.max(1.0 - 2.0 * math.abs(draw.toDouble / 4294967296.0 - 0.5),
+        1.0 / 4294967296.0)
+      // Spark round(double) = BigDecimal.valueOf + HALF_UP (not rint)
+      val noise = (if (draw >= 2147483648L) 1L else -1L) *
+        java.math.BigDecimal.valueOf(-math.log(mag) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+      assert(r.getAs[Long]("n") == trueN(lang))
+      assert(r.getAs[Long]("noise_fp") == noise, s"$lang noise")
+      assert(r.getAs[Long]("noisy_n_fp") == trueN(lang) * 1000000L + noise)
+    }
+  }
+
   test("q_shard_quality replays from q_shuffle_shards + lang joins; hash shards mix well") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q_shard_quality")(spark, sf).collect()
