@@ -1206,19 +1206,19 @@ object TextOps {
     *
     * Scale shape: the LM table is [[bigramLogpPerDoc]] (two
     * Zipf-bounded count aggs + the per-doc regroup); the ranking is
-    * ONE global sort over O(docs) rows of three longs (the q_sort /
-    * q_lorenz class — range-partitioned at scale), and the bucket
-    * label is a per-row expression off the broadcast one-row count.
+    * an exact distributed rank over O(docs) rows of three longs via
+    * [[graft.plans.GlobalRank.globalRowNumber]] (range-partition +
+    * per-partition offsets — no single-partition WindowExec), and the
+    * bucket label is a per-row expression off the broadcast one-row
+    * count.
     */
   def q_ccnet_split(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = bigramLogpPerDoc(s, d)
       .select(col("doc_id"), col("n_bigrams"),
         expr("""CASE WHEN s >= 0 THEN s div n_bigrams
                |ELSE -((-s) div n_bigrams) END""".stripMargin).as("mean_fp"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("mean_fp").desc, col("doc_id"))).cast("long"))
+    val ranked = graft.plans.GlobalRank
+      .globalRowNumber(scored, "rn", col("mean_fp").desc, col("doc_id"))
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_scored"))))
       .select(col("doc_id"), col("n_bigrams"), col("mean_fp"), col("rn"),
         expr("(rn - 1) * 3 div n_scored + 1").as("tercile"))
@@ -1440,8 +1440,10 @@ object TextOps {
     * cumulative mass, cumulative share, and the corpus Gini
     * G = (2·Σi·tᵢ − (n+1)·S) / (n·S) as a constant column.
     *
-    * Scale shape: one Zipf-bounded per-doc count, ONE global sort
-    * (range-partitioned — the q_sort class) for ranks, then a
+    * Scale shape: one Zipf-bounded per-doc count, one exact
+    * distributed rank via
+    * [[graft.plans.GlobalRank.globalRowNumber]] (range-partition +
+    * per-partition offsets — no single-partition WindowExec), then a
     * map-side-combined 10-row decile agg; the cumulative window runs
     * over 10 rows. Everything integer: position deciles are the
     * q_rfm `(rn−1)·10 div n + 1` formula, shares and Gini the ×1e6
@@ -1455,9 +1457,8 @@ object TextOps {
         size(filter(split(col("text"), " "), t => length(t) > 0))
           .cast("long").as("t"))
       .filter(col("t") >= 0) // null text -> null t -> comparison null -> dropped
-    val ranked = per
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("t"), col("doc_id"))).cast("long"))
+    val ranked = graft.plans.GlobalRank
+      .globalRowNumber(per, "rn", col("t"), col("doc_id"))
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("t")).as("s_tok"),
       sum(col("rn") * col("t")).as("s_rt"))
     val dec = ranked.crossJoin(broadcast(tot))

@@ -237,16 +237,18 @@ object TimeSeries {
     * tie-break — not ntile(): the formula is one exact integer
     * expression identical in both engines, where ntile's
     * remainder-distribution rule is engine lore. Scale shape: one
-    * map-side-combined per-user agg, then three global sorts over
-    * the O(users) report table (range-partitioned exchanges — the
-    * q_sort class); the one-row (max day, user count) aggregate
+    * map-side-combined per-user agg, then three exact distributed
+    * ranks over the O(users) report table via
+    * [[graft.plans.GlobalRank.globalRowNumber]] (range-partition +
+    * per-partition offsets — NO single-partition WindowExec anywhere
+    * in the plan); the one-row (max day, user count) aggregate
     * rides as a broadcast. Money stays in the DECIMAL(18,2)→cents
     * long idiom; day arithmetic is the integral epoch-day pair.
     * Users with no purchases are absent by definition (they have no
     * R/F/M to score).
     */
   def q_rfm(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GlobalRank.globalRowNumber
     val p = events(s, d)
       .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .select(col("user_id"),
@@ -258,18 +260,16 @@ object TimeSeries {
       sum(col("cents")).as("monetary_c"))
     val g = per.agg(max(col("last_day")).as("gmax"),
       count(lit(1)).as("n_users"))
-    val wr = Window.orderBy(col("recency_days").asc, col("user_id"))
-    val wf = Window.orderBy(col("frequency").asc, col("user_id"))
-    val wm = Window.orderBy(col("monetary_c").asc, col("user_id"))
-    per.crossJoin(broadcast(g))
+    val base = per.crossJoin(broadcast(g))
       .select(col("user_id"),
         (col("gmax") - col("last_day")).as("recency_days"),
         col("frequency"), col("monetary_c"), col("n_users"))
-      .select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary_c"), col("n_users"),
-        row_number().over(wr).cast("long").as("rn_r"),
-        row_number().over(wf).cast("long").as("rn_f"),
-        row_number().over(wm).cast("long").as("rn_m"))
+    val ranked = Seq(
+      ("rn_r", "recency_days"), ("rn_f", "frequency"), ("rn_m", "monetary_c"))
+      .foldLeft(base) { case (df, (rn, v)) =>
+        globalRowNumber(df, rn, col(v).asc, col("user_id"))
+      }
+    ranked
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary_c"),
         expr("6 - (((rn_r - 1) * 5) div n_users + 1)").as("r_score"),

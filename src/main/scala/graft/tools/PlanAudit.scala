@@ -20,7 +20,54 @@ import org.apache.spark.sql.execution.SparkPlan
   */
 object PlanAudit {
 
-  final case class Audit(cartesian: Seq[String], fallbacks: Map[String, Set[String]])
+  final case class Audit(
+      cartesian: Seq[String],
+      fallbacks: Map[String, Set[String]],
+      globalWindows: Seq[String])
+
+  /** Unpartitioned WindowExec nodes whose input is not visibly bounded.
+    *
+    * `Window.orderBy(...)` with no partition spec plans a
+    * SINGLE-PARTITION exchange — the whole input funnels through one
+    * task, the one construct that cannot survive a scale-up (the
+    * round-9/10 q_rfm/q_ccnet_split/q_lorenz finding; they now rank
+    * via [[graft.plans.GlobalRank]]). A window whose child subtree
+    * contains a limit (top-N tables: GlobalLimit/LocalLimit/
+    * TakeOrderedAndProject/CollectLimit) is auto-accepted — its input
+    * is bounded by construction. Anything else must be explicitly
+    * allowlisted in [[globalWindowAllowlist]] with the reason its
+    * input is bounded, or the audit flags it.
+    */
+  def unpartitionedWindows(plan: SparkPlan): Int = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{
+      CollectLimitExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.child.exists {
+            case _: GlobalLimitExec | _: LocalLimitExec |
+                 _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+            case _ => false
+          } => w
+    }.size
+  }
+
+  /** Queries allowed to keep an unpartitioned window, each with the
+    * reason its window input is BOUNDED (so the single task sees a
+    * model-sized table, not the data). Reviewed per entry — adding to
+    * this map is a conscious scale decision, not a convenience.
+    */
+  val globalWindowAllowlist: Map[String, String] = Map(
+    "q_approx_pct" -> "64-bin histogram spine (fixed bin count)",
+    "q_concurrency" -> "O(hours) calendar-bounded carry spine; in-hour sweep is partitioned by hr",
+    "q_cusum" -> "calendar-bounded dense hour spine",
+    "q_funnel" -> "4-row funnel-stage report (post-agg, O(stages))",
+    "q_heaps" -> "O(docs/1024) bucket-carry spine - 1024x reduced before the single task; recurse the carry for another 1024x if a corpus ever needs it",
+    "q_ks" -> "O(distinct n_chars) value-count spine",
+    "q_lorenz" -> "10-row decile cumulative (post-agg); the O(docs) rank itself runs via GlobalRank",
+    "q_mannwhitney" -> "O(distinct n_chars) value-count spine (the q_ks shape)",
+    "q_skew_stats" -> "counts-of-counts spine, O(distinct per-key count values)",
+    "q_survival" -> "O(distinct lifetimes <= observed day span) value-count spine")
 
   /** CodegenFallback expression classes in one physical plan. */
   def fallbackClassesOf(plan: SparkPlan): Set[String] =
@@ -48,11 +95,15 @@ object PlanAudit {
     val per = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan
       spark.catalog.clearCache()
-      (name, plan.toString.contains("CartesianProduct"), fallbackClassesOf(plan))
+      (name, plan.toString.contains("CartesianProduct"), fallbackClassesOf(plan),
+        unpartitionedWindows(plan))
     }
     Audit(
-      per.collect { case (n, true, _) => n },
-      per.collect { case (n, _, fb) if fb.nonEmpty => n -> fb }.toMap)
+      per.collect { case (n, true, _, _) => n },
+      per.collect { case (n, _, fb, _) if fb.nonEmpty => n -> fb }.toMap,
+      per.collect {
+        case (n, _, _, w) if w > 0 && !globalWindowAllowlist.contains(n) => n
+      })
   }
 
   /** Names of queries whose physical plan contains a CartesianProduct
@@ -71,11 +122,14 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val audit = auditPlans(spark, sfDir)
     audit.cartesian.foreach(n => println(s"FLAG $n: CartesianProduct"))
+    audit.globalWindows.foreach(n =>
+      println(s"FLAG $n: unpartitioned WindowExec over unbounded input"))
     audit.fallbacks.toSeq.sortBy(_._1).foreach { case (n, fb) =>
       println(s"fallback $n: ${fb.mkString(",")}")
     }
     println(s"audited ${graft.SparkEntry.queries.size} plans, " +
-      s"${audit.cartesian.size} flagged, ${audit.fallbacks.size} with fallbacks")
+      s"${audit.cartesian.size + audit.globalWindows.size} flagged, " +
+      s"${audit.fallbacks.size} with fallbacks")
     spark.stop()
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed-rank primitive behind q_rfm / q_ccnet_split /
+  * q_lorenz: exact global row_number with NO single-partition
+  * WindowExec. Pins (a) value equality with the naive global window,
+  * (b) the plan contract the PlanAudit rule enforces, (c) the planted
+  * red case that proves the detector sees what it should.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.plans.GlobalRank.globalRowNumber
+
+  private def sampleDf = {
+    import spark.implicits._
+    // values with heavy ties + a unique tie-break id, shuffled order,
+    // across many input partitions
+    val rows = (1 to 997).map(i => ((i * 7919) % 23, (i * 104729) % 997))
+    spark.createDataset(rows).toDF("v", "id").repartition(13)
+  }
+
+  test("globalRowNumber matches the naive global window exactly (asc and desc)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = sampleDf
+    val naiveAsc = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    val fastAsc = globalRowNumber(df, "rn", col("v"), col("id"))
+    assert(fastAsc.exceptAll(naiveAsc).isEmpty && naiveAsc.exceptAll(fastAsc).isEmpty,
+      "asc rank mismatch vs naive global window")
+    val naiveDesc = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+    val fastDesc = globalRowNumber(df, "rn", col("v").desc, col("id"))
+    assert(fastDesc.exceptAll(naiveDesc).isEmpty && naiveDesc.exceptAll(fastDesc).isEmpty,
+      "desc rank mismatch vs naive global window")
+  }
+
+  test("globalRowNumber is a permutation of 1..n and empty-input safe") {
+    val ranked = globalRowNumber(sampleDf, "rn", col("v"), col("id"))
+    val rns = ranked.select("rn").collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to 997L).toSeq, "ranks are not a 1..n permutation")
+    val empty = globalRowNumber(sampleDf.filter(lit(false)), "rn", col("v"), col("id"))
+    assert(empty.count() == 0L)
+  }
+
+  test("globalRowNumber plans no unpartitioned WindowExec (the audit contract)") {
+    val plan = globalRowNumber(sampleDf, "rn", col("v"), col("id"))
+      .queryExecution.sparkPlan
+    assert(graft.tools.PlanAudit.unpartitionedWindows(plan) == 0,
+      s"GlobalRank leaked a single-partition window:\n$plan")
+  }
+
+  test("the audit detector flags a planted naive global window and accepts post-limit ones") {
+    import org.apache.spark.sql.expressions.Window
+    val planted = sampleDf.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))))
+    assert(graft.tools.PlanAudit.unpartitionedWindows(
+      planted.queryExecution.sparkPlan) > 0,
+      "detector missed a naive unpartitioned window")
+    val postLimit = sampleDf.limit(10).withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))))
+    assert(graft.tools.PlanAudit.unpartitionedWindows(
+      postLimit.queryExecution.sparkPlan) == 0,
+      "detector flagged a bounded (post-limit) window")
+  }
+}

@@ -18,6 +18,14 @@ class PlanAuditSpec extends AnyFunSuite {
       val audit = graft.tools.PlanAudit.auditPlans(spark, sf)
       assert(audit.cartesian.isEmpty,
         s"cartesian products in: ${audit.cartesian.mkString(", ")}")
+      // round-11 rule: no single-partition WindowExec over unbounded
+      // input anywhere in the 235-key inventory (the q_rfm /
+      // q_ccnet_split / q_lorenz class — fixed via GlobalRank).
+      // Bounded spines are allowlisted BY KEY with their reason in
+      // PlanAudit.globalWindowAllowlist; anything new must either
+      // rank via GlobalRank or argue its boundedness there.
+      assert(audit.globalWindows.isEmpty,
+        s"unpartitioned WindowExec over unbounded input in: ${audit.globalWindows.mkString(", ")}")
       // pin: every CodegenFallback class in the inventory today is a
       // KNOWN, deliberate interpreted family — higher-order-function
       // lambdas (per-row array ops, documented at their call sites),
