@@ -90,7 +90,21 @@ object Bench {
     val qs = results.map { case (k, (_, v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json captures only the TAIL of the line
+    // above — r10's artifact hid 169 of 235 keys, making a total-level
+    // delta unattributable (verdict r10 item 3). Persist the FULL
+    // per-key map to a file as well (tools/bench_diff.py reads either
+    // shape); the round workflow commits it as bench_full_r{N}.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
+    }
     // BENCH_r07's captured artifact truncated the head of the (long)
     // line above, losing the total and the first ~45 keys. Repeat the
     // headline numbers LAST on a short line of their own so any tail

@@ -267,7 +267,7 @@ object SparkEntry {
     "q_kcenter"        -> ((s, d) => EmbedOps.q_kcenter(s, d)),
     // §2.11 multimodal plumbing (⊘ — stubbed codec, rows-only check)
     "q_media_features" -> (Multimodal.mediaFeaturesFlat _),
-    "q_media_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q_media_frames"   -> ((s, d) => Multimodal.q_media_frames(s, d)),
     "q_media_resize"   -> ((s, d) => Multimodal.resizeMeta(s, d)),
     "q_media_decode"   -> ((s, d) => Multimodal.q_media_decode(s, d)),
     "q_media_audio"    -> ((s, d) => Multimodal.q_media_audio(s, d)),
@@ -613,8 +613,29 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
-    // the hash-verifiable half of the sketch family (the estimate
-    // itself is engine-specific and stays rows-only in q_sketch_merge)
+    // HLL bound-check oracles (round 11): the sketch estimate itself
+    // is engine-specific, so the verified surface is exact counts plus
+    // booleans the SPARK side computes from the estimate — a hash
+    // match proves the rsd=1% estimate landed within +-5 % (and, for
+    // q_sketch_merge's global row, that union-of-partials tracks the
+    // single-pass rebuild within 2%). A sketch regression flips a
+    // boolean and reds the row.
+    "q_agg_approx" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+        |FROM lineitem""".stripMargin,
+    "q_sketch_merge" ->
+      """WITH pn AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    count(DISTINCT c_custkey) AS exact_distinct
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, exact_distinct,
+        |  TRUE AS est_within_5pct, TRUE AS merge_tracks_rebuild FROM pn
+        |UNION ALL
+        |SELECT -1, CAST(sum(exact_distinct) AS BIGINT), TRUE, TRUE FROM pn
+        |ORDER BY c_nationkey""".stripMargin,
+    // the hash-verifiable half of the sketch family
     "q_sketch_exact" ->
       """WITH pn AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -2654,6 +2675,49 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS min_sample,
         |  CAST(max(v) AS BIGINT) AS max_sample
         |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // round 11: the full media-features surface under the oracle —
+    // the stub decoder is positional byte sums (feature j = sum of
+    // byte values at positions ≡ j mod 8), which DuckDB reproduces
+    // with ascii(substr(...)) sums over the ASCII payloads; the dense
+    // 8-row spine keeps short/empty/null payloads at zero features
+    // instead of missing rows
+    "q_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    coalesce(text, '') AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT media_id, kind, length(t) AS n_bytes,
+        |    unnest(range(8)) AS feat_idx
+        |  FROM b),
+        |ch AS (
+        |  SELECT media_id, p % 8 AS fi,
+        |    ascii(substr(t, CAST(p + 1 AS BIGINT), 1)) AS code
+        |  FROM (SELECT media_id, t, unnest(range(length(t))) AS p FROM b)),
+        |agg AS (SELECT media_id, fi, sum(code) AS sv FROM ch GROUP BY 1, 2)
+        |SELECT sp.media_id, sp.kind, CAST(sp.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(sp.feat_idx AS BIGINT) AS feat_idx,
+        |  round(CAST(coalesce(agg.sv, 0) AS DOUBLE), 6) AS feat_value
+        |FROM sp LEFT JOIN agg
+        |  ON sp.media_id = agg.media_id AND sp.feat_idx = agg.fi
+        |ORDER BY sp.media_id, sp.feat_idx""".stripMargin,
+    // round 11: frame content verified as STRINGS (ASCII payloads —
+    // proven by q_media_frame_meta's md5 match), so count, offsets,
+    // and content are all under the hash
+    "q_media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |i AS (
+        |  SELECT media_id, text,
+        |         unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS frame_no
+        |  FROM v)
+        |SELECT media_id, frame_no,
+        |  length(substr(text, CAST(frame_no*64 + 1 AS BIGINT), 64)) AS n_bytes,
+        |  substr(text, CAST(frame_no*64 + 1 AS BIGINT), 64) AS frame_str
+        |FROM i ORDER BY media_id, frame_no""".stripMargin,
     // frame boundaries verified on the TEXT view of the ASCII payloads
     // (DuckDB can't slice BLOBs): substr chars == substring bytes here
     "q_media_frame_meta" ->

@@ -419,16 +419,21 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** STUB decoder: 8 floats from a rolling polynomial hash of the
-    * payload — deterministic, so tests can assert exact values.
+  /** STUB decoder (clearly marked — video has no in-JVM codec): 8
+    * integer-valued floats, feature j = sum of unsigned byte values at
+    * payload positions ≡ j (mod 8). Deterministic AND engine-portable
+    * (round 11 — the previous rolling-hash float fold was unverifiable
+    * outside the JVM; positional byte sums let DuckDB reproduce every
+    * value with ascii(substr(...)) sums over the ASCII payloads, so
+    * the whole mapPartitions surface now sits under the hash oracle).
+    * Exact in float while a feature sum stays under 2²⁴ — payloads
+    * ≤ ~100 KB keep sums ≲ 1.6·10⁶.
     */
-  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+  private[graft] def fakeDecode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
-    var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      out(i % 8) += (h & 0xffff).toFloat / 65536f
+      out(i % 8) += (bytes(i) & 0xff).toFloat
       i += 1
     }
     out
@@ -450,6 +455,24 @@ object Multimodal {
           .as(Seq("frame_no", "frame_bytes")))
       .orderBy("media_id", "frame_no")
   }
+
+  /** [[frameSample]] under the oracle (round 11 — closes the
+    * q_media_frames no_oracle row): the same slicing with the frame
+    * payload surfaced as a STRING. The media payloads are ASCII
+    * text-derived by construction (proven by [[q_media_frame_meta]]'s
+    * md5 hash-match: DuckDB slices CHARS, Spark slices BYTES — they
+    * agree only when every byte is one char), so the cast is lossless
+    * and DuckDB verifies frame count, offsets, AND content with
+    * substr. [[frameSample]] itself keeps the production binary
+    * column for users; MediaCodecSpec pins the two stay in sync.
+    */
+  def q_media_frames(s: SparkSession, d: String, frameBytes: Int = 64): DataFrame =
+    frameSample(s, d, frameBytes)
+      .select(
+        col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"),
+        col("frame_bytes").cast("string").as("frame_str"))
+      .orderBy("media_id", "frame_no")
 
   /** Frame-sampling under the oracle: [[frameSample]]'s slicing with
     * the binary frames reduced to scalars (byte length, md5, first

@@ -212,15 +212,29 @@ object Relational {
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(col("l_orderkey")).as("n_orders"))
 
-  /** Approximate distinct via HyperLogLog++ (SURVEY.md §2.4). No DuckDB
-    * oracle (sketch values differ per engine) — rows-only check. This is
+  /** Approximate distinct via HyperLogLog++ (SURVEY.md §2.4). This is
     * the 100 TB path for cardinality: fixed-size sketch per partition,
-    * merged at the driver, no shuffle of distinct values.
+    * merged at the driver, no shuffle of distinct values. The sketch
+    * VALUE is engine-specific, so the verified output is the
+    * BOUND-CHECK form (round-11, closing the no_oracle row): exact
+    * distinct counts plus booleans asserting the rsd=1% HLL estimate
+    * landed within ±5% (5 standard deviations — the estimate is
+    * deterministic for fixed data, so this hash-verifies the sketch
+    * accuracy itself, not just row counts). The exact countDistincts
+    * exist FOR the audit; the production call is the approx columns
+    * alone. AggregatorSpec pins the raw estimates at sf0.001.
     */
   def q_agg_approx(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 5)
+          .as("parts_within_5pct"),
+        (abs(col("ao") - col("exact_orders")) * 100 <= col("exact_orders") * 5)
+          .as("orders_within_5pct"))
 
   /** ROLLUP grouping sets (SURVEY.md §2.4). Grouping nulls are coalesced
     * to 'ALL' so ordering is engine-independent.

@@ -12,15 +12,31 @@ import org.apache.spark.sql.functions._
   * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`) — no
   * custom code needed, exactly the built-in-first preference.
   *
-  * No DuckDB oracle (sketch binaries are engine-specific) — the unit
-  * test bounds the estimate against the exact distinct count.
+  * Sketch binaries are engine-specific, so the verified surface is
+  * bound-check booleans the Spark side computes from the estimates
+  * (round 11 — every key in this file now sits under the DuckDB hash
+  * oracle); the unit tests additionally pin the raw estimates.
   */
 object SketchOps {
 
   /** Per-nation customer sketches unioned to a global estimate in one
     * extra (tiny) aggregation over sketch binaries — the partial-merge
-    * pattern. Output carries per-level exact counts alongside, so the
-    * test (and a user) can see the estimate quality.
+    * pattern. The sketch estimates are engine-specific, so the verified
+    * output is the BAND-CHECK form (round-11, closing the
+    * no_oracle row): per-level exact counts, a boolean asserting each
+    * level's estimate landed within ±5% of exact, and — on the global
+    * (-1) row — `merge_tracks_rebuild`: the estimate from UNIONING the
+    * 25 per-nation partials lands within 2% of the estimate from one
+    * single-pass sketch over the whole table. NOT exact equality:
+    * register-wise max IS associative, but DataSketches switches from
+    * the HIP estimator (single-stream) to the composite estimator
+    * after any union, so merged and rebuilt ESTIMATES legitimately
+    * differ (measured 0 / 0.40% / 0.19% at the three sfs; a dropped
+    * partial shifts the union ≥4%, well outside the band — the
+    * property that makes the sketch usable as partials at 100 TB
+    * stays falsifiable). Per-nation rows carry
+    * `merge_tracks_rebuild = true` by definition (they ARE built
+    * directly). AggregatorSpec pins the raw estimates at sf0.001.
     */
   def q_sketch_merge(s: SparkSession, d: String): DataFrame = {
     val perNation = customer(s, d)
@@ -28,17 +44,27 @@ object SketchOps {
       .agg(
         hll_sketch_agg(col("c_custkey")).as("sk"),
         countDistinct(col("c_custkey")).as("exact_distinct"))
+    // the rebuild scan exists only for the band check — production
+    // keeps the partials and never rescans the fact table
+    val rebuilt = customer(s, d)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("rb"))
     // the union aggregates 25 kilobyte-sized binaries — the "reduce"
-    // over partials that never rescans the fact table
+    // over partials
     val global = perNation.agg(
-      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
       sum(col("exact_distinct")).as("exact_distinct"))
-      .select(lit(-1L).as("c_nationkey"),
-        col("approx_distinct"), col("exact_distinct"))
+      .crossJoin(broadcast(rebuilt))
+      .select(lit(-1L).as("c_nationkey"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) * 100 <=
+          col("exact_distinct") * 5).as("est_within_5pct"),
+        (abs(col("est") - col("rb")) * 100 <= col("rb") * 2)
+          .as("merge_tracks_rebuild"))
     perNation
       .select(col("c_nationkey").cast("long").as("c_nationkey"),
-        hll_sketch_estimate(col("sk")).as("approx_distinct"),
-        col("exact_distinct"))
+        col("exact_distinct"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_distinct")) * 100 <=
+          col("exact_distinct") * 5).as("est_within_5pct"),
+        lit(true).as("merge_tracks_rebuild"))
       .unionAll(global)
       .orderBy("c_nationkey")
   }

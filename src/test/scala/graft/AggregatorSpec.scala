@@ -309,21 +309,32 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
-  test("q_sketch_merge: unioned HLL estimate tracks the exact distinct count") {
+  test("q_sketch_merge: per-level bound flags hold and the merge identity is true") {
     val rows = SparkEntry.queries("q_sketch_merge")(spark, sf).collect()
       .map(r => r.getAs[Long]("c_nationkey") ->
-        (r.getAs[Long]("approx_distinct"), r.getAs[Long]("exact_distinct"))).toMap
+        ((r.getAs[Long]("exact_distinct"), r.getAs[Boolean]("est_within_5pct"),
+          r.getAs[Boolean]("merge_tracks_rebuild")))).toMap
     assert(rows.size >= 2)
-    rows.foreach { case (k, (approx, exact)) =>
+    rows.foreach { case (k, (exact, within, merged)) =>
       assert(exact > 0, s"nation $k")
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"nation $k: approx=$approx exact=$exact") // HLL default lgK err << 5%
+      assert(within, s"nation $k: HLL estimate strayed past 5% of $exact")
+      assert(merged, s"nation $k: union-of-partials strayed >2% from rebuild")
     }
-    // the merged row must be consistent with the parts: exact sum, and
-    // an approx that tracks the union of all per-nation sketches
+    // the merged row must be consistent with the parts: exact sum
     val parts = rows.removed(-1L)
-    assert(rows(-1L)._2 == parts.values.map(_._2).sum)
-    assert(math.abs(rows(-1L)._1 - rows(-1L)._2).toDouble / rows(-1L)._2 < 0.05)
+    assert(rows(-1L)._1 == parts.values.map(_._1).sum)
+    // and the raw estimates themselves stay pinned: the 25-way union
+    // tracks the one-pass sketch (post-union the composite estimator
+    // replaces HIP, so equality is NOT expected — a 2% band is)
+    import org.apache.spark.sql.functions._
+    val perNation = Tables.customer(spark, sf).groupBy(col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+    val viaUnion = perNation
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val direct = Tables.customer(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey")))).head().getLong(0)
+    assert(math.abs(viaUnion - direct) * 100 <= direct * 2,
+      s"union=$viaUnion direct=$direct")
   }
 
   test("q_sketch_exact: oracle-checked twin agrees with q_sketch_merge's exact columns") {
@@ -336,12 +347,22 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 
-  test("q_agg_approx: HLL++ estimates within the default relative error of exact") {
-    val approx = SparkEntry.queries("q_agg_approx")(spark, sf).head()
+  test("q_agg_approx: bound flags hold and exacts agree with q_agg_distinct") {
+    val row = SparkEntry.queries("q_agg_approx")(spark, sf).head()
+    assert(row.getAs[Boolean]("parts_within_5pct"),
+      "l_partkey HLL estimate strayed past 5% of exact")
+    assert(row.getAs[Boolean]("orders_within_5pct"),
+      "l_orderkey HLL estimate strayed past 5% of exact")
     val exact = SparkEntry.queries("q_agg_distinct")(spark, sf).head()
-    def within(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.1
-    assert(within(approx.getAs[Long]("approx_parts"), exact.getAs[Long]("n_parts")))
-    assert(within(approx.getAs[Long]("approx_orders"), exact.getAs[Long]("n_orders")))
+    assert(row.getAs[Long]("exact_parts") == exact.getAs[Long]("n_parts"))
+    assert(row.getAs[Long]("exact_orders") == exact.getAs[Long]("n_orders"))
+    // pin the raw rsd=1% estimates directly (the query's verified
+    // surface carries only the bound flags)
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val ap = li.agg(approx_count_distinct(col("l_partkey"), 0.01)).head().getLong(0)
+    assert(math.abs(ap - exact.getAs[Long]("n_parts")).toDouble /
+      exact.getAs[Long]("n_parts") < 0.05, s"raw estimate $ap")
   }
 
   test("q_join_outer: both null-extensions carry rows") {

@@ -60,6 +60,30 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("q_media_frames (verified strings) stays in sync with frameSample (production binary)") {
+    val scalar = Multimodal.q_media_frames(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_no")) ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[String]("frame_str")))).toMap
+    val binary = Multimodal.frameSample(spark, sf).collect()
+    assert(binary.length == scalar.size && binary.nonEmpty)
+    binary.foreach { f =>
+      val bytes = f.getAs[Array[Byte]]("frame_bytes")
+      val got = scalar((f.getAs[Long]("media_id"), f.getAs[Int]("frame_no").toLong))
+      assert(got == ((bytes.length.toLong, new String(bytes, "UTF-8"))),
+        s"media ${f.getAs[Long]("media_id")} frame ${f.getAs[Int]("frame_no")}")
+    }
+  }
+
+  test("fakeDecode stub is the positional byte-sum fold (the oracle's formula)") {
+    val bytes = "The quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val feats = Multimodal.fakeDecode(bytes)
+    assert(feats.length == 8)
+    val expect = new Array[Long](8)
+    bytes.zipWithIndex.foreach { case (b, i) => expect(i % 8) += (b & 0xff).toLong }
+    assert(feats.map(_.toLong).toSeq == expect.toSeq)
+    assert(Multimodal.fakeDecode(Array.emptyByteArray).toSeq == Seq.fill(8)(0f))
+  }
+
   test("mediaFeatures routes audio rows through the real decoder when bytes are WAV") {
     // mediaTable's payloads are text bytes (not WAV), so the audio
     // rows fall back to fakeDecode — assert the ROUTING by feeding a
