@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{BpeOps, ClusterOps, DedupOps, EmbedOps, GraphOps, KMeansOps, Multimodal, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
+import graft.queries.{BpeOps, ClusterOps, DedupOps, EmbedOps, GraphOps, KMeansOps, Multimodal, RankOps, Relational, SampleOps, SimilarityOps, SketchOps, TextOps, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -133,14 +133,16 @@ object SparkEntry {
     "q_text_clean"   -> (TextOps.q_text_clean _),
     "q_blocklist"    -> (TextOps.q_blocklist _),
     "q_corpus_report" -> (TextOps.q_corpus_report _),
-    // round-9 diagnostic column-slices of q_corpus_report (driver
-    // bisect for the r6-r8 hash-fail; read-out documented at
-    // TextOps.q_corpus_slice_share)
-    "q_corpus_slice_share"   -> (TextOps.q_corpus_slice_share _),
-    "q_corpus_slice_tokens"  -> (TextOps.q_corpus_slice_tokens _),
-    "q_corpus_slice_quality" -> (TextOps.q_corpus_slice_quality _),
+    // the round-9 q_corpus_slice_* bisect keys are RETIRED (round 11):
+    // the driver-side q_corpus_report hash-fail they localized has
+    // been green for two consecutive driver rounds (r9, r10); the
+    // per-doc dump keys stay as user-facing readouts
     "q_corpus_dump_toks"     -> (TextOps.q_corpus_dump_toks _),
     "q_corpus_dump_q"        -> (TextOps.q_corpus_dump_q _),
+    // round 11: exact distributed ranking family over plans/GlobalRank
+    "q_rank_global" -> (RankOps.q_rank_global _),
+    "q_rank_strat"  -> (RankOps.q_rank_strat _),
+    "q_sample_systematic" -> ((s, d) => RankOps.q_sample_systematic(s, d)),
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_ngram_novelty" -> (TextOps.q_ngram_novelty _),
     "q_quality_classifier" -> (TextOps.q_quality_classifier _),
@@ -1851,30 +1853,45 @@ object SparkEntry {
          |    THEN CAST((2 * q_sum_fp + n_q * 10000) // (2 * n_q * 10000) AS BIGINT)
          |  END AS mean_quality_fp
          |FROM per, t ORDER BY lang, source""".stripMargin,
-    // r9 diagnostic slices (driver-side bisect of the above; every
-    // final integer column CAST to BIGINT for the same reason)
-    "q_corpus_slice_share" ->
-      """WITH per AS (
-        |  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
-        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
-        |SELECT lang, source, n_docs,
-        |  CAST((2 * n_docs * 1000000 + total_docs) // (2 * total_docs) AS BIGINT) AS doc_share_fp
-        |FROM per, t ORDER BY lang, source""".stripMargin,
-    "q_corpus_slice_tokens" ->
-      """SELECT lang, source,
-        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
-    "q_corpus_slice_quality" ->
-      s"""WITH per AS (
-         |  SELECT lang, source,
-         |    CAST(sum(CAST(round(($duckQualityScore) * 1e10) AS BIGINT)) AS BIGINT) AS q_sum_fp,
-         |    count($duckQualityScore) AS n_q
-         |  FROM documents GROUP BY 1, 2)
-         |SELECT lang, source, n_q,
-         |  CASE WHEN n_q > 0
-         |    THEN CAST((2 * q_sum_fp + n_q * 10000) // (2 * n_q * 10000) AS BIGINT)
-         |  END AS mean_quality_fp
-         |FROM per ORDER BY lang, source""".stripMargin,
+    // round 11: exact distributed ranking family — oracle = the naive
+    // global window DuckDB runs fine at these sfs; Spark produces the
+    // identical values through plans/GlobalRank (range-partitioned,
+    // no single-partition WindowExec)
+    "q_rank_global" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, t,
+        |        row_number() OVER (ORDER BY t, doc_id) AS rn,
+        |        count(*) OVER () AS n
+        |      FROM w)
+        |SELECT doc_id, t, rn, (rn - 1) * 100 // n + 1 AS pctile
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_rank_strat" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS t
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT doc_id, lang, t,
+        |        row_number() OVER (PARTITION BY lang ORDER BY t, doc_id) AS rn_in_lang,
+        |        count(*) OVER (PARTITION BY lang) AS n_lang
+        |      FROM w)
+        |SELECT doc_id, lang, t, rn_in_lang,
+        |  (rn_in_lang - 1) * 100 // n_lang + 1 AS pctile
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // systematic sample: same 60-bit md5-window order key as
+    // q_sketch_kmv (nibble arithmetic — DuckDB has no base-16 conv)
+    "q_sample_systematic" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, md5('sys:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |hv AS (SELECT doc_id, ${duckHexValue("h", 1, 15)} AS hv FROM m),
+         |r AS (SELECT doc_id, hv,
+         |        row_number() OVER (ORDER BY hv, doc_id) AS rn
+         |      FROM hv)
+         |SELECT doc_id, hv, rn FROM r
+         |WHERE (rn - 1) % 20 = 0 ORDER BY doc_id""".stripMargin,
     "q_corpus_dump_toks" ->
       """SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_toks
         |FROM documents ORDER BY doc_id""".stripMargin,

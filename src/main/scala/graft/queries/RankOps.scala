@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables._
+import graft.plans.GlobalRank.globalRowNumber
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed ranking operators (round 11) — the user-facing
+  * family over [[graft.plans.GlobalRank]], the primitive that replaced
+  * the single-partition global windows in q_rfm / q_ccnet_split /
+  * q_lorenz. Three shapes a training-data pipeline actually runs:
+  * corpus-wide position ranks, per-group ranks that survive group
+  * skew, and systematic sampling off a deterministic total order. All
+  * bit-exact (integer arithmetic + engine-portable md5 hashing), so
+  * every key sits under the DuckDB hash oracle.
+  */
+object RankOps {
+
+  /** Token count per document — q_lorenz's whitespace formula (null
+    * text drops, empty text counts 0), shared by the ranking keys.
+    */
+  private def perDocTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("t"))
+      .filter(col("t") >= 0)
+
+  /** Corpus-wide exact rank + percentile bucket of every document by
+    * token count — the "where does this doc sit in the length
+    * distribution" readout behind length-based curricula and cutoff
+    * tuning, as a whole-corpus column (q_lorenz aggregates the same
+    * order into 10 rows; this keeps per-doc resolution).
+    *
+    * Scale shape: [[globalRowNumber]] (range exchange + partitioned
+    * rank + O(P) broadcast offsets — no single-partition WindowExec),
+    * one broadcast one-row count; percentile is the q_rfm integer
+    * position formula `(rn−1)·100 div n + 1`, exact in both engines.
+    */
+  def q_rank_global(s: SparkSession, d: String): DataFrame = {
+    val per = perDocTokens(s, d)
+    globalRowNumber(per, "rn", col("t"), col("doc_id"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+      .select(col("doc_id"), col("t"), col("rn"),
+        expr("(rn - 1) * 100 div n + 1").as("pctile"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-LANGUAGE exact rank + percentile of document length — the
+    * stratified form every per-language quality cutoff needs. The
+    * naive `Window.partitionBy(lang)` puts each language in ONE task,
+    * and language mass is exactly the skewed axis of a web corpus (en
+    * is ~half the tokens) — so this runs as one GLOBAL rank with lang
+    * as the leading sort key instead: languages occupy contiguous
+    * global-rank intervals, and the within-language rank is
+    * `global_rn − min(global_rn of my lang) + 1`, an O(langs)
+    * broadcast attach. Work per task stays O(n/P) no matter how
+    * lopsided the language mix is.
+    */
+  def q_rank_strat(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("t"))
+      .filter(col("t") >= 0)
+    val g = globalRowNumber(per, "grn", col("lang"), col("t"), col("doc_id"))
+    val offs = g.groupBy("lang")
+      .agg(min(col("grn")).as("base"), count(lit(1)).as("n_lang"))
+    g.join(broadcast(offs), "lang")
+      .select(col("doc_id"), col("lang"), col("t"),
+        (col("grn") - col("base") + 1).as("rn_in_lang"), col("n_lang"))
+      .select(col("doc_id"), col("lang"), col("t"), col("rn_in_lang"),
+        expr("(rn_in_lang - 1) * 100 div n_lang + 1").as("pctile"))
+      .orderBy("doc_id")
+  }
+
+  /** Systematic sample: every k-th document from a deterministic
+    * pseudo-random total order (md5-keyed) — the eval-split draw that
+    * guarantees even coverage of the order statistic (a Bernoulli
+    * hash draw — q_sample_hash — leaves gap-size variance; systematic
+    * sampling pins the stride exactly). Order key = the engine-
+    * portable 60-bit md5 window (the q_sketch_kmv convention), id
+    * tie-break; selection = rank ≡ 1 (mod k).
+    *
+    * Scale shape: one scan to hash, [[globalRowNumber]] for the
+    * order, per-row modulo filter — no collect, no global window.
+    */
+  def q_sample_systematic(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val hashed = documents(s, d).select(
+      col("doc_id"),
+      conv(substring(md5(concat(lit("sys:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long").as("hv"))
+    globalRowNumber(hashed, "rn", col("hv"), col("doc_id"))
+      .filter((col("rn") - 1) % k === 0)
+      .select(col("doc_id"), col("hv"), col("rn"))
+      .orderBy("doc_id")
+  }
+}

@@ -254,8 +254,7 @@ object TextOps {
     *
     * Round 9 found the actual culprit on the ORACLE side — DuckDB's
     * sum(BIGINT) returns HUGEINT/decimal128, not int64; see the full
-    * account and the diagnostic slice keys at
-    * [[q_corpus_slice_share]].
+    * account at the root-cause note above [[q_corpus_dump_toks]].
     */
   def q_corpus_report(s: SparkSession, d: String): DataFrame = {
     val toks = size(split(col("text"), "\\s+", -1)).cast("long")
@@ -284,70 +283,20 @@ object TextOps {
     * (rounds 6–8): the Spark output has been all-LONG since round 8,
     * but the DuckDB ORACLE was not — DuckDB's `sum(BIGINT)` returns
     * HUGEINT (int128), which Arrow materializes as decimal128(38,0),
-    * so the oracle's `n_tokens`, `doc_share_fp` and `mean_quality_fp`
-    * reached the driver's hasher as decimal128 columns while Spark
-    * sent int64. Equal VALUES, different TYPES: a dtype-sensitive
-    * hash canonicalization fails, while a Python-value compare
-    * (`fetchall()` converts HUGEINT to plain int — what
-    * tools/oracle_check.py and the judge's re-runs do) passes. Every
-    * other passing oracle already wraps integer sums in
-    * `CAST(... AS BIGINT)`; q_corpus_report's was the only final
-    * SELECT emitting uncast HUGEINTs. Round 9 adds the casts to the
-    * oracle (SparkEntry) and ships the column-slice diagnostic keys
-    * below so that if any residue remains, the driver's own green/red
-    * pattern across the slices names the divergent function.
-    *
-    * The slices partition q_corpus_report's surface:
-    *  - [[q_corpus_slice_share]]   grouping + integer share division
-    *    only (no tokenizer, no quality score);
-    *  - [[q_corpus_slice_tokens]]  the `\s+` tokenizer aggregated;
-    *  - [[q_corpus_slice_quality]] the quality score aggregated + the
-    *    fixed-point mean division;
-    *  - [[q_corpus_dump_toks]]     the tokenizer per-document;
-    *  - [[q_corpus_dump_q]]        the quality score per-document.
-    * Read-out: dump red → the per-row function's dialect diverges;
-    * slice red with its dump green → the aggregation/division layer;
-    * all five green with the full report red → the driver's hasher on
-    * the combined shape.
+    * so the oracle's integer columns reached the driver's hasher as
+    * decimal128 while Spark sent int64. Equal VALUES, different
+    * TYPES. Round 9 added `CAST(... AS BIGINT)` to the oracle and
+    * shipped three q_corpus_slice_* bisect keys to localize any
+    * residue; the driver ran them green in rounds 9 AND 10, so round
+    * 11 RETIRED the slice keys (git history holds the
+    * implementations). The per-document dump keys below stay: they
+    * are useful readouts in their own right, and still bisect the
+    * per-row dialect layer if the report ever reds again.
     */
-  def q_corpus_slice_share(s: SparkSession, d: String): DataFrame = {
-    val per = documents(s, d).groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"))
-    val total = per.agg(sum(col("n_docs")).as("total_docs"))
-    per.crossJoin(broadcast(total))
-      .select(col("lang"), col("source"), col("n_docs"),
-        expr("(2 * n_docs * 1000000 + total_docs) div (2 * total_docs)")
-          .as("doc_share_fp"))
-      .orderBy("lang", "source")
-  }
-
-  /** Tokenizer-only slice of [[q_corpus_report]] — see the read-out
-    * table on [[q_corpus_slice_share]]. */
-  def q_corpus_slice_tokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("lang"), col("source"),
-        size(split(col("text"), "\\s+", -1)).cast("long").as("n_toks"))
-      .groupBy("lang", "source")
-      .agg(sum(col("n_toks")).as("n_tokens"))
-      .orderBy("lang", "source")
-
-  /** Quality-score-only slice of [[q_corpus_report]] — see the
-    * read-out table on [[q_corpus_slice_share]]. */
-  def q_corpus_slice_quality(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("lang"), col("source"), qualityScore(col("text")).as("q"))
-      .groupBy("lang", "source")
-      .agg(sum(round(col("q") * 1e10).cast("long")).as("q_sum_fp"),
-        count(col("q")).as("n_q"))
-      .select(col("lang"), col("source"), col("n_q"),
-        when(col("n_q") > 0,
-          expr("(2 * q_sum_fp + n_q * 10000) div (2 * n_q * 10000)"))
-          .as("mean_quality_fp"))
-      .orderBy("lang", "source")
-
-  /** Per-document `\s+` token-count dump — see the read-out table on
-    * [[q_corpus_slice_share]]. Null documents yield NULL (size(null)
-    * is null, matching DuckDB's len(regexp_split_to_array(NULL))). */
+  /** Per-document `\s+` token-count dump — the tokenizer layer of
+    * [[q_corpus_report]] in isolation. Null documents yield NULL
+    * (size(null) is null, matching DuckDB's
+    * len(regexp_split_to_array(NULL))). */
   def q_corpus_dump_toks(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
@@ -355,8 +304,8 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Per-document fixed-point quality-score dump (×1e10 — the exact
-    * integer q_corpus_report sums) — see the read-out table on
-    * [[q_corpus_slice_share]]. */
+    * integer q_corpus_report sums) — the score layer of
+    * [[q_corpus_report]] in isolation. */
   def q_corpus_dump_q(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),

@@ -51,6 +51,29 @@ class GlobalRankSpec extends AnyFunSuite {
       s"GlobalRank leaked a single-partition window:\n$plan")
   }
 
+  test("q_rank_strat equals the naive per-lang window; q_sample_systematic strides exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = graft.Tables.documents(spark, sf)
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("t"))
+      .filter(col("t") >= 0)
+      .select(col("doc_id"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("t"), col("doc_id"))).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strat = graft.queries.RankOps.q_rank_strat(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rn_in_lang")).toMap
+    assert(strat == naive, "offset-derived per-lang ranks diverge from the window form")
+    val rns = graft.queries.RankOps.q_sample_systematic(spark, sf).collect()
+      .map(_.getAs[Long]("rn")).sorted
+    assert(rns.nonEmpty && rns.forall(rn => (rn - 1) % 20 == 0),
+      s"non-stride rank selected: ${rns.toSeq}")
+    assert(rns.toSeq == rns.indices.map(i => i * 20L + 1).toSeq,
+      "stride must cover every 20th rank exactly once")
+  }
+
   test("the audit detector flags a planted naive global window and accepts post-limit ones") {
     import org.apache.spark.sql.expressions.Window
     val planted = sampleDf.withColumn("rn",

@@ -39,8 +39,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_pack_sequences", "q_media_features", "q_media_frames",
     "q_media_resize", "q_media_frame_meta", "q_media_decode",
     "q_media_audio", "q_bpe_encode", "q_corpus_report",
-    "q_corpus_slice_share", "q_corpus_slice_tokens",
-    "q_corpus_slice_quality", "q_corpus_dump_toks", "q_corpus_dump_q",
+    "q_corpus_dump_toks", "q_corpus_dump_q",
+    "q_rank_global", "q_rank_strat", "q_sample_systematic",
     "q_shard_manifest", "q_ngram_novelty", "q_quality_classifier", "q_dsir",
     "q_containment", "q_length_buckets", "q_corpus_diff",
     "q_split_group", "q_lm_backoff", "q_ccnet_split", "q_mix_lm",
