@@ -224,17 +224,26 @@ object Relational {
     * exist FOR the audit; the production call is the approx columns
     * alone. AggregatorSpec pins the raw estimates at sf0.001.
     */
-  def q_agg_approx(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).agg(
+  def q_agg_approx(s: SparkSession, d: String): DataFrame = {
+    // three separate one-row aggregates, NOT one agg with two
+    // countDistincts + two HLLs: multiple distinct aggregates plan
+    // through Expand (every input row duplicated per distinct group,
+    // with the HLL update running over the expanded stream) — measured
+    // 8.0s warm vs 1.9s for this split form at sf0.1. Each branch is
+    // a plain two-phase aggregate; the one-row results broadcast.
+    val li = lineitem(s, d)
+    val approx = li.agg(
       approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      countDistinct(col("l_orderkey")).as("exact_orders"))
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    val ep = li.select("l_partkey").distinct().agg(count(lit(1)).as("exact_parts"))
+    val eo = li.select("l_orderkey").distinct().agg(count(lit(1)).as("exact_orders"))
+    approx.crossJoin(broadcast(ep)).crossJoin(broadcast(eo))
       .select(col("exact_parts"), col("exact_orders"),
         (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 5)
           .as("parts_within_5pct"),
         (abs(col("ao") - col("exact_orders")) * 100 <= col("exact_orders") * 5)
           .as("orders_within_5pct"))
+  }
 
   /** ROLLUP grouping sets (SURVEY.md §2.4). Grouping nulls are coalesced
     * to 'ALL' so ordering is engine-independent.
