@@ -1166,6 +1166,9 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         expr("""CASE WHEN s >= 0 THEN s div n_bigrams
                |ELSE -((-s) div n_bigrams) END""".stripMargin).as("mean_fp"))
+      .localCheckpoint() // referenced 2x (rank input + n_scored agg):
+                         // without the pin the whole bigram-LM subtree
+                         // computes twice (measured 16.0s -> 8.9s at 8x)
     val ranked = graft.plans.GlobalRank
       .globalRowNumber(scored, "rn", col("mean_fp").desc, col("doc_id"))
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_scored"))))
