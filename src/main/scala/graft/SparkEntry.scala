@@ -143,6 +143,7 @@ object SparkEntry {
     "q_rank_global" -> (RankOps.q_rank_global _),
     "q_rank_strat"  -> (RankOps.q_rank_strat _),
     "q_sample_systematic" -> ((s, d) => RankOps.q_sample_systematic(s, d)),
+    "q_quantiles_exact" -> (RankOps.q_quantiles_exact _),
     "q_repetition"   -> (TextOps.q_repetition _),
     "q_ngram_novelty" -> (TextOps.q_ngram_novelty _),
     "q_quality_classifier" -> (TextOps.q_quality_classifier _),
@@ -1880,6 +1881,20 @@ object SparkEntry {
         |SELECT doc_id, lang, t, rn_in_lang,
         |  (rn_in_lang - 1) * 100 // n_lang + 1 AS pctile
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_quantiles_exact" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (SELECT c,
+        |        row_number() OVER (ORDER BY c, l_orderkey, l_linenumber) AS rn,
+        |        count(*) OVER () AS n
+        |      FROM v),
+        |p AS (SELECT unnest(range(21)) AS p)
+        |SELECT CAST(p.p * 5 AS BIGINT) AS pct,
+        |       1 + (r.n - 1) * p.p // 20 AS r, c AS value_c
+        |FROM p JOIN r ON r.rn = 1 + (r.n - 1) * p.p // 20
+        |ORDER BY pct""".stripMargin,
     // systematic sample: same 60-bit md5-window order key as
     // q_sketch_kmv (nibble arithmetic — DuckDB has no base-16 conv)
     "q_sample_systematic" ->

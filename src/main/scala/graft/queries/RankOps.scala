@@ -75,6 +75,37 @@ object RankOps {
       .orderBy("doc_id")
   }
 
+  /** Exact quantile cutpoint table — value at every 5th percentile of
+    * `l_extendedprice` (cents), nearest-rank-lower definition
+    * `r_p = 1 + (n−1)·p div 20`. [[Relational.q_percentile]] shows
+    * Spark's built-in exact `percentile()`, which BUFFERS every value
+    * per group in the aggregator (fine per-group, impossible for one
+    * corpus-wide distribution at 100 TB); this is the exact path that
+    * scales: [[globalRowNumber]] for the total order, then a
+    * broadcast 21-row target-rank join picks the cutpoints. Ranks are
+    * fully tie-broken (orderkey, linenumber) so the rank permutation
+    * is deterministic, and the VALUE at a target rank is independent
+    * of tie order anyway — both engines agree bit-for-bit.
+    *
+    * Scale shape: GlobalRank's two exchanges + checkpoint, a one-row
+    * count broadcast, a 21-row broadcast join — no per-group value
+    * buffer, no single-partition sort, no collect.
+    */
+  def q_quantiles_exact(s: SparkSession, d: String): DataFrame = {
+    val v = lineitem(s, d).select(
+      (Relational.dec2(col("l_extendedprice")) * 100).cast("long").as("c"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ranked = globalRowNumber(
+      v, "rn", col("c"), col("l_orderkey"), col("l_linenumber"))
+    val targets = s.range(0, 21).select(col("id").as("p"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+      .select((col("p") * lit(5L)).as("pct"),
+        expr("1 + ((n - 1) * p) div 20").as("rn"))
+    ranked.join(broadcast(targets), Seq("rn"))
+      .select(col("pct"), col("rn").as("r"), col("c").as("value_c"))
+      .orderBy("pct")
+  }
+
   /** Systematic sample: every k-th document from a deterministic
     * pseudo-random total order (md5-keyed) — the eval-split draw that
     * guarantees even coverage of the order statistic (a Bernoulli
