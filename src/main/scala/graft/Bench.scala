@@ -67,12 +67,26 @@ object Bench {
     // local-iteration filter (the driver never sets this): time only
     // the named keys, e.g. SPARK_GRAFT_BENCH_ONLY=q_graph_hops
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // N-run median mode (SPARK_GRAFT_BENCH_RUNS=3): NOTES documents
+    // ±20% VM load variance and a 16s run-to-run gap between two
+    // official r11 runs of an IDENTICAL tree — a single-shot total is
+    // noise at the per-round-regression scale. With RUNS>1 every key
+    // is timed N times and the MEDIAN reported (robust to one degraded
+    // window in either direction, unlike min which can ride a cache
+    // artifact); the 2x-retry heuristic is disabled in this mode —
+    // the median already does its job, and better.
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val (ok, t1) = timeOnce(fn)
+      val (ok, t1) =
+        if (nRuns > 1) {
+          val runs = (1 to nRuns).map(_ => timeOnce(fn))
+          val okTimes = runs.collect { case (true, t) => t }
+          if (okTimes.nonEmpty) (true, median(okTimes)) else (false, runs.head._2)
+        } else timeOnce(fn)
       val secs =
-        if (ok && retryOn && trailing.length >= 8 &&
+        if (ok && nRuns == 1 && retryOn && trailing.length >= 8 &&
             t1 > math.max(2 * median(trailing.toSeq), 0.8)) {
           val (ok2, t2) = timeOnce(fn)
           val best = if (ok2) math.min(t1, t2) else t1
@@ -98,8 +112,12 @@ object Bench {
     // delta unattributable (verdict r10 item 3). Persist the FULL
     // per-key map to a file as well (tools/bench_diff.py reads either
     // shape); the round workflow commits it as bench_full_r{N}.json.
+    // default derived from the working directory, not a hardcoded
+    // absolute path (ADVICE r11: running Bench from another checkout
+    // silently wrote into /root/repo); SPARK_GRAFT_BENCH_OUT overrides
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full_latest.json")
+      new java.io.File(System.getProperty("user.dir"),
+        "bench_full_latest.json").getPath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -217,6 +217,7 @@ object SparkEntry {
     "q_winnow"        -> ((s, d) => DedupOps.q_winnow(s, d)),
     "q_overlap"       -> ((s, d) => DedupOps.q_overlap(s, d)),
     "q_dedup_block"   -> ((s, d) => DedupOps.q_dedup_block(s, d)),
+    "q_dedup_substr"  -> ((s, d) => DedupOps.q_dedup_substr(s, d)),
     "q_dedup_sorted"  -> ((s, d) => DedupOps.q_dedup_sorted(s, d)),
     "q_dedup_allpairs" -> (DedupOps.q_dedup_allpairs _),
     "q_boilerplate"   -> ((s, d) => DedupOps.q_boilerplate(s, d)),
@@ -3789,6 +3790,49 @@ object SparkEntry {
         |SELECT doc.doc_id, coalesce(n_blocks, 0) AS n_blocks,
         |  coalesce(n_kept, 0) AS n_kept, kept_text
         |FROM documents doc LEFT JOIN p USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
+    // exact substring-level dedup (Lee et al. 2021 style): every-8-gram
+    // fingerprints, first-occurrence ownership (rn > 1 == Spark's
+    // struct-min filter — (doc_id, pos) is unique per fp), then the
+    // running-max interval merge; DuckDB list_slice is 1-based
+    // inclusive == Spark slice(w, p, 8); sum() is HUGEINT -> CAST
+    "q_dedup_substr" ->
+      """WITH toks AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |       FROM documents WHERE text IS NOT NULL),
+        |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+        |grams AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |        md5(array_to_string(list_slice(w, p, p + 7), ' ')) AS fp
+        |      FROM base, unnest(range(1, CAST(n_tokens - 6 AS BIGINT))) AS t(p)
+        |      WHERE n_tokens >= 8),
+        |marked AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        |      FROM grams),
+        |dups AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM marked WHERE rn > 1),
+        |m AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM dups),
+        |flg AS (SELECT doc_id, s, e,
+        |        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ns FROM m),
+        |grp AS (SELECT doc_id, s, e,
+        |        sum(ns) OVER (PARTITION BY doc_id ORDER BY s) AS g FROM flg),
+        |spans AS (SELECT doc_id, g, min(s) AS ss, max(e) AS ee
+        |      FROM grp GROUP BY doc_id, g),
+        |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |        CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens
+        |      FROM spans GROUP BY doc_id)
+        |SELECT doc.doc_id,
+        |  coalesce(b.n_tokens, 0) AS n_tokens,
+        |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(p.n_spans, 0) AS n_spans,
+        |  coalesce(b.n_tokens, 0) - coalesce(p.dup_tokens, 0) AS kept_tokens,
+        |  CASE WHEN coalesce(b.n_tokens, 0) = 0 THEN 0
+        |    ELSE (2 * coalesce(p.dup_tokens, 0) * 1000000 + b.n_tokens)
+        |         // (2 * b.n_tokens) END AS dup_share_fp
+        |FROM documents doc
+        |LEFT JOIN base b USING (doc_id)
+        |LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin,
     // sorted-neighborhood dedup: in-block lead window over the
     // normalized sort key, levenshtein confirm on candidates only;

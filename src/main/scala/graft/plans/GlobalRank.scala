@@ -53,13 +53,26 @@ object GlobalRank {
     * plain columns rank ascending, nulls-first (Spark default —
     * callers mirror DuckDB `NULLS FIRST` explicitly where it
     * matters, as with the previous window form).
+    *
+    * AUDIT HOOK: the checkpoint goes through [[Ckpt.maybe]]
+    * (`spark.graft.checkpoint=false` disables it), because the eager
+    * localCheckpoint truncates lineage to a LogicalRDD — any plan
+    * inspection of a caller's query is then BLIND to everything
+    * upstream of the rank — and materializing it runs a real job at
+    * plan-construction time. PlanAudit disables checkpointing for its
+    * planning pass. EXECUTING with the flag off is incorrect by
+    * construction HERE specifically: the un-checkpointed range
+    * exchange is referenced twice (counts + ranking) and
+    * RangePartitioner samples boundaries per planned instance, so
+    * pid↔offset consistency is lost (the exact ±4-ranks bug this
+    * checkpoint fixes). Audit-only.
     */
   def globalRowNumber(df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__grank_pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(Ckpt.maybe)
     val counts = ranged.groupBy(col("__grank_pid")).agg(count(lit(1)).as("__grank_c"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")),

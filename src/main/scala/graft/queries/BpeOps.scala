@@ -112,7 +112,7 @@ object BpeOps {
         found += ((step.toLong, lhs, rhs, lhs + rhs, cnt))
         vocab = vocab.withColumn("r",
           expr(s"replace(r, '$pat', '<$lhs$rhs>')"))
-        if (step % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        if (step % checkpointEvery == 0) vocab = vocab.transform(graft.plans.Ckpt.maybe)
         step += 1
       }
     }

@@ -287,7 +287,7 @@ object EmbedOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .filter(col("v").isNotNull)
       .select(col("vec_id"), col("dim").cast("long").as("dim"), x.as("x"))
-      .localCheckpoint() // referenced 2x: centroid + distances
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: centroid + distances
     val cen = el.groupBy("dim")
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .select(col("dim"),
@@ -440,10 +440,10 @@ object EmbedOps {
       // d(d+1)/2 rows, model-sized; referenced twice by the mirror
       // union below — without this checkpoint the corpus-scale cell
       // pass underneath runs once per branch (no cross-branch CSE)
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val mat = upper.unionAll(upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("m")))
-      .localCheckpoint() // reread by all K iterations
+      .transform(graft.plans.Ckpt.maybe) // reread by all K iterations
     var v = mat.select(col("i").as("dim")).distinct()
       .select(col("dim"), lit(100000L).as("v"))
     var lastMx: DataFrame = null
@@ -458,7 +458,7 @@ object EmbedOps {
             expr("""CASE WHEN w >= 0 THEN (w * 100000) div mx
                    |ELSE -(((-w) * 100000) div mx) END""".stripMargin))
             .otherwise(lit(0L)).as("v"))
-        .localCheckpoint() // twice-referenced: next step's join + output
+        .transform(graft.plans.Ckpt.maybe) // twice-referenced: next step's join + output
     }
     v.crossJoin(broadcast(lastMx))
       .select(col("dim"), col("v").as("v_fp"),
@@ -485,7 +485,7 @@ object EmbedOps {
   def q_pca_project(s: SparkSession, d: String): DataFrame = {
     // ONE covariance pass: checkpointed, read by the power iteration
     // AND the trace (the twice-referenced-state rule)
-    val cells = covCells(s, d).localCheckpoint()
+    val cells = covCells(s, d).transform(graft.plans.Ckpt.maybe)
     val pca = powerIterate(cells, 8).collect() // 64 rows — the model
     if (pca.isEmpty)
       return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -554,7 +554,7 @@ object EmbedOps {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
-      .localCheckpoint() // read once per selection pass
+      .transform(graft.plans.Ckpt.maybe) // read once per selection pass
     def d2To(center: Seq[Long]): Column =
       aggregate(zip_with(col("q"), typedLit(center), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)

@@ -33,10 +33,14 @@ object GraphOps {
     * aggregation, so Catalyst's stats won't infer the broadcast on
     * their own — round 7 measured K full edge exchanges, 17.7s,
     * without the hint). When node count outgrows broadcast (~billions
-    * of nodes at true web scale), the alternative is to bucket BOTH
-    * edges (by src) and ranks (by node) into the same bucketing so
-    * the per-iteration join is co-partitioned with zero exchange on
-    * the edge side and an O(nodes) exchange on the rank side only.
+    * of nodes at true web scale), the iteration join must instead be
+    * co-partitioned: edges stay bucketed by src, only the O(nodes)
+    * rank table exchanges each round. Since round 12 that switch is
+    * AUTOMATIC — [[graft.plans.StateJoin]] counts the materialized
+    * degree table against `spark.graft.broadcastNodesLimit` and picks
+    * the side (the window's hashpartitioning(src) already gives the
+    * edges the right layout, so the flip costs nothing here);
+    * [[q_pagerank_copart]] still pins the copart shape explicitly.
     * Rank lineage is localCheckpoint'd every [[checkpointEvery]]
     * iterations (BPE-trainer stance) so tokenizer-real iteration
     * counts don't stack an analyzer-killing plan.
@@ -52,7 +56,7 @@ object GraphOps {
     */
   def q_pagerank(s: SparkSession, d: String, iters: Int = 3,
                  checkpointEvery: Int = 8): DataFrame =
-    pagerankUndirected(s, d, iters, checkpointEvery, copartitioned = false)
+    pagerankUndirected(s, d, iters, checkpointEvery, forced = None)
 
   /** [[q_pagerank]] through the CO-PARTITIONED iteration join — the
     * documented fallback for when the O(nodes) rank table outgrows
@@ -74,11 +78,11 @@ object GraphOps {
     */
   def q_pagerank_copart(s: SparkSession, d: String, iters: Int = 3,
                         checkpointEvery: Int = 8): DataFrame =
-    pagerankUndirected(s, d, iters, checkpointEvery, copartitioned = true)
+    pagerankUndirected(s, d, iters, checkpointEvery, forced = Some(true))
 
   private def pagerankUndirected(
       s: SparkSession, d: String, iters: Int,
-      checkpointEvery: Int, copartitioned: Boolean): DataFrame = {
+      checkpointEvery: Int, forced: Option[Boolean]): DataFrame = {
     val e0 = orders(s, d).join(lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
@@ -98,22 +102,27 @@ object GraphOps {
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val deg = edgesD.select(col("src"), col("deg"))
-      .dropDuplicates("src").localCheckpoint()
+      .dropDuplicates("src").transform(graft.plans.Ckpt.maybe)
+    // size-gated switch (round 12): forced by the _copart key, else
+    // decided from the materialized O(nodes) degree table vs
+    // spark.graft.broadcastNodesLimit — the edge side already has
+    // hashpartitioning(src) from the degree window, so the copart
+    // flip costs no extra edge exchange here
+    val copart = forced.getOrElse(graft.plans.StateJoin.copartFor(deg))
     val nDf = deg.agg(count(lit(1)).as("n_nodes"))
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), expr("1000000000000 div n_nodes").as("fp"))
     (1 to iters).foreach { i =>
-      val rside = if (copartitioned) ranks.hint("shuffle_hash")
-                  else broadcast(ranks)
+      val rside = graft.plans.StateJoin.side(ranks, copart)
       val contrib = edgesD.join(rside, edgesD("src") === ranks("node"))
         .select(col("dst"), expr("fp div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("mass"))
       ranks = contrib.crossJoin(broadcast(nDf))
         .select(col("dst").as("node"),
           expr("(150000000000 div n_nodes) + ((85 * mass) div 100)").as("fp"))
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.transform(graft.plans.Ckpt.maybe)
     }
     // display rank: ONE correctly-rounded IEEE division on exact
     // operands — bit-identical cross-engine. A round(x, 10) here
@@ -173,11 +182,16 @@ object GraphOps {
     val edgesD = edges
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val nodes = edgesD.select(col("src").as("node"), col("deg"))
       .unionAll(edgesD.select(col("dst").as("node"), lit(0L).as("deg")))
       .groupBy("node").agg(max(col("deg")).as("deg"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
+    // size-gated switch (round 12): the O(nodes) rank table broadcasts
+    // until it outgrows spark.graft.broadcastNodesLimit, then the
+    // contrib join co-partitions (edges already hashpartitioned on src
+    // by the degree window)
+    val copart = graft.plans.StateJoin.copartFor(nodes)
     val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), expr("1000000000000 div n_nodes").as("fp"))
@@ -185,7 +199,8 @@ object GraphOps {
       val dang = ranks.join(broadcast(nodes.filter(col("deg") === 0)
           .select(col("node"))), Seq("node"))
         .agg(coalesce(sum(col("fp")), lit(0L)).as("dang_mass"))
-      val contrib = edgesD.join(broadcast(ranks), edgesD("src") === ranks("node"))
+      val contrib = edgesD.join(graft.plans.StateJoin.side(ranks, copart),
+          edgesD("src") === ranks("node"))
         .select(col("dst"), expr("fp div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("mass"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
@@ -202,7 +217,7 @@ object GraphOps {
       // without per-level materialization the recompute tree doubles
       // per iteration (2^K). Ranks are O(nodes): the materialization
       // is model-sized work, the standard iterative-graph trade.
-      if (i < iters) ranks = ranks.localCheckpoint()
+      if (i < iters) ranks = ranks.transform(graft.plans.Ckpt.maybe)
     }
     ranks.join(nodes.select(col("node").as("n2"), col("deg")),
         ranks("node") === col("n2"))
@@ -240,13 +255,13 @@ object GraphOps {
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val isSeed = col("node").startsWith("s") &&
       substring(col("node"), 2, 18).cast("long") % 100 === 0
     val nodes = edgesD.select(col("src").as("node"), col("deg"))
       .dropDuplicates("node")
       .withColumn("seed", isSeed)
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val nSeeds = nodes.filter(col("seed")).agg(count(lit(1)).as("n_seeds"))
     // Loud empty-seed-set guard (ADVICE r8): without it, `div 0` in
     // the teleport term yields silently-NULL ranks on Spark while the
@@ -266,12 +281,17 @@ object GraphOps {
     require(counts.getLong(1) > 0,
       "q_pagerank_seeded: seed set is empty (no supplier node with key " +
         "≡ 0 mod 100) — seeded PageRank is undefined on this data")
+    // size-gated switch (round 12), for free here: the guard above
+    // already counted the node table, so auto mode re-uses that count
+    // instead of running StateJoin's own job
+    val copart = graft.plans.StateJoin.copartForCount(s, counts.getLong(0))
     var ranks = nodes.crossJoin(broadcast(nSeeds))
       .select(col("node"),
         when(col("seed"), expr("1000000000000 div n_seeds"))
           .otherwise(lit(0L)).as("fp"))
     (1 to iters).foreach { i =>
-      val contrib = edgesD.join(broadcast(ranks), edgesD("src") === ranks("node"))
+      val contrib = edgesD.join(graft.plans.StateJoin.side(ranks, copart),
+          edgesD("src") === ranks("node"))
         .select(col("dst"), expr("fp div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("mass"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
@@ -279,7 +299,7 @@ object GraphOps {
         .select(col("node"),
           expr("""(CASE WHEN seed THEN 150000000000 div n_seeds ELSE 0 END)
                  | + ((85 * coalesce(mass, 0L)) div 100)""".stripMargin).as("fp"))
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.transform(graft.plans.Ckpt.maybe)
     }
     ranks.join(nodes.select(col("node").as("n2"), col("seed")),
         ranks("node") === col("n2"))
@@ -314,7 +334,7 @@ object GraphOps {
     * frontier on the same key instead of broadcasting it.
     */
   def q_graph_hops(s: SparkSession, d: String, maxHops: Int = 4): DataFrame =
-    graphHops(s, d, maxHops, copartitioned = false)
+    graphHops(s, d, maxHops, forced = None)
 
   /** [[q_graph_hops]] through the CO-PARTITIONED frontier join — the
     * fallback for when BFS frontiers outgrow broadcast (hop 1-2 of a
@@ -327,10 +347,10 @@ object GraphOps {
     */
   def q_graph_hops_copart(s: SparkSession, d: String,
                           maxHops: Int = 4): DataFrame =
-    graphHops(s, d, maxHops, copartitioned = true)
+    graphHops(s, d, maxHops, forced = Some(true))
 
   private def graphHops(s: SparkSession, d: String, maxHops: Int,
-                        copartitioned: Boolean): DataFrame = {
+                        forced: Option[Boolean]): DataFrame = {
     val e0 = orders(s, d).join(lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
@@ -338,21 +358,29 @@ object GraphOps {
       .distinct()
     val sym = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-    // co-partitioned mode pins hashpartitioning(src) BEFORE the
+    // FORCED co-partitioned mode pins hashpartitioning(src) BEFORE the
     // checkpoint so every level's frontier join finds the edge side
     // already exchanged (localCheckpoint preserves partitioning)
-    val edgesD = (if (copartitioned) sym.repartition(col("src")) else sym)
-      .localCheckpoint()
-    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint()
+    val edgesD0 = (if (forced.contains(true)) sym.repartition(col("src")) else sym)
+      .transform(graft.plans.Ckpt.maybe)
+    val nodes = edgesD0.select(col("src").as("node")).distinct().transform(graft.plans.Ckpt.maybe)
+    // size-gated switch (round 12): BFS frontiers are worst-case
+    // O(nodes), so the node count is the right gate. When AUTO flips
+    // to copart the edges were checkpointed unpartitioned — pay ONE
+    // repartition+rematerialization now (amortized over maxHops
+    // levels; the same exchange the forced key pays up front).
+    val copart = forced.getOrElse(graft.plans.StateJoin.copartFor(nodes))
+    val edgesD = if (copart && !forced.contains(true))
+      edgesD0.repartition(col("src")).transform(graft.plans.Ckpt.maybe)
+    else edgesD0
     var visited = nodes.filter(
         col("node").startsWith("s") &&
         substring(col("node"), 2, 18).cast("long") % 100 === 0)
       .select(col("node"), lit(0L).as("hop"))
-      .localCheckpoint()
-    var frontier = visited.select(col("node")).localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
+    var frontier = visited.select(col("node")).transform(graft.plans.Ckpt.maybe)
     (1 to maxHops).foreach { i =>
-      val fside = if (copartitioned) frontier.hint("shuffle_hash")
-                  else broadcast(frontier)
+      val fside = graft.plans.StateJoin.side(frontier, copart)
       val reached = edgesD.join(fside,
           edgesD("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
@@ -364,8 +392,8 @@ object GraphOps {
       val fresh = reached.join(visited.select(col("node").as("v")),
           reached("node") === col("v"), "left_anti")
         .select(col("node"), lit(i.toLong).as("hop"))
-        .localCheckpoint()
-      visited = visited.unionAll(fresh).localCheckpoint()
+        .transform(graft.plans.Ckpt.maybe)
+      visited = visited.unionAll(fresh).transform(graft.plans.Ckpt.maybe)
       frontier = fresh.select(col("node"))
     }
     nodes.join(visited, Seq("node"), "left")
@@ -463,7 +491,7 @@ object GraphOps {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val deg = sym.select(col("src").as("node"), col("deg")).dropDuplicates("node")
     val o = sym.join(
         broadcast(deg.select(col("node").as("dn"), col("deg").as("ddeg"))),
@@ -471,7 +499,7 @@ object GraphOps {
       .filter(col("deg") < col("ddeg") ||
         (col("deg") === col("ddeg") && col("src") < col("dst")))
       .select(col("src"), col("dst"), col("ddeg"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val e1 = o.select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("dv"))
     val e2 = o.select(col("src").as("u2"), col("dst").as("w"), col("ddeg").as("dw"))
     val wedges = e1.join(e2, col("u") === col("u2") &&
@@ -521,7 +549,7 @@ object GraphOps {
     // is the lineitem self-join + two distincts; without this
     // materialization that whole subtree computed twice (found by the
     // round-9 bench: 15.2s, ~2x the triangles key on the same graph)
-    val eD = e.localCheckpoint()
+    val eD = e.transform(graft.plans.Ckpt.maybe)
     val (deg, tris) = triangleParts(eD)
     val pairCounts = tris.select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
@@ -572,7 +600,7 @@ object GraphOps {
     */
   private[graft] def edgeAdamicAdar(e: DataFrame, topN: Int = 5000): DataFrame = {
     // same twice-referenced-e materialization as edgeJaccard
-    val eD = e.localCheckpoint()
+    val eD = e.transform(graft.plans.Ckpt.maybe)
     val (deg, tris) = triangleParts(eD)
     val terms = tris.select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
@@ -636,11 +664,22 @@ object GraphOps {
   private[graft] def lpaLabels(e: DataFrame, iters: Int): DataFrame = {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+    // size-gated switch (round 12): the label table is O(nodes) —
+    // materialize the seed labels once (auto mode counts that, and
+    // iteration 1 reuses it instead of recomputing the distinct). In
+    // auto-copart the unpartitioned checkpointed sym is re-laid-out
+    // on src once (amortized over the iterations), so each
+    // iteration's shuffle-hash join moves only the label table.
+    labels = labels.transform(graft.plans.Ckpt.maybe)
+    val copart = graft.plans.StateJoin.copartFor(labels)
+    val symJ = if (copart) sym.repartition(col("src")).transform(graft.plans.Ckpt.maybe)
+               else sym
     (1 to iters).foreach { _ =>
-      labels = sym.join(broadcast(labels), sym("src") === labels("node"))
+      labels = symJ.join(graft.plans.StateJoin.side(labels, copart),
+          symJ("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
@@ -650,7 +689,7 @@ object GraphOps {
     // join) — materialize once or the whole K-iteration chain runs
     // twice (the twice-referenced-state rule; labels inside the loop
     // are single-reference and need no per-level materialization)
-    val labelsD = labels.localCheckpoint()
+    val labelsD = labels.transform(graft.plans.Ckpt.maybe)
     val sizes = labelsD.groupBy("label").agg(count(lit(1)).as("comm_size"))
     labelsD.join(broadcast(sizes), Seq("label"))
       .select(col("node"), col("label"), col("comm_size"))
@@ -697,7 +736,7 @@ object GraphOps {
   private[graft] def kcorePeel(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     val sym0 = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val deg0 = sym0.groupBy("src").agg(count(lit(1)).as("deg0"))
       .select(col("src").as("node"), col("deg0"))
     var sym = sym0
@@ -706,12 +745,12 @@ object GraphOps {
       alive = sym.groupBy("src").agg(count(lit(1)).as("c"))
         .filter(col("c") >= k)
         .select(col("src").as("anode"))
-        .localCheckpoint()
+        .transform(graft.plans.Ckpt.maybe)
       sym = sym
         .join(broadcast(alive), sym("src") === col("anode")).drop("anode")
         .join(broadcast(alive.select(col("anode").as("bnode"))),
           col("dst") === col("bnode")).drop("bnode")
-        .localCheckpoint()
+        .transform(graft.plans.Ckpt.maybe)
     }
     val degF = sym.groupBy("src").agg(count(lit(1)).as("deg_final"))
       .select(col("src").as("node"), col("deg_final"))
@@ -756,7 +795,7 @@ object GraphOps {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val deg = sym.select(col("src").as("node"), col("deg")).dropDuplicates("node")
     val nByDeg = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
     val knn = sym.join(
@@ -814,30 +853,43 @@ object GraphOps {
     * fixed-point arithmetic against hand-computed values.
     */
   private[graft] def hitsKernel(edges: DataFrame, iters: Int): DataFrame = {
-    val edgesD = edges.localCheckpoint()
+    val edgesD = edges.transform(graft.plans.Ckpt.maybe)
     val nodes = edgesD.select(col("src").as("node"))
       .unionAll(edgesD.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.plans.Ckpt.maybe)
+    // size-gated switch (round 12). HITS alternates join keys (src
+    // for the auth half-step, dst for the hub one), so the copart
+    // side keeps TWO edge layouts — bucketed by src AND by dst, each
+    // paid once — the standard both-ways bucketing a real deployment
+    // stores for a mutual-reinforcement kernel; broadcast mode reads
+    // the single checkpointed edge set as before.
+    val copart = graft.plans.StateJoin.copartFor(nodes)
+    val edgesBySrc = if (copart)
+      edgesD.repartition(col("src")).transform(graft.plans.Ckpt.maybe) else edgesD
+    val edgesByDst = if (copart)
+      edgesD.repartition(col("dst")).transform(graft.plans.Ckpt.maybe) else edgesD
     var hub = nodes.select(col("node"), lit(1000000L).as("hub_fp"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
-      val araw = edgesD.join(broadcast(hub), edgesD("src") === hub("node"))
-        .groupBy(edgesD("dst")).agg(sum(col("hub_fp")).as("raw"))
+      val araw = edgesBySrc.join(graft.plans.StateJoin.side(hub, copart),
+          edgesBySrc("src") === hub("node"))
+        .groupBy(edgesBySrc("dst")).agg(sum(col("hub_fp")).as("raw"))
       val amax = araw.agg(max(col("raw")).as("mx"))
       auth = nodes.join(araw, nodes("node") === araw("dst"), "left")
         .crossJoin(broadcast(amax))
         .withColumn("raw0", coalesce(col("raw"), lit(0L)))
         .select(nodes("node"), expr("(raw0 * 1000000) div mx").as("auth_fp"))
-        .localCheckpoint() // referenced 2x: hub half-step + readout
-      val hraw = edgesD.join(broadcast(auth), edgesD("dst") === auth("node"))
-        .groupBy(edgesD("src")).agg(sum(col("auth_fp")).as("raw"))
+        .transform(graft.plans.Ckpt.maybe) // referenced 2x: hub half-step + readout
+      val hraw = edgesByDst.join(graft.plans.StateJoin.side(auth, copart),
+          edgesByDst("dst") === auth("node"))
+        .groupBy(edgesByDst("src")).agg(sum(col("auth_fp")).as("raw"))
       val hmax = hraw.agg(max(col("raw")).as("mx"))
       hub = nodes.join(hraw, nodes("node") === hraw("src"), "left")
         .crossJoin(broadcast(hmax))
         .withColumn("raw0", coalesce(col("raw"), lit(0L)))
         .select(nodes("node"), expr("(raw0 * 1000000) div mx").as("hub_fp"))
-        .localCheckpoint() // referenced 2x: next auth half-step + readout
+        .transform(graft.plans.Ckpt.maybe) // referenced 2x: next auth half-step + readout
     }
     hub.join(auth, Seq("node"))
       .select(col("node"), col("hub_fp"), col("auth_fp"),
@@ -877,9 +929,9 @@ object GraphOps {
     * hand-built graphs.
     */
   private[graft] def modularityOf(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint() // referenced 3x below
+    val e = edges.transform(graft.plans.Ckpt.maybe) // referenced 3x below
     val labels = lpaLabels(e, iters).select(col("node"), col("label"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val m = e.agg(count(lit(1)).as("m"))
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))

@@ -288,7 +288,7 @@ object Multimodal {
           PhashRow(id, hash)
         }
       }
-      .toDF().localCheckpoint() // referenced twice: both pair sides
+      .toDF().transform(graft.plans.Ckpt.maybe) // referenced twice: both pair sides
     // broadcast the bounded hash table: BroadcastNestedLoopJoin, never
     // a shuffled cartesian (the all-pairs scan is oracle-window-sized
     // by contract; corpus scale goes through banded LSH instead)

@@ -235,8 +235,14 @@ object Relational {
     val approx = li.agg(
       approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
       approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
-    val ep = li.select("l_partkey").distinct().agg(count(lit(1)).as("exact_parts"))
-    val eo = li.select("l_orderkey").distinct().agg(count(lit(1)).as("exact_orders"))
+    // countDistinct, not select(col).distinct().count (ADVICE r11):
+    // distinct() counts NULL as a value where the oracle's
+    // count(DISTINCT) ignores it — equal today only because these
+    // keys are non-null; countDistinct keeps NULL semantics aligned,
+    // and as the ONLY distinct in its agg it still plans as a plain
+    // two-phase aggregate (no Expand).
+    val ep = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val eo = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
     approx.crossJoin(broadcast(ep)).crossJoin(broadcast(eo))
       .select(col("exact_parts"), col("exact_orders"),
         (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 5)
@@ -725,7 +731,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val kc = lineitem(s, d).groupBy(col("l_partkey").as("k"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // referenced by totals, top-1, HHI, percentiles
+      .transform(graft.plans.Ckpt.maybe) // referenced by totals, top-1, HHI, percentiles
     val tot = kc.agg(sum(col("n")).as("nr"), count(lit(1)).as("nk"),
       max(col("n")).as("mx"), sum(col("n") * col("n")).as("ssq"))
     // counts-of-counts: O(distinct count values) rows

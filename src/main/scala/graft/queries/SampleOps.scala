@@ -633,7 +633,7 @@ object SampleOps {
         col("lang"))
       .groupBy("shard", "lang")
       .agg(count(lit(1)).as("n_sl"))
-      .localCheckpoint() // shards x langs rows; read 3x below
+      .transform(graft.plans.Ckpt.maybe) // shards x langs rows; read 3x below
     val byShard = cell.groupBy("shard").agg(sum(col("n_sl")).as("n_s"),
       count(lit(1)).as("n_langs"))
     val byLang = cell.groupBy("lang").agg(sum(col("n_sl")).as("n_l"))
@@ -749,7 +749,7 @@ object SampleOps {
           .filter(TextOps.qualityScore(col("text")) >= 0.45))
         .groupBy("b").agg(count(lit(1)).as("t")), Seq("b"), "left")
       .na.fill(0L, Seq("t"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
 
   def q_dsir(s: SparkSession, d: String): DataFrame = {
     // Token-bucket stream WITHOUT the target flag. Carrying
@@ -776,7 +776,7 @@ object SampleOps {
     // rule, hit at the gate: measured 7.8-9.6s → ~2s at sf0.1)
     val per = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("lfp")).as("llr_fp"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val corpus = per.agg(sum(col("llr_fp")).as("totL"),
       sum(col("n_toks")).as("totN"))
     documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")

@@ -546,7 +546,7 @@ object SimilarityOps {
         lit(true).as("kept")).limit(0)
     val assigned = e.select(col("vec_id"), col("embedding"),
         KMeansOps.nearestCell(col("embedding"), cents).as("cell"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("va"))
     val b = assigned.select(col("cell").as("cell_b"),
@@ -607,7 +607,7 @@ object SimilarityOps {
       // three consumers (norms + both dot sides) over a token-scale
       // tf/df lineage — the twice-referenced-state rule; the
       // materialized slice is O(maxDoc * doc vocab) rows, kilobytes
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val norms = wfp.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val dots = wfp.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
       .join(wfp.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),

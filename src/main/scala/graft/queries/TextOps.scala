@@ -529,10 +529,15 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("n"))
     val total = terms.agg(sum(col("n")).as("total_tokens"))
     val w = Window.orderBy(desc("n"), col("term"))
+    // windows BEFORE the total attach: rank/cum_n only read (n, term),
+    // and keeping them on the limit's unary chain lets the plan audit
+    // prove their input bounded (a window above the crossJoin reads as
+    // window-over-join, which the tightened r12 rule rightly refuses
+    // to auto-accept)
     terms.orderBy(desc("n"), col("term")).limit(topN)
-      .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(total))
       .select(col("rank"), col("term"), col("n"),
         round(col("n").cast("double") / col("total_tokens"), 10).as("share"),
         round(col("cum_n").cast("double") / col("total_tokens"), 10).as("cum_share"))
@@ -1166,7 +1171,7 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         expr("""CASE WHEN s >= 0 THEN s div n_bigrams
                |ELSE -((-s) div n_bigrams) END""".stripMargin).as("mean_fp"))
-      .localCheckpoint() // referenced 2x (rank input + n_scored agg):
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x (rank input + n_scored agg):
                          // without the pin the whole bigram-LM subtree
                          // computes twice (measured 16.0s -> 8.9s at 8x)
     val ranked = graft.plans.GlobalRank
@@ -1490,7 +1495,7 @@ object TextOps {
   def q_chi2(s: SparkSession, d: String): DataFrame = {
     val c = documents(s, d).groupBy("lang", "source")
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint() // referenced 4x: both marginals, total, cells
+      .transform(graft.plans.Ckpt.maybe) // referenced 4x: both marginals, total, cells
     val rt = c.groupBy("lang").agg(sum(col("o")).as("r"))
     val ct = c.groupBy("source").agg(sum(col("o")).as("cc"))
     val n = c.agg(sum(col("o")).as("n"))
@@ -1691,11 +1696,20 @@ object TextOps {
     * the finer grid).
     *
     * Scale shape: the cumulative sums distribute through the
-    * [[TimeSeries.q_concurrency]] two-level prefix trick — bucket
-    * partials (doc_id div 1024) get a carry via a window over the
-    * O(docs/1024) bucket table, the in-bucket prefix is a window
-    * PARTITIONED by bucket — no corpus-sized single-partition window
-    * anywhere. Everything before the final 1-row fit is exact longs.
+    * [[TimeSeries.q_concurrency]] prefix trick applied TWICE (round
+    * 12): bucket partials (doc_id div 1024) get their carry not from
+    * a single-task window over the O(docs/1024) bucket table but
+    * from one more level of the same decomposition — superbucket
+    * (bkt div 1024) partials carry via a window over the
+    * O(docs/1024²) superbucket table, and the bucket-level prefix is
+    * PARTITIONED by superbucket. The only unpartitioned window input
+    * is docs/1024² rows (10¹⁰ documents → ~10⁴ rows through the one
+    * task); both per-row prefix levels are partitioned windows. The
+    * in-bucket prefix joins its carry by `bkt` through a broadcast of
+    * the O(docs/1024) carry table — at 10¹⁰ docs that broadcast is
+    * ~10⁷ rows (~100 MB), the documented outgrow point where the join
+    * flips to a shuffle-hash join on bkt. Everything before the final
+    * 1-row fit is exact longs.
     */
   def q_heaps(s: SparkSession, d: String): DataFrame =
     heapsOf(documents(s, d))
@@ -1710,7 +1724,7 @@ object TextOps {
       .select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-      .localCheckpoint() // referenced 2x: per-doc counts + first sightings
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: per-doc counts + first sightings
     val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     val firstSeen = tok.groupBy("term").agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
@@ -1718,16 +1732,31 @@ object TextOps {
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("bkt", expr(s"doc_id div $B"))
-      .localCheckpoint() // referenced 2x: bucket partials + in-bucket prefix
-    val carry = docRows.groupBy("bkt")
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: bucket partials + in-bucket prefix
+    // bucket partials, then ONE more level of the same decomposition:
+    // the exclusive bucket carry = superbucket carry (single-task
+    // window, O(docs/1024^2) rows) + exclusive in-superbucket prefix
+    // (window PARTITIONED by sb). Values are identical to the direct
+    // single-task window over all buckets — prefix sums compose.
+    val bktRows = docRows.groupBy("bkt")
       .agg(sum(col("n_toks")).as("bt"), sum(col("n_new")).as("bv"))
+      .withColumn("sb", expr(s"bkt div $B"))
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: sb partials + in-sb prefix
+    val sbCarry = bktRows.groupBy("sb")
+      .agg(sum(col("bt")).as("sbt"), sum(col("bv")).as("sbv"))
+      .select(col("sb"),
+        (sum(col("sbt")).over(Window.orderBy("sb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("sbt")).as("sct"),
+        (sum(col("sbv")).over(Window.orderBy("sb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("sbv")).as("scv"))
+    val wSb = Window.partitionBy("sb").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = bktRows.join(broadcast(sbCarry), Seq("sb"))
       .select(col("bkt"),
-        (sum(col("bt")).over(Window.orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("bt")).as("ct"),
-        (sum(col("bv")).over(Window.orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("bv")).as("cv"))
+        (col("sct") + sum(col("bt")).over(wSb) - col("bt")).as("ct"),
+        (col("scv") + sum(col("bv")).over(wSb) - col("bv")).as("cv"))
     val wIn = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val points = docRows.join(broadcast(carry), Seq("bkt"))

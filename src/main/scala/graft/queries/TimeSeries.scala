@@ -89,10 +89,10 @@ object TimeSeries {
     * drive it with hand-built (user_id, day) activity rows.
     */
   private[graft] def retentionOf(userDay: DataFrame): DataFrame = {
-    val ud = userDay.distinct().localCheckpoint()
+    val ud = userDay.distinct().transform(graft.plans.Ckpt.maybe)
     val cohort = ud.groupBy("user_id")
       .agg(min(col("day")).as("cohort_day"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
     ud.join(broadcast(cohort), Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -130,7 +130,7 @@ object TimeSeries {
     val cents = (Relational.dec2(col("value")) * 100).cast("long")
     val vc = events(s, d).filter(col("value").isNotNull)
       .groupBy(col("event_type"), cents.as("c")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     def lowerMedian(df: DataFrame, valueCol: String, cntCol: String, out: String) =
       df.withColumn("cum", sum(col(cntCol)).over(
           Window.partitionBy("event_type").orderBy(valueCol)))
@@ -495,7 +495,7 @@ object TimeSeries {
     */
   private[graft] def trendOf(dayCounts: DataFrame): DataFrame = {
     val dayCnt = dayCounts
-      .localCheckpoint() // referenced 2x: bounds + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: bounds + the spine join
     val bounds = dayCnt.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
     val xy = spine.join(dayCnt, Seq("day"), "left")
@@ -559,12 +559,12 @@ object TimeSeries {
   private[graft] def acfOf(hourCounts: DataFrame, maxLag: Int): DataFrame = {
     val s = hourCounts.sparkSession
     val hrCnt = hourCounts
-      .localCheckpoint() // referenced 2x: bounds + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: bounds + the spine join
     val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
       .join(hrCnt, Seq("hr"), "left")
       .select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
-      .localCheckpoint() // referenced 3x: total, lag-left, lag-right
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: total, lag-left, lag-right
     val tot = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
     val lags = s.range(1, maxLag + 1).select(col("id").as("lag"))
     val left = dense.crossJoin(broadcast(lags))
@@ -679,9 +679,9 @@ object TimeSeries {
     val ev = events(s, d)
       .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
         col("event_type"), col("value"))
-      .localCheckpoint() // referenced 3x: cohorts, bounds, purchases
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: cohorts, bounds, purchases
     val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      .localCheckpoint() // referenced 3x: sizes, purchase join, spine
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: sizes, purchase join, spine
     val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
     val dMax = ev.agg(max(col("day")).as("d1"))
     val cents = (Relational.dec2(col("value")) * 100).cast("long")
@@ -732,7 +732,7 @@ object TimeSeries {
       .groupBy("user_id")
       .agg((max(col("day")) - min(col("day"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("d"))
-      .localCheckpoint() // referenced 2x: total + the risk window
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: total + the risk window
     val tot = life.agg(sum(col("d")).as("n_users"))
     val risk = life.crossJoin(broadcast(tot))
       .select(col("t"), col("d"),
@@ -774,7 +774,7 @@ object TimeSeries {
     val hrCnt = events(s, d)
       .groupBy(expr("unix_timestamp(ts) div 3600").as("hr"))
       .agg(count(lit(1)).as("y"))
-      .localCheckpoint() // referenced 2x: bounds + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: bounds + the spine join
     val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
       .join(hrCnt, Seq("hr"), "left")
@@ -786,7 +786,7 @@ object TimeSeries {
       .withColumn("trend_fp",
         when(col("w_n") === 25, expr("(2 * w_s * 1000000 + 25) div 50")))
       .withColumn("det_fp", col("y") * 1000000L - col("trend_fp"))
-      .localCheckpoint() // referenced 2x: seasonal agg + final join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: seasonal agg + final join
     val seasonal = trended.filter(col("det_fp").isNotNull)
       .groupBy((col("hr") % 24).as("hod"))
       .agg(sum(col("det_fp")).as("sd"), count(lit(1)).as("nd"))
@@ -834,12 +834,12 @@ object TimeSeries {
   private[graft] def cusumOf(hourCounts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hrCnt = hourCounts
-      .localCheckpoint() // referenced 2x: bounds + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: bounds + the spine join
     val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
       .join(hrCnt, Seq("hr"), "left")
       .select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
-      .localCheckpoint() // referenced 2x: totals + the deviation scan
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: totals + the deviation scan
     val tot = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
       sum(col("y") * col("y")).as("q"))
     val wCum = Window.orderBy("hr")
@@ -888,12 +888,12 @@ object TimeSeries {
     */
   private[graft] def mkTrendOf(dayCounts: DataFrame): DataFrame = {
     val dayCnt = dayCounts
-      .localCheckpoint() // referenced 2x: bounds + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: bounds + the spine join
     val bounds = dayCnt.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val dense = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
       .join(dayCnt, Seq("day"), "left")
       .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
-      .localCheckpoint() // referenced 3x: both pair sides + ties
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: both pair sides + ties
     val a = dense.select(col("day").as("di"), col("y").as("yi"))
     val b = dense.select(col("day").as("dj"), col("y").as("yj"))
     val sSum = a.join(broadcast(b), col("di") < col("dj"))
@@ -937,7 +937,7 @@ object TimeSeries {
       .select(cents.as("c")).filter(col("c") > 0)
       .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // referenced 2x: total + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: total + the spine join
     val tot = digits.agg(sum(col("n")).as("tot"))
     val spine = s.range(1, 10).select(col("id").as("digit"))
       .withColumn("benford_fp",
@@ -977,13 +977,13 @@ object TimeSeries {
     val cents = (Relational.dec2(col("value")) * 100).cast("long")
     val vc = events(s, d).filter(col("value").isNotNull)
       .groupBy(col("event_type"), cents.as("c")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // referenced 3x: totals, cum window, clamp sum
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: totals, cum window, clamp sum
     val tot = vc.groupBy("event_type")
       .agg(sum(col("n")).as("nr"), sum(col("c") * col("n")).as("s_raw"))
     val cum = vc.select(col("event_type"), col("c"),
       sum(col("n")).over(Window.partitionBy("event_type").orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
-      .localCheckpoint() // referenced 2x: the p10 and p90 cuts
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: the p10 and p90 cuts
     def pcut(p: Int, out: String) =
       cum.join(broadcast(tot.select(col("event_type"), col("nr"))),
           Seq("event_type"))
@@ -1026,7 +1026,7 @@ object TimeSeries {
     val hc = events(s, d)
       .groupBy(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
       .agg(count(lit(1)).as("y"))
-      .localCheckpoint() // referenced 3x: bounds, types, the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: bounds, types, the spine join
     val bounds = hc.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     val types = hc.select("event_type").distinct()
     val spine = types.crossJoin(broadcast(
@@ -1068,7 +1068,7 @@ object TimeSeries {
       .filter(col("gap").isNotNull)
     val gc = gaps.groupBy(col("event_type"), col("gap"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // referenced 2x: totals + the cum window
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: totals + the cum window
     val tot = gc.groupBy("event_type")
       .agg(sum(col("c")).as("n_gaps"), min(col("gap")).as("min_gap"),
         max(col("gap")).as("max_gap"),
@@ -1141,7 +1141,7 @@ object TimeSeries {
       .select(col("user_id"), col("s_us"), col("e_us"),
         explode(expr("sequence(s_us div 3600000000, (e_us - 1) div 3600000000)"))
           .as("hr"))
-      .localCheckpoint() // referenced 2x: both sides of the self-join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: both sides of the self-join
     val a = binned.select(col("hr"), col("user_id").as("ua"),
       col("s_us").as("sa"), col("e_us").as("ea"))
     val b = binned.select(col("hr"), col("user_id").as("ub"),
@@ -1164,10 +1164,10 @@ object TimeSeries {
   private[graft] def concurrencyOf(sessions: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sess = sessions
-      .localCheckpoint() // referenced 2x: the +1 and -1 branches
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: the +1 and -1 branches
     val deltas = sess.select(col("s_us").as("t"), lit(1L).as("delta"))
       .unionAll(sess.select(col("e_us").as("t"), lit(-1L).as("delta")))
-      .localCheckpoint() // referenced 2x: hour totals + in-hour sweep
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: hour totals + in-hour sweep
     val carry = deltas
       .groupBy(expr("t div 3600000000").as("hr"))
       .agg(sum(col("delta")).as("d_h"))
@@ -1218,12 +1218,12 @@ object TimeSeries {
   private[graft] def ewmaOf(hourCounts: DataFrame, w: Int): DataFrame = {
     val s = hourCounts.sparkSession
     val hrCnt = hourCounts
-      .localCheckpoint() // referenced 2x: bounds + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: bounds + the spine join
     val bounds = hrCnt.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
     val dense = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
       .join(hrCnt, Seq("hr"), "left")
       .select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
-      .localCheckpoint() // referenced 3x: contributions, domain, readout
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: contributions, domain, readout
     val offs = s.range(w).select(col("id").as("off"))
       .select(col("off"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w - 1} - off AS INT))")
@@ -1265,7 +1265,7 @@ object TimeSeries {
         expr("(unix_timestamp(ts) div 3600) % 24").as("hod"))
       .select(expr("(day + 4) % 7").as("dow"), col("hod"))
       .groupBy("dow", "hod").agg(count(lit(1)).as("n_events"))
-      .localCheckpoint() // referenced 2x: total + the spine join
+      .transform(graft.plans.Ckpt.maybe) // referenced 2x: total + the spine join
     val spine = s.range(7).select(col("id").as("dow"))
       .crossJoin(broadcast(s.range(24).select(col("id").as("hod"))))
     val tot = cells.agg(sum(col("n_events")).as("tot"))
@@ -1471,7 +1471,7 @@ object TimeSeries {
     val hc = events(s, d)
       .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
       .groupBy("event_type", "hr").agg(count(lit(1)).as("y"))
-      .localCheckpoint()
+      .transform(graft.plans.Ckpt.maybe)
     val b = hc.agg(min("hr").as("h0"), max("hr").as("h1"))
     val dense = hc.select("event_type").distinct()
       .crossJoin(broadcast(b))
@@ -1581,7 +1581,7 @@ object TimeSeries {
         wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(array_sort(collect_set(col("event_type"))).as("types"))
-      .localCheckpoint() // referenced 3x: pairs, singles, total
+      .transform(graft.plans.Ckpt.maybe) // referenced 3x: pairs, singles, total
     val pairs = baskets
       // size >= 2 guard: Spark's sequence(0, size-2) would run
       // DESCENDING for singleton baskets and fabricate (b, a)/(a, a)

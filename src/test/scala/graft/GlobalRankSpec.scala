@@ -87,4 +87,40 @@ class GlobalRankSpec extends AnyFunSuite {
       postLimit.queryExecution.sparkPlan) == 0,
       "detector flagged a bounded (post-limit) window")
   }
+
+  test("tightened limit rule (ADVICE r11): a window over join(unbounded, limited-dim) is flagged") {
+    import org.apache.spark.sql.expressions.Window
+    // round-11 rule accepted ANY limit anywhere in the child subtree,
+    // so the unbounded fact side slipped through on the dim's limit;
+    // the unary-ancestry rule stops at the join and flags it
+    val dim = sampleDf.limit(5).select(col("v").as("dv")).distinct()
+    val joined = sampleDf.join(broadcast(dim), col("v") === col("dv"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("id"))))
+    assert(graft.tools.PlanAudit.unpartitionedWindows(
+      joined.queryExecution.sparkPlan) > 0,
+      "unbounded-fact window wrongly accepted via the dim side's limit")
+  }
+
+  test("audit hook: spark.graft.checkpoint=false exposes the plan beneath GlobalRank") {
+    import org.apache.spark.sql.expressions.Window
+    // a scale-killer UPSTREAM of the rank: running sum over an
+    // unpartitioned window feeding globalRowNumber
+    def bad = sampleDf.withColumn("run",
+      sum(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // default (checkpoint on): lineage truncates to a LogicalRDD —
+    // the defect is INVISIBLE to the detector (the ADVICE r11 hole,
+    // pinned here so the why of the audit flag stays documented)
+    val hidden = globalRowNumber(bad, "rn", col("v"), col("id"))
+      .queryExecution.sparkPlan
+    assert(graft.tools.PlanAudit.unpartitionedWindows(hidden) == 0,
+      "checkpointed lineage unexpectedly kept the upstream window visible")
+    spark.conf.set("spark.graft.checkpoint", "false")
+    try {
+      val seen = globalRowNumber(bad, "rn", col("v"), col("id"))
+        .queryExecution.sparkPlan
+      assert(graft.tools.PlanAudit.unpartitionedWindows(seen) > 0,
+        "audit-mode planning failed to expose the upstream global window")
+    } finally spark.conf.unset("spark.graft.checkpoint")
+  }
 }

@@ -33,7 +33,7 @@ class NullInputSpec extends AnyFunSuite {
     "q_sample_hash", "q_sample_weighted", "q_sample_balance",
     "q_sample_reservoir", "q_pipeline_prep", "q_lm_score", "q_chunk",
     "q_dedup_incr", "q_dedup_incr_idx", "q_dedup_bloom", "q_tfidf", "q_dedup_block",
-    "q_boilerplate",
+    "q_boilerplate", "q_dedup_substr",
     "q_quality_gate", "q_split", "q_mix_budget", "q_mix_temp",
     "q_vocab", "q_bpe", "q_bpe_train", "q_entropy", "q_shuffle_shards",
     "q_pack_sequences", "q_media_features", "q_media_frames",

@@ -646,6 +646,41 @@ class SimTextSpec extends AnyFunSuite {
     assert(totalKept == 4L, s"2 base blocks + fresh tail + empty block, got $totalKept")
   }
 
+  test("q_dedup_substr: first-occurrence span ownership and interval merge (k=8)") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"a$i")
+    val docs = Seq[(Long, String)](
+      (0L, a.mkString(" ")),                       // owns every a-gram
+      (1L, a.mkString(" ")),                       // exact dup: one full-width span
+      (2L, ("y1 y2" +: a.slice(4, 14)).mkString(" ") + " y3 y4 y5"), // 10-token copied run inside fresh text
+      (3L, (a.take(8) ++ Seq("z1", "z2", "z3") ++ a.drop(12)).mkString(" ")), // two DISJOINT copied spans
+      (4L, null),                                  // null passthrough: zeros
+      (5L, "short words only"),                    // < k tokens: no grams
+      (6L, ((1 to 8).map(i => s"b$i") ++ (1 to 8).map(i => s"b$i")).mkString(" "))) // INTERNAL repetition
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("substrdedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.DedupOps.q_dedup_substr(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("dup_share_fp")))).toMap
+    assert(out(0L) == ((20L, 0L, 0L, 20L, 0L)), s"owner untouched: ${out(0L)}")
+    // 13 overlapping dup 8-grams chain into ONE [1,20] span
+    assert(out(1L) == ((20L, 20L, 1L, 0L, 1000000L)), s"exact dup: ${out(1L)}")
+    // copied run a5..a14 sits at positions 3..12: dup grams start at
+    // 3,4,5 and merge to the single 10-token span
+    assert(out(2L) == ((15L, 10L, 1L, 5L, 666667L)), s"embedded run: ${out(2L)}")
+    // a1..a8 at [1,8] and a13..a20 at [12,19]: two spans, no bridge
+    // across the fresh z-gap
+    assert(out(3L) == ((19L, 16L, 2L, 3L, 842105L)), s"disjoint spans: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L)), s"null doc zeros: ${out(4L)}")
+    assert(out(5L) == ((3L, 0L, 0L, 3L, 0L)), s"sub-k doc untouched: ${out(5L)}")
+    // the second b1..b8 inside the SAME document dedups against the
+    // first (Lee et al.'s self-duplication case)
+    assert(out(6L) == ((16L, 8L, 1L, 8L, 500000L)), s"internal repeat: ${out(6L)}")
+  }
+
   test("q_boilerplate: df>=2 blocks removed from ALL docs, unlike ownership dedup") {
     import spark.implicits._
     val base = (1 to 25).map(i => s"w$i").mkString(" ")
