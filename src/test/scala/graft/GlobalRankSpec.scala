@@ -101,6 +101,49 @@ class GlobalRankSpec extends AnyFunSuite {
       "unbounded-fact window wrongly accepted via the dim side's limit")
   }
 
+  test("one-exchange impl: values match the window impl and the naive window; sort sits beneath the id projection") {
+    import org.apache.spark.sql.expressions.Window
+    val df = sampleDf
+    val naive = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    spark.conf.set("spark.graft.globalRank.impl", "monoid")
+    try {
+      val mono = globalRowNumber(df, "rn", col("v"), col("id"))
+      assert(mono.exceptAll(naive).isEmpty && naive.exceptAll(mono).isEmpty,
+        "monoid rank mismatch vs naive global window (asc)")
+      val monoDesc = globalRowNumber(df, "rn", col("v").desc, col("id"))
+      val naiveDesc = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      assert(monoDesc.exceptAll(naiveDesc).isEmpty && naiveDesc.exceptAll(monoDesc).isEmpty,
+        "monoid rank mismatch vs naive global window (desc)")
+      assert(graft.tools.PlanAudit.unpartitionedWindows(
+        mono.queryExecution.sparkPlan) == 0)
+      // empty input stays safe
+      assert(globalRowNumber(df.filter(lit(false)), "rn", col("v"), col("id"))
+        .count() == 0L)
+      // the named risk: the nondeterministic mono-id projection must
+      // evaluate ABOVE the local sort — plan under checkpoint-off so
+      // the subtree is visible, and assert every MonotonicallyIncreasingID
+      // projection has a SortExec descendant
+      spark.conf.set("spark.graft.checkpoint", "false")
+      try {
+        import org.apache.spark.sql.execution.{ProjectExec, SortExec, SparkPlan}
+        val plan = globalRowNumber(df, "rn", col("v"), col("id"))
+          .queryExecution.sparkPlan
+        val projs = plan.collect {
+          case p: ProjectExec if p.projectList.exists(_.find(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .MonotonicallyIncreasingID]).isDefined) => p
+        }
+        assert(projs.nonEmpty, s"no mono-id projection found:\n$plan")
+        projs.foreach { p =>
+          assert(p.exists { case _: SortExec => true; case _ => false },
+            s"mono-id projection has NO sort beneath it (stamps pre-sort order):\n$p")
+        }
+      } finally spark.conf.unset("spark.graft.checkpoint")
+    } finally spark.conf.unset("spark.graft.globalRank.impl")
+  }
+
   test("audit hook: spark.graft.checkpoint=false exposes the plan beneath GlobalRank") {
     import org.apache.spark.sql.expressions.Window
     // a scale-killer UPSTREAM of the rank: running sum over an
