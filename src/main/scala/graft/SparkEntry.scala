@@ -247,6 +247,8 @@ object SparkEntry {
     "q_shuffle_shards"   -> ((s, d) => SampleOps.q_shuffle_shards(s, d)),
     "q_shard_quality"    -> ((s, d) => SampleOps.q_shard_quality(s, d)),
     "q_dp_hist"          -> ((s, d) => SampleOps.q_dp_hist(s, d)),
+    "q_kanon"            -> ((s, d) => SampleOps.q_kanon(s, d)),
+    "q_ldiversity"       -> ((s, d) => SampleOps.q_ldiversity(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
@@ -4591,6 +4593,37 @@ object SparkEntry {
          |    AS noisy_n_fp
          |FROM nz ORDER BY lang""".stripMargin
     },
+    // k-anonymity audit: one group-size agg over the quasi-identifier
+    // pair; risk_fp is the positive-operand round-half-up fixed point
+    // (// == div on positives)
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < 10 AS violates_k,
+        |  (2 * 1000000 + CAST(count(*) AS BIGINT))
+        |    // (2 * CAST(count(*) AS BIGINT)) AS risk_fp
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // l-diversity: DECIMAL cents (money rule), FLOOR-division band.
+    // DuckDB's integer // truncates toward zero just like Spark div
+    // (-7 // 2 = -3, measured — only its FLOAT // floors), so floor is
+    // spelled sign-separated as -ceil(|x|/d) on the negative side;
+    // the Spark side subtracts pmod first. Two-level agg.
+    "q_ldiversity" ->
+      """WITH sv AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN cents >= 0 THEN cents // 100000
+        |         ELSE -((-cents + 99999) // 100000) END AS bal_band
+        |  FROM (SELECT c_nationkey, c_mktsegment,
+        |          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |        FROM customer)),
+        |cell AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(count(*) AS BIGINT) AS n_sv
+        |  FROM sv GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, CAST(sum(n_sv) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS distinct_sensitive,
+        |  CAST(count(*) AS BIGINT) < 6 AS violates_l
+        |FROM cell GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // shard-mix audit: same draw, (shard, lang) cells, integer
     // cross-multiplied per-mille deviation, max per shard
     "q_shard_quality" -> {

@@ -636,4 +636,49 @@ class SampleSpec extends AnyFunSuite {
     // draw (the defect this audit exists to catch) would blow through
     assert(rows.values.map(_.getAs[Long]("max_dev_mille")).max < 250L)
   }
+
+  test("q_kanon: class sizes, flags, and risk replay from raw customer rows") {
+    val out = SparkEntry.queries("q_kanon")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val classes = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(out.length == classes.size)
+    // sizes partition the table: every customer is in exactly one class
+    assert(out.map(_.getAs[Long]("n")).sum == classes.values.sum)
+    out.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      val n = classes(key)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Boolean]("violates_k") == (n < 10))
+      // round-half-up(1e6 / n) on positive operands
+      assert(r.getAs[Long]("risk_fp") == (2L * 1000000L + n) / (2L * n))
+    }
+  }
+
+  test("q_ldiversity: distinct sensitive bands replay exactly, incl. negative balances") {
+    val out = SparkEntry.queries("q_ldiversity")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map { r =>
+        val cents = java.math.BigDecimal.valueOf(r.getAs[Double]("c_acctbal"))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        ((r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")),
+          Math.floorDiv(cents, 100000L)) // floor, not truncate: negatives band down
+      }
+    // the fixture must exercise the negative-balance floor path, or this
+    // test silently stops guarding the div-vs-// divergence
+    assert(rows.exists(_._2 < 0L), "fixture needs a negative acctbal band")
+    val byClass = rows.groupBy(_._1)
+    out.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      val bands = byClass(key).map(_._2)
+      assert(r.getAs[Long]("n") == bands.length.toLong)
+      assert(r.getAs[Long]("distinct_sensitive") == bands.distinct.length.toLong)
+      assert(r.getAs[Boolean]("violates_l") == (bands.distinct.length < 6))
+    }
+  }
 }
