@@ -249,6 +249,7 @@ object SparkEntry {
     "q_dp_hist"          -> ((s, d) => SampleOps.q_dp_hist(s, d)),
     "q_kanon"            -> ((s, d) => SampleOps.q_kanon(s, d)),
     "q_ldiversity"       -> ((s, d) => SampleOps.q_ldiversity(s, d)),
+    "q_tcloseness"       -> ((s, d) => SampleOps.q_tcloseness(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
@@ -4624,6 +4625,45 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) < 6 AS violates_l
         |FROM cell GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // t-closeness: ordered-domain EMD as all-integer cross-multiplied
+    // cumulative diffs over a dense class x band spine; the 4x-read
+    // cell CTE and the totals are MATERIALIZED (DuckDB re-inlines per
+    // reference); positive-operand round-half-up fixed point
+    "q_tcloseness" ->
+      """WITH cell AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN cents >= 0 THEN cents // 100000
+        |         ELSE -((-cents + 99999) // 100000) END AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM (SELECT c_nationkey, c_mktsegment,
+        |          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |        FROM customer)
+        |  GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(nb) AS BIGINT) AS n
+        |  FROM cell GROUP BY 1, 2),
+        |gb AS (SELECT bal_band, CAST(sum(nb) AS BIGINT) AS g FROM cell GROUP BY 1),
+        |tot AS MATERIALIZED (SELECT CAST(sum(nb) AS BIGINT) AS big_n,
+        |  CAST(count(DISTINCT bal_band) AS BIGINT) AS n_bands FROM cell),
+        |spine AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n,
+        |    gb.bal_band, gb.g, coalesce(cell.nb, 0) AS nb
+        |  FROM cls CROSS JOIN gb
+        |  LEFT JOIN cell USING (c_nationkey, c_mktsegment, bal_band)),
+        |cum AS (SELECT c_nationkey, c_mktsegment, n,
+        |    CAST(sum(nb) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY bal_band) AS BIGINT) AS cn,
+        |    CAST(sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY bal_band) AS BIGINT) AS cg
+        |  FROM spine),
+        |emd AS (SELECT c_nationkey, c_mktsegment, max(n) AS n,
+        |    CAST(sum(abs(cn * big_n - cg * n)) AS BIGINT) AS diff,
+        |    max(big_n) AS big_n, max(n_bands) AS n_bands
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  (2 * 1000000 * diff + n * big_n * greatest(n_bands - 1, 1))
+        |    // (2 * n * big_n * greatest(n_bands - 1, 1)) AS t_fp,
+        |  (2 * 1000000 * diff + n * big_n * greatest(n_bands - 1, 1))
+        |    // (2 * n * big_n * greatest(n_bands - 1, 1)) > 200000 AS violates_t
+        |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // shard-mix audit: same draw, (shard, lang) cells, integer
     // cross-multiplied per-mille deviation, max per shard
     "q_shard_quality" -> {

@@ -471,4 +471,56 @@ object StatefulOps {
           out.result().iterator
       }
   }
+
+  final case class QRec(rec_id: Long, qclass: String)
+
+  final case class KAnonState(nSeen: Long, buffered: List[Long])
+
+  /** Streaming k-anonymity release gate — the live-feed counterpart
+    * of [[graft.queries.SampleOps.q_kanon]]: records are held back
+    * until their quasi-identifier class has accumulated at least k
+    * members, then the whole class (buffered backlog first, everything
+    * after immediately) flows through. The publish-side control for a
+    * stream that must never expose a cohort an adversary could narrow
+    * below k — small-cell suppression that self-heals as cells fill.
+    *
+    * State is HARD-BOUNDED by construction: at most k−1 buffered
+    * rec_ids plus one counter per class — once a class crosses k the
+    * buffer is flushed and never refills (nSeen ≥ k short-circuits to
+    * pass-through), so lifetime state per class is O(k) no matter how
+    * many records stream past. NoTimeout is deliberate: a class's
+    * gate must stay open forever once earned, and an under-k class's
+    * ≤ k−1 backlog is exactly the data a batch release would suppress
+    * — expiring it would silently drop records a later arrival should
+    * have released.
+    *
+    * Contract (pinned in StreamingSpec across a two-batch replay where
+    * a class crosses k AT the batch boundary): every record is emitted
+    * exactly once, no record is emitted while its class has seen < k,
+    * and the released set equals the batch rule "rows whose class
+    * size ≥ k" once the stream drains. Within a batch the intra-class
+    * emit order is rec_id-sorted for determinism.
+    */
+  def streamingKAnonGate(rows: Dataset[QRec], k: Int = 10): Dataset[QRec] = {
+    implicit val stEnc: Encoder[KAnonState] = Encoders.product[KAnonState]
+    implicit val outEnc: Encoder[QRec] = Encoders.product[QRec]
+    rows
+      .groupByKey(_.qclass)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cls: String, recs: Iterator[QRec], state: GroupState[KAnonState]) =>
+          val prev = state.getOption.getOrElse(KAnonState(0L, Nil))
+          val batch = recs.map(_.rec_id).toArray.sorted
+          val total = prev.nSeen + batch.length
+          if (prev.nSeen >= k) {
+            state.update(KAnonState(total, Nil))
+            batch.iterator.map(QRec(_, cls))
+          } else if (total >= k.toLong) {
+            state.update(KAnonState(total, Nil))
+            (prev.buffered.sorted ++ batch).iterator.map(QRec(_, cls))
+          } else {
+            state.update(KAnonState(total, prev.buffered ++ batch.toList))
+            Iterator.empty
+          }
+      }
+  }
 }

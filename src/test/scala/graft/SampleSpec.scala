@@ -681,4 +681,40 @@ class SampleSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("violates_l") == (bands.distinct.length < 6))
     }
   }
+
+  test("q_tcloseness: ordered-domain EMD replays from raw rows in exact integers") {
+    val out = SparkEntry.queries("q_tcloseness")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map { r =>
+        val cents = java.math.BigDecimal.valueOf(r.getAs[Double]("c_acctbal"))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        ((r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")),
+          Math.floorDiv(cents, 100000L))
+      }
+    val bigN = rows.length.toLong
+    val allBands = rows.map(_._2).distinct.sorted
+    val globalByBand = rows.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val byClass = rows.groupBy(_._1)
+    val denomBands = math.max(allBands.length - 1, 1).toLong
+    out.foreach { r =>
+      val key = (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      val classBands = byClass(key).groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+      val n = byClass(key).length.toLong
+      var cn = 0L; var cg = 0L; var diff = 0L
+      allBands.foreach { b =>
+        cn += classBands.getOrElse(b, 0L); cg += globalByBand(b)
+        diff += math.abs(cn * bigN - cg * n)
+      }
+      val d = n * bigN * denomBands
+      val tFp = (2L * 1000000L * diff + d) / (2L * d)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("t_fp") == tFp, s"$key")
+      assert(r.getAs[Boolean]("violates_t") == (tFp > 200000L))
+    }
+    // the EMD must actually vary across classes, or the key verifies a constant
+    assert(out.map(_.getAs[Long]("t_fp")).distinct.length > 5)
+  }
 }

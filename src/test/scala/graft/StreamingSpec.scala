@@ -377,6 +377,39 @@ class StreamingSpec extends AnyFunSuite {
     // time travel still sees the pre-append state
     assert(graft.sources.Sinks.readSnapshot(spark, dir, 1L).count() == 1)
   }
+
+  test("streaming k-anon gate: backlog releases when a class crosses k at a batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps.QRec
+    implicit val qrecEnc: org.apache.spark.sql.Encoder[QRec] =
+      org.apache.spark.sql.Encoders.product[QRec]
+    val input = MemoryStream[QRec]
+    val stream = graft.streaming.StatefulOps
+      .streamingKAnonGate(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("kanon_gate")
+      .outputMode("append").start()
+    // batch 1: A has 2 (< k, held), B has 3 (crosses k in-batch), C has 1 (held)
+    input.addData(QRec(1, "A"), QRec(2, "A"),
+      QRec(10, "B"), QRec(11, "B"), QRec(12, "B"), QRec(20, "C"))
+    stream.processAllAvailable()
+    val after1 = spark.table("kanon_gate").collect()
+      .map(r => (r.getAs[Long]("rec_id"), r.getAs[String]("qclass"))).toSet
+    assert(after1 == Set((10L, "B"), (11L, "B"), (12L, "B")),
+      s"only the class that reached k may release: $after1")
+    // batch 2: A's 3rd record arrives -> the 2-row backlog flushes with it;
+    // B passes through immediately; C stays suppressed
+    input.addData(QRec(3, "A"), QRec(13, "B"))
+    stream.processAllAvailable()
+    stream.stop()
+    val all = spark.table("kanon_gate").collect()
+      .map(r => (r.getAs[Long]("rec_id"), r.getAs[String]("qclass"))).toSeq
+    // exactly-once: no record emitted twice
+    assert(all.distinct.length == all.length, s"duplicate release: $all")
+    // the drained release set equals the batch rule (classes with >= k rows)
+    assert(all.toSet == Set(
+      (1L, "A"), (2L, "A"), (3L, "A"),
+      (10L, "B"), (11L, "B"), (12L, "B"), (13L, "B")), s"released: $all")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -504,4 +537,5 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_r") > 0)
     }
   }
+
 }
