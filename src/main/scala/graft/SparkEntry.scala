@@ -250,6 +250,7 @@ object SparkEntry {
     "q_kanon"            -> ((s, d) => SampleOps.q_kanon(s, d)),
     "q_ldiversity"       -> ((s, d) => SampleOps.q_ldiversity(s, d)),
     "q_tcloseness"       -> ((s, d) => SampleOps.q_tcloseness(s, d)),
+    "q_dp_quantile"      -> ((s, d) => SampleOps.q_dp_quantile(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
@@ -4625,6 +4626,39 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) < 6 AS violates_l
         |FROM cell GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // DP median via the exponential mechanism (Gumbel-max): integer
+    // twice-utility from the cumulative band ranks; inner ln quantized
+    // x1e9 BEFORE the outer ln (composition amplifies a 1-ulp inner
+    // divergence), outer x1e6; deterministic md5 draw per band
+    "q_dp_quantile" -> {
+      val draw = duckHexValue("md5(CAST(bal_band AS VARCHAR))", 1, 8)
+      s"""WITH cell AS MATERIALIZED (
+         |  SELECT CASE WHEN cents >= 0 THEN cents // 100000
+         |         ELSE -((-cents + 99999) // 100000) END AS bal_band,
+         |    CAST(count(*) AS BIGINT) AS n_b
+         |  FROM (SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |          AS cents FROM customer)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM cell),
+         |sp AS (SELECT bal_band, n_b,
+         |    CAST(sum(n_b) OVER (ORDER BY bal_band) AS BIGINT) AS cum,
+         |    $draw AS draw
+         |  FROM cell),
+         |sc AS (SELECT bal_band, n_b, -abs(2 * cum - n) AS u2,
+         |    greatest(1, CAST(round(-ln(greatest(draw / 4294967296.0,
+         |      1.0 / 4294967296.0)) * 1000000000.0) AS BIGINT)) AS y_fp
+         |  FROM sp CROSS JOIN tot),
+         |s2 AS (SELECT bal_band, n_b, u2,
+         |    CAST(-round(ln(y_fp / 1000000000.0) * 1000000.0) AS BIGINT)
+         |      AS gumbel_fp
+         |  FROM sc),
+         |s3 AS (SELECT *, u2 * 250000 + gumbel_fp AS score_fp FROM s2),
+         |best AS MATERIALIZED (SELECT bal_band AS best_band FROM s3
+         |  ORDER BY score_fp DESC, bal_band ASC LIMIT 1)
+         |SELECT bal_band, n_b, u2, gumbel_fp, score_fp,
+         |  bal_band = (SELECT best_band FROM best) AS released
+         |FROM s3 ORDER BY bal_band""".stripMargin
+    },
     // t-closeness: ordered-domain EMD as all-integer cross-multiplied
     // cumulative diffs over a dense class x band spine; the 4x-read
     // cell CTE and the totals are MATERIALIZED (DuckDB re-inlines per

@@ -990,6 +990,75 @@ object SampleOps {
         (col("distinct_sensitive") < l).as("violates_l"))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Differentially-private median release via the EXPONENTIAL
+    * mechanism (McSherry & Talwar 2007) — the second standard DP
+    * mechanism after [[q_dp_hist]]'s Laplace: for a non-numeric-noise
+    * release (pick ONE value from a candidate set), each candidate
+    * balance band scores exp(ε·u/2) where the utility u(b) =
+    * −|rank(b) − n/2| is its rank distance from the true median
+    * (sensitivity 1: one record moves any rank by one). Selection uses
+    * the Gumbel-max trick — argmax(ε·u/2 + Gumbel(0,1)) samples the
+    * exponential mechanism EXACTLY, and turns the release into one
+    * integer argmax instead of a normalized-weight inverse-CDF walk.
+    *
+    * NOISE SOURCE, honestly stated (the [[q_dp_hist]] contract): the
+    * Gumbel draw is −ln(−ln(u)) of the md5 hash draw of the band —
+    * DETERMINISTIC, so the oracle verifies the mechanism (utilities,
+    * Gumbel transform, scoring, argmax) rather than the sampling; a
+    * real release swaps the draw for a CSPRNG. Parity: u is an exact
+    * power-of-two division of the integer draw; the INNER ln is
+    * quantized to the ×10⁹ grid before the OUTER ln sees it (a 1-ulp
+    * inner divergence would otherwise amplify through the
+    * composition), the outer to ×10⁶; both lands are the measured
+    * cross-engine-stable grids. For ε = 1, ε·u/2 ×10⁶ = u2 · 250000
+    * exactly, where u2 = −|2·cum − n| is the integer TWICE-utility.
+    * Ties (never observed — Gumbel draws are distinct) break to the
+    * smaller band via the max_by struct order.
+    *
+    * Scale shape: ONE map-side-combined O(bands) aggregation of the
+    * corpus; the cumulative-rank window runs on the O(bands)
+    * value-count spine (the q_outliers precedent — allowlisted
+    * bounded spine, 11 rows here); the released flag attaches via a
+    * broadcast one-row max. Output = the full per-band score table
+    * (the mechanism's verifiable content), released row flagged.
+    */
+  def q_dp_quantile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = customer(s, d)
+      .select((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .select(expr("(cents - pmod(cents, 100000)) div 100000").as("bal_band"))
+      .groupBy("bal_band").agg(count(lit(1)).as("n_b"))
+      .transform(graft.plans.Ckpt.maybe) // O(bands); read twice (spine + total)
+    val tot = cell.agg(sum(col("n_b")).as("n"))
+    val w = Window.orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = hashDraw(col("bal_band"), 8)
+    val innerFp = greatest(lit(1L), // floor: a draw of ~1.0 still yields a finite outer ln
+      round(-log(greatest(u.cast("double") / 4294967296.0, lit(1.0 / 4294967296.0))) * 1e9)
+        .cast("long"))
+    val scored = cell
+      .withColumn("cum", sum(col("n_b")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bal_band"), col("n_b"),
+        (-abs(lit(2L) * col("cum") - col("n"))).as("u2"),
+        innerFp.as("y_fp"))
+      .withColumn("gumbel_fp",
+        (-round(log(col("y_fp").cast("double") / 1e9) * 1e6)).cast("long"))
+      .withColumn("score_fp", col("u2") * 250000L + col("gumbel_fp"))
+      // O(bands) score table read twice (argmax + release join) — the
+      // twice-referenced-state rule; also keeps the spine window
+      // planned once
+      .transform(graft.plans.Ckpt.maybe)
+    val top = scored.agg(max(struct(col("score_fp"),
+      (-col("bal_band")).as("nb"))).as("m")).select(col("m.score_fp").as("best"),
+      (-col("m.nb")).as("best_band"))
+    scored.crossJoin(broadcast(top))
+      .select(col("bal_band"), col("n_b"), col("u2"), col("gumbel_fp"),
+        col("score_fp"),
+        (col("bal_band") === col("best_band")).as("released"))
+      .orderBy("bal_band")
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
     * member of the privacy triple after [[q_kanon]] and
     * [[q_ldiversity]]: a class can be l-diverse yet still leak if its

