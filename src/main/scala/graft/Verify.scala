@@ -18,6 +18,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // generic conf passthrough for robustness sweeps (local iteration
+    // only — the driver never sets this): SPARK_GRAFT_CONF="k=v;k=v",
+    // e.g. spark.sql.adaptive.enabled=false for an AQE-off sweep
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     // Environment forensics (round-7 lesson: the driver regenerated
     // testdata mid-build and silently changed events.ts' physical
