@@ -952,7 +952,7 @@ object SampleOps {
         expr("(2 * 1000000 + n) div (2 * n)").as("risk_fp"))
       .orderBy("c_nationkey", "c_mktsegment")
 
-  /** l-diversity audit (Machanavalli et al. 2007) — the follow-up
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the follow-up
     * check [[q_kanon]] needs: a class can be k-anonymous yet leak its
     * SENSITIVE attribute if all k members share one value (homogeneity
     * attack). Per quasi-identifier class, the count of distinct
