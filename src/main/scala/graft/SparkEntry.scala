@@ -251,6 +251,7 @@ object SparkEntry {
     "q_ldiversity"       -> ((s, d) => SampleOps.q_ldiversity(s, d)),
     "q_tcloseness"       -> ((s, d) => SampleOps.q_tcloseness(s, d)),
     "q_dp_quantile"      -> ((s, d) => SampleOps.q_dp_quantile(s, d)),
+    "q_sample_es"        -> ((s, d) => SampleOps.q_sample_es(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
@@ -4626,6 +4627,21 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) < 6 AS violates_l
         |FROM cell GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // Efraimidis-Spirakis exact-k weighted sampling: deterministic
+    // doc_id draw, x1e9-quantized -ln(u), round-half-up key over the
+    // length weight, total-order cut
+    "q_sample_es" -> {
+      val draw8 = duckHashDraw(8)
+      s"""WITH dr AS (SELECT doc_id, lang, n_chars, $draw8 AS draw
+         |    FROM documents WHERE n_chars > 0),
+         |ln0 AS (SELECT doc_id, lang, n_chars,
+         |    CAST(round(-ln(greatest(draw / 4294967296.0,
+         |      1.0 / 4294967296.0)) * 1000000000.0) AS BIGINT) AS lnu_fp
+         |  FROM dr)
+         |SELECT doc_id, lang, n_chars,
+         |  (2 * lnu_fp * 1000000 + n_chars) // (2 * n_chars) AS key_fp
+         |FROM ln0 ORDER BY key_fp, doc_id LIMIT 50""".stripMargin
+    },
     // DP median via the exponential mechanism (Gumbel-max): integer
     // twice-utility from the cumulative band ranks; inner ln quantized
     // x1e9 BEFORE the outer ln (composition amplifies a 1-ulp inner

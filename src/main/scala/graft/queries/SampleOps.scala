@@ -990,6 +990,47 @@ object SampleOps {
         (col("distinct_sensitive") < l).as("violates_l"))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Exact-k weighted sampling WITHOUT replacement via exponential
+    * keys (Efraimidis & Spirakis 2006, A-Res) — the member of the
+    * sampling family the others don't cover: [[q_sample_weighted]] is
+    * Bernoulli (random TOTAL size), [[q_sample_reservoir]] /
+    * [[q_sample_stratified]] are exactly-k but UNWEIGHTED, this is
+    * exactly-k with inclusion probability proportional to weight
+    * (document length here — the length-balanced pick a token-budgeted
+    * corpus build wants). Each doc draws key u^(1/w); the k largest
+    * keys ARE a weight-proportional sample without replacement —
+    * equivalently the k SMALLEST of −ln(u)/w (one exponential draw at
+    * rate w each; the winner distribution is the softmax over
+    * weights), which is the integer form used here.
+    *
+    * Parity shape: u is the md5 hash draw (deterministic, the
+    * [[q_sample_hash]] stance — reruns and both engines select the
+    * identical k docs); −ln(u) is the ×10⁹-quantized precedent with
+    * the 2⁻³² floor; the per-doc key is the positive-operand
+    * round-half-up fixed point (2·lnu·10⁶ + w) div (2w). Headroom:
+    * lnu_fp ≤ 22.2·10⁹, ×2·10⁶ ≈ 4.4·10¹⁶ < 2⁶³.
+    *
+    * Scale shape: a pure per-row scan expression followed by
+    * `orderBy(key).limit(k)`, which plans TakeOrderedAndProject —
+    * every partition forwards at most k rows, no global sort of the
+    * corpus ever materializes (the q_topk rule). Weight spread
+    * measured non-degenerate: n_chars spans 48–553 (313 distinct) at
+    * sf0.01, so the weighting decision is real, not a uniform draw
+    * in disguise.
+    */
+  def q_sample_es(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val u = hashDraw(col("doc_id"), 8)
+    val lnuFp = round(-log(greatest(u.cast("double") / 4294967296.0,
+      lit(1.0 / 4294967296.0))) * 1e9).cast("long")
+    documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), lnuFp.as("lnu_fp"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("(2 * lnu_fp * 1000000 + n_chars) div (2 * n_chars)").as("key_fp"))
+      .orderBy(col("key_fp"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Differentially-private median release via the EXPONENTIAL
     * mechanism (McSherry & Talwar 2007) — the second standard DP
     * mechanism after [[q_dp_hist]]'s Laplace: for a non-numeric-noise

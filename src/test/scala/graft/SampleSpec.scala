@@ -760,4 +760,36 @@ class SampleSpec extends AnyFunSuite {
     // Gumbel noise scale of the true median band
     assert(out.count(_.getAs[Boolean]("released")) == 1)
   }
+
+  test("q_sample_es: exponential keys replay exactly and the sample skews heavy") {
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val out = SparkEntry.queries("q_sample_es")(spark, sf).collect()
+    val pool = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("n_chars") > 0)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars"))
+    val keys = pool.map { case (id, w) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val draw = java.lang.Long.parseLong(md.take(8), 16)
+      val lnuFp = halfUp(-math.log(
+        math.max(draw.toDouble / 4294967296.0, 1.0 / 4294967296.0)) * 1e9)
+      (id, w, (2L * lnuFp * 1000000L + w) / (2L * w))
+    }
+    val expect = keys.sortBy(t => (t._3, t._1)).take(math.min(50, keys.length))
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (r, (id, w, k)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("n_chars") == w)
+      assert(r.getAs[Long]("key_fp") == k)
+    }
+    // weight-proportional selection must skew toward long documents:
+    // the sampled mean length exceeds the pool mean (a uniform draw in
+    // disguise - e.g. the weight dropping out of the key - fails this)
+    val poolMean = pool.map(_._2).sum.toDouble / pool.length
+    val sampleMean = out.map(_.getAs[Long]("n_chars")).sum.toDouble / out.length
+    assert(sampleMean > poolMean,
+      s"weighted sample mean $sampleMean should exceed pool mean $poolMean")
+  }
 }
