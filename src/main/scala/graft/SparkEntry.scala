@@ -165,6 +165,7 @@ object SparkEntry {
     "q_ks"           -> (TextOps.q_ks _),
     "q_mannwhitney"  -> (TextOps.q_mannwhitney _),
     "q_welch"        -> (TextOps.q_welch _),
+    "q_kruskal"      -> (TextOps.q_kruskal _),
     "q_distinct_n"   -> ((s, d) => TextOps.q_distinct_n(s, d)),
     "q_readability"  -> (TextOps.q_readability _),
     "q_heaps"        -> (TextOps.q_heaps _),
@@ -3298,6 +3299,35 @@ object SparkEntry {
          |  ${graft.queries.TextOps.welchT} AS t,
          |  ${graft.queries.TextOps.welchDf} AS df
          |FROM m""".stripMargin,
+    // Kruskal-Wallis H across all language groups: doubled-midrank
+    // sums and the tie term as exact longs off the value-count spine;
+    // the one float sum (sum_j R_j^2/n_j) is a grp-ordered left fold
+    // (list ORDER BY grp + list_sum = Spark's aggregate over the
+    // sorted collect — the order-fixed float-fold rule); H is the
+    // shared kruskalH expression (one source of truth)
+    "q_kruskal" ->
+      s"""WITH d AS (SELECT lang AS grp, n_chars AS v FROM documents
+         |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         |vc AS (SELECT v, grp, CAST(count(*) AS BIGINT) AS c
+         |       FROM d GROUP BY 1, 2),
+         |tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vc GROUP BY 1),
+         |cum AS (SELECT v, t,
+         |          CAST(sum(t) OVER (ORDER BY v) AS BIGINT) - t AS below
+         |        FROM tv),
+         |g AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_j,
+         |        CAST(sum(c * (2*below + t + 1)) AS BIGINT) AS r2_j
+         |      FROM vc JOIN cum USING (v) GROUP BY 1),
+         |tie AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie_t FROM tv),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |          CAST(sum(n_j) AS BIGINT) AS n,
+         |          list_sum(list_transform(
+         |            list(struct_pack(n_j := n_j, r2_j := r2_j) ORDER BY grp),
+         |            x -> CAST(x.r2_j AS DOUBLE) * x.r2_j / (4.0 * x.n_j)))
+         |            AS s_rank
+         |        FROM g)
+         |SELECT grp, n_j, r2_j, k, n, tie_t,
+         |  ${graft.queries.TextOps.kruskalH} AS h
+         |FROM g, tot, tie ORDER BY grp""".stripMargin,
     // Heaps fit: exact first-sighting counts, one cumulative window
     // (the Spark side's two-level prefix is algebraically identical),
     // x1e3 quantized-ln points, zipf-style moment fit

@@ -2029,4 +2029,89 @@ object TextOps {
       "((CAST(sumsq_1 AS DOUBLE) - CAST(sum_1 AS DOUBLE)*sum_1/n_1)/(n_1-1)/n_1) / (n_1-1) + " +
       "(CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2)/(n_2-1)/n_2 * " +
       "((CAST(sumsq_2 AS DOUBLE) - CAST(sum_2 AS DOUBLE)*sum_2/n_2)/(n_2-1)/n_2) / (n_2-1)), 6) END"
+
+  /** Kruskal–Wallis H across ALL language groups on document length —
+    * the k-group completion of the [[q_mannwhitney]] (2-group
+    * nonparametric) / [[q_welch]] (2-group parametric) pair: one test
+    * answers "do ANY of the k language slices differ in length
+    * distribution" before a pipeline runs k·(k−1)/2 pairwise tests.
+    * Measured non-degenerate at the bench sf (H = 9.86 at sf0.1 vs a
+    * label-shuffled null max of 8.45 over 20 shuffles — a real, if
+    * modest, cross-language length signal; contrast the rejected
+    * q_jsd, which sat INSIDE its null).
+    *
+    * Tie handling is exact via doubled midranks off the value-count
+    * table: 2·midrank(v) = 2·below(v) + t(v) + 1 is an integer, so the
+    * per-group doubled rank sum r2_j = Σ_v c_j(v)·(2·below+t+1) and the
+    * tie term T = Σ(t³−t) are order-free long sums ([[mannWhitneyOf]]'s
+    * stance — no fractional average ranks anywhere). H needs Σ_j R_j²/n_j,
+    * whose squares overflow int64 past ~10⁴ docs-per-dominant-group, so
+    * that one sum runs in doubles over the GROUP-SORTED 5-element array
+    * (collect_list of the per-group rows is model-sized — O(langs));
+    * the left fold over the sorted array is the order-fixed float-fold
+    * parity rule, mirrored token for token by the oracle's
+    * `list_sum(list_transform(list(... ORDER BY grp)))`.
+    *
+    * Scale shape: one map-side-combined (v, grp) count agg bounded by
+    * value-domain × langs, one cumulative window over the O(distinct v)
+    * spine (the q_ks shape, allowlisted), one O(langs) group agg, and
+    * two one-row broadcast attaches. Nothing shuffles at corpus size.
+    */
+  def q_kruskal(s: SparkSession, d: String): DataFrame =
+    kruskalOf(documents(s, d)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("lang").as("grp"), col("n_chars").as("v")))
+
+  /** The tie-exact k-group rank-sum kernel of [[q_kruskal]], factored
+    * so unit tests can drive it with hand-built (grp, v) rows.
+    */
+  private[graft] def kruskalOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // checkpointed: the O(distinct v × langs) value-count table is the
+    // corpus's only scan product and feeds three consumers (tv/cum,
+    // the per-group join, and the tie term) — one corpus pass total
+    val vc = vals.groupBy(col("v"), col("grp")).agg(count(lit(1)).as("c"))
+      .transform(graft.plans.Ckpt.maybe)
+    val tv = vc.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val cum = tv.select(col("v"), col("t"),
+      (sum(col("t")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("t")).as("below"))
+    // checkpointed: g is read twice (the per-group output AND the
+    // one-row H totals) — without it the whole corpus pipeline, spine
+    // window included, plans and runs twice
+    val g = vc.join(cum, "v")
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n_j"),
+        sum(col("c") * (lit(2L) * col("below") + col("t") + lit(1L)))
+          .as("r2_j"))
+      .transform(graft.plans.Ckpt.maybe)
+    val tie = tv.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_t"))
+    val tot = g
+      .agg(count(lit(1)).as("k"), sum(col("n_j")).as("n"),
+        sort_array(collect_list(struct(col("grp"), col("n_j"), col("r2_j"))))
+          .as("xs"))
+      .select(col("k"), col("n"),
+        aggregate(col("xs"), lit(0.0), (acc, x) =>
+          acc + x.getField("r2_j").cast("double") * x.getField("r2_j")
+            / (lit(4.0) * x.getField("n_j"))).as("s_rank"))
+    g.crossJoin(broadcast(tot.crossJoin(broadcast(tie))))
+      .select(col("grp"), col("n_j"), col("r2_j"), col("k"), col("n"),
+        col("tie_t"), expr(kruskalH).as("h"))
+      .orderBy("grp")
+  }
+
+  /** The mirrored H expression of [[q_kruskal]] — shared verbatim with
+    * the generated oracle SQL. The tie-correction guard runs in
+    * doubles (n³ overflows int64 past ~2×10⁶ rows); an all-tied input
+    * zeroes the correction factor and yields NULL in both engines.
+    */
+  private[graft] val kruskalH: String =
+    "CASE WHEN k < 2 OR n < 2 OR " +
+      "1.0 - CAST(tie_t AS DOUBLE) / (CAST(n AS DOUBLE)*n*n - n) <= 0.0 " +
+      "THEN NULL ELSE " +
+      "round((12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * s_rank " +
+      "- 3.0 * (n + 1.0)) / " +
+      "(1.0 - CAST(tie_t AS DOUBLE) / (CAST(n AS DOUBLE)*n*n - n)), 6) END"
 }

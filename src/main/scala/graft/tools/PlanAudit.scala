@@ -105,6 +105,7 @@ object PlanAudit {
     "q_dp_quantile" -> (1, "O(bands)=11-row value-count spine cumulative rank (the q_outliers shape)"),
     "q_funnel" -> (1, "4-row funnel-stage report (post-agg, O(stages))"),
     "q_heaps" -> (1, "O(docs/1024^2) superbucket carry spine - doubly 1024x-reduced (round 12) before the single task"),
+    "q_kruskal" -> (1, "O(distinct n_chars) value-count spine (the q_ks shape)"),
     "q_ks" -> (1, "O(distinct n_chars) value-count spine"),
     "q_lorenz" -> (1, "10-row decile cumulative (post-agg); the O(docs) rank itself runs via GlobalRank"),
     "q_mannwhitney" -> (1, "O(distinct n_chars) value-count spine (the q_ks shape)"),

@@ -96,6 +96,39 @@ class StatTrendSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(5))
   }
 
+  test("kruskalOf: tie-exact doubled midrank sums and H on a hand fixture") {
+    import spark.implicits._
+    // a = {1, 2}, b = {2, 2}, c = {3}; sorted [1,2,2,2,3] midranks
+    // (1, 3, 3, 3, 5): R_a = 4, R_b = 6, R_c = 5 (sum 15 = n(n+1)/2);
+    // tie term 3^3-3 = 24; H = (0.4*51 - 18) / (1 - 24/120) = 3.0
+    val vals = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 2L), ("c", 3L))
+      .toDF("grp", "v")
+    val rows = TextOps.kruskalOf(vals).collect()
+    assert(rows.length == 3)
+    val byGrp = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byGrp("a") == ((2L, 8L)))   // 2*R_a
+    assert(byGrp("b") == ((2L, 12L)))
+    assert(byGrp("c") == ((1L, 10L)))
+    rows.foreach { r =>
+      assert(r.getLong(3) == 3L && r.getLong(4) == 5L && r.getLong(5) == 24L)
+      assert(r.getDouble(6) == 3.0)
+    }
+  }
+
+  test("kruskalOf: all-tied and single-group inputs yield NULL H, not a division error") {
+    import spark.implicits._
+    // all five values identical: tie correction factor is exactly zero
+    val tied = TextOps.kruskalOf(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L), ("b", 5L))
+        .toDF("grp", "v")).collect()
+    assert(tied.forall(_.isNullAt(6)))
+    // one group: k < 2 guard
+    val one = TextOps.kruskalOf(
+      Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("grp", "v")).collect()
+    assert(one.length == 1 && one(0).isNullAt(6))
+  }
+
   test("sortedNeighborPairs: in-block window pairs confirmed, cross-block near-dup invisible") {
     import spark.implicits._
     val docs = Seq(
