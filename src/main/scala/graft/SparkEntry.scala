@@ -224,6 +224,7 @@ object SparkEntry {
     "q_boilerplate"   -> ((s, d) => DedupOps.q_boilerplate(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
+    "q_hard_negatives" -> (SimilarityOps.q_hard_negatives _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
     "q_sim_pq"      -> (SimilarityOps.q_sim_pq _),
@@ -2616,6 +2617,23 @@ object SparkEntry {
         |               b.vec_id) AS rank
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hard negatives: q_sim_topk's ranking restricted to cross-label
+    // candidates; same rounded-cosine DESC, id ASC tie order as the
+    // bounded-heap aggregator
+    "q_hard_negatives" ->
+      """SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |       cosine, rank FROM (
+        |  SELECT a.vec_id AS query_id, a.label AS query_label,
+        |    b.vec_id AS neighbor_id, b.label AS neighbor_label,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 10 AND a.label IS NOT NULL
+        |    AND b.vec_id <> a.vec_id AND b.label IS NOT NULL
+        |    AND b.label <> a.label)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // Spark session_window ≡ gaps-and-islands: a new session starts
     // when the gap to the previous event is >= 30 min (Spark merges

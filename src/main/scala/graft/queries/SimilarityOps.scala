@@ -51,6 +51,54 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training — for each query
+    * vector, the top-k most-cosine-similar embeddings carrying a
+    * DIFFERENT label: the near-boundary negatives a contrastive or
+    * reranker trainer pairs with each anchor (random negatives are
+    * trivially separable; these are the ones that move the loss).
+    * The mined pair list is the training-data product; query_label /
+    * neighbor_label ride along so a curriculum can stratify by the
+    * confused class pair.
+    *
+    * Scale shape: [[q_sim_topk]]'s broadcast-the-model stance — the
+    * 10-row query side broadcasts into the corpus scan, the label
+    * inequality filters INSIDE the scan (no different-label shuffle),
+    * and per-query candidates fold through the bounded-heap
+    * [[graft.functions.TopKAggregator]] (O(k) state per query,
+    * map-side combined). The label lookup for the k winners is a
+    * broadcast of the O(queries·k) result back onto the corpus —
+    * the big table is never shuffled at any step.
+    */
+  def q_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10 && col("label").isNotNull)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("qv"))
+    val scored = e.filter(col("label").isNotNull)
+      .select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), col("embedding").as("nv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("n_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        round(expr("cosine_sim(qv, nv)"), 6).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val top = scored.groupBy("query_id", "query_label")
+      .agg(TopKAggregator.topk(5)(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), col("query_label"),
+        posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("query_label"),
+        col("pair._2").as("neighbor_id"), col("pair._1").as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+    broadcast(top)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id window
     * (vec_id < 300 ⇒ 44 850 pairs, 97 above threshold at sf0.01).
     * The all-pairs form exists to oracle-check the kernel; the scale

@@ -46,7 +46,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_split_group", "q_lm_backoff", "q_ccnet_split", "q_mix_lm",
     "q_minkprob", "q_dedup_priority", "q_dedup_savings", "q_blocklist",
     "q_bpe_sweep", "q_cdc_savings", "q_mix_epoch", "q_welch",
-    "q_shard_quality", "q_distinct_n", "q_dp_hist", "q_sample_es")
+    "q_shard_quality", "q_distinct_n", "q_dp_hist", "q_sample_es",
+    "q_kruskal")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>
@@ -95,7 +96,8 @@ class NullInputSpec extends AnyFunSuite {
   private val embeddingQueries = Seq(
     "q_embed_stats", "q_embed_quant", "q_embed_calib", "q_embed_centroid", "q_embed_train",
     "q_sim_topk", "q_dedup_embed", "q_sim_lsh", "q_sim_ivf", "q_sim_pq",
-    "q_sim_ivfpq", "q_dedup_semantic", "q_prune_proto", "q_kcenter")
+    "q_sim_ivfpq", "q_dedup_semantic", "q_prune_proto", "q_kcenter",
+    "q_hard_negatives")
 
   test("every embedding-family query survives null, zero, and empty vectors") {
     embeddingQueries.foreach { name =>

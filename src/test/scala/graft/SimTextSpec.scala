@@ -76,6 +76,29 @@ class SimTextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hard_negatives: cross-label only, and the constraint binds vs unconstrained top-k") {
+    val rows = q("q_hard_negatives").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("neighbor_label") != r.getAs[Int]("query_label"),
+        s"same-label pair leaked: $r")
+    }
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    }
+    // non-degeneracy: at least one query's unconstrained top-5 contains a
+    // same-label neighbor (else the label filter verifies nothing)
+    val unconstrained = q("q_sim_topk").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val constrained = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(unconstrained != constrained,
+      "label constraint never binds on this corpus - hard negatives degenerate to top-k")
+  }
+
   test("sq_l2 expression matches hand computation; NULL on dimension mismatch") {
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
