@@ -142,6 +142,7 @@ object SparkEntry {
     // round 11: exact distributed ranking family over plans/GlobalRank
     "q_rank_global" -> (RankOps.q_rank_global _),
     "q_rank_strat"  -> (RankOps.q_rank_strat _),
+    "q_quantile_norm" -> (RankOps.q_quantile_norm _),
     "q_sample_systematic" -> ((s, d) => RankOps.q_sample_systematic(s, d)),
     "q_quantiles_exact" -> (RankOps.q_quantiles_exact _),
     "q_repetition"   -> (TextOps.q_repetition _),
@@ -1889,6 +1890,25 @@ object SparkEntry {
         |SELECT doc_id, lang, t, rn_in_lang,
         |  (rn_in_lang - 1) * 100 // n_lang + 1 AS pctile
         |FROM r ORDER BY doc_id""".stripMargin,
+    // quantile normalization: two row_number orders (within-source,
+    // pooled) + the exact ceil-rank map (r_s*n_p + n_s - 1) // n_s —
+    // positive operands, so DuckDB's truncating // is floor here
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents
+        |           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT doc_id, source, v,
+        |        row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r_s,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |      FROM d),
+        |p AS (SELECT row_number() OVER (ORDER BY v, doc_id) AS target_rn,
+        |             v AS v_norm
+        |      FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_p FROM d),
+        |t AS (SELECT doc_id, source, v, r_s, n_s,
+        |        CAST((r_s * n_p + n_s - 1) // n_s AS BIGINT) AS target_rn
+        |      FROM r, n)
+        |SELECT doc_id, source, v, r_s, n_s, target_rn, v_norm
+        |FROM t JOIN p USING (target_rn) ORDER BY doc_id""".stripMargin,
     "q_quantiles_exact" ->
       """WITH v AS (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,

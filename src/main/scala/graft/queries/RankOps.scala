@@ -106,6 +106,54 @@ object RankOps {
       .orderBy("pct")
   }
 
+  /** Cross-source quantile NORMALIZATION of document length — map
+    * each document's within-source quantile onto the pooled corpus
+    * distribution (the bioinformatics quantile-norm recipe applied to
+    * the score-harmonization problem: two sources whose quality/length
+    * scores live on different scales must be aligned before a single
+    * corpus-wide cutoff or mixing weight means anything; Dolma and
+    * RedPajama normalize per-source score distributions for exactly
+    * this reason).
+    *
+    * Exact, float-free definition: within source s, rank r_s of n_s
+    * (ties broken by doc_id); the normalized value is the pooled
+    * value at rank ceil(r_s·n_p / n_s) — integer arithmetic only, so
+    * min→~min, max→max, and equal-distribution sources are fixed
+    * points (up to tie order). The ceil keeps every target in
+    * [1, n_p] with no float quantile in between (headroom: r_s·n_p
+    * needs n_s·n_p < 2⁶³ — past 10⁹ docs per source, lift to the
+    * (128-bit) decimal product the same formula supports).
+    *
+    * Scale shape: TWO [[globalRowNumber]] passes (source-leading for
+    * the within-source rank — the [[q_rank_strat]] skew-proof trick,
+    * languages/sources occupy contiguous intervals, O(sources) offset
+    * broadcast; value-leading for the pooled order), then ONE
+    * equi-join keyed on the target pooled rank. No per-group window,
+    * no value buffer, no collect — each step is a range exchange or
+    * a hash shuffle on an integer key.
+    */
+  def q_quantile_norm(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+    val g = globalRowNumber(per, "grn", col("source"), col("v"), col("doc_id"))
+    val offs = g.groupBy("source")
+      .agg(min(col("grn")).as("base"), count(lit(1)).as("n_s"))
+    val ranked = g.join(broadcast(offs), "source")
+      .select(col("doc_id"), col("source"), col("v"),
+        (col("grn") - col("base") + 1).as("r_s"), col("n_s"))
+    val pooled = globalRowNumber(
+        per.select(col("v"), col("doc_id")), "rn", col("v"), col("doc_id"))
+      .select(col("rn").as("target_rn"), col("v").as("v_norm"))
+    ranked.crossJoin(broadcast(per.agg(count(lit(1)).as("n_p"))))
+      .select(col("doc_id"), col("source"), col("v"), col("r_s"),
+        col("n_s"), expr("(r_s * n_p + n_s - 1) div n_s").as("target_rn"))
+      .join(pooled, Seq("target_rn"))
+      .select(col("doc_id"), col("source"), col("v"), col("r_s"),
+        col("n_s"), col("target_rn"), col("v_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Systematic sample: every k-th document from a deterministic
     * pseudo-random total order (md5-keyed) — the eval-split draw that
     * guarantees even coverage of the order statistic (a Bernoulli

@@ -74,6 +74,27 @@ class GlobalRankSpec extends AnyFunSuite {
       "stride must cover every 20th rank exactly once")
   }
 
+  test("q_quantile_norm: ceil-map endpoints, bounds, and a binding normalization") {
+    val rows = graft.queries.RankOps.q_quantile_norm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nP = rows.length.toLong // every (source, n_chars)-complete doc appears once
+    rows.foreach { r =>
+      val (rS, nS, tgt) = (r.getAs[Long]("r_s"), r.getAs[Long]("n_s"),
+        r.getAs[Long]("target_rn"))
+      assert(tgt >= 1L && tgt <= nP, s"target rank out of range: $r")
+      assert(tgt == (rS * nP + nS - 1) / nS, s"ceil map wrong: $r")
+      // the per-source maximum maps to the pooled maximum rank
+      if (rS == nS) assert(tgt == nP, s"max must map to pooled max: $r")
+    }
+    // non-degeneracy: at least one document's value actually moves
+    // (sources differ in length distribution on this corpus)
+    assert(rows.exists(r => r.getAs[Long]("v") != r.getAs[Long]("v_norm")),
+      "normalization is the identity - sources indistinguishable")
+    // distribution alignment: every normalized value exists in the pool
+    val pool = rows.map(_.getAs[Long]("v")).toSet
+    assert(rows.forall(r => pool.contains(r.getAs[Long]("v_norm"))))
+  }
+
   test("the audit detector flags a planted naive global window and accepts post-limit ones") {
     import org.apache.spark.sql.expressions.Window
     val planted = sampleDf.withColumn("rn",
