@@ -45,6 +45,7 @@ object SparkEntry {
     "q_sketch_merge" -> (SketchOps.q_sketch_merge _),
     "q_sketch_exact" -> (SketchOps.q_sketch_exact _),
     "q_sketch_kmv"   -> (SketchOps.q_sketch_kmv _),
+    "q_heavyhitters" -> ((s, d) => SketchOps.q_heavyhitters(s, d)),
     "q_ngram_cms"    -> ((s, d) => SketchOps.q_ngram_cms(s, d)),
     "q_approx_pct"   -> (SketchOps.q_approx_pct _),
     "q_agg_rollup"   -> (Relational.q_agg_rollup _),
@@ -705,6 +706,23 @@ object SparkEntry {
          |  gram, cnt, cms_est, cms_est - cnt AS cms_err
          |FROM est ORDER BY rank""".stripMargin
     },
+    // Misra-Gries band check: the oracle computes the EXACT side
+    // (counts, total, threshold, share) and literal TRUE guarantee
+    // booleans - MG's estimate is partition-order-dependent but the
+    // retention + band facts are theorems, deterministic under any
+    // partitioning; a broken sketch merge flips them (q_agg_approx
+    // band-check stance)
+    "q_heavyhitters" ->
+      """WITH ch AS (SELECT unnest(string_split_regex(text, '')) AS c
+        |            FROM documents WHERE text IS NOT NULL),
+        |c2 AS (SELECT c FROM ch WHERE c <> ''),
+        |e AS (SELECT c, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM c2 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM e)
+        |SELECT c, n_exact, n_total,
+        |  (2 * n_exact * 1000000 + n_total) // (2 * n_total) AS share_fp,
+        |  TRUE AS in_sketch, TRUE AS within_band
+        |FROM e, t WHERE n_exact * 17 > n_total ORDER BY c""".stripMargin,
     // reproduces KmvAggregator's k smallest distinct 60-bit hashes.
     "q_sketch_kmv" ->
       s"""WITH h AS (

@@ -80,6 +80,50 @@ object SketchOps {
     * identical minima with a rank window, so build, merge, AND
     * estimate are hash-verified — no rows-only concession.
     */
+  /** Misra–Gries heavy hitters over the corpus CHARACTER stream — the
+    * bounded-state top-frequency sketch ([[graft.functions
+    * .MisraGriesAggregator]]): 16 counters against 25 distinct symbols
+    * force real evictions, and the 6 symbols above the N/17 frequency
+    * threshold are provably retained. The verified surface is the
+    * deterministic GUARANTEE, not the estimates: MG counts depend on
+    * partition order, but `true − ⌊N/(k+1)⌋ ≤ ĉ ≤ true` and
+    * "true > N/(k+1) ⇒ present" hold under ANY partitioning (the
+    * mergeable-summaries theorem), so the booleans hash-match a DuckDB
+    * oracle that computes the exact side and literal TRUEs — the
+    * q_agg_approx band-check stance, and falsifiable the same way: a
+    * wrong merge (e.g. dropping a partial, or truncating without the
+    * rank-(k+1) subtraction) breaks `within_band` on the first skewed
+    * input.
+    *
+    * Two scans by design: the SKETCH pass is the product a real
+    * pipeline runs (O(k) state, kilobyte partials); the exact
+    * count pass exists to band-check it, the q_sim_recall
+    * exact-branch pattern.
+    */
+  def q_heavyhitters(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    val chars = documents(s, d).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+    val exact = chars.groupBy("c").agg(count(lit(1)).as("n_exact"))
+      .transform(graft.plans.Ckpt.maybe) // read twice: total + output rows
+    val tot = exact.agg(sum(col("n_exact")).as("n_total"))
+    val sketch = chars.agg(
+      graft.functions.MisraGriesAggregator.mg(k)(col("c")).as("sk"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("n_exact") * (k + 1) > col("n_total"))
+      .crossJoin(broadcast(sketch))
+      .select(col("c"), col("n_exact"), col("n_total"),
+        expr("(2 * n_exact * 1000000 + n_total) div (2 * n_total)")
+          .as("share_fp"),
+        element_at(col("sk"), col("c")).isNotNull.as("in_sketch"),
+        // integer floor band: `div`, NOT `/` (Spark's / is double)
+        (element_at(col("sk"), col("c")) <= col("n_exact") &&
+          element_at(col("sk"), col("c")) >=
+            col("n_exact") - expr(s"n_total div ${k + 1}"))
+          .as("within_band"))
+      .orderBy("c")
+  }
+
   def q_sketch_kmv(s: SparkSession, d: String): DataFrame = {
     val k = 32
     val hashed = customer(s, d).select(

@@ -26,6 +26,59 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaUdaf == viaExprs)
   }
 
+  test("MisraGriesAggregator: hand-traced decrement-all eviction and rank-(k+1) merge truncation") {
+    import scala.collection.mutable.ArrayBuffer
+    val mg = new graft.functions.MisraGriesAggregator(2)
+    // stream a,a,b,c with k=2: c arrives at a full summary ->
+    // decrement-all -> a:1 survives, b evicted, c discarded
+    var b = mg.zero
+    Seq("a", "a", "b", "c").foreach(x => b = mg.reduce(b, x))
+    assert(mg.finish(b) == Map("a" -> 1L))
+    // merge {x:5,y:3} + {z:4,w:2} with k=2: pointwise sum has 4
+    // entries; 3rd-largest count is 3 -> subtract 3, keep positive
+    val left = ArrayBuffer(("x", 5L), ("y", 3L))
+    val right = ArrayBuffer(("z", 4L), ("w", 2L))
+    assert(mg.finish(mg.merge(left, right)) == Map("x" -> 2L, "z" -> 1L))
+  }
+
+  test("MisraGriesAggregator: guarantee band holds under adversarial partitioning") {
+    // Zipf-ish fixture: value i appears ceil(600/i) times, 40 distinct
+    // values vs k=8 counters - evictions and merge truncations both fire
+    val rows = (1 to 40).flatMap(i => Seq.fill((600 + i - 1) / i)(f"v$i%02d"))
+    val n = rows.length.toLong
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    for (parts <- Seq(1, 7, 13)) {
+      val sk = rows.toDF("c").repartition(parts)
+        .agg(graft.functions.MisraGriesAggregator.mg(8)(col("c")))
+        .collect()(0).getMap[String, Long](0)
+      assert(sk.size <= 8, s"summary exceeded k at parts=$parts")
+      truth.foreach { case (key, t) =>
+        sk.get(key).foreach { est =>
+          assert(est <= t && est >= t - n / 9,
+            s"band violated at parts=$parts for $key: est=$est true=$t")
+        }
+        if (t > n / 9)
+          assert(sk.contains(key),
+            s"heavy item $key (true=$t > ${n / 9}) evicted at parts=$parts")
+      }
+    }
+  }
+
+  test("q_heavyhitters: guarantee booleans true, threshold rows exact, evictions real") {
+    val rows = SparkEntry.queries("q_heavyhitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_sketch") && r.getAs[Boolean]("within_band"), r.toString)
+      assert(r.getAs[Long]("n_exact") * 17 > r.getAs[Long]("n_total"))
+    }
+    // eviction is exercised: the corpus alphabet exceeds the counter budget
+    val distinctChars = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0).distinct().count()
+    assert(distinctChars > 16, s"alphabet $distinctChars <= k: sketch never evicts")
+  }
+
   test("BoundedCollectAggregator: sorted under cap, empty on overflow, merge stays capped") {
     // 90 ids spread over 8 partitions: each partial is under the cap of
     // 20, so saturation must happen in merge(), not reduce()
