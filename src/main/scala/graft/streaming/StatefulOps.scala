@@ -248,6 +248,41 @@ object StatefulOps {
       }
   }
 
+  final case class KeyHeavy(key: String, counters: Map[String, Long])
+
+  /** Streaming heavy hitters per key with BOUNDED state: the
+    * Misra–Gries summary ([[graft.functions.MisraGriesAggregator]])
+    * maintained across micro-batches via mapGroupsWithState — O(k)
+    * counters per key forever, no matter how many distinct values
+    * stream past (the [[streamingDistinct]] stance applied to
+    * top-frequency). Each micro-batch folds through the SAME `reduce`
+    * the batch aggregator uses, so resuming from state IS the
+    * continuation of one long fold — and the mergeable guarantee,
+    * true − ⌊N/(k+1)⌋ ≤ ĉ ≤ true, holds at EVERY batch boundary
+    * regardless of how the stream was sliced or which arrival order
+    * the shuffle delivered (tested across boundaries; the estimates
+    * themselves are arrival-order-dependent, the guarantee is not).
+    */
+  def streamingHeavyHitters(
+      rows: Dataset[(String, String)], k: Int = 16): Dataset[KeyHeavy] = {
+    implicit val stateEnc: Encoder[scala.collection.mutable.ArrayBuffer[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        scala.collection.mutable.ArrayBuffer[(String, Long)]]()
+    implicit val outEnc: Encoder[KeyHeavy] = Encoders.product[KeyHeavy]
+    val agg = new graft.functions.MisraGriesAggregator(k)
+    rows
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, vs: Iterator[(String, String)],
+         state: GroupState[scala.collection.mutable.ArrayBuffer[(String, Long)]]) =>
+          var buf = state.getOption
+            .getOrElse(scala.collection.mutable.ArrayBuffer.empty[(String, Long)])
+          vs.foreach(v => buf = agg.reduce(buf, v._2))
+          state.update(buf)
+          KeyHeavy(key, agg.finish(buf))
+      }
+  }
+
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
 
   /** Streaming twin of [[graft.queries.TimeSeries.q_transitions]] —

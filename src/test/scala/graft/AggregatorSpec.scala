@@ -463,6 +463,37 @@ class AggregatorSpec extends AnyFunSuite {
     assert(errB < 0.6, s"key b estimate off: ${expB._2}")
   }
 
+  test("streamingHeavyHitters: MG guarantee holds at every batch boundary, state stays bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // two keyed Zipf-ish streams, value vNN appears ceil(120/NN) times
+    val mk = (key: String) =>
+      (1 to 30).flatMap(i => Seq.fill((120 + i - 1) / i)((key, f"v$i%02d")))
+    val all = (mk("g1") ++ mk("g2")).sortBy(_._2) // deterministic slicing
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StatefulOps.streamingHeavyHitters(input.toDS(), 8)
+      .writeStream.format("memory").queryName("mg_stream").outputMode("update").start()
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    var seen = Seq.empty[(String, String)]
+    batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+      seen ++= b
+      val n = seen.count(_._1 == "g1").toLong
+      val truth = seen.filter(_._1 == "g1").groupBy(_._2)
+        .map { case (v, xs) => v -> xs.length.toLong }
+      val counters = spark.table("mg_stream").collect()
+        .filter(_.getAs[String]("key") == "g1")
+        .last.getMap[String, Long](1)
+      assert(counters.size <= 8, "state exceeded k")
+      truth.foreach { case (v, t) =>
+        counters.get(v).foreach(est => assert(est <= t && est >= t - n / 9,
+          s"band violated mid-stream for $v: est=$est true=$t n=$n"))
+        if (t > n / 9) assert(counters.contains(v), s"heavy $v lost mid-stream")
+      }
+    }
+    q.stop()
+  }
+
   test("streaming KMV rows equal the batch q_sketch_kmv rows (SURVEY §2.10 parity invariant)") {
     // the strongest streaming correctness claim in the repo: the
     // stateful stream over the SAME values produces the batch
