@@ -161,6 +161,7 @@ object SparkEntry {
     "q_quality_ablation" -> (TextOps.q_quality_ablation _),
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
+    "q_rrf"          -> ((s, d) => TextOps.q_rrf(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
     "q_lorenz"       -> (TextOps.q_lorenz _),
@@ -3244,6 +3245,55 @@ object SparkEntry {
         |        doc_id, score_fp FROM agg)
         |SELECT query_id, rank, doc_id, score_fp FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // RRF fusion: the bm25 pipeline cut at depth 20 unioned with the
+    // x1e10 quality fixed-point top-20; each reciprocal term is the
+    // exact integer floor(1e9/(60+r)) (positive operands - DuckDB's
+    // truncating // is floor), fused score an order-free long sum
+    "q_rrf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
+         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
+         |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+         |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
+         |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
+         |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
+         |       FROM q JOIN tf USING (term) JOIN df USING (term)
+         |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+         |        FROM sc GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, r, 'lex' AS src FROM (
+         |          SELECT query_id, doc_id,
+         |            CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r
+         |          FROM agg) WHERE r <= 20),
+         |qsc AS (SELECT doc_id,
+         |          CAST(round($duckQualityScore * 1e10) AS BIGINT) AS qf
+         |        FROM documents WHERE text IS NOT NULL),
+         |qtop AS (SELECT doc_id, r FROM (
+         |           SELECT doc_id,
+         |             CAST(row_number() OVER (ORDER BY qf DESC, doc_id) AS BIGINT) AS r
+         |           FROM qsc) WHERE r <= 20),
+         |qual AS (SELECT qs.query_id, qtop.doc_id, qtop.r, 'qual' AS src
+         |         FROM (SELECT DISTINCT query_id FROM lex) qs, qtop),
+         |f AS (SELECT query_id, doc_id,
+         |        CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_fp,
+         |        min(CASE WHEN src = 'lex' THEN r END) AS r_lex,
+         |        min(CASE WHEN src = 'qual' THEN r END) AS r_qual
+         |      FROM (SELECT * FROM lex UNION ALL SELECT * FROM qual)
+         |      GROUP BY 1, 2),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS fused_rank
+         |       FROM f)
+         |SELECT query_id, fused_rank, doc_id, rrf_fp, r_lex, r_qual
+         |FROM rk WHERE fused_rank <= 5
+         |ORDER BY query_id, fused_rank""".stripMargin,
     // Lorenz/Gini: ascending-token-count position deciles (the q_rfm
     // quintile formula at 10), cumulative mass over the 10-row table,
     // Gini cleared to (2*Sum(i*t) - (n+1)*S) / (n*S), all x1e6

@@ -1620,6 +1620,59 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * rankings — the hybrid-search merge every RAG stack runs when a
+    * lexical index and a second signal disagree: here [[q_bm25]]'s
+    * per-query relevance list fused with the query-independent
+    * QUALITY prior (the [[qualityScore]] global top-`depth`), the
+    * relevance × quality blend a curation pipeline uses to prefer
+    * well-formed documents among equally-relevant hits. Standard
+    * depth-cutoff RRF: score(d) = Σ_lists 1/(60 + rank_list(d)) over
+    * the lists that retrieved d within `depth`.
+    *
+    * Oracle determinism: each 1/(60+r) term is the exact integer
+    * ⌊10⁹/(60+r)⌋ — positive operands, so DuckDB's truncating `//`
+    * is the same floor — and the fused score is an order-free long
+    * sum of ≤ 2 terms; both input rankings are already integer-exact
+    * (BM25's fixed-point score, the ×1e10 quality fixed point).
+    *
+    * Scale shape: the lexical list arrives cut to `depth` per query;
+    * the quality list is ONE corpus TakeOrdered (sort+limit — no
+    * global window; the row_number that labels it runs post-limit on
+    * `depth` rows) cross-attached to the O(queries) query set by
+    * broadcast; fusion aggregates O(queries·depth) rows and the final
+    * per-query window sees ≤ 2·depth candidates per partition.
+    */
+  def q_rrf(s: SparkSession, d: String, depth: Int = 20, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = q_bm25(s, d, depth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r"),
+        lit("lex").as("src"))
+    val qf = round(qualityScore(col("text")) * 1e10).cast("long")
+    val qranked = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), qf.as("qf"))
+      .orderBy(col("qf").desc, col("doc_id")).limit(depth)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("qf").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("r"))
+    val qual = lex.select("query_id").distinct()
+      .crossJoin(broadcast(qranked))
+      .select(col("query_id"), col("doc_id"), col("r"), lit("qual").as("src"))
+    val fused = lex.unionByName(qual)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("1000000000 div (60 + r)")).as("rrf_fp"),
+        min(when(col("src") === "lex", col("r"))).as("r_lex"),
+        min(when(col("src") === "qual", col("r"))).as("r_qual"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("rrf_fp"), col("r_lex"), col("r_qual"))
+      .orderBy("query_id", "fused_rank")
+  }
+
   /** Population-stability-index drift report — the distribution
     * monitor a pipeline runs between corpus snapshots before trusting
     * a quality model trained on the old one (PSI > 0.25 is the

@@ -391,6 +391,33 @@ class TextInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rrf: fused scores recompute from member ranks; the quality prior binds") {
+    val rows = SparkEntry.queries("q_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def term(r: java.lang.Long): Long =
+      if (r == null) 0L else 1000000000L / (60L + r)
+    rows.foreach { r =>
+      val rl = r.getAs[java.lang.Long]("r_lex")
+      val rq = r.getAs[java.lang.Long]("r_qual")
+      assert(rl != null || rq != null, s"memberless fused row: $r")
+      assert(r.getAs[Long]("rrf_fp") == term(rl) + term(rq),
+        s"fused score != sum of reciprocal terms: $r")
+    }
+    // the fusion is non-degenerate: some fused row carries BOTH ranks
+    // (the lists overlap) and some top-k fused order differs from the
+    // pure lexical order (the quality prior actually moved something)
+    assert(rows.exists(r => r.getAs[java.lang.Long]("r_lex") != null &&
+      r.getAs[java.lang.Long]("r_qual") != null), "lists never overlap")
+    val lexTop = graft.queries.TextOps.q_bm25(spark, sf, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("doc_id")).toMap
+    val moved = rows.exists { r =>
+      lexTop.get((r.getAs[Long]("query_id"), r.getAs[Long]("fused_rank")))
+        .exists(_ != r.getAs[Long]("doc_id"))
+    }
+    assert(moved, "fusion is the identity on the lexical ranking")
+  }
+
   test("q_zipf: an exact power-law corpus fits slope -1 with r2 ~ 1") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
