@@ -162,6 +162,7 @@ object SparkEntry {
     "q_collocations" -> ((s, d) => TextOps.q_collocations(s, d)),
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
     "q_rrf"          -> ((s, d) => TextOps.q_rrf(s, d)),
+    "q_rbo"          -> ((s, d) => TextOps.q_rbo(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
     "q_lorenz"       -> (TextOps.q_lorenz _),
@@ -3294,6 +3295,58 @@ object SparkEntry {
          |SELECT query_id, fused_rank, doc_id, rrf_fp, r_lex, r_qual
          |FROM rk WHERE fused_rank <= 5
          |ORDER BY query_id, fused_rank""".stripMargin,
+    // RBO: the same bm25-depth-20 and quality-top-20 lists as q_rrf;
+    // each overlapping doc contributes the SHARED x1e12 literal
+    // suffix weight at max(r_lex, r_qual) - rboSuffixWeights is the
+    // one source of truth for the geometric weight table
+    "q_rbo" -> {
+      val v = graft.queries.TextOps.rboSuffixWeights(20, 0.9)
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
+         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
+         |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+         |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
+         |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
+         |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
+         |       FROM q JOIN tf USING (term) JOIN df USING (term)
+         |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+         |        FROM sc GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, r FROM (
+         |          SELECT query_id, doc_id,
+         |            CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r
+         |          FROM agg) WHERE r <= 20),
+         |qsc AS (SELECT doc_id,
+         |          CAST(round($duckQualityScore * 1e10) AS BIGINT) AS qf
+         |        FROM documents WHERE text IS NOT NULL),
+         |qtop AS (SELECT doc_id, r FROM (
+         |           SELECT doc_id,
+         |             CAST(row_number() OVER (ORDER BY qf DESC, doc_id) AS BIGINT) AS r
+         |           FROM qsc) WHERE r <= 20),
+         |ov AS (SELECT lex.query_id, greatest(lex.r, qtop.r) AS m
+         |       FROM lex JOIN qtop USING (doc_id)),
+         |a AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+         |        CAST(sum(CASE WHEN m <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS o_5,
+         |        CAST(sum(CASE WHEN m <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS o_10,
+         |        CAST(sum(($v)[CAST(m AS INT)]) AS BIGINT) AS rbo_fp
+         |      FROM ov GROUP BY 1)
+         |SELECT qs.query_id,
+         |  coalesce(n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |  coalesce(o_5, CAST(0 AS BIGINT)) AS o_5,
+         |  coalesce(o_10, CAST(0 AS BIGINT)) AS o_10,
+         |  coalesce(rbo_fp, CAST(0 AS BIGINT)) AS rbo_fp
+         |FROM (SELECT DISTINCT query_id FROM lex) qs LEFT JOIN a USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
     // Lorenz/Gini: ascending-token-count position deciles (the q_rfm
     // quintile formula at 10), cumulative mass over the 10-row table,
     // Gini cleared to (2*Sum(i*t) - (n+1)*S) / (n*S), all x1e6

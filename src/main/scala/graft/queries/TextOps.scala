@@ -1643,19 +1643,29 @@ object TextOps {
     * broadcast; fusion aggregates O(queries·depth) rows and the final
     * per-query window sees ≤ 2·depth candidates per partition.
     */
-  def q_rrf(s: SparkSession, d: String, depth: Int = 20, k: Int = 5): DataFrame = {
+  /** The ×1e10 quality-fixed-point top-`depth` ranking shared by
+    * [[q_rrf]] and [[q_rbo]]: one corpus TakeOrdered (sort+limit),
+    * row-numbered post-limit — no global window over unbounded input.
+    */
+  private[graft] def qualityTop(
+      s: SparkSession, d: String, depth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = q_bm25(s, d, depth)
-      .select(col("query_id"), col("doc_id"), col("rank").as("r"),
-        lit("lex").as("src"))
     val qf = round(qualityScore(col("text")) * 1e10).cast("long")
-    val qranked = documents(s, d).filter(col("text").isNotNull)
+    documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), qf.as("qf"))
       .orderBy(col("qf").desc, col("doc_id")).limit(depth)
       .withColumn("r",
         row_number().over(Window.orderBy(col("qf").desc, col("doc_id")))
           .cast("long"))
       .select(col("doc_id"), col("r"))
+  }
+
+  def q_rrf(s: SparkSession, d: String, depth: Int = 20, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = q_bm25(s, d, depth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r"),
+        lit("lex").as("src"))
+    val qranked = qualityTop(s, d, depth)
     val qual = lex.select("query_id").distinct()
       .crossJoin(broadcast(qranked))
       .select(col("query_id"), col("doc_id"), col("r"), lit("qual").as("src"))
@@ -1671,6 +1681,66 @@ object TextOps {
       .select(col("query_id"), col("fused_rank"), col("doc_id"),
         col("rrf_fp"), col("r_lex"), col("r_qual"))
       .orderBy("query_id", "fused_rank")
+  }
+
+  /** The literal RBO weight tables of [[q_rbo]], shared with the
+    * generated oracle (one source of truth): W_d = ⌊10¹²·(1−p)·
+    * p^(d−1)/d + ½⌋ is depth d's agreement weight, and the suffix sum
+    * V_m = Σ_{d≥m} W_d is the TOTAL weight a doc pair with
+    * max(r_lex, r_qual) = m earns — because a doc in both lists
+    * counts toward the overlap at every depth ≥ its later rank, the
+    * whole Σ_d weight·overlap_d/d collapses to one V lookup per
+    * overlapping doc. Computed once in Scala, interpolated as
+    * literals into BOTH plans.
+    */
+  private[graft] def rboSuffixWeights(depth: Int, p: Double): Seq[Long] = {
+    val w = (1 to depth).map(dd =>
+      math.round(1e12 * (1 - p) * math.pow(p, dd - 1) / dd))
+    w.scanRight(0L)(_ + _).init
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010), depth-truncated, between
+    * [[q_bm25]]'s per-query relevance ranking and the query-independent
+    * quality ranking ([[qualityTop]]) — the ranking-AGREEMENT readout
+    * next to [[q_rrf]]'s merge: per query, how much the lexical and
+    * quality signals concur in their top-`depth` (RBO weights
+    * agreement at shallow depths geometrically more than deep ones,
+    * the property that makes it the standard rank-diff metric where
+    * Kendall/Spearman need identical item sets). Reported as the
+    * truncated RBO_min lower bound at p = 0.9.
+    *
+    * Exactness: the geometric weights are PRECOMPUTED ×1e12 integer
+    * literals ([[rboSuffixWeights]] — identical by construction in
+    * both engines), and the score is one order-free long sum of V
+    * lookups over the overlap join; o@5 / o@10 / o@20 are plain
+    * conditional counts. Scale shape: the depth-cut lexical list joins
+    * the BROADCAST depth-row quality list; one O(queries) aggregate;
+    * a left join back to the query set keeps zero-overlap queries as
+    * explicit 0-rows.
+    */
+  def q_rbo(s: SparkSession, d: String, depth: Int = 20): DataFrame = {
+    val v = rboSuffixWeights(depth, 0.9)
+    val lex = q_bm25(s, d, depth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+      .transform(graft.plans.Ckpt.maybe) // read twice: overlap + query set
+    val joined = lex
+      .join(broadcast(qualityTop(s, d, depth)
+        .withColumnRenamed("r", "r_qual")), "doc_id")
+      .select(col("query_id"),
+        greatest(col("r_lex"), col("r_qual")).as("m"))
+    val agg = joined.groupBy("query_id").agg(
+      count(lit(1)).as("n_overlap"),
+      sum(when(col("m") <= 5, 1L).otherwise(0L)).as("o_5"),
+      sum(when(col("m") <= 10, 1L).otherwise(0L)).as("o_10"),
+      sum(element_at(typedLit(v), col("m").cast("int"))).as("rbo_fp"))
+    lex.select("query_id").distinct()
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("o_5"), lit(0L)).as("o_5"),
+        coalesce(col("o_10"), lit(0L)).as("o_10"),
+        coalesce(col("rbo_fp"), lit(0L)).as("rbo_fp"))
+      .orderBy("query_id")
   }
 
   /** Population-stability-index drift report — the distribution

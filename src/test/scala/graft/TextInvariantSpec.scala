@@ -418,6 +418,33 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(moved, "fusion is the identity on the lexical ranking")
   }
 
+  test("q_rbo: driver-side recomputation from the two rankings, weights monotone") {
+    val v = graft.queries.TextOps.rboSuffixWeights(20, 0.9)
+    assert(v.length == 20 && v.sliding(2).forall(w => w(0) > w(1)),
+      "suffix weights must strictly decrease")
+    val lex = graft.queries.TextOps.q_bm25(spark, sf, 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val qual = graft.queries.TextOps.qualityTop(spark, sf, 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("r")).toMap
+    val expected = lex.keys.toSeq.groupBy(_._1).map { case (q, keys) =>
+      // toSeq: two docs can share the same max-rank m, and a Set
+      // collection would silently dedup them out of the sum
+      val ms = keys.flatMap { case (_, doc) =>
+        qual.get(doc).map(rq => math.max(lex((q, doc)), rq)) }
+      q -> ((ms.size.toLong, ms.map(m => v(m.toInt - 1)).sum))
+    }
+    val got = SparkEntry.queries("q_rbo")(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Long]("rbo_fp")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (q, e) =>
+      assert(got(q) == e, s"query $q: got ${got(q)} expected $e")
+    }
+    // the metric discriminates on this corpus: not all queries agree equally
+    assert(got.values.map(_._2).toSet.size > 1, "RBO constant across queries")
+  }
+
   test("q_zipf: an exact power-law corpus fits slope -1 with r2 ~ 1") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
