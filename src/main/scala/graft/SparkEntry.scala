@@ -163,6 +163,7 @@ object SparkEntry {
     "q_bm25"         -> ((s, d) => TextOps.q_bm25(s, d)),
     "q_rrf"          -> ((s, d) => TextOps.q_rrf(s, d)),
     "q_rbo"          -> ((s, d) => TextOps.q_rbo(s, d)),
+    "q_ece"          -> (TextOps.q_ece _),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
     "q_lorenz"       -> (TextOps.q_lorenz _),
@@ -3347,6 +3348,29 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM lex) qs LEFT JOIN a USING (query_id)
          |ORDER BY query_id""".stripMargin
     },
+    // ECE: the SAME eceConfFp sigmoid literal (one source of truth);
+    // bucket ids, sums, fixed points, and the n-weighted ECE all
+    // integer-exact on the x1e6-quantized confidences
+    "q_ece" ->
+      s"""WITH c AS (SELECT ${graft.queries.TextOps.eceConfFp} AS conf_fp,
+         |             (lang = 'en') AS pos
+         |           FROM documents
+         |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         |b AS (SELECT least(conf_fp // 100000, 9) AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |        CAST(sum(conf_fp) AS BIGINT) AS sum_conf_fp
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT bucket, n, n_pos,
+         |        (2 * n_pos * 1000000 + n) // (2 * n) AS acc_fp,
+         |        (2 * sum_conf_fp + n) // (2 * n) AS avg_conf_fp
+         |      FROM b),
+         |g2 AS (SELECT *, abs(acc_fp - avg_conf_fp) AS gap_fp FROM g),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         |        CAST(sum(n * gap_fp) AS BIGINT) AS g_tot FROM g2)
+         |SELECT bucket, n, n_pos, acc_fp, avg_conf_fp, gap_fp,
+         |  (2 * g_tot + n_tot) // (2 * n_tot) AS ece_fp
+         |FROM g2, t ORDER BY bucket""".stripMargin,
     // Lorenz/Gini: ascending-token-count position deciles (the q_rfm
     // quintile formula at 10), cumulative mass over the 10-row table,
     // Gini cleared to (2*Sum(i*t) - (n+1)*S) / (n*S), all x1e6

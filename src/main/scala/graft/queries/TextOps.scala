@@ -1743,6 +1743,66 @@ object TextOps {
       .orderBy("query_id")
   }
 
+  /** The mirrored sigmoid-confidence expression of [[q_ece]], shared
+    * verbatim with the generated oracle (the welchT stance): a
+    * DECLARED literal-weight length→P(en) model, σ((n_chars−300)/50),
+    * quantized ×1e6 at the expression boundary so everything
+    * downstream (bucket id, confidence sums) is exact integer
+    * arithmetic — the §5.3 quantized-expression rule applied to exp.
+    */
+  private[graft] val eceConfFp: String =
+    "CAST(round(1000000.0 / " +
+      "(1.0 + exp(-(CAST(n_chars AS DOUBLE) - 300.0) / 50.0))) AS BIGINT)"
+
+  /** Expected-calibration-error audit (Guo et al. 2017) of a declared
+    * probability model against a REAL label — the check a gating
+    * pipeline runs before trusting any classifier's probabilities for
+    * thresholding or mixture weighting. The model here is the literal
+    * sigmoid [[eceConfFp]] predicting P(lang = 'en') from length (a
+    * fixed "shipped model", the LSH-plane-literal stance); the corpus
+    * verdict is the finding: per-confidence-decile accuracy is ~0.41
+    * FLAT while claimed confidence spans 0.05–0.95, so the reliability
+    * gaps reach ~0.5 and ECE ≈ 0.3 — the report that tells a pipeline
+    * this model's probabilities are unusable as weights even if its
+    * ranking were fine (measured non-degenerate at both sfs).
+    *
+    * Exactness: confidence is quantized ×1e6 at the expression
+    * boundary; bucket id, per-bucket counts, confidence sums, the
+    * accuracy/confidence fixed points, the gap, and the n-weighted ECE
+    * are all exact integer arithmetic (round-half-up ×1e6 divisions).
+    *
+    * Scale shape: ONE map-side-combined 10-bucket aggregation over a
+    * scan-side projection; the bucket table (10 rows, checkpointed —
+    * read by the output AND the ECE total) and a broadcast one-row
+    * attach. Nothing else shuffles.
+    */
+  def q_ece(s: SparkSession, d: String): DataFrame = {
+    val buckets = documents(s, d)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(expr(eceConfFp).as("conf_fp"),
+        (col("lang") === "en").as("pos"))
+      .select(least(expr("conf_fp div 100000"), lit(9L)).as("bucket"),
+        col("conf_fp"), col("pos"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("conf_fp")).as("sum_conf_fp"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("(2 * n_pos * 1000000 + n) div (2 * n)").as("acc_fp"),
+        expr("(2 * sum_conf_fp + n) div (2 * n)").as("avg_conf_fp"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("acc_fp"),
+        col("avg_conf_fp"),
+        abs(col("acc_fp") - col("avg_conf_fp")).as("gap_fp"))
+      .transform(graft.plans.Ckpt.maybe)
+    val tot = buckets.agg(sum(col("n")).as("n_tot"),
+      sum(col("n") * col("gap_fp")).as("g_tot"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("n_pos"), col("acc_fp"),
+        col("avg_conf_fp"), col("gap_fp"),
+        expr("(2 * g_tot + n_tot) div (2 * n_tot)").as("ece_fp"))
+      .orderBy("bucket")
+  }
+
   /** Population-stability-index drift report — the distribution
     * monitor a pipeline runs between corpus snapshots before trusting
     * a quality model trained on the old one (PSI > 0.25 is the

@@ -47,7 +47,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_minkprob", "q_dedup_priority", "q_dedup_savings", "q_blocklist",
     "q_bpe_sweep", "q_cdc_savings", "q_mix_epoch", "q_welch",
     "q_shard_quality", "q_distinct_n", "q_dp_hist", "q_sample_es",
-    "q_kruskal", "q_quantile_norm", "q_heavyhitters", "q_rrf", "q_rbo")
+    "q_kruskal", "q_quantile_norm", "q_heavyhitters", "q_rrf", "q_rbo",
+    "q_ece")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>

@@ -445,6 +445,35 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1, "RBO constant across queries")
   }
 
+  test("q_ece: hand-computed reliability buckets on a planted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ece").toString
+    // n_chars=300 -> sigma(0)=0.5 -> conf 500000, bucket 5; one of two
+    // is en -> acc 500000, gap 0 (a perfectly calibrated cell).
+    // n_chars=50 -> conf round(1e6/(1+e^5)) = 6693, bucket 0; both en
+    // -> acc 1e6, gap 993307. ECE = round((2*0 + 2*993307)/4) = 496654.
+    Seq(
+      (1L, "x", "en", "s0", 300L), (2L, "x", "fr", "s0", 300L),
+      (3L, "x", "en", "s0", 50L), (4L, "x", "en", "s0", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q_ece")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(rows.keySet == Set(0L, 5L))
+    assert(rows(5L).getAs[Long]("acc_fp") == 500000L)
+    assert(rows(5L).getAs[Long]("avg_conf_fp") == 500000L)
+    assert(rows(5L).getAs[Long]("gap_fp") == 0L)
+    assert(rows(0L).getAs[Long]("avg_conf_fp") == 6693L)
+    assert(rows(0L).getAs[Long]("gap_fp") == 993307L)
+    rows.values.foreach(r => assert(r.getAs[Long]("ece_fp") == 496654L))
+    // corpus: the declared model is genuinely miscalibrated (the finding)
+    val corpus = SparkEntry.queries("q_ece")(spark, sf).collect()
+    assert(corpus.map(_.getAs[Long]("ece_fp")).head > 100000L,
+      "ECE under 0.1 - the planted miscalibration vanished")
+    assert(corpus.map(_.getAs[Long]("gap_fp")).distinct.length > 1,
+      "reliability gaps constant across buckets")
+  }
+
   test("q_zipf: an exact power-law corpus fits slope -1 with r2 ~ 1") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
