@@ -164,6 +164,7 @@ object SparkEntry {
     "q_rrf"          -> ((s, d) => TextOps.q_rrf(s, d)),
     "q_rbo"          -> ((s, d) => TextOps.q_rbo(s, d)),
     "q_ece"          -> (TextOps.q_ece _),
+    "q_ndcg"         -> ((s, d) => TextOps.q_ndcg(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
     "q_lorenz"       -> (TextOps.q_lorenz _),
@@ -3347,6 +3348,58 @@ object SparkEntry {
          |  coalesce(rbo_fp, CAST(0 AS BIGINT)) AS rbo_fp
          |FROM (SELECT DISTINCT query_id FROM lex) qs LEFT JOIN a USING (query_id)
          |ORDER BY query_id""".stripMargin
+    },
+    // nDCG: bm25 depth-20 list left-joined to the quality top-20 for
+    // graded gains; discounts are the SHARED x1e9 ndcgDiscounts
+    // literals; ideal order re-ranks the same gains per query
+    "q_ndcg" -> {
+      val disc = graft.queries.TextOps.ndcgDiscounts(20)
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
+         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
+         |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+         |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
+         |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
+         |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
+         |       FROM q JOIN tf USING (term) JOIN df USING (term)
+         |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+         |        FROM sc GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, r FROM (
+         |          SELECT query_id, doc_id,
+         |            CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r
+         |          FROM agg) WHERE r <= 20),
+         |qsc AS (SELECT doc_id,
+         |          CAST(round($duckQualityScore * 1e10) AS BIGINT) AS qf
+         |        FROM documents WHERE text IS NOT NULL),
+         |qtop AS (SELECT doc_id, r FROM (
+         |           SELECT doc_id,
+         |             CAST(row_number() OVER (ORDER BY qf DESC, doc_id) AS BIGINT) AS r
+         |           FROM qsc) WHERE r <= 20),
+         |g AS (SELECT lex.query_id, lex.doc_id, lex.r AS rank,
+         |        coalesce(21 - qtop.r, CAST(0 AS BIGINT)) AS gain
+         |      FROM lex LEFT JOIN qtop USING (doc_id)),
+         |g2 AS (SELECT query_id, gain, rank,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY gain DESC, doc_id) AS BIGINT) AS ideal_pos
+         |       FROM g),
+         |a AS (SELECT query_id,
+         |        CAST(sum(gain * ($disc)[CAST(rank AS INT)]) AS BIGINT) AS dcg_fp,
+         |        CAST(sum(gain * ($disc)[CAST(ideal_pos AS INT)]) AS BIGINT) AS idcg_fp
+         |      FROM g2 GROUP BY 1)
+         |SELECT query_id, dcg_fp, idcg_fp,
+         |  coalesce((2 * dcg_fp * 1000000 + idcg_fp) // nullif(2 * idcg_fp, 0),
+         |           CAST(0 AS BIGINT)) AS ndcg_fp
+         |FROM a ORDER BY query_id""".stripMargin
     },
     // ECE: the SAME eceConfFp sigmoid literal (one source of truth);
     // bucket ids, sums, fixed points, and the n-weighted ECE all

@@ -1743,6 +1743,65 @@ object TextOps {
       .orderBy("query_id")
   }
 
+  /** The ×1e9 literal position-discount table of [[q_ndcg]]:
+    * D_pos = ⌊10⁹/log₂(pos+1) + ½⌋ for pos = 1..depth — computed once
+    * in Scala, interpolated into both plans (the rboSuffixWeights
+    * stance), so DCG is an exact integer dot product of gains and
+    * literal discounts in both engines.
+    */
+  private[graft] def ndcgDiscounts(depth: Int): Seq[Long] =
+    (1 to depth).map(pos =>
+      math.round(1e9 / (math.log(pos + 1.0) / math.log(2.0))))
+
+  /** nDCG@k (Järvelin & Kekäläinen 2002) of [[q_bm25]]'s lexical
+    * ranking under QUALITY-prior gains — the third leg of the
+    * retrieval-eval trio ([[q_rrf]] merges the two signals, [[q_rbo]]
+    * measures their agreement, this scores one against graded gains
+    * from the other): gain(doc) = depth+1 − r_qual for docs in the
+    * quality top-`depth`, 0 otherwise, so a lexical list that
+    * surfaces high-quality documents early earns DCG close to the
+    * ideal reordering and nDCG → 1.
+    *
+    * Exactness: gains are exact integers; discounts are the ×1e9
+    * literal table [[ndcgDiscounts]]; DCG = Σ gain·D_pos is an
+    * order-free long sum; ideal DCG re-ranks the SAME gain multiset
+    * descending via a per-query window over ≤ depth candidate rows
+    * (bounded partitions); ndcg_fp is the one ×1e6 round-half-up
+    * integer division on exact longs.
+    *
+    * Scale shape: the depth-cut lexical list joins the BROADCAST
+    * depth-row quality list (left join — misses keep gain 0); one
+    * bounded per-query window for the ideal order; one O(queries)
+    * aggregate; zero-overlap queries emit ndcg_fp = 0 via the NULLIF
+    * guard, not a division error.
+    */
+  def q_ndcg(s: SparkSession, d: String, depth: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val disc = ndcgDiscounts(depth)
+    val gains = q_bm25(s, d, depth)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .join(broadcast(qualityTop(s, d, depth)
+        .withColumnRenamed("r", "r_qual")), Seq("doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        coalesce(lit(depth + 1L) - col("r_qual"), lit(0L)).as("gain"))
+    val ideal = Window.partitionBy("query_id")
+      .orderBy(col("gain").desc, col("doc_id"))
+    gains
+      .withColumn("ideal_pos", row_number().over(ideal).cast("long"))
+      .select(col("query_id"),
+        (col("gain") * element_at(typedLit(disc), col("rank").cast("int")))
+          .as("dterm"),
+        (col("gain") * element_at(typedLit(disc), col("ideal_pos").cast("int")))
+          .as("iterm"))
+      .groupBy("query_id")
+      .agg(sum(col("dterm")).as("dcg_fp"), sum(col("iterm")).as("idcg_fp"))
+      .select(col("query_id"), col("dcg_fp"), col("idcg_fp"),
+        coalesce(
+          expr("(2 * dcg_fp * 1000000 + idcg_fp) div nullif(2 * idcg_fp, 0)"),
+          lit(0L)).as("ndcg_fp"))
+      .orderBy("query_id")
+  }
+
   /** The mirrored sigmoid-confidence expression of [[q_ece]], shared
     * verbatim with the generated oracle (the welchT stance): a
     * DECLARED literal-weight length→P(en) model, σ((n_chars−300)/50),

@@ -445,6 +445,41 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1, "RBO constant across queries")
   }
 
+  test("q_ndcg: bounds, ideal-reorder invariance, and a driver-side recomputation") {
+    val disc = graft.queries.TextOps.ndcgDiscounts(20)
+    assert(disc.head == 1000000000L && disc.sliding(2).forall(w => w(0) > w(1)))
+    val rows = SparkEntry.queries("q_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dcg, idcg, n) = (r.getAs[Long]("dcg_fp"), r.getAs[Long]("idcg_fp"),
+        r.getAs[Long]("ndcg_fp"))
+      assert(dcg <= idcg, s"DCG exceeded ideal: $r")
+      assert(n >= 0L && n <= 1000000L, s"ndcg out of [0,1]: $r")
+      if (idcg > 0) assert(n == (2 * dcg * 1000000 + idcg) / (2 * idcg))
+    }
+    // driver-side recomputation from the two rankings
+    val qual = graft.queries.TextOps.qualityTop(spark, sf, 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("r")).toMap
+    val lex = graft.queries.TextOps.q_bm25(spark, sf, 20).collect()
+    val byQ = lex.groupBy(_.getAs[Long]("query_id"))
+    val expected = byQ.map { case (q, rs) =>
+      val gains = rs.map(r => (r.getAs[Long]("rank"),
+        qual.get(r.getAs[Long]("doc_id")).map(21L - _).getOrElse(0L),
+        r.getAs[Long]("doc_id")))
+      val dcg = gains.map { case (rk, g, _) => g * disc(rk.toInt - 1) }.sum
+      val idcg = gains.sortBy { case (_, g, doc) => (-g, doc) }.zipWithIndex
+        .map { case ((_, g, _), i) => g * disc(i) }.sum
+      q -> ((dcg, idcg))
+    }
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert((r.getAs[Long]("dcg_fp"), r.getAs[Long]("idcg_fp")) == expected(q),
+        s"query $q mismatch")
+    }
+    // the metric discriminates: rankings differ in quality placement
+    assert(rows.map(_.getAs[Long]("ndcg_fp")).distinct.length > 1)
+  }
+
   test("q_ece: hand-computed reliability buckets on a planted corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ece").toString
