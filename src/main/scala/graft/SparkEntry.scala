@@ -259,6 +259,7 @@ object SparkEntry {
     "q_ldiversity"       -> ((s, d) => SampleOps.q_ldiversity(s, d)),
     "q_tcloseness"       -> ((s, d) => SampleOps.q_tcloseness(s, d)),
     "q_dp_quantile"      -> ((s, d) => SampleOps.q_dp_quantile(s, d)),
+    "q_dp_topk"          -> ((s, d) => SampleOps.q_dp_topk(s, d)),
     "q_sample_es"        -> ((s, d) => SampleOps.q_sample_es(s, d)),
     "q_shard_manifest"   -> ((s, d) => SampleOps.q_shard_manifest(s, d)),
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
@@ -4940,6 +4941,33 @@ object SparkEntry {
          |SELECT bal_band, n_b, u2, gumbel_fp, score_fp,
          |  bal_band = (SELECT best_band FROM best) AS released
          |FROM s3 ORDER BY bal_band""".stripMargin
+    },
+    // DP top-k: one-shot exponential mechanism via per-cell Gumbel
+    // noise (same quantize-inner-ln-first composition as
+    // q_dp_quantile); threshold = k-th best score from the scored
+    // CTE, released on score >= threshold
+    "q_dp_topk" -> {
+      val draw = duckHexValue("md5(lang || ':' || source)", 1, 8)
+      s"""WITH cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |sc AS (SELECT lang, source, n,
+         |    greatest(1, CAST(round(-ln(greatest($draw / 4294967296.0,
+         |      1.0 / 4294967296.0)) * 1000000000.0) AS BIGINT)) AS y_fp
+         |  FROM cell),
+         |s2 AS MATERIALIZED (SELECT lang, source, n,
+         |    CAST(-round(ln(y_fp / 1000000000.0) * 1000000.0) AS BIGINT)
+         |      AS gumbel_fp,
+         |    n * 2000000 +
+         |      CAST(-round(ln(y_fp / 1000000000.0) * 1000000.0) AS BIGINT)
+         |      AS score_fp
+         |  FROM sc),
+         |thr AS (SELECT min(score_fp) AS thr_fp FROM (
+         |  SELECT score_fp FROM s2
+         |  ORDER BY score_fp DESC, lang, source LIMIT 5))
+         |SELECT lang, source, n, gumbel_fp, score_fp,
+         |  score_fp >= (SELECT thr_fp FROM thr) AS released
+         |FROM s2 ORDER BY lang, source""".stripMargin
     },
     // t-closeness: ordered-domain EMD as all-integer cross-multiplied
     // cumulative diffs over a dense class x band spine; the 4x-read

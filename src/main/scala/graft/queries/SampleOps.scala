@@ -1100,6 +1100,55 @@ object SampleOps {
       .orderBy("bal_band")
   }
 
+  /** DP top-k release (Durfee & Rogers 2019: one-shot top-k via the
+    * exponential mechanism ≡ independent Gumbel noise per candidate,
+    * then take the k best) — the fourth privacy release after
+    * [[q_dp_hist]]/[[q_dp_quantile]]: which (lang, source) cells are
+    * SAFE TO PUBLISH as "largest slices" without the selection itself
+    * leaking a neighboring record. Utility = cell count (sensitivity
+    * 1), ε cleared into the ×1e6 integer coefficient (2·10⁶ ⇒ ε = 4 —
+    * chosen so utility spans 2–32·10⁶ against Gumbel noise in
+    * [−3, +21]·10⁶: borderline cells genuinely flip while the clear
+    * leaders survive, the regime worth auditing; the spec pins both).
+    *
+    * Honesty contract (the q_dp_hist/q_dp_quantile stance): the
+    * Gumbel draw is the deterministic md5 hash of the cell key so
+    * both engines replay it — a real release swaps [[hashDraw]] for a
+    * CSPRNG and nothing else changes. The inner −ln(u) quantizes ×1e9
+    * BEFORE the outer ln (the ln∘ln composition would amplify a 1-ulp
+    * divergence).
+    *
+    * Scale shape: ONE map-side-combined O(cells) aggregation; the
+    * k-th score threshold comes from a TakeOrdered limit(k) + one-row
+    * min (no unpartitioned window over the cell spine); released =
+    * score ≥ threshold, a broadcast compare. Ties on the threshold
+    * release all tied cells identically in both engines
+    * (deterministic draws ⇒ identical ties).
+    */
+  def q_dp_topk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val cell = documents(s, d)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val u = hashDraw(concat(col("lang"), lit(":"), col("source")), 8)
+    val yFp = greatest(lit(1L),
+      round(-log(greatest(u.cast("double") / 4294967296.0,
+        lit(1.0 / 4294967296.0))) * 1e9).cast("long"))
+    val scored = cell
+      .select(col("lang"), col("source"), col("n"), yFp.as("y_fp"))
+      .withColumn("gumbel_fp",
+        (-round(log(col("y_fp").cast("double") / 1e9) * 1e6)).cast("long"))
+      .withColumn("score_fp", col("n") * 2000000L + col("gumbel_fp"))
+      // O(cells) score table read twice: threshold cut + release join
+      .transform(graft.plans.Ckpt.maybe)
+    val thr = scored
+      .orderBy(col("score_fp").desc, col("lang"), col("source")).limit(k)
+      .agg(min(col("score_fp")).as("thr_fp"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("lang"), col("source"), col("n"), col("gumbel_fp"),
+        col("score_fp"), (col("score_fp") >= col("thr_fp")).as("released"))
+      .orderBy("lang", "source")
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
     * member of the privacy triple after [[q_kanon]] and
     * [[q_ldiversity]]: a class can be l-diverse yet still leak if its

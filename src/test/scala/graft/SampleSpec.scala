@@ -761,6 +761,42 @@ class SampleSpec extends AnyFunSuite {
     assert(out.count(_.getAs[Boolean]("released")) == 1)
   }
 
+  test("q_dp_topk: Gumbel scores replay driver-side; leaders survive, borderline cells flip") {
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val out = SparkEntry.queries("q_dp_topk")(spark, sf).collect()
+    assert(out.nonEmpty)
+    def gumbel(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val draw = java.lang.Long.parseLong(md.take(8), 16)
+      val yFp = math.max(1L, halfUp(-math.log(
+        math.max(draw.toDouble / 4294967296.0, 1.0 / 4294967296.0)) * 1e9))
+      -halfUp(math.log(yFp.toDouble / 1e9) * 1e6)
+    }
+    out.foreach { r =>
+      val g = gumbel(s"${r.getAs[String]("lang")}:${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("gumbel_fp") == g, s"gumbel mismatch: $r")
+      assert(r.getAs[Long]("score_fp") == r.getAs[Long]("n") * 2000000L + g)
+    }
+    // threshold semantics: every released score >= every unreleased score
+    val (rel, unrel) = out.partition(_.getAs[Boolean]("released"))
+    assert(rel.length == 5, s"released ${rel.length} cells")
+    assert(rel.map(_.getAs[Long]("score_fp")).min >=
+      unrel.map(_.getAs[Long]("score_fp")).max)
+    // the clear leader survives the noise; a borderline cell flipped
+    // (the released set differs from the deterministically tiebroken
+    // raw top-5) - the regime the epsilon choice targets
+    val byN = out.sortBy(r => (-r.getAs[Long]("n"),
+      r.getAs[String]("lang"), r.getAs[String]("source")))
+    assert(byN.head.getAs[Boolean]("released"), "raw leader suppressed")
+    val rawTop = byN.take(5).map(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source"))).toSet
+    val relSet = rel.map(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source"))).toSet
+    assert(rawTop != relSet, "noise never flipped a borderline cell")
+  }
+
   test("q_sample_es: exponential keys replay exactly and the sample skews heavy") {
     def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
