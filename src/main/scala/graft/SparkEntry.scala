@@ -265,6 +265,7 @@ object SparkEntry {
     "q_zorder"           -> ((s, d) => SampleOps.q_zorder(s, d)),
     "q_dsir"             -> (SampleOps.q_dsir _),
     "q_length_buckets"   -> (SampleOps.q_length_buckets _),
+    "q_curriculum"       -> ((s, d) => SampleOps.q_curriculum(s, d)),
     "q_sample_reservoir" -> ((s, d) => SampleOps.q_sample_reservoir(s, d)),
     "q_pipeline_prep"    -> (SampleOps.q_pipeline_prep _),
     "q_pack_sequences"   -> ((s, d) => SampleOps.q_pack_sequences(s, d)),
@@ -5066,6 +5067,26 @@ object SparkEntry {
     // length-bucketed batching report: power-of-two bucket via the
     // same branchless bit-smear both engines evaluate on exact longs;
     // waste is (2a+d) div 2d round-half-up fixed point
+    // curriculum staging: x1e10 quality fixed point ranked DESC
+    // (doc_id tiebreak), q_rfm position-formula stages, exact-long
+    // stage stats with the round-half-up mean
+    "q_curriculum" ->
+      s"""WITH per AS (SELECT doc_id,
+         |    CAST(round($duckQualityScore * 1e10) AS BIGINT) AS qf,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> len(x) > 0)) AS BIGINT) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |p2 AS (SELECT doc_id, qf, t FROM per WHERE qf IS NOT NULL),
+         |r AS (SELECT qf, t,
+         |        CAST(row_number() OVER (ORDER BY qf DESC, doc_id) AS BIGINT) AS rn,
+         |        CAST(count(*) OVER () AS BIGINT) AS n
+         |      FROM p2),
+         |st AS (SELECT (rn - 1) * 4 // n + 1 AS stage, qf, t FROM r)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  min(qf) AS qf_min, max(qf) AS qf_max,
+         |  (2 * CAST(sum(qf) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_qf
+         |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_length_buckets" -> {
       var smear = "(n - 1)"
       Seq(1, 2, 4, 8, 16, 32).foreach { sh =>

@@ -833,6 +833,51 @@ object SampleOps {
       .orderBy("bucket")
   }
 
+  /** Curriculum staging plan — the difficulty-ORDERED data layout a
+    * curriculum-learning run trains through (Bengio et al. 2009;
+    * quality-ordered variants are standard LLM practice: clean text
+    * first, noisy tail last): rank every document by the ×1e10
+    * quality fixed point (descending, doc_id tiebreak) and cut the
+    * order into `stages` equal-position bands; the per-stage report
+    * (docs, tokens, quality extrema and mean) is what a trainer reads
+    * to set per-stage epochs and learning-rate schedules.
+    *
+    * Distinct from its neighbors by construction: [[q_mix_temp]]
+    * reweights SOURCES, q_length_buckets costs PADDING,
+    * q_shuffle_shards randomizes; this one ORDERS by difficulty —
+    * the remaining axis of data layout.
+    *
+    * Exactness: the quality score quantizes ×1e10 at the expression
+    * boundary (the q_quality_gate fixed point), the rank comes from
+    * [[graft.plans.GlobalRank]] (no single-partition window), stage =
+    * the q_rfm position formula (rn−1)·stages div n + 1, and the
+    * stage mean is the round-half-up division of the exact ×1e10 sum
+    * (int64 headroom to ~10⁸ docs; decimal(38,0) beyond — the
+    * q_graph_modularity escalation).
+    */
+  def q_curriculum(s: SparkSession, d: String, stages: Int = 4): DataFrame = {
+    val qf = round(TextOps.qualityScore(col("text")) * 1e10).cast("long")
+    val per = documents(s, d)
+      .filter(col("text").isNotNull && qf.isNotNull)
+      .select(col("doc_id"), qf.as("qf"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("t"))
+    val ranked = graft.plans.GlobalRank.globalRowNumber(
+      per, "rn", negate(col("qf")), col("doc_id"))
+    ranked
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+      .select(expr(s"(rn - 1) * $stages div n + 1").as("stage"),
+        col("qf"), col("t"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        min(col("qf")).as("qf_min"), max(col("qf")).as("qf_max"),
+        sum(col("qf")).as("qf_sum"))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        col("qf_min"), col("qf_max"),
+        expr("(2 * qf_sum + n_docs) div (2 * n_docs)").as("mean_qf"))
+      .orderBy("stage")
+  }
+
   /** Per-shard reproducibility manifest — the artifact a pipeline
     * writes NEXT TO its training shards so any later run (or another
     * engine) can verify shard integrity without re-reading the corpus:

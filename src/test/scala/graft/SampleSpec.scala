@@ -761,6 +761,27 @@ class SampleSpec extends AnyFunSuite {
     assert(out.count(_.getAs[Boolean]("released")) == 1)
   }
 
+  test("q_curriculum: stages partition the corpus in quality order with balanced sizes") {
+    val rows = SparkEntry.queries("q_curriculum")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("stage")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val nDocs = rows.map(_.getAs[Long]("n_docs"))
+    // position-formula stages: sizes differ by at most 1
+    assert(nDocs.max - nDocs.min <= 1L, s"unbalanced stages: ${nDocs.toSeq}")
+    assert(nDocs.sum == Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).count())
+    // quality strictly non-increasing across stage boundaries: stage
+    // k's minimum >= stage k+1's maximum (descending rank order)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("qf_min") >= b.getAs[Long]("qf_max"),
+        s"stage order violated: $a vs $b")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qf_min") <= r.getAs[Long]("mean_qf") &&
+        r.getAs[Long]("mean_qf") <= r.getAs[Long]("qf_max"))
+    }
+  }
+
   test("q_dp_topk: Gumbel scores replay driver-side; leaders survive, borderline cells flip") {
     def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
