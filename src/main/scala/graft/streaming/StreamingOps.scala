@@ -204,6 +204,34 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming twin of [[graft.queries.TimeSeries.q_ohlc]] — the
+    * hourly open/high/low/close resample maintained incrementally:
+    * high/low are plain min/max, and open/close ride `min_by`/`max_by`
+    * keyed on the batch key's exact (ts, event_id) order contract, so
+    * the streaming state is FOUR cents values + a count per
+    * (hour, type) cell no matter how many events stream past — where
+    * the batch key's row_number formulation would need the whole cell
+    * buffered, the by-key form is the mergeable sufficient statistic
+    * (each partial keeps its earliest/latest candidate; merge keeps
+    * the earlier/later of two — associative, order-free).
+    * Complete/update mode; parity with q_ohlc is cell-for-cell exact
+    * (StreamingSpec) because both sides resolve ties by the unique
+    * (ts, event_id) pair.
+    */
+  def streamingOhlc(events: DataFrame): DataFrame = {
+    val cents = col("value").cast("decimal(18,2)").multiply(100).cast("long")
+    events
+      .select(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("w_start"),
+        col("event_type"), col("ts"), col("event_id"), cents.as("c"))
+      .groupBy("w_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("c"), struct(col("ts"), col("event_id"))).as("open_cents"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        max_by(col("c"), struct(col("ts"), col("event_id"))).as("close_cents"))
+  }
+
   /** Streaming twin of [[graft.queries.TimeSeries.q_bootstrap]]'s
     * replicate moments — live uncertainty monitoring: every arriving
     * event contributes its B hash-derived Poisson(1) replicate

@@ -317,6 +317,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamTotals == keyTotals)
   }
 
+  test("streaming OHLC equals the batch q_ohlc cells over a two-batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        r.getString(2), r.getAs[java.lang.Double]("value"))).toSeq
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, java.lang.Double)]
+    val stream = graft.streaming.StreamingOps.streamingOhlc(
+        input.toDF().toDF("ts", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("complete").start()
+    // two batches split mid-corpus: open/close candidates must merge
+    // across the batch boundary, not reset at it
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1: _*); stream.processAllAvailable()
+    input.addData(b2: _*); stream.processAllAvailable()
+    stream.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("w_start"), r.getAs[String]("event_type"))
+    def cell(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n"), r.getAs[java.lang.Long]("open_cents"),
+        r.getAs[java.lang.Long]("high_cents"),
+        r.getAs[java.lang.Long]("low_cents"),
+        r.getAs[java.lang.Long]("close_cents"))
+    val streamed = spark.table("ohlc_stream").collect()
+      .map(r => key(r) -> cell(r)).toMap
+    val batch = graft.queries.TimeSeries.q_ohlc(spark, TestSpark.sf)
+      .collect().map(r => key(r) -> cell(r)).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, v) =>
+      assert(streamed(k) == v, s"cell $k: streaming ${streamed(k)} != batch $v")
+    }
+  }
+
   test("streaming bootstrap moments equal the batch replicate sums, counter-for-counter") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
