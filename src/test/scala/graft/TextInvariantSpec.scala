@@ -480,6 +480,39 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("ndcg_fp")).distinct.length > 1)
   }
 
+  test("q_hill: a planted power law reads alpha ~ 1; the uniform corpus reads alpha >> 1") {
+    import spark.implicits._
+    def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val tmp = java.nio.file.Files.createTempDirectory("hill").toString
+    // counts 840/r for r = 1..8 (the q_zipf fixture): an EXACT Zipf
+    // law, whose Hill index at any k is ~1 by construction
+    (1 to 8).map { r =>
+      (r.toLong, Seq.fill(840 / r)(s"term$r").mkString(" "), "en", "s0", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = SparkEntry.queries("q_hill")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    // driver-side recompute with the identical quantization for k=5
+    val cs = (1 to 8).map(840 / _)
+    val ln9 = cs.map(c => halfUp(math.log(c.toDouble) * 1e9))
+    val s5 = ln9.take(5).sum - 5L * ln9(5)
+    assert(planted(5L).getAs[Long]("s_fp9") == s5)
+    assert(planted(5L).getAs[Long]("alpha_fp") ==
+      (2L * 5L * 1000000000000000L + s5) / (2L * s5))
+    val a5 = planted(5L).getAs[Long]("alpha_fp")
+    assert(a5 > 1100000L && a5 < 1300000L, s"power-law alpha off: $a5")
+    // k past the 8-term vocabulary yields NULL, not an error
+    assert(planted(10L).isNullAt(planted(10L).fieldIndex("alpha_fp")))
+    // the real corpus has NO tail to cut: alpha well above 1 at every k
+    val corpus = SparkEntry.queries("q_hill")(spark, sf).collect()
+    corpus.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("alpha_fp")))
+        assert(r.getAs[Long]("alpha_fp") > 5000000L,
+          s"uniform corpus read as heavy-tailed: $r")
+    }
+  }
+
   test("q_ece: hand-computed reliability buckets on a planted corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ece").toString
