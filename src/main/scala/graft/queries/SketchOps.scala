@@ -116,10 +116,14 @@ object SketchOps {
         expr("(2 * n_exact * 1000000 + n_total) div (2 * n_total)")
           .as("share_fp"),
         element_at(col("sk"), col("c")).isNotNull.as("in_sketch"),
-        // integer floor band: `div`, NOT `/` (Spark's / is double)
-        (element_at(col("sk"), col("c")) <= col("n_exact") &&
-          element_at(col("sk"), col("c")) >=
-            col("n_exact") - expr(s"n_total div ${k + 1}"))
+        // integer floor band: `div`, NOT `/` (Spark's / is double);
+        // coalesce so a retention violation (missing key → NULL
+        // element_at) reads as a genuine FALSE, not NULL
+        coalesce(
+          element_at(col("sk"), col("c")) <= col("n_exact") &&
+            element_at(col("sk"), col("c")) >=
+              col("n_exact") - expr(s"n_total div ${k + 1}"),
+          lit(false))
           .as("within_band"))
       .orderBy("c")
   }

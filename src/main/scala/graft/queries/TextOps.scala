@@ -1620,6 +1620,23 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** The ×1e10 quality-fixed-point top-`depth` ranking shared by
+    * [[q_rrf]] and [[q_rbo]]: one corpus TakeOrdered (sort+limit),
+    * row-numbered post-limit — no global window over unbounded input.
+    */
+  private[graft] def qualityTop(
+      s: SparkSession, d: String, depth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qf = round(qualityScore(col("text")) * 1e10).cast("long")
+    documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), qf.as("qf"))
+      .orderBy(col("qf").desc, col("doc_id")).limit(depth)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("qf").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("r"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
     * rankings — the hybrid-search merge every RAG stack runs when a
     * lexical index and a second signal disagree: here [[q_bm25]]'s
@@ -1643,23 +1660,6 @@ object TextOps {
     * broadcast; fusion aggregates O(queries·depth) rows and the final
     * per-query window sees ≤ 2·depth candidates per partition.
     */
-  /** The ×1e10 quality-fixed-point top-`depth` ranking shared by
-    * [[q_rrf]] and [[q_rbo]]: one corpus TakeOrdered (sort+limit),
-    * row-numbered post-limit — no global window over unbounded input.
-    */
-  private[graft] def qualityTop(
-      s: SparkSession, d: String, depth: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qf = round(qualityScore(col("text")) * 1e10).cast("long")
-    documents(s, d).filter(col("text").isNotNull)
-      .select(col("doc_id"), qf.as("qf"))
-      .orderBy(col("qf").desc, col("doc_id")).limit(depth)
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("qf").desc, col("doc_id")))
-          .cast("long"))
-      .select(col("doc_id"), col("r"))
-  }
-
   def q_rrf(s: SparkSession, d: String, depth: Int = 20, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = q_bm25(s, d, depth)

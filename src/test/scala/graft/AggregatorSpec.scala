@@ -471,8 +471,19 @@ class AggregatorSpec extends AnyFunSuite {
       (1 to 30).flatMap(i => Seq.fill((120 + i - 1) / i)((key, f"v$i%02d")))
     val all = (mk("g1") ++ mk("g2")).sortBy(_._2) // deterministic slicing
     val input = MemoryStream[(String, String)]
+    // capture per-batch output keyed by batch id — update-mode rows
+    // from the memory sink carry no contractual collect() order, so
+    // "latest state" must be read off the max batch id, not row order
+    val byBatch = scala.collection.concurrent.TrieMap
+      .empty[Long, Array[org.apache.spark.sql.Row]]
+    // val of explicit function type disambiguates the Scala-vs-Java
+    // foreachBatch overloads (the standard 2.13 workaround)
+    val capture: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (ds, batchId) => { byBatch(batchId) = ds.collect(); () }
     val q = graft.streaming.StatefulOps.streamingHeavyHitters(input.toDS(), 8)
-      .writeStream.format("memory").queryName("mg_stream").outputMode("update").start()
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch(capture)
+      .start()
     val batches = all.grouped((all.length + 2) / 3).toSeq
     var seen = Seq.empty[(String, String)]
     batches.foreach { b =>
@@ -481,9 +492,11 @@ class AggregatorSpec extends AnyFunSuite {
       val n = seen.count(_._1 == "g1").toLong
       val truth = seen.filter(_._1 == "g1").groupBy(_._2)
         .map { case (v, xs) => v -> xs.length.toLong }
-      val counters = spark.table("mg_stream").collect()
-        .filter(_.getAs[String]("key") == "g1")
-        .last.getMap[String, Long](1)
+      // each update-mode batch emits at most ONE row per key: the g1
+      // row of the newest batch containing one is the latest state
+      val counters = byBatch.toSeq.sortBy(_._1).reverse
+        .flatMap(_._2.find(_.getAs[String]("key") == "g1"))
+        .head.getMap[String, Long](1)
       assert(counters.size <= 8, "state exceeded k")
       truth.foreach { case (v, t) =>
         counters.get(v).foreach(est => assert(est <= t && est >= t - n / 9,
