@@ -377,10 +377,12 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |dvs AS (SELECT d, CAST(sum(q) AS BIGINT) AS s FROM xq GROUP BY 1),
        |mu AS (SELECT c.i, c.j,
-       |    CASE WHEN c.n * c.s_ij - di.s * dj.s >= 0
-       |      THEN (c.n * c.s_ij - di.s * dj.s) // (c.n * c.n * 1000000)
-       |      ELSE -((di.s * dj.s - c.n * c.s_ij) // (c.n * c.n * 1000000))
-       |    END AS m
+       |    CAST(CASE WHEN CAST(c.n AS HUGEINT) * c.s_ij - CAST(di.s AS HUGEINT) * dj.s >= 0
+       |      THEN (CAST(c.n AS HUGEINT) * c.s_ij - CAST(di.s AS HUGEINT) * dj.s)
+       |           // (CAST(c.n AS HUGEINT) * c.n * 1000000)
+       |      ELSE -((CAST(di.s AS HUGEINT) * dj.s - CAST(c.n AS HUGEINT) * c.s_ij)
+       |             // (CAST(c.n AS HUGEINT) * c.n * 1000000))
+       |    END AS BIGINT) AS m
        |  FROM cells c JOIN dvs di ON c.i = di.d JOIN dvs dj ON c.j = dj.d),
        |mat AS MATERIALIZED (SELECT i, j, m FROM mu
        |        UNION ALL SELECT j, i, m FROM mu WHERE i <> j),
@@ -449,6 +451,35 @@ object SparkEntry {
       |      + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
       |               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
       |               / length(text) END), 10)""".stripMargin
+
+  /** The BM25 scoring pipeline as a reusable CTE chain ending in
+    * `agg(query_id, doc_id, score_fp)` — one source of truth for the
+    * four oracles that rank by it (q_bm25, q_rrf, q_rbo, q_ndcg), so
+    * a scoring tweak in one cannot silently desync the other three
+    * (the duckQualityScore stance). Lucene idf ln((N+1)/(df+0.5)) at
+    * k1=1.2/b=0.75 cleared to the exact integer identity by
+    * multiplying through by 10*S; tf-part quantized ×1e6
+    * round-half-up; score = exact long sum of the products.
+    */
+  private def duckBm25Ctes: String =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
+      |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
+      |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+      |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
+      |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
+      |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
+      |       FROM q JOIN tf USING (term) JOIN df USING (term)
+      |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
+      |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+      |        FROM sc GROUP BY 1, 2)""".stripMargin
 
   /** The winnowing fingerprint table as a reusable CTE chain ending in
     * `wfp(doc_id, pos, fp)` — shared by the q_winnow and q_overlap
@@ -2938,16 +2969,18 @@ object SparkEntry {
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
         |  GROUP BY 1, 2),
         |dv AS (SELECT d, CAST(sum(q) AS BIGINT) AS s,
-        |    CAST(count(*) AS BIGINT) * CAST(sum(q * q) AS BIGINT)
-        |      - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS vnum
+        |    CAST(count(*) AS HUGEINT) * CAST(sum(q * q) AS HUGEINT)
+        |      - CAST(sum(q) AS HUGEINT) * CAST(sum(q) AS HUGEINT) AS vnum
         |  FROM x GROUP BY 1)
         |SELECT c.i, c.j, c.n, c.s_ij,
-        |  CASE WHEN c.n * c.s_ij - di.s * dj.s >= 0
-        |    THEN (c.n * c.s_ij - di.s * dj.s) // (c.n * c.n)
-        |    ELSE -((di.s * dj.s - c.n * c.s_ij) // (c.n * c.n))
-        |  END AS cov_fp12,
+        |  CAST(CASE WHEN CAST(c.n AS HUGEINT) * c.s_ij - CAST(di.s AS HUGEINT) * dj.s >= 0
+        |    THEN (CAST(c.n AS HUGEINT) * c.s_ij - CAST(di.s AS HUGEINT) * dj.s)
+        |         // (CAST(c.n AS HUGEINT) * c.n)
+        |    ELSE -((CAST(di.s AS HUGEINT) * dj.s - CAST(c.n AS HUGEINT) * c.s_ij)
+        |           // (CAST(c.n AS HUGEINT) * c.n))
+        |  END AS BIGINT) AS cov_fp12,
         |  CASE WHEN di.vnum > 0 AND dj.vnum > 0
-        |    THEN round((c.n * c.s_ij - di.s * dj.s)
+        |    THEN round((CAST(c.n AS HUGEINT) * c.s_ij - CAST(di.s AS HUGEINT) * dj.s)
         |               / (sqrt(di.vnum) * sqrt(dj.vnum)), 6)
         |  END AS corr
         |FROM cells c JOIN dv di ON c.i = di.d JOIN dv dj ON c.j = dj.d
@@ -3227,24 +3260,7 @@ object SparkEntry {
     // 10*S; tf-part quantized x1e6 round-half-up, idf 1e-9-quantized
     // ln of (2N+2)/(2df+1); score = exact long sum of the products
     "q_bm25" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-        |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
-        |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
-        |sc AS (SELECT q.query_id, tf.doc_id,
-        |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
-        |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
-        |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
-        |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
-        |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
-        |       FROM q JOIN tf USING (term) JOIN df USING (term)
-        |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
-        |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
-        |        FROM sc GROUP BY 1, 2),
+      s"""WITH $duckBm25Ctes,
         |r AS (SELECT query_id,
         |        CAST(row_number() OVER (PARTITION BY query_id
         |          ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
@@ -3256,24 +3272,7 @@ object SparkEntry {
     // exact integer floor(1e9/(60+r)) (positive operands - DuckDB's
     // truncating // is floor), fused score an order-free long sum
     "q_rrf" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-         |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
-         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
-         |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
-         |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
-         |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
-         |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
-         |       FROM q JOIN tf USING (term) JOIN df USING (term)
-         |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
-         |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
-         |        FROM sc GROUP BY 1, 2),
+      s"""WITH $duckBm25Ctes,
          |lex AS (SELECT query_id, doc_id, r, 'lex' AS src FROM (
          |          SELECT query_id, doc_id,
          |            CAST(row_number() OVER (PARTITION BY query_id
@@ -3307,24 +3306,7 @@ object SparkEntry {
     "q_rbo" -> {
       val v = graft.queries.TextOps.rboSuffixWeights(20, 0.9)
         .mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-         |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
-         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
-         |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
-         |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
-         |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
-         |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
-         |       FROM q JOIN tf USING (term) JOIN df USING (term)
-         |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
-         |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
-         |        FROM sc GROUP BY 1, 2),
+      s"""WITH $duckBm25Ctes,
          |lex AS (SELECT query_id, doc_id, r FROM (
          |          SELECT query_id, doc_id,
          |            CAST(row_number() OVER (PARTITION BY query_id
@@ -3358,24 +3340,7 @@ object SparkEntry {
     "q_ndcg" -> {
       val disc = graft.queries.TextOps.ndcgDiscounts(20)
         .mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM t WHERE len(term) > 0 GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-         |               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS s_tok),
-         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |         CAST(round(ln(CAST(2*n_docs + 2 AS DOUBLE) /
-         |           CAST(2*df.df + 1 AS DOUBLE)) * 1e9) AS BIGINT)
-         |         * ((2 * 22 * tf.tf * s_tok * 1000000 +
-         |             (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))
-         |            // (2 * (10 * s_tok * tf.tf + 3 * s_tok + 9 * dl.dl * n_docs))) AS c
-         |       FROM q JOIN tf USING (term) JOIN df USING (term)
-         |            JOIN dl ON tf.doc_id = dl.doc_id, tot),
-         |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_fp
-         |        FROM sc GROUP BY 1, 2),
+      s"""WITH $duckBm25Ctes,
          |lex AS (SELECT query_id, doc_id, r FROM (
          |          SELECT query_id, doc_id,
          |            CAST(row_number() OVER (PARTITION BY query_id
@@ -5088,9 +5053,6 @@ object SparkEntry {
          |  min(cfp) AS fp_min, max(cfp) AS fp_max
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin
     },
-    // length-bucketed batching report: power-of-two bucket via the
-    // same branchless bit-smear both engines evaluate on exact longs;
-    // waste is (2a+d) div 2d round-half-up fixed point
     // curriculum staging: x1e10 quality fixed point ranked DESC
     // (doc_id tiebreak), q_rfm position-formula stages, exact-long
     // stage stats with the round-half-up mean
@@ -5111,6 +5073,9 @@ object SparkEntry {
          |  min(qf) AS qf_min, max(qf) AS qf_max,
          |  (2 * CAST(sum(qf) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_qf
          |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    // length-bucketed batching report: power-of-two bucket via the
+    // same branchless bit-smear both engines evaluate on exact longs;
+    // waste is (2a+d) div 2d round-half-up fixed point
     "q_length_buckets" -> {
       var smear = "(n - 1)"
       Seq(1, 2, 4, 8, 16, 32).foreach { sh =>

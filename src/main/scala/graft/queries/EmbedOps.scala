@@ -335,12 +335,17 @@ object EmbedOps {
     * (n·s_ij − s_i·s_j) div n² is the covariance ×1e12, with the
     * negative branch sign-separated (trunc-toward-zero on both
     * engines); corr is the one mirrored double expression
-    * num/(√v_i·√v_j) (the q_trend stance — int64→double conversion
-    * is IEEE-deterministic and identical cross-engine), NULL for
-    * constant dimensions. Overflow headroom: |num| ≤ n²·q_max² ≈
-    * 2.7e18 at n = 2000, q_max = 5.8e5 — safe to n ≈ 3,900 vectors
-    * at this scale; beyond that, mean-center per partition first or
-    * run the moment sums in decimal(38,0) (both engines support it).
+    * num/(√v_i·√v_j) (the q_trend stance — the num→double conversion
+    * is correctly-rounded on both engines), NULL for constant
+    * dimensions. Overflow: the moment PRODUCTS (n·s_ij, s_i·s_j,
+    * nd·s2, s²) run in decimal(38,0) on the Spark side and HUGEINT
+    * in the oracle — |num| ≤ n²·q_max² wraps int64 from n ≈ 3,900
+    * vectors at this value scale (q_max = 5.8e5), and a silent wrap
+    * here is a wrong covariance, so the widening is unconditional
+    * (spec-pinned by the planted 8,192-vector fixture in
+    * EmbedOverflowSpec). The long SUMS themselves (s_ij, s, s2) are
+    * exact to n ≈ 2.7e7 vectors (n·q_max² vs 2⁶³); past that, widen
+    * the sums the same way.
     *
     * Scale shape: ONE map-side-combined aggregation whose key space
     * is fixed at d² regardless of corpus size — each partition
@@ -353,14 +358,30 @@ object EmbedOps {
   def q_embed_cov(s: SparkSession, d: String): DataFrame =
     covCells(s, d)
       .select(col("i"), col("j"), col("n"), col("s_ij"),
-        expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
-               |  THEN (n * s_ij - s_i * s_j) div (n * n)
-               |  ELSE -((s_i * s_j - n * s_ij) div (n * n))
+        expr(s"""CASE WHEN $covNumDec >= 0
+               |  THEN ($covNumDec) div (CAST(n AS DECIMAL(38,0)) * n)
+               |  ELSE -(($covNumNegDec) div (CAST(n AS DECIMAL(38,0)) * n))
                |END""".stripMargin).as("cov_fp12"),
         when(col("v_i") > 0 && col("v_j") > 0,
-          round(expr("(n * s_ij - s_i * s_j) / (sqrt(v_i) * sqrt(v_j))"), 6))
+          round(expr(s"($covNumDec) / (sqrt(v_i) * sqrt(v_j))"), 6))
           .as("corr"))
       .orderBy("i", "j")
+
+  /** The covariance numerator `n·s_ij − s_i·s_j` with every product
+    * widened to decimal(38,0) BEFORE the multiply — int64 wraps from
+    * n ≈ 3,900 vectors (|num| ≤ n²·q_max²), and Spark integer
+    * overflow is silent with ANSI off, so the unwidened spelling is
+    * a wrong answer, not an error. One source of truth for
+    * [[q_embed_cov]], [[q_pca_power]]'s matrix quantization, and
+    * [[q_pca_project]]'s trace (`div` on decimals returns an exact
+    * truncated long on both engines; the oracle twin is HUGEINT).
+    */
+  private val covNumDec =
+    "CAST(n AS DECIMAL(38,0)) * s_ij - CAST(s_i AS DECIMAL(38,0)) * s_j"
+  /** Negated [[covNumDec]] spelled positively, for the sign-separated
+    * truncation branch. */
+  private val covNumNegDec =
+    "CAST(s_i AS DECIMAL(38,0)) * s_j - CAST(n AS DECIMAL(38,0)) * s_ij"
 
   /** Shared exact-moment cell table of [[q_embed_cov]] /
     * [[q_pca_power]]: one upper-triangle row per (i ≤ j) with the raw
@@ -386,7 +407,9 @@ object EmbedOps {
       .agg(count(lit(1)).as("nd"), sum(col("v")).as("s"),
         sum(col("v") * col("v")).as("s2"))
       .select(col("d").cast("long").as("d"), col("s"),
-        expr("nd * s2 - s * s").as("vnum"))
+        // widened: nd·s2 and s² wrap int64 from n ≈ 5,200 vectors
+        expr("CAST(nd AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s")
+          .as("vnum"))
     cells
       .join(broadcast(dimStats.select(col("d").as("i"),
         col("s").as("s_i"), col("vnum").as("v_i"))), "i")
@@ -433,9 +456,9 @@ object EmbedOps {
   private def powerIterate(cells: DataFrame, iters: Int): DataFrame = {
     val upper = cells
       .select(col("i"), col("j"),
-        expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
-               |  THEN (n * s_ij - s_i * s_j) div (n * n * 1000000)
-               |  ELSE -((s_i * s_j - n * s_ij) div (n * n * 1000000))
+        expr(s"""CASE WHEN $covNumDec >= 0
+               |  THEN ($covNumDec) div (CAST(n AS DECIMAL(38,0)) * n * 1000000)
+               |  ELSE -(($covNumNegDec) div (CAST(n AS DECIMAL(38,0)) * n * 1000000))
                |END""".stripMargin).as("m"))
       // d(d+1)/2 rows, model-sized; referenced twice by the mirror
       // union below — without this checkpoint the corpus-scale cell
@@ -496,9 +519,9 @@ object EmbedOps {
     val vlit = typedLit((0 until dims).map(i => vmap.getOrElse(i, 0L)))
     val lambda = pca.head.getAs[Long]("lambda_fp")
     val trace = cells.filter(col("i") === col("j"))
-      .agg(sum(expr("""CASE WHEN n * s_ij - s_i * s_j >= 0
-               |  THEN (n * s_ij - s_i * s_j) div (n * n * 1000000)
-               |  ELSE -((s_i * s_j - n * s_ij) div (n * n * 1000000))
+      .agg(sum(expr(s"""CASE WHEN $covNumDec >= 0
+               |  THEN ($covNumDec) div (CAST(n AS DECIMAL(38,0)) * n * 1000000)
+               |  ELSE -(($covNumNegDec) div (CAST(n AS DECIMAL(38,0)) * n * 1000000))
                |END""".stripMargin)).as("trace"))
     val q = transform(col("embedding"),
       x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
