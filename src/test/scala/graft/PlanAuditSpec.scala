@@ -142,8 +142,14 @@ class PlanAuditSpec extends AnyFunSuite {
       runCopart("q_graph_hops_copart", 4) // frontier join x 4 levels
       // round-9 keys whose scale story hangs on model-sized broadcast
       // dims: degree tables (jaccard/adamic), cohort/size tables
-      // (retention), median/MAD tables (outliers)
+      // (retention), median/MAD tables (outliers). These two count
+      // the orientation join inside the triangle enumeration, which
+      // since round 13 builds ONCE per (app, dir) in SharedGraph —
+      // reset the cache before each so the assert pins the fresh
+      // build shape, not whichever suite ran a graph key first
+      graft.queries.GraphOps.SharedGraph.reset()
       runAndAssert("q_graph_jaccard", 3)  // deg dim in orientation + 2 output joins
+      graft.queries.GraphOps.SharedGraph.reset()
       runAndAssert("q_graph_adamic", 3)   // deg dim in orientation + center-degree join
       runAndAssert("q_retention", 2)      // cohort + cohort-size joins
       runAndAssert("q_outliers", 5)       // med x3 + mad x2 attach joins
