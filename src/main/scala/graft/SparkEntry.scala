@@ -165,6 +165,7 @@ object SparkEntry {
     "q_rbo"          -> ((s, d) => TextOps.q_rbo(s, d)),
     "q_ece"          -> (TextOps.q_ece _),
     "q_ndcg"         -> ((s, d) => TextOps.q_ndcg(s, d)),
+    "q_pbm"          -> ((s, d) => TextOps.q_pbm(s, d)),
     "q_hill"         -> ((s, d) => TextOps.q_hill(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
@@ -3369,6 +3370,30 @@ object SparkEntry {
          |           CAST(0 AS BIGINT)) AS ndcg_fp
          |FROM a ORDER BY query_id""".stripMargin
     },
+    // PBM/IPS click-model eval: bm25 depth-20 log, quality-top-20
+    // clicks, literal 1/r propensities -> each IPS weight is the
+    // exact integer r; both reads x1e6 round-half-up over depth=20
+    "q_pbm" ->
+      s"""WITH $duckBm25Ctes,
+         |lex AS (SELECT query_id, doc_id, r FROM (
+         |          SELECT query_id, doc_id,
+         |            CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r
+         |          FROM agg) WHERE r <= 20),
+         |qsc AS (SELECT doc_id,
+         |          CAST(round($duckQualityScore * 1e10) AS BIGINT) AS qf
+         |        FROM documents WHERE text IS NOT NULL),
+         |qtop AS (SELECT doc_id, r FROM (
+         |           SELECT doc_id,
+         |             CAST(row_number() OVER (ORDER BY qf DESC, doc_id) AS BIGINT) AS r
+         |           FROM qsc) WHERE r <= 20),
+         |cl AS (SELECT lex.query_id, lex.r AS rank,
+         |         CASE WHEN qtop.doc_id IS NULL THEN 0 ELSE 1 END AS click
+         |       FROM lex LEFT JOIN qtop USING (doc_id))
+         |SELECT query_id, CAST(sum(click) AS BIGINT) AS n_clicks,
+         |  (2 * CAST(sum(click) AS BIGINT) * 1000000 + 20) // (2 * 20) AS ctr_fp,
+         |  (2 * CAST(sum(click * rank) AS BIGINT) * 1000000 + 20) // (2 * 20) AS ips_fp
+         |FROM cl GROUP BY 1 ORDER BY query_id""".stripMargin,
     // Hill tail index: top-21 counts by (n DESC, t), x1e9-quantized
     // per-count ln, exact ratio sum, x1e6 alpha with a NULL guard for
     // k past the vocabulary

@@ -480,6 +480,37 @@ class TextInvariantSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("ndcg_fp")).distinct.length > 1)
   }
 
+  test("q_pbm: IPS recomputes from click positions; position placement binds beyond counts") {
+    val rows = SparkEntry.queries("q_pbm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute from the two declared rankings
+    val clicks = graft.queries.TextOps.qualityTop(spark, sf, 20).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val byQ = graft.queries.TextOps.q_bm25(spark, sf, 20).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val ranks = byQ(q).filter(x => clicks(x.getAs[Long]("doc_id")))
+        .map(_.getAs[Long]("rank"))
+      assert(r.getAs[Long]("n_clicks") == ranks.length.toLong, s"query $q clicks")
+      assert(r.getAs[Long]("ctr_fp") ==
+        (2L * ranks.length * 1000000L + 20L) / 40L, s"query $q ctr")
+      assert(r.getAs[Long]("ips_fp") ==
+        (2L * ranks.sum * 1000000L + 20L) / 40L, s"query $q ips")
+      // IPS bounds: each clicked rank contributes in [1, depth]x its
+      // count, so ips/ctr sits in [1, 20] whenever clicks exist
+      if (ranks.nonEmpty)
+        assert(r.getAs[Long]("ips_fp") >= r.getAs[Long]("ctr_fp"))
+    }
+    // position placement binds: two queries with the SAME click count
+    // must read different IPS somewhere, else the propensity term is
+    // dead weight (measured: rank placement varies per query)
+    val byClicks = rows.groupBy(_.getAs[Long]("n_clicks")).filter(_._2.length > 1)
+    assert(byClicks.exists { case (_, rs) =>
+      rs.map(_.getAs[Long]("ips_fp")).distinct.length > 1
+    }, "IPS never discriminates among equal click counts")
+  }
+
   test("q_hill: a planted power law reads alpha ~ 1; the uniform corpus reads alpha >> 1") {
     import spark.implicits._
     def halfUp(x: Double): Long = java.math.BigDecimal.valueOf(x)
