@@ -48,7 +48,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_bpe_sweep", "q_cdc_savings", "q_mix_epoch", "q_welch",
     "q_shard_quality", "q_distinct_n", "q_dp_hist", "q_sample_es",
     "q_kruskal", "q_quantile_norm", "q_heavyhitters", "q_rrf", "q_rbo",
-    "q_ece", "q_ndcg", "q_dp_topk", "q_curriculum", "q_hill", "q_pbm")
+    "q_ece", "q_ndcg", "q_dp_topk", "q_curriculum", "q_hill", "q_pbm",
+    "q_unigram_train", "q_unigram_encode")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>
