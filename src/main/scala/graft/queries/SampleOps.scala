@@ -1063,18 +1063,28 @@ object SampleOps {
     * sf0.01, so the weighting decision is real, not a uniform draw
     * in disguise.
     */
-  def q_sample_es(s: SparkSession, d: String, k: Int = 50): DataFrame = {
-    val u = hashDraw(col("doc_id"), 8)
-    val lnuFp = round(-log(greatest(u.cast("double") / 4294967296.0,
+  /** The ×1e9-quantized −ln(draw) of the md5 hash draw — one source
+    * of truth for [[q_sample_es]] and the streaming reservoir's spec
+    * ([[graft.streaming.StatefulOps.streamingWeightedSample]] claims
+    * BIT-parity with the batch selection, so the key spelling must
+    * be shared, not copied). */
+  def esLnuFp(id: Column): Column =
+    round(-log(greatest(hashDraw(id, 8).cast("double") / 4294967296.0,
       lit(1.0 / 4294967296.0))) * 1e9).cast("long")
+
+  /** The round-half-up ES key over the named columns `lnu_fp` /
+    * `n_chars` — shared with the streaming-reservoir spec. */
+  val esKeyExpr: String = "(2 * lnu_fp * 1000000 + n_chars) div (2 * n_chars)"
+
+  def q_sample_es(s: SparkSession, d: String, k: Int = 50): DataFrame =
     documents(s, d)
       .filter(col("n_chars") > 0)
-      .select(col("doc_id"), col("lang"), col("n_chars"), lnuFp.as("lnu_fp"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        expr("(2 * lnu_fp * 1000000 + n_chars) div (2 * n_chars)").as("key_fp"))
+        esLnuFp(col("doc_id")).as("lnu_fp"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(esKeyExpr).as("key_fp"))
       .orderBy(col("key_fp"), col("doc_id"))
       .limit(k)
-  }
 
   /** Differentially-private median release via the EXPONENTIAL
     * mechanism (McSherry & Talwar 2007) — the second standard DP

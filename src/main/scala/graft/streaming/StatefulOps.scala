@@ -558,4 +558,47 @@ object StatefulOps {
           }
       }
   }
+
+  final case class KeySample(key: String, ids: Array[Long], keys_fp: Array[Long])
+
+  /** Streaming Efraimidis–Spirakis exact-k weighted sample per key
+    * with BOUNDED state — the streaming twin of
+    * [[graft.queries.SampleOps.q_sample_es]]: each arriving element
+    * carries its deterministic ES key (the md5-draw −ln(u)/w fixed
+    * point, computed upstream with the SAME shared spelling the batch
+    * key uses), and the reservoir is simply the k SMALLEST
+    * (key_fp, id) pairs seen so far. The min-k fold is associative,
+    * commutative and duplicate-stable, so — unlike the Misra–Gries
+    * sketch, whose estimates are arrival-order-dependent and only
+    * carry a band guarantee — the streamed reservoir is
+    * BIT-IDENTICAL to the batch `orderBy(key_fp, id).limit(k)` over
+    * the same rows at EVERY batch boundary, no matter how the stream
+    * was sliced or what order the shuffle delivered
+    * (the [[streamingDistinct]] exact-parity class; a batch backfill
+    * can seed streaming state with zero selection drift). State per
+    * key: 2k longs, forever.
+    *
+    * Input rows: (group key, id, key_fp). Output per updated group
+    * and micro-batch: the current sample, ids ordered by selection
+    * rank (key_fp asc, id asc tiebreak).
+    */
+  def streamingWeightedSample(
+      rows: Dataset[(String, Long, Long)], k: Int = 8): Dataset[KeySample] = {
+    implicit val stateEnc: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    implicit val outEnc: Encoder[KeySample] = Encoders.product[KeySample]
+    rows
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, vs: Iterator[(String, Long, Long)],
+         state: GroupState[Array[Long]]) =>
+          // state: [key_fp0, id0, key_fp1, id1, ...] in selection order
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+            .grouped(2).map(a => (a(0), a(1))).toSeq
+          val kept = (prev ++ vs.map(v => (v._3, v._2)))
+            .distinct.sorted.take(k)
+          state.update(kept.flatMap(p => Seq(p._1, p._2)).toArray)
+          KeySample(key, kept.map(_._2).toArray, kept.map(_._1).toArray)
+      }
+  }
 }

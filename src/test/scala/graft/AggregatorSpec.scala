@@ -507,6 +507,65 @@ class AggregatorSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streamingWeightedSample is bit-identical to the batch ES selection at every boundary") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val k = 8
+    // the feed carries the SHARED batch key spelling (esLnuFp/esKeyExpr)
+    val feed = graft.Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        graft.queries.SampleOps.esLnuFp(col("doc_id")).as("lnu_fp"))
+      .select(col("lang"), col("doc_id"), expr(graft.queries.SampleOps.esKeyExpr))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val input = MemoryStream[(String, Long, Long)]
+    val byBatch = scala.collection.concurrent.TrieMap
+      .empty[Long, Array[org.apache.spark.sql.Row]]
+    val capture: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (ds, batchId) => { byBatch(batchId) = ds.collect(); () }
+    val q = StatefulOps.streamingWeightedSample(input.toDS(), k)
+      .toDF().writeStream.outputMode("update").foreachBatch(capture).start()
+    // adversarial slicing: interleave by index so every lang spans batches
+    val slices = (0 until 3).map(i => feed.zipWithIndex.collect {
+      case (row, idx) if idx % 3 == i => row
+    })
+    var seen = Seq.empty[(String, Long, Long)]
+    slices.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+      seen ++= b
+      val expected = seen.groupBy(_._1).map { case (lang, rows) =>
+        lang -> rows.map(r => (r._3, r._2)).distinct.sorted.take(k)
+      }
+      val latest = byBatch.toSeq.sortBy(_._1).flatMap { case (bid, rows) =>
+        rows.map(r => r.getAs[String]("key") -> ((bid, r)))
+      }.groupBy(_._1).map { case (lang, xs) => lang -> xs.maxBy(_._2._1)._2._2 }
+      expected.foreach { case (lang, exp) =>
+        val row = latest(lang)
+        assert(row.getAs[scala.collection.Seq[Long]]("ids").toSeq == exp.map(_._2), s"$lang ids")
+        assert(row.getAs[scala.collection.Seq[Long]]("keys_fp").toSeq == exp.map(_._1), s"$lang keys")
+      }
+    }
+    q.stop()
+    // single-group stream equals the BATCH operator's rows exactly
+    val input2 = MemoryStream[(String, Long, Long)]
+    val byBatch2 = scala.collection.concurrent.TrieMap
+      .empty[Long, Array[org.apache.spark.sql.Row]]
+    val capture2: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (ds, batchId) => { byBatch2(batchId) = ds.collect(); () }
+    val q2 = StatefulOps.streamingWeightedSample(input2.toDS(), k)
+      .toDF().writeStream.outputMode("update").foreachBatch(capture2).start()
+    val (h1, h2) = feed.map(r => ("g", r._2, r._3)).splitAt(feed.length / 2)
+    input2.addData(h1: _*); q2.processAllAvailable()
+    input2.addData(h2: _*); q2.processAllAvailable()
+    q2.stop()
+    val streamed = byBatch2(byBatch2.keys.max).head.getAs[scala.collection.Seq[Long]]("ids").toSeq
+    val batchIds = graft.queries.SampleOps.q_sample_es(spark, sf, k).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(streamed == batchIds,
+      s"stream/batch ES selection diverged: $streamed vs $batchIds")
+  }
+
   test("streaming KMV rows equal the batch q_sketch_kmv rows (SURVEY §2.10 parity invariant)") {
     // the strongest streaming correctness claim in the repo: the
     // stateful stream over the SAME values produces the batch
