@@ -234,6 +234,7 @@ object SparkEntry {
     "q_boilerplate"   -> ((s, d) => DedupOps.q_boilerplate(s, d)),
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
+    "q_knn_graph"   -> ((s, d) => SimilarityOps.q_knn_graph(s, d)),
     "q_hard_negatives" -> (SimilarityOps.q_hard_negatives _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
@@ -2770,6 +2771,26 @@ object SparkEntry {
         |           JOIN sz sb ON doc_b = sb.doc_id
         |WHERE 3 * n_inter >= sa.n + sb.n
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // kNN graph: exact integer d2 on the x1e6 grid via the
+    // |a|^2+|b|^2-2ab identity (list_inner_product over
+    // integer-valued doubles <= 2.2e13 - exact); mutual = reverse
+    // edge exists in the same top-k edge set
+    "q_knn_graph" ->
+      """WITH x AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], v -> floor(v * 1e6 + 0.5)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |nn AS MATERIALIZED (SELECT vec_id, q,
+        |    CAST(list_inner_product(q, q) AS BIGINT) AS n2 FROM x),
+        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    a.n2 + b.n2 - 2 * CAST(list_inner_product(a.q, b.q) AS BIGINT) AS d2
+        |  FROM nn a, nn b WHERE a.vec_id <> b.vec_id),
+        |e AS MATERIALIZED (SELECT va, vb, d2,
+        |    CAST(row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS BIGINT) AS rank
+        |  FROM p QUALIFY rank <= 4)
+        |SELECT e.va AS vec_id, e.rank AS rank, e.vb AS nn_id, e.d2 AS d2,
+        |  m.va IS NOT NULL AS mutual
+        |FROM e LEFT JOIN e m ON m.va = e.vb AND m.vb = e.va
+        |ORDER BY e.va, e.rank""".stripMargin,
     "q_sim_topk" ->
       """SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -352,4 +352,53 @@ class EmbedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_knn_graph: driver-side exact recompute on a fixture; mutuality is consistent on the corpus") {
+    import spark.implicits._
+    // two tight clusters + one outlier: knn structure is unambiguous
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(0f, 0f, 0f, 0f),
+      1L -> Array(0.01f, 0f, 0f, 0f),
+      2L -> Array(0f, 0.02f, 0f, 0f),
+      3L -> Array(1f, 1f, 1f, 1f),
+      4L -> Array(1f, 1f, 1f, 0.99f),
+      5L -> Array(-5f, 4f, 3f, -2f))
+    val tmp = java.nio.file.Files.createTempDirectory("knng").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def q(v: Float): Long = math.floor(v.toDouble * 1e6 + 0.5).toLong
+    def d2(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) => val dd = q(x) - q(y); dd * dd }.sum
+    val expected = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (d2(v, ov), oid) }.sorted.take(4).zipWithIndex
+        .map { case ((dist, oid), i) => (id, i + 1L, oid, dist) }
+    }.toSet
+    val expEdges = expected.map(e => (e._1, e._3))
+    val got = graft.queries.SimilarityOps.q_knn_graph(spark, tmp).collect()
+    assert(got.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("nn_id"), r.getAs[Long]("d2"))).toSet == expected)
+    got.foreach { r =>
+      val fwd = (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_id"))
+      assert(r.getAs[Boolean]("mutual") == expEdges.contains(fwd.swap),
+        s"mutual flag wrong for $fwd")
+    }
+    // real corpus: contiguous ranks, monotone d2, symmetric mutuality
+    val rows = SparkEntry.queries("q_knn_graph")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edgeSet = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_id"))).toSet
+    rows.groupBy(_.getAs[Long]("vec_id")).values.foreach { es =>
+      val sorted = es.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      assert(sorted.map(_.getAs[Long]("d2")).toSeq.sliding(2)
+        .forall(w => w.length < 2 || w(0) <= w(1)), "d2 not monotone in rank")
+    }
+    rows.foreach { r =>
+      val e = (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_id"))
+      assert(r.getAs[Boolean]("mutual") == edgeSet.contains(e.swap))
+    }
+    // both flag values occur: the mutual-kNN subgraph is a real cut
+    assert(rows.exists(_.getAs[Boolean]("mutual")) &&
+      rows.exists(!_.getAs[Boolean]("mutual")), "mutual flag is constant")
+  }
 }
