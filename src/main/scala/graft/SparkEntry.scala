@@ -235,6 +235,7 @@ object SparkEntry {
     // §2.11 similarity search
     "q_sim_topk"    -> (SimilarityOps.q_sim_topk _),
     "q_knn_graph"   -> ((s, d) => SimilarityOps.q_knn_graph(s, d)),
+    "q_knn_graph_ivf" -> ((s, d) => SimilarityOps.q_knn_graph_ivf(s, d)),
     "q_hard_negatives" -> (SimilarityOps.q_hard_negatives _),
     "q_dedup_embed" -> (SimilarityOps.q_dedup_embed _),
     "q_sim_lsh"     -> (SimilarityOps.q_sim_lsh _),
@@ -2784,6 +2785,37 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
         |    a.n2 + b.n2 - 2 * CAST(list_inner_product(a.q, b.q) AS BIGINT) AS d2
         |  FROM nn a, nn b WHERE a.vec_id <> b.vec_id),
+        |e AS MATERIALIZED (SELECT va, vb, d2,
+        |    CAST(row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS BIGINT) AS rank
+        |  FROM p QUALIFY rank <= 4)
+        |SELECT e.va AS vec_id, e.rank AS rank, e.vb AS nn_id, e.d2 AS d2,
+        |  m.va IS NOT NULL AS mutual
+        |FROM e LEFT JOIN e m ON m.va = e.vb AND m.vb = e.va
+        |ORDER BY e.va, e.rank""".stripMargin,
+    // IVF-bucketed kNN graph: q_sim_ivf's deterministic cell
+    // assignment/probes for EVERY vector, exact d2 ranking within
+    // the probed cells only
+    "q_knn_graph_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |x AS MATERIALIZED (SELECT vec_id, embedding,
+        |    list_transform(embedding::DOUBLE[], v -> floor(v * 1e6 + 0.5)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |ranked AS MATERIALIZED (
+        |  SELECT e.vec_id, e.q, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |               c.cent_id) AS rn
+        |  FROM x e, cent c),
+        |assigned AS (SELECT vec_id, q, cent_id AS cell FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, q AS qq, cent_id AS cell
+        |           FROM ranked WHERE rn <= 4),
+        |p AS (SELECT p.query_id AS va, a.vec_id AS vb,
+        |    CAST(list_inner_product(p.qq, p.qq) AS BIGINT)
+        |      + CAST(list_inner_product(a.q, a.q) AS BIGINT)
+        |      - 2 * CAST(list_inner_product(p.qq, a.q) AS BIGINT) AS d2
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  WHERE a.vec_id <> p.query_id),
         |e AS MATERIALIZED (SELECT va, vb, d2,
         |    CAST(row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS BIGINT) AS rank
         |  FROM p QUALIFY rank <= 4)

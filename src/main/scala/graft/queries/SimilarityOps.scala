@@ -63,6 +63,16 @@ object SimilarityOps {
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"),
         expr("CAST(sq_l2(qa, qb) AS BIGINT)").as("d2"))
+    knnFinish(pairs, k)
+  }
+
+  /** The shared top-k + mutuality tail of [[q_knn_graph]] /
+    * [[q_knn_graph_ivf]]: scored candidate pairs (va, vb, d2) →
+    * per-va top-k through the [[graft.plans.TopKPerGroup]]
+    * whole-operator plan (≤ k rows per group cross the exchange) →
+    * reverse-edge probe over the O(n·k) edge list.
+    */
+  private def knnFinish(pairs: DataFrame, k: Int): DataFrame = {
     val edges = graft.plans.TopKPerGroup.topKPerGroup(
         pairs, Seq(col("va")), Seq(col("d2"), col("vb")), k)
       .select(col("va"), col("rank").cast("long").as("rank"),
@@ -74,6 +84,54 @@ object SimilarityOps {
       .select(col("va").as("vec_id"), col("rank"), col("vb").as("nn_id"),
         col("d2"), col("rv_a").isNotNull.as("mutual"))
       .orderBy("vec_id", "rank")
+  }
+
+  /** [[q_knn_graph]] through IVF-bucketed candidate generation — the
+    * SCALE PATH the exact key's scaladoc names, implemented and
+    * oracle-verified rather than described: every vector probes its
+    * `nprobe` nearest coarse cells ([[q_sim_ivf]]'s deterministic
+    * first-K codebook and cosine argmax) and is ranked ONLY against
+    * the members of those cells, by the same exact quantized d² and
+    * (d2, vb) tie order as the exact graph — so candidate generation
+    * is approximate, scoring is not, and every emitted edge carries
+    * the true distance (the spec measures recall against
+    * [[q_knn_graph]] and pins d²-agreement on shared edges).
+    *
+    * Scale shape: candidates come from ONE equi-join of the
+    * O(n·nprobe) probe table with the cell-assigned corpus on the
+    * cell key — expected pair count n²·nprobe/K against brute
+    * force's n², and K grows with corpus (K ~ √n is the standard IVF
+    * scaling), so the quadratic term is controlled by the codebook
+    * size, not the corpus. No broadcast of anything corpus-sized:
+    * the only collected state is the K-row codebook (kilobytes).
+    */
+  def q_knn_graph_ivf(s: SparkSession, d: String, k: Int = 4,
+                      nprobe: Int = 4, kCells: Int = 16): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    if (cents.isEmpty)
+      return e.select(col("vec_id"), col("vec_id").as("rank"),
+        col("vec_id").as("nn_id"), col("vec_id").as("d2"),
+        lit(false).as("mutual")).limit(0)
+    val qcol = transform(col("embedding"),
+      v => floor(v.cast("double") * 1e6 + 0.5).cast("double"))
+    val assigned = e.select(col("vec_id"),
+      KMeansOps.nearestCell(col("embedding"), cents).as("cell"), qcol.as("qn"))
+    val probes = e.select(col("vec_id").as("query_id"), qcol.as("qq"),
+        slice(reverse(array_sort(
+          KMeansOps.centroidScores(col("embedding"), cents))), 1, nprobe).as("top"))
+      .select(col("query_id"), col("qq"), explode(col("top.negid")).as("negid"))
+      .select(col("query_id"), col("qq"), (-col("negid")).as("cell"))
+    val pairs = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id").as("va"), col("vec_id").as("vb"),
+        expr("CAST(sq_l2(qq, qn) AS BIGINT)").as("d2"))
+    knnFinish(pairs, k)
   }
 
   /** Brute-force top-k cosine neighbors for a small query set.
