@@ -190,6 +190,7 @@ object SparkEntry {
     "q_bpe_encode"   -> ((s, d) => BpeOps.q_bpe_encode(s, d)),
     "q_unigram_train"  -> ((s, d) => UnigramOps.q_unigram_train(s, d)),
     "q_unigram_encode" -> ((s, d) => UnigramOps.q_unigram_encode(s, d)),
+    "q_unigram_prune"  -> ((s, d) => UnigramOps.q_unigram_prune(s, d)),
     "q_tok_fertility" -> ((s, d) => BpeOps.q_tok_fertility(s, d)),
     "q_bpe_sweep"    -> ((s, d) => BpeOps.q_bpe_sweep(s, d)),
     "q_pagerank"     -> ((s, d) => GraphOps.q_pagerank(s, d)),
@@ -4488,6 +4489,34 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS BIGINT) AS n_unigram_tokens
          |FROM dw JOIN wt USING (word)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Unigram prune: per removable piece, the Viterbi-objective loss
+    // of dropping it under the FINAL scores - masked (cand, ps, ss)
+    // model rows from the sc2 table, one forward DP per (cand, word)
+    "q_unigram_prune" ->
+      s"""WITH RECURSIVE
+         |${duckUnigramCtes(24, rounds = 3)},
+         |cands AS (SELECT piece AS cand, u FROM sc2
+         |          WHERE length(piece) > 1 AND u > 0),
+         |mv AS MATERIALIZED (
+         |  SELECT c.cand, c.u, list(s.piece ORDER BY s.piece) AS ps,
+         |    list(s.score ORDER BY s.piece) AS ss
+         |  FROM cands c JOIN sc2 s ON s.piece <> c.cand GROUP BY c.cand, c.u),
+         |dpp AS (
+         |  SELECT cand, u, word, n, ps, ss, [CAST(0 AS BIGINT)] AS bests, 0 AS j
+         |  FROM w, mv
+         |  UNION ALL
+         |  SELECT cand, u, word, n, ps, ss, list_append(bests,
+         |    list_max(list_transform([1,2,3,4], l -> CASE WHEN j + 1 - l >= 0
+         |      THEN bests[j + 2 - l] +
+         |        coalesce(ss[list_position(ps, substr(word, j + 2 - l, l))],
+         |          CAST(-1000000000000000 AS BIGINT)) END))), j + 1
+         |  FROM dpp WHERE j < length(word)),
+         |objm AS (SELECT cand, u,
+         |    CAST(sum(n * bests[length(word) + 1]) AS BIGINT) AS obj_masked
+         |  FROM dpp WHERE j = length(word) GROUP BY 1, 2)
+         |SELECT cand AS piece, u AS usage,
+         |  (SELECT obj FROM obj3) - obj_masked AS delta_fp
+         |FROM objm ORDER BY delta_fp, piece""".stripMargin,
     // BPE trainer: 8 written-out merge iterations (the q_embed_train
     // iterative-CTE stance); each m_i is the argmax pair (cnt DESC,
     // pat ASC), each v_i the vocab after that literal replace

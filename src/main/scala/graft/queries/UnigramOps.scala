@@ -206,6 +206,55 @@ object UnigramOps {
       .orderBy(col("usage").desc, col("piece"))
   }
 
+  /** The vocabulary-PRUNING criterion that completes the
+    * SentencePiece loop (train → prune → encode): for every
+    * removable piece — multi-character, actually used by the trained
+    * segmentation; single characters are never prunable
+    * (segmentation closure) — the corpus likelihood LOSS if it were
+    * dropped, delta_fp = obj(full vocab) − obj(vocab ∖ piece), both
+    * Viterbi objectives under the SAME final scores (the standard
+    * prune approximation: re-decode, don't re-run EM). Ascending
+    * delta IS the prune order; a real fit drops the cheapest X% per
+    * outer iteration. delta ≥ 0 by construction (removing an option
+    * can only lower a max), and a large delta marks a load-bearing
+    * piece.
+    *
+    * Scale shape: the masked models are MODEL-sized (one
+    * (cand, ps, ss) row per removable piece, built from the collected
+    * final score table — kilobytes) and broadcast onto the
+    * Zipf-bounded distinct-word table: one forward-Viterbi scan of
+    * O(words · candidates) rows, no extraction pass (only the
+    * objective is needed), one O(candidates)-key aggregation.
+    */
+  def q_unigram_prune(s: SparkSession, d: String, topM: Int = 24): DataFrame = {
+    import s.implicits._
+    val (_, _, sc2, vv2, _, _) = train(s, d, topM)
+    val w = words(s, d)
+    val objFull = estep(w, vv2)
+      .agg(sum(col("n") *
+        expr("element_at(bests, CAST(length(word) + 1 AS INT))")).as("obj_full"))
+    val model = sc2.collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("u"),
+        r.getAs[Long]("score"))).sortBy(_._1)
+    val cands = model.filter(c => c._1.length > 1 && c._2 > 0)
+    if (cands.isEmpty)
+      return s.emptyDataset[(String, Long, Long)]
+        .toDF("piece", "usage", "delta_fp")
+    val maskedModels = cands.toSeq.map { case (cand, u, _) =>
+      val rest = model.filter(_._1 != cand)
+      (cand, u, rest.map(_._1).toSeq, rest.map(_._3).toSeq)
+    }.toDF("cand", "usage", "ps", "ss")
+    w.crossJoin(broadcast(maskedModels))
+      .withColumn("bests", expr(forwardDp))
+      .groupBy("cand", "usage")
+      .agg(sum(col("n") *
+        expr("element_at(bests, CAST(length(word) + 1 AS INT))")).as("obj_masked"))
+      .crossJoin(broadcast(objFull))
+      .select(col("cand").as("piece"), col("usage"),
+        (col("obj_full") - col("obj_masked")).as("delta_fp"))
+      .orderBy("delta_fp", "piece")
+  }
+
   /** The encode twin: segment every document with the TRAINED model
     * (one more Viterbi pass over the distinct-word table under the
     * final scores — the train-once/encode-often economics of

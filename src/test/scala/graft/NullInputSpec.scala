@@ -49,7 +49,7 @@ class NullInputSpec extends AnyFunSuite {
     "q_shard_quality", "q_distinct_n", "q_dp_hist", "q_sample_es",
     "q_kruskal", "q_quantile_norm", "q_heavyhitters", "q_rrf", "q_rbo",
     "q_ece", "q_ndcg", "q_dp_topk", "q_curriculum", "q_hill", "q_pbm",
-    "q_unigram_train", "q_unigram_encode")
+    "q_unigram_train", "q_unigram_encode", "q_unigram_prune")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>

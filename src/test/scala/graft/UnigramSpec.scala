@@ -129,6 +129,38 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("q_unigram_prune equals the reference loss-per-piece on the fixture; prune order is sound") {
+    // reference: re-run the declared EM to its final score map, then
+    // delta(piece) = obj(full) - obj(without piece) under those scores
+    val (vocabRows, _, _, _) = reference(fixtureWords)
+    val score = vocabRows.map { case (p, (_, s)) => p -> s }
+    def obj(sc: Map[String, Long]): Long =
+      fixtureWords.map { case (w, n) => n * viterbi(w, sc)._2 }.sum
+    val full = obj(score)
+    val expected = vocabRows.collect {
+      case (p, (u, _)) if p.length > 1 && u > 0 =>
+        p -> ((u, full - obj(score - p)))
+    }.toMap
+    val rows = graft.queries.UnigramOps.q_unigram_prune(spark, fixtureDir).collect()
+    assert(rows.length == expected.size, s"candidate set size: ${rows.length}")
+    rows.foreach { r =>
+      val p = r.getAs[String]("piece")
+      assert((r.getAs[Long]("usage"), r.getAs[Long]("delta_fp")) == expected(p),
+        s"prune row for '$p'")
+    }
+    // real corpus: deltas non-negative, ascending with the declared
+    // tie order, candidates restricted to used multi-char pieces
+    val corpus = SparkEntry.queries("q_unigram_prune")(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("delta_fp") >= 0L, s"negative loss: $r")
+      assert(r.getAs[String]("piece").length > 1 && r.getAs[Long]("usage") > 0L)
+    }
+    val ds = corpus.map(r => (r.getAs[Long]("delta_fp"), r.getAs[String]("piece")))
+    assert(ds.sorted.toSeq == ds.toSeq, "not in prune (delta asc) order")
+    assert(ds.map(_._1).distinct.length > 1, "loss is constant — weak criterion")
+  }
+
   test("EM objective is monotone on the real corpus; encode bounds hold per doc") {
     val rows = SparkEntry.queries("q_unigram_train")(spark, sf).collect()
     assert(rows.nonEmpty)
