@@ -356,7 +356,7 @@ object EmbedOps {
     * table attaches twice via broadcast.
     */
   def q_embed_cov(s: SparkSession, d: String): DataFrame =
-    covCells(s, d)
+    covCellsShared(s, d)
       .select(col("i"), col("j"), col("n"), col("s_ij"),
         expr(s"""CASE WHEN $covNumDec >= 0
                |  THEN ($covNumDec) div (CAST(n AS DECIMAL(38,0)) * n)
@@ -382,6 +382,17 @@ object EmbedOps {
     * truncation branch. */
   private val covNumNegDec =
     "CAST(s_i AS DECIMAL(38,0)) * s_j - CAST(n AS DECIMAL(38,0)) * s_ij"
+
+  /** [[covCells]] checkpointed and memoized once per (app, dir) —
+    * q_embed_cov / q_pca_power / q_pca_project each consumed their
+    * own corpus-scale covariance pass before round 13 (the r12
+    * VERDICT's cross-key re-enumeration finding, the graph-family
+    * pattern applied here via [[graft.plans.SharedState]]).
+    */
+  private def covCellsShared(s: SparkSession, d: String): DataFrame =
+    graft.plans.SharedState.cached(s, "embed.covCells", d) {
+      graft.plans.Ckpt.maybe(covCells(s, d))
+    }
 
   /** Shared exact-moment cell table of [[q_embed_cov]] /
     * [[q_pca_power]]: one upper-triangle row per (i ≤ j) with the raw
@@ -444,7 +455,7 @@ object EmbedOps {
     * PageRank kernel shape at toy size).
     */
   def q_pca_power(s: SparkSession, d: String, iters: Int = 8): DataFrame =
-    powerIterate(covCells(s, d), iters)
+    powerIterate(covCellsShared(s, d), iters)
 
   /** The K-step integer power iteration over a (i, j, n, s_ij, s_i,
     * s_j) cell table — factored so [[q_pca_project]] can feed a
@@ -506,9 +517,10 @@ object EmbedOps {
     * a one-row dimension.
     */
   def q_pca_project(s: SparkSession, d: String): DataFrame = {
-    // ONE covariance pass: checkpointed, read by the power iteration
-    // AND the trace (the twice-referenced-state rule)
-    val cells = covCells(s, d).transform(graft.plans.Ckpt.maybe)
+    // ONE covariance pass: checkpointed and memoized, read by the
+    // power iteration AND the trace (the twice-referenced-state rule,
+    // now shared with q_embed_cov / q_pca_power via SharedState)
+    val cells = covCellsShared(s, d)
     val pca = powerIterate(cells, 8).collect() // 64 rows — the model
     if (pca.isEmpty)
       return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

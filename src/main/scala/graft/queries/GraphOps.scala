@@ -482,34 +482,24 @@ object GraphOps {
     * `spark.graft.checkpoint=false` nothing may pin state at all.
     */
   private[graft] object SharedGraph {
-    private val edges =
-      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-    private val parts =
-      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
     /** Test hook: drop cached artifacts so a spec pinning the
       * FRESH-build plan shape (PlanAuditSpec's broadcast-hint counts)
       * is independent of which suite touched the graph keys first. */
-    private[graft] def reset(): Unit = { edges.clear(); parts.clear() }
-    private def bypass(s: SparkSession): Boolean =
-      s.conf.get("spark.graft.ckptCapture", "false").toBoolean ||
-        !s.conf.get("spark.graft.checkpoint", "true").toBoolean
-    private def key(s: SparkSession, d: String): String =
-      s.sparkContext.applicationId + "|" + d
+    private[graft] def reset(): Unit = graft.plans.SharedState.reset()
     /** The materialized distinct a<b edge list of [[partCoEdges]]. */
     def coEdges(s: SparkSession, d: String): DataFrame =
-      if (bypass(s)) graft.plans.Ckpt.maybe(partCoEdges(s, d))
-      else edges.getOrElseUpdate(key(s, d),
-        graft.plans.Ckpt.maybe(partCoEdges(s, d)))
+      graft.plans.SharedState.cached(s, "graph.coEdges", d) {
+        graft.plans.Ckpt.maybe(partCoEdges(s, d))
+      }
     /** (edges, degree table, oriented triangle set), the triangle
       * family's shared input. */
     def triangles(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
       val e = coEdges(s, d)
       val (deg, tris) =
-        if (bypass(s)) triangleParts(e)
-        else parts.getOrElseUpdate(key(s, d), {
+        graft.plans.SharedState.cached(s, "graph.triangleParts", d) {
           val (dg, tr) = triangleParts(e)
           (graft.plans.Ckpt.maybe(dg), graft.plans.Ckpt.maybe(tr))
-        })
+        }
       (e, deg, tris)
     }
   }

@@ -104,11 +104,13 @@ object UnigramOps {
     * candidate seeding AND all K+1 Viterbi passes).
     */
   private def words(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .transform(graft.plans.Ckpt.maybe)
+    graft.plans.SharedState.cached(s, "unigram.words", d) {
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .transform(graft.plans.Ckpt.maybe)
+    }
 
   /** One Viterbi E-step over `w` (word, n) with the model row `vv`
     * (ps, ss sorted arrays) broadcast-attached: adds bests + lens.
@@ -162,8 +164,20 @@ object UnigramOps {
       expr("element_at(bests, CAST(length(word) + 1 AS INT))")).as("obj"))
 
   /** The shared trained-model chain: (vocab, usage2, sc2, vv2,
-    * obj1, obj2) after two EM rounds. */
+    * obj1, obj2) after two EM rounds — memoized once per
+    * (app, dir, topM): q_unigram_train / q_unigram_encode /
+    * q_unigram_prune each consumed their own full EM chain before
+    * round 13 (the graph-family cross-key re-enumeration pattern,
+    * shared via [[graft.plans.SharedState]]; every member table is
+    * checkpointed model-sized state).
+    */
   private def train(s: SparkSession, d: String, topM: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    graft.plans.SharedState.cached(s, s"unigram.train.$topM", d) {
+      trainBuild(s, d, topM)
+    }
+
+  private def trainBuild(s: SparkSession, d: String, topM: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w = words(s, d)
     // candidate substrings, weighted by corpus occurrences
