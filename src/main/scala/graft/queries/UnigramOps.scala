@@ -279,7 +279,34 @@ object UnigramOps {
     */
   def q_unigram_encode(s: SparkSession, d: String, topM: Int = 24): DataFrame = {
     val (_, _, _, vv2, _, _) = train(s, d, topM)
-    val wordTok = estep(words(s, d), vv2)
+    encodeUnder(s, d, vv2)
+  }
+
+  /** Encode the corpus with an ALREADY-TRAINED (piece, score) model
+    * table from ANY source — typically a
+    * [[graft.sources.Sinks.writeUnigramModel]] round trip of
+    * [[q_unigram_train]]'s output (accepts either `score` or the
+    * train key's `score_fp` column name). The production encode
+    * path, mirroring [[BpeOps.encodeWith]]: a pipeline encodes
+    * orders of magnitude more often than it trains, so encoding must
+    * not re-run the K EM chains; the model is model-sized, sorted
+    * into the (ps, ss) arrays once, and the corpus pass is the same
+    * one-join aggregation as the oracle key. UnigramSpec pins
+    * persisted-model encode ≡ the composed [[q_unigram_encode]].
+    */
+  def encodeWithModel(s: SparkSession, d: String, model: DataFrame): DataFrame = {
+    val normalized =
+      if (model.columns.contains("score_fp"))
+        model.select(col("piece"), col("score_fp").as("score"))
+      else model.select(col("piece"), col("score"))
+    encodeUnder(s, d, toVv(normalized))
+  }
+
+  /** The shared encode tail: one Viterbi pass over the distinct
+    * words under `vv`, then the Zipf-bounded (word, n_tok) model
+    * broadcast-joined onto documents. */
+  private def encodeUnder(s: SparkSession, d: String, vv: DataFrame): DataFrame = {
+    val wordTok = estep(words(s, d), vv)
       .select(col("word"), size(col("lens")).cast("long").as("n_tok"))
     documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),

@@ -180,6 +180,20 @@ object Sinks {
   def readMergeTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist a trained unigram-LM tokenizer model
+    * ([[graft.queries.UnigramOps.q_unigram_train]]'s output or any
+    * (piece, score) table) — the train-once side of the unigram
+    * train-once/encode-often split;
+    * [[graft.queries.UnigramOps.encodeWithModel]] reads it back and
+    * segments a corpus without re-running EM (the
+    * [[writeMergeTable]] stance for the BPE family).
+    */
+  def writeUnigramModel(model: DataFrame, out: String): Unit =
+    model.coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
+
+  def readUnigramModel(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Persist a trained DSIR bucket model ([[graft.queries.SampleOps
     * .dsirModel]]'s output: b, r, t — 1024 rows) — the train-once
     * side of DSIR's train-once/score-often split; the streaming

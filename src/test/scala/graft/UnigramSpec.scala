@@ -161,6 +161,21 @@ class UnigramSpec extends AnyFunSuite {
     assert(ds.map(_._1).distinct.length > 1, "loss is constant — weak criterion")
   }
 
+  test("encodeWithModel on a persisted model table equals the composed q_unigram_encode") {
+    val tmp = java.nio.file.Files.createTempDirectory("unimodel").toString
+    val trained = graft.queries.UnigramOps.q_unigram_train(spark, fixtureDir)
+    graft.sources.Sinks.writeUnigramModel(
+      trained.select("piece", "score_fp"), s"$tmp/unigram_model.parquet")
+    val model = graft.sources.Sinks.readUnigramModel(
+      spark, s"$tmp/unigram_model.parquet")
+    val viaModel = graft.queries.UnigramOps.encodeWithModel(spark, fixtureDir, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val composed = graft.queries.UnigramOps.q_unigram_encode(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaModel.toSeq == composed.toSeq,
+      "persisted-model encode diverged from the composed train+encode")
+  }
+
   test("EM objective is monotone on the real corpus; encode bounds hold per doc") {
     val rows = SparkEntry.queries("q_unigram_train")(spark, sf).collect()
     assert(rows.nonEmpty)
