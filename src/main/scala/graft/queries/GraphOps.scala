@@ -80,15 +80,31 @@ object GraphOps {
                         checkpointEvery: Int = 8): DataFrame =
     pagerankUndirected(s, d, iters, checkpointEvery, forced = Some(true))
 
+  /** The distinct customer↔supplier trading pair set (a = "c<id>",
+    * b = "s<id>") — ONE orders⋈lineitem extraction + distinct,
+    * memoized per (app, dir) via [[graft.plans.SharedState]]: seven
+    * kernel entry points previously re-ran the identical corpus join
+    * (q_pagerank / _copart / _dir / _seed, q_graph_hops / _copart,
+    * q_graph_hits). Each kernel still derives its OWN symmetric /
+    * directed view, degree window and checkpoint cadence from the
+    * materialized pairs — only the corpus-sized extraction is shared.
+    */
+  private def csPairs(s: SparkSession, d: String): DataFrame =
+    graft.plans.SharedState.cached(s, "graph.csPairs", d) {
+      graft.plans.Ckpt.maybe(
+        orders(s, d).join(lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct())
+    }
+
   private def pagerankUndirected(
       s: SparkSession, d: String, iters: Int,
       checkpointEvery: Int, forced: Option[Boolean]): DataFrame = {
-    val e0 = orders(s, d).join(lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .distinct()
-    // One corpus extraction, checkpointed ONCE with degree attached
+    val e0 = csPairs(s, d)
+    // One corpus extraction (shared via csPairs), then checkpointed
+    // ONCE per key with degree attached
     // via a window (one src shuffle instead of groupBy+join's two).
     // EVERYTHING downstream — the O(nodes) deg table, n_nodes, rank
     // init, the display join — derives from the checkpointed plans:
@@ -160,11 +176,8 @@ object GraphOps {
     */
   def q_pagerank_directed(s: SparkSession, d: String,
                           iters: Int = 3): DataFrame = {
-    val edges = orders(s, d).join(lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+    val edges = csPairs(s, d)
+      .select(col("a").as("src"), col("b").as("dst"))
     directedKernel(edges, iters)
   }
 
@@ -246,11 +259,7 @@ object GraphOps {
     */
   def q_pagerank_seeded(s: SparkSession, d: String, iters: Int = 3,
                         checkpointEvery: Int = 8): DataFrame = {
-    val e0 = orders(s, d).join(lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .distinct()
+    val e0 = csPairs(s, d)
     val edgesD = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(
@@ -351,11 +360,7 @@ object GraphOps {
 
   private def graphHops(s: SparkSession, d: String, maxHops: Int,
                         forced: Option[Boolean]): DataFrame = {
-    val e0 = orders(s, d).join(lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .distinct()
+    val e0 = csPairs(s, d)
     val sym = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
     // FORCED co-partitioned mode pins hashpartitioning(src) BEFORE the
@@ -909,11 +914,8 @@ object GraphOps {
     * widen to DECIMAL(38,0)/HUGEINT (the q_chi2 stance).
     */
   def q_graph_hits(s: SparkSession, d: String, iters: Int = 4): DataFrame = {
-    val edges = orders(s, d).join(lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+    val edges = csPairs(s, d)
+      .select(col("a").as("src"), col("b").as("dst"))
     hitsKernel(edges, iters)
   }
 
