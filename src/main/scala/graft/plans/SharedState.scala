@@ -41,4 +41,56 @@ object SharedState {
   /** Test hook: drop every cached artifact so specs pinning the
     * FRESH-build plan shape are independent of suite order. */
   private[graft] def reset(): Unit = cache.clear()
+
+  /** Cross-JVM layer for single-DataFrame artifacts: when
+    * `spark.graft.artifacts.dir` is SET, the artifact persists as
+    * parquet under `<dir>/<name>/<fingerprint>` and later processes
+    * read it instead of rebuilding — the literal write→read form of
+    * the persist-once contract (a cluster points this at reliable
+    * storage). The fingerprint hashes each input file's (mtime, size)
+    * under the corpus dir, so a regenerated corpus invalidates
+    * automatically and two corpora never share an artifact.
+    *
+    * DEFAULT OFF (in-memory [[cached]] only), deliberately: an
+    * artifact pre-built by an earlier process would flatter a later
+    * process's cold-run bench numbers — cross-process reuse is a
+    * deployment choice the operator opts into, not something a
+    * benchmark should inherit silently. Audit axes bypass disk and
+    * memory alike.
+    */
+  def cachedDf(s: SparkSession, name: String, d: String,
+               inputs: Seq[String])(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val root = s.conf.get("spark.graft.artifacts.dir", "")
+    // `build` arrives RAW: the audit path checkpoints it (capture
+    // still fires inside Ckpt.maybe), the in-memory path memoizes the
+    // checkpointed frame, and the disk path materializes via the
+    // parquet write itself — no double materialization anywhere
+    if (bypass(s)) Ckpt.maybe(build)
+    else if (root.isEmpty) cached(s, name, d)(Ckpt.maybe(build))
+    else cached(s, name, d) {
+      val fp = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sig = d +: inputs.map { f =>
+          val p = java.nio.file.Paths.get(d, f)
+          val (m, sz) =
+            if (java.nio.file.Files.exists(p))
+              (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+                java.nio.file.Files.size(p))
+            else (0L, 0L)
+          s"$f:$m:$sz"
+        }
+        md.digest(sig.mkString("|").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      }
+      val path = s"$root/$name/$fp"
+      val marker = java.nio.file.Paths.get(path, "_SUCCESS")
+      if (!java.nio.file.Files.exists(marker)) {
+        build.write.mode("overwrite").parquet(path)
+        // localCheckpoint lineage cannot cross JVMs; the parquet IS
+        // the materialization, so no further Ckpt on the read side
+      }
+      s.read.parquet(path)
+    }
+  }
 }

@@ -390,9 +390,8 @@ object EmbedOps {
     * pattern applied here via [[graft.plans.SharedState]]).
     */
   private def covCellsShared(s: SparkSession, d: String): DataFrame =
-    graft.plans.SharedState.cached(s, "embed.covCells", d) {
-      graft.plans.Ckpt.maybe(covCells(s, d))
-    }
+    graft.plans.SharedState.cachedDf(s, "embed.covCells", d,
+      Seq("embeddings.parquet"))(covCells(s, d))
 
   /** Shared exact-moment cell table of [[q_embed_cov]] /
     * [[q_pca_power]]: one upper-triangle row per (i ≤ j) with the raw

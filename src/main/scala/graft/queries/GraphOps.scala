@@ -90,13 +90,13 @@ object GraphOps {
     * materialized pairs — only the corpus-sized extraction is shared.
     */
   private def csPairs(s: SparkSession, d: String): DataFrame =
-    graft.plans.SharedState.cached(s, "graph.csPairs", d) {
-      graft.plans.Ckpt.maybe(
-        orders(s, d).join(lineitem(s, d),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
-          .distinct())
+    graft.plans.SharedState.cachedDf(s, "graph.csPairs", d,
+        Seq("orders.parquet", "lineitem.parquet")) {
+      orders(s, d).join(lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
     }
 
   private def pagerankUndirected(
@@ -493,9 +493,8 @@ object GraphOps {
     private[graft] def reset(): Unit = graft.plans.SharedState.reset()
     /** The materialized distinct a<b edge list of [[partCoEdges]]. */
     def coEdges(s: SparkSession, d: String): DataFrame =
-      graft.plans.SharedState.cached(s, "graph.coEdges", d) {
-        graft.plans.Ckpt.maybe(partCoEdges(s, d))
-      }
+      graft.plans.SharedState.cachedDf(s, "graph.coEdges", d,
+        Seq("lineitem.parquet"))(partCoEdges(s, d))
     /** (edges, degree table, oriented triangle set), the triangle
       * family's shared input. */
     def triangles(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {

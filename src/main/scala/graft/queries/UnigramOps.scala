@@ -104,12 +104,12 @@ object UnigramOps {
     * candidate seeding AND all K+1 Viterbi passes).
     */
   private def words(s: SparkSession, d: String): DataFrame =
-    graft.plans.SharedState.cached(s, "unigram.words", d) {
+    graft.plans.SharedState.cachedDf(s, "unigram.words", d,
+        Seq("documents.parquet")) {
       documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("n"))
-        .transform(graft.plans.Ckpt.maybe)
     }
 
   /** One Viterbi E-step over `w` (word, n) with the model row `vv`

@@ -44,6 +44,58 @@ class SharedStateSpec extends AnyFunSuite {
     assert(again eq warm, "bypass must not evict or replace cached entries")
   }
 
+  test("cachedDf disk layer: opt-in, survives a memory reset, invalidates on input change") {
+    import spark.implicits._
+    val corpus = java.nio.file.Files.createTempDirectory("ss-corpus").toString
+    val arts = java.nio.file.Files.createTempDirectory("ss-arts").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$corpus/input.parquet")
+    var builds = 0
+    def build() = { builds += 1; spark.read.parquet(s"$corpus/input.parquet") }
+    // default OFF: conf unset means in-memory only, nothing on disk
+    graft.plans.SharedState.reset()
+    graft.plans.SharedState
+      .cachedDf(spark, "spec.df", corpus, Seq("input.parquet"))(build()).count()
+    assert(builds == 1)
+    assert(!new java.io.File(s"$arts/spec.df").exists, "wrote despite conf unset")
+    // opt in: first call builds + persists, a post-reset call reads
+    // the parquet back WITHOUT invoking the builder (the cross-JVM
+    // path, simulated by clearing the in-memory layer)
+    spark.conf.set("spark.graft.artifacts.dir", arts)
+    try {
+      graft.plans.SharedState.reset()
+      val a = graft.plans.SharedState
+        .cachedDf(spark, "spec.df", corpus, Seq("input.parquet"))(build())
+      assert(builds == 2 && a.count() == 2)
+      assert(new java.io.File(s"$arts/spec.df").exists, "artifact not persisted")
+      graft.plans.SharedState.reset()
+      val b = graft.plans.SharedState
+        .cachedDf(spark, "spec.df", corpus, Seq("input.parquet"))(build())
+      assert(builds == 2, "disk hit must not rebuild")
+      assert(b.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      // touching the input invalidates the fingerprint
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$corpus/input.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      graft.plans.SharedState.reset()
+      graft.plans.SharedState
+        .cachedDf(spark, "spec.df", corpus, Seq("input.parquet"))(build()).count()
+      assert(builds == 3, "stale artifact served after input changed")
+      // empty frames round-trip with their schema intact
+      graft.plans.SharedState.reset()
+      val e = graft.plans.SharedState.cachedDf(spark, "spec.empty", corpus,
+        Seq("input.parquet"))(Seq.empty[(Long, String)].toDF("id", "v"))
+      assert(e.count() == 0 && e.columns.toSeq == Seq("id", "v"))
+      graft.plans.SharedState.reset()
+      val e2 = graft.plans.SharedState.cachedDf(spark, "spec.empty", corpus,
+        Seq("input.parquet"))(sys.error("must not rebuild"))
+      assert(e2.count() == 0 && e2.columns.toSeq == Seq("id", "v"))
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      graft.plans.SharedState.reset()
+    }
+  }
+
   test("reset clears every entry") {
     graft.plans.SharedState.reset()
     val a = graft.plans.SharedState.cached(spark, "spec.r", "/d")(build("a"))
