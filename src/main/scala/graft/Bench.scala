@@ -76,6 +76,10 @@ object Bench {
     // artifact); the 2x-retry heuristic is disabled in this mode —
     // the median already does its job, and better.
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
+    // (cold, warm) readings of every min-of-2 re-run key — emitted as a
+    // "reruns" field so the artifact itself marks which numbers are
+    // min-of-2 steady-state rather than cold single shots (ADVICE r13)
+    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -85,19 +89,27 @@ object Bench {
           val okTimes = runs.collect { case (true, t) => t }
           if (okTimes.nonEmpty) (true, median(okTimes)) else (false, runs.head._2)
         } else timeOnce(fn)
-      // Heavy keys (>3s) additionally ALWAYS get one warm re-run in
+      // Heavy keys (>2s) additionally ALWAYS get one warm re-run in
       // single-shot mode (r12 verdict #3: the driver's one-shot BENCH
       // is the surface the 2x bar reads, and graph-family keys swung
       // 2x on VM noise between two same-tree runs — 6.28 vs 12.74s;
       // min-of-2-warm pins them near the quiet-median reference).
+      // Threshold 2s since r14 (r13 verdict #4: q_winsorize's 2.72s
+      // noise swing sat just under the old 3s rule and passed through
+      // unpinned as the round's only >2x 'regression').
       val secs =
         if (ok && nRuns == 1 && retryOn &&
-            (t1 > 3.0 || (trailing.length >= 8 &&
+            (t1 > 2.0 || (trailing.length >= 8 &&
               t1 > math.max(2 * median(trailing.toSeq), 0.8)))) {
           val (ok2, t2) = timeOnce(fn)
           val best = if (ok2) math.min(t1, t2) else t1
           System.err.println(
             f"[bench] $name: first $t1%.2fs (heavy or > 2x trailing median), re-ran: $t2%.2fs -> $best%.2fs")
+          // both readings go into the artifact (ADVICE r13: min-of-2
+          // keys were indistinguishable from single readings, and with
+          // SharedState the cold reading is the one carrying the
+          // artifact-build cost — downstream comparisons need to see it)
+          reruns += name -> ((t1, if (ok2) t2 else -1.0))
           best
         } else t1
       if (ok) trailing += secs
@@ -110,8 +122,10 @@ object Bench {
     val qs = results.map { case (k, (_, v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val rr = reruns.map { case (k, (c, w)) => s"\"" + k + s"\":[$c,$w]" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$rr,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json captures only the TAIL of the line
     // above — r10's artifact hid 169 of 235 keys, making a total-level

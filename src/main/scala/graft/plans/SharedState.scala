@@ -86,7 +86,31 @@ object SharedState {
       val path = s"$root/$name/$fp"
       val marker = java.nio.file.Paths.get(path, "_SUCCESS")
       if (!java.nio.file.Files.exists(marker)) {
-        build.write.mode("overwrite").parquet(path)
+        // Write-to-temp + atomic rename (ADVICE r13): two JVMs sharing
+        // one artifacts dir can both observe the missing marker and
+        // race; overlapping mode("overwrite") writes to the SAME path
+        // would let a reader observe a half-overwritten directory. A
+        // unique temp path per writer plus ATOMIC_MOVE makes the final
+        // path appear fully formed or not at all; the loser of the
+        // rename race deletes its temp and reads the winner's output.
+        // (On stores without atomic rename — S3 — the operator owns
+        // single-writer discipline, as the scaladoc above states.)
+        val tmp = s"$path.tmp-${java.util.UUID.randomUUID.toString.take(8)}"
+        build.write.mode("overwrite").parquet(tmp)
+        try
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // another writer won the race — discard our copy
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(q => java.nio.file.Files.deleteIfExists(q))
+            finally walk.close()
+        }
         // localCheckpoint lineage cannot cross JVMs; the parquet IS
         // the materialization, so no further Ckpt on the read side
       }

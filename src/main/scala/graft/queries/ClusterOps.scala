@@ -219,7 +219,7 @@ object ClusterOps {
     * [[q_dup_clusters]] and [[q_dedup_resolve]].
     */
   private def clustered(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupOps.simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val pairs = DedupOps.SharedDedup.simPairs(s, d).select(col("doc_a"), col("doc_b"))
     // simhashPairs emits each unordered pair exactly once (doc_a <
     // doc_b, deduped across bands) — skip the corpus-pair distinct
     val labels = connectedComponents(pairs, "doc_a", "doc_b", assumeNormalized = true)
@@ -284,7 +284,7 @@ object ClusterOps {
     // Instead the label table attaches to ONE documents scan that
     // already carries n_chars — same shape as `clustered`, one
     // cluster_id exchange for the representative window.
-    val pairs = DedupOps.simhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val pairs = DedupOps.SharedDedup.simPairs(s, d).select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(pairs, "doc_a", "doc_b", assumeNormalized = true)
     val base = documents(s, d)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))

@@ -200,7 +200,7 @@ object DedupOps {
     * engines.
     */
   def q_minhash(s: SparkSession, d: String): DataFrame =
-    signatures(s, d, HashFamily.fromConf(s)).orderBy("doc_id")
+    SharedDedup.sig(s, d, HashFamily.fromConf(s)).orderBy("doc_id")
 
   /** Unsorted signature table, dispatched on the session's
     * [[HashFamily]] — both branches emit the same (doc_id, h1..h8)
@@ -273,6 +273,71 @@ object DedupOps {
   def signaturesFast(s: SparkSession, d: String): DataFrame =
     signaturesWith(s, d, i => x => xxhash64(lit(i), x))
 
+  /** The 2-band × 4-row LSH band table of a signature frame — band i
+    * is the colon-joined hex of its four minima, tagged by position
+    * through the concat prefix order (band 1 = h1..h4, band 2 =
+    * h5..h8), so cross-band collisions are impossible. Shared by every
+    * MinHash-LSH candidate generator ([[SharedDedup.cand]]).
+    */
+  private def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array(
+        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
+        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
+
+  /** Memoized per-(app, dir, family) artifacts of the near-dup family —
+    * the [[graft.queries.GraphOps.SharedGraph]] persist-once pattern
+    * applied to its biggest remaining patient (r13 VERDICT: ten keys
+    * re-derived the signature/candidate/confirmed-pair chain per key,
+    * 48 s = 16% of the bench). The MinHash signature table, the banded
+    * candidate pairs, the exact-Jaccard-confirmed pair list, and the
+    * SimHash pair table each build ONCE per (app, dir, [[HashFamily]])
+    * and every consumer key rebases on the checkpointed artifact — the
+    * literal write→read shape a production dedup pipeline has (signature
+    * store + pair store), with the opt-in cross-JVM parquet form via
+    * `spark.graft.artifacts.dir` ([[graft.plans.SharedState.cachedDf]]).
+    * Family-keyed so the xxh64 production path and the md5 oracle path
+    * never share an artifact; bypassed under the audit axes so every
+    * key still captures its own full segment chain.
+    */
+  private[graft] object SharedDedup {
+    /** Test hook: drop cached artifacts so a spec pinning the
+      * FRESH-build plan shape is independent of suite order. */
+    private[graft] def reset(): Unit = graft.plans.SharedState.reset()
+
+    /** Unsorted 8-minima signature table (doc_id, h1..h8). */
+    def sig(s: SparkSession, d: String, family: HashFamily): DataFrame =
+      graft.plans.SharedState.cachedDf(s, s"dedup.sig.$family", d,
+        Seq("documents.parquet"))(signatures(s, d, family))
+
+    /** Banded LSH candidate pairs (doc_a < doc_b), deduped and
+      * bucket-capped ([[candidatePairs]]). */
+    def cand(s: SparkSession, d: String, family: HashFamily): DataFrame =
+      graft.plans.SharedState.cachedDf(s, s"dedup.cand.$family", d,
+        Seq("documents.parquet"))(
+        candidatePairs(minhashBands(sig(s, d, family)),
+          "band", "doc_id", "doc_a", "doc_b"))
+
+    /** Exact-Jaccard-confirmed near-dup pairs (doc_a, doc_b, jaccard),
+      * unsorted — the dedup-decision input of q_dedup_savings /
+      * q_source_overlap / q_split_leakage / q_split_group /
+      * q_dedup_agreement. */
+    def pairs(s: SparkSession, d: String, family: HashFamily): DataFrame =
+      graft.plans.SharedState.cachedDf(s, s"dedup.pairs.$family", d,
+        Seq("documents.parquet"))(confirmJaccard(s, d, cand(s, d, family)))
+
+    /** Memoized [[simhashPairs]] (doc_a, doc_b, hamming), unsorted —
+      * keyed by maxHamming too (q_dedup_simhash and the ClusterOps /
+      * SampleOps consumers all use the default 1). */
+    def simPairs(s: SparkSession, d: String, maxHamming: Int = 1,
+                 family: HashFamily = null): DataFrame = {
+      val fam = Option(family).getOrElse(HashFamily.fromConf(s))
+      graft.plans.SharedState.cachedDf(s,
+        s"dedup.simPairs.h$maxHamming.$fam", d,
+        Seq("documents.parquet"))(simhashPairs(s, d, maxHamming, fam))
+    }
+  }
+
   /** MinHash-LSH near-dup candidate pairs: 2 bands × 4 rows, self-join
     * on the band key, then exact shingle-set Jaccard to confirm.
     *
@@ -281,7 +346,9 @@ object DedupOps {
     * fraction of the n² pair space, and the expensive Jaccard runs only
     * on candidates. Band-key skew (many docs in one bucket) is the
     * failure mode — mitigated by more/narrower bands or by salting the
-    * giant buckets.
+    * giant buckets. Since round 14 the whole chain (signatures →
+    * candidates → confirmed pairs) is built once per (app, dir, family)
+    * and shared across its ten consumer keys ([[SharedDedup]]).
     */
   def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
     dedupMinhash(s, d, HashFamily.fromConf(s))
@@ -293,20 +360,14 @@ object DedupOps {
     * the same jaccard value.
     */
   private[graft] def dedupMinhash(
-      s: SparkSession, d: String, family: HashFamily): DataFrame = {
-    // Candidate pairs via a grouped explode per band (same shape as
-    // SimilarityOps.q_sim_lsh): the signature lineage — 8 md5-min
-    // passes over every shingle — is consumed exactly ONCE, so no
-    // persist is needed and the only band-side shuffle is the groupBy
-    // (the earlier self-join shuffled the bands twice and had to cache
-    // the signatures to stop an 8× recompute). Band skew is bounded by
-    // band width (64 hex chars); a pathological bucket caps at its own
-    // pair count, not the corpus.
-    val bands = signatures(s, d, family).select(col("doc_id"),
-      explode(array(
-        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
-        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
-    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
+      s: SparkSession, d: String, family: HashFamily): DataFrame =
+    SharedDedup.pairs(s, d, family).orderBy("doc_a", "doc_b")
+
+  /** Exact-Jaccard confirmation of a candidate pair table — the verify
+    * stage behind [[SharedDedup.pairs]].
+    */
+  private def confirmJaccard(
+      s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     // Exact-Jaccard confirmation, with BOTH expensive lineages consumed
     // exactly ONCE and shingling done only where it's needed: each pair
     // explodes into its two member ids, joins the raw documents scan a
@@ -343,7 +404,6 @@ object DedupOps {
         col("doc_a"), col("doc_b"),
         round(size(array_intersect(shA, shB)).cast("double") /
           size(array_union(shA, shB)), 10).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash estimator CALIBRATION over the LSH candidate pairs — the
@@ -369,15 +429,12 @@ object DedupOps {
     */
   def q_minhash_calib(s: SparkSession, d: String): DataFrame = {
     val family = HashFamily.fromConf(s)
-    val sig = signatures(s, d, family).transform(graft.plans.Ckpt.maybe)
-    val bands = sig.select(col("doc_id"),
-      explode(array(
-        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
-        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
-    // cand feeds two pipelines (signature agreement + exact confirm);
-    // without its own materialization the band groupBy re-runs
-    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
-      .transform(graft.plans.Ckpt.maybe)
+    // both artifacts arrive checkpointed from the shared cache: sig
+    // feeds three consumers here (a-side, b-side; the band groupBy was
+    // its third before sharing), cand feeds two pipelines (signature
+    // agreement + exact confirm)
+    val sig = SharedDedup.sig(s, d, family)
+    val cand = SharedDedup.cand(s, d, family)
     val sigA = sig.select(
       col("doc_id").as("ida") +: (1 to 8).map(i => col(s"h$i").as(s"a$i")): _*)
     val sigB = sig.select(
@@ -486,9 +543,11 @@ object DedupOps {
     * tables on (doc_a, doc_b) — output-driven, never corpus-driven.
     */
   def q_dedup_agreement(s: SparkSession, d: String): DataFrame = {
-    val mh = q_dedup_minhash(s, d)
+    // both sides from the shared artifacts, unsorted (the full-outer
+    // join reshuffles on the pair key anyway)
+    val mh = SharedDedup.pairs(s, d, HashFamily.fromConf(s))
       .select(col("doc_a").as("ma"), col("doc_b").as("mb"), col("jaccard"))
-    val sh = q_dedup_simhash(s, d)
+    val sh = SharedDedup.simPairs(s, d)
       .select(col("doc_a").as("sa"), col("doc_b").as("sb"), col("hamming"))
     mh.join(sh, col("ma") === col("sa") && col("mb") === col("sb"), "full_outer")
       .select(
@@ -637,7 +696,8 @@ object DedupOps {
     */
   def q_source_overlap(s: SparkSession, d: String,
                        minJaccard: Double = 0.5): DataFrame = {
-    val pairs = q_dedup_minhash(s, d).filter(col("jaccard") >= minJaccard)
+    val pairs = SharedDedup.pairs(s, d, HashFamily.fromConf(s))
+      .filter(col("jaccard") >= minJaccard)
     val src = documents(s, d).select(col("doc_id"), col("source"))
     pairs
       .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -703,9 +763,10 @@ object DedupOps {
     */
   def q_dedup_savings(s: SparkSession, d: String): DataFrame = {
     val thresholds = Seq(900L, 925L, 950L, 975L, 990L)
-    val pairs = q_dedup_minhash(s, d)
+    // the shared artifact arrives checkpointed — read by the pair
+    // count AND both doc branches (the twice-referenced rule)
+    val pairs = SharedDedup.pairs(s, d, HashFamily.fromConf(s))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .transform(graft.plans.Ckpt.maybe) // read by the pair count AND both doc branches
     val pt = pairs
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         explode(typedLit(thresholds)).as("thr_mille"))
@@ -730,12 +791,7 @@ object DedupOps {
   }
 
   def q_containment(s: SparkSession, d: String): DataFrame = {
-    val family = HashFamily.fromConf(s)
-    val bands = signatures(s, d, family).select(col("doc_id"),
-      explode(array(
-        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
-        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
-    val cand = candidatePairs(bands, "band", "doc_id", "doc_a", "doc_b")
+    val cand = SharedDedup.cand(s, d, HashFamily.fromConf(s))
     val sides = cand.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     // let-bound (inter, na, nb) struct: each shingle array is bound
@@ -916,10 +972,7 @@ object DedupOps {
     * contaminated flag at Jaccard ≥ 0.5.
     */
   def q_contamination_fuzzy(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d, HashFamily.fromConf(s)).transform(graft.plans.Ckpt.maybe)
-    val bands = sig.select(col("doc_id"), explode(array(
-        concat_ws(":", col("h1"), col("h2"), col("h3"), col("h4")),
-        concat_ws(":", col("h5"), col("h6"), col("h7"), col("h8")))).as("band"))
+    val bands = minhashBands(SharedDedup.sig(s, d, HashFamily.fromConf(s)))
     val bench = bands.filter(col("doc_id") % 100 < 2)
       .select(col("band"), col("doc_id").as("bench_id")).distinct()
     val cand = bands.filter(col("doc_id") % 100 >= 2)
@@ -1101,7 +1154,7 @@ object DedupOps {
     * table re-joins by id for the cheap bit_count confirm.
     */
   def q_dedup_simhash(s: SparkSession, d: String, maxHamming: Int = 1): DataFrame =
-    simhashPairs(s, d, maxHamming).orderBy("doc_a", "doc_b")
+    SharedDedup.simPairs(s, d, maxHamming).orderBy("doc_a", "doc_b")
 
   /** Unsorted (doc_a, doc_b, hamming) near-dup pairs — the internal
     * form ClusterOps consumes (its component loop re-shuffles the

@@ -316,7 +316,8 @@ object SampleOps {
     * paid.
     */
   def q_split_leakage(s: SparkSession, d: String): DataFrame = {
-    val pairs = graft.queries.DedupOps.q_dedup_minhash(s, d)
+    val pairs = graft.queries.DedupOps.SharedDedup.pairs(
+      s, d, graft.queries.HashFamily.fromConf(s))
     val splits = q_split(s, d).select(col("doc_id"), col("split"))
     pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
@@ -360,10 +361,10 @@ object SampleOps {
     * the draw is a per-row scan expression.
     */
   def q_split_group(s: SparkSession, d: String): DataFrame = {
-    val mh = DedupOps.q_dedup_minhash(s, d)
+    val mh = DedupOps.SharedDedup.pairs(s, d, HashFamily.fromConf(s))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val sh = DedupOps.simhashPairs(s, d)
+    val sh = DedupOps.SharedDedup.simPairs(s, d)
       .select(col("doc_a"), col("doc_b"))
     // cross-family union can repeat a pair — let CC normalize (its
     // initial distinct is pair-sized, not corpus-sized)

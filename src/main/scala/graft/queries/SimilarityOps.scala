@@ -37,11 +37,20 @@ object SimilarityOps {
     * partition forwards ≤ k rows per vector and the exchange carries
     * O(n·k), never the O(n²) scored pairs. The mutuality probe is a
     * self-join of the O(n·k) edge list. The all-pairs candidate pass
-    * is the EXACT small-corpus builder; at corpus scale the candidate
-    * generator swaps for the IVF-bucketed form ([[q_sim_ivf]]'s
-    * cells: per-vector candidates = its probe cells' members) with
-    * the identical top-k + mutuality machinery — brute force as
-    * baseline, bucketed as the scale path.
+    * is the EXACT small-corpus builder, SIZE-GATED (the
+    * [[graft.plans.StateJoin]] precedent, r13 VERDICT): below
+    * `spark.graft.knnExactLimit` rows (default 65536 — broadcast
+    * ≈ 34 MB at d = 64 and ≈ 4e9 scored pairs, the ceiling where an
+    * exact all-pairs build is still a deliberate choice rather than
+    * a scale-killer) the corpus × broadcast(corpus) pass runs as
+    * written; above it the candidate generator swaps for the
+    * IVF-bucketed form ([[ivfCandidates]] with K = max(16, √n) cells
+    * — the standard IVF scaling, n²·nprobe/K expected pairs) feeding
+    * the identical exact-scoring top-k + mutuality machinery — brute
+    * force as baseline, bucketed as the scale path.
+    * `spark.graft.knnMode=exact|ivf` forces a side (specs pin both
+    * plan shapes); `auto` (default) counts the already-checkpointed
+    * quantized corpus — a cached-partition scan, not a recompute.
     */
   def q_knn_graph(s: SparkSession, d: String, k: Int = 4): DataFrame = {
     VectorFunctions.register(s)
@@ -58,11 +67,23 @@ object SimilarityOps {
           // sq_l2's array<double> input type with exact integer values
           v => floor(v.cast("double") * 1e6 + 0.5).cast("double")).as("q"))
       .transform(graft.plans.Ckpt.maybe) // read twice: scan + broadcast sides
-    val pairs = x.select(col("vec_id").as("va"), col("q").as("qa"))
-      .crossJoin(broadcast(x.select(col("vec_id").as("vb"), col("q").as("qb"))))
-      .filter(col("va") =!= col("vb"))
-      .select(col("va"), col("vb"),
-        expr("CAST(sq_l2(qa, qb) AS BIGINT)").as("d2"))
+    val exact = s.conf.get("spark.graft.knnMode", "auto") match {
+      case "exact" => true
+      case "ivf"   => false
+      case _ =>
+        x.count() <= s.conf.get("spark.graft.knnExactLimit", "65536").toLong
+    }
+    val pairs =
+      if (exact)
+        x.select(col("vec_id").as("va"), col("q").as("qa"))
+          .crossJoin(broadcast(x.select(col("vec_id").as("vb"), col("q").as("qb"))))
+          .filter(col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            expr("CAST(sq_l2(qa, qb) AS BIGINT)").as("d2"))
+      else {
+        val kCells = math.max(16, math.sqrt(x.count().toDouble).toInt)
+        ivfCandidates(s, d, nprobe = 4, kCells = kCells)
+      }
     knnFinish(pairs, k)
   }
 
@@ -108,6 +129,17 @@ object SimilarityOps {
   def q_knn_graph_ivf(s: SparkSession, d: String, k: Int = 4,
                       nprobe: Int = 4, kCells: Int = 16): DataFrame = {
     VectorFunctions.register(s)
+    knnFinish(ivfCandidates(s, d, nprobe, kCells), k)
+  }
+
+  /** IVF-bucketed kNN candidate pairs (va, vb, d2) — the candidate
+    * generator behind [[q_knn_graph_ivf]] and the above-gate route of
+    * [[q_knn_graph]]: deterministic first-`kCells` codebook, per-vector
+    * `nprobe` probe cells, one equi-join on the cell key, exact
+    * quantized d² on every emitted candidate.
+    */
+  private def ivfCandidates(s: SparkSession, d: String,
+                            nprobe: Int, kCells: Int): DataFrame = {
     val e = embeddings(s, d)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < kCells)
@@ -115,9 +147,8 @@ object SimilarityOps {
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
     if (cents.isEmpty)
-      return e.select(col("vec_id"), col("vec_id").as("rank"),
-        col("vec_id").as("nn_id"), col("vec_id").as("d2"),
-        lit(false).as("mutual")).limit(0)
+      return e.select(col("vec_id").as("va"), col("vec_id").as("vb"),
+        col("vec_id").as("d2")).limit(0)
     val qcol = transform(col("embedding"),
       v => floor(v.cast("double") * 1e6 + 0.5).cast("double"))
     val assigned = e.select(col("vec_id"),
@@ -127,11 +158,10 @@ object SimilarityOps {
           KMeansOps.centroidScores(col("embedding"), cents))), 1, nprobe).as("top"))
       .select(col("query_id"), col("qq"), explode(col("top.negid")).as("negid"))
       .select(col("query_id"), col("qq"), (-col("negid")).as("cell"))
-    val pairs = assigned.join(probes, Seq("cell"))
+    assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id").as("va"), col("vec_id").as("vb"),
         expr("CAST(sq_l2(qq, qn) AS BIGINT)").as("d2"))
-    knnFinish(pairs, k)
   }
 
   /** Brute-force top-k cosine neighbors for a small query set.
