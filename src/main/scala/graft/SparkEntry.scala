@@ -523,7 +523,12 @@ object SparkEntry {
     * and q_unigram_encode oracles; every fan-out CTE is pinned
     * AS MATERIALIZED (the q_pca_power inlined-CTE lesson). `sub17`
     * replaces the lateral range() DuckDB 1.0 rejects inside a
-    * recursive step (fixed 1..16 subscripts, guarded by length).
+    * recursive step; its upper bound is DERIVED from the corpus
+    * (max word length, floor 16 — ADVICE r13: the former fixed 1..16
+    * range silently skipped substrings starting past position 16 and
+    * pieces past the 16th on any corpus with longer words, diverging
+    * from the unbounded Spark side via a puzzling hash mismatch
+    * instead of loudly), guarded per-use by length predicates.
     */
   private def duckUnigramCtes(topM: Int, rounds: Int = 2): String = {
     val BIGNEG = "CAST(-1000000000000000 AS BIGINT)"
@@ -571,10 +576,11 @@ object SparkEntry {
          |  FROM usage$k, tot$k),
          |vv$k AS MATERIALIZED (SELECT list(piece ORDER BY piece) AS ps,
          |  list(score ORDER BY piece) AS ss FROM sc$k)""".stripMargin
-    s"""sub17 AS (SELECT unnest(range(1, 17)) AS k),
-       |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+    s"""w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |    WHERE text IS NOT NULL) WHERE length(word) > 0 GROUP BY 1),
+       |sub17 AS (SELECT unnest(range(1,
+       |    greatest(17, (SELECT max(length(word)) + 1 FROM w)))) AS k),
        |cand AS MATERIALIZED (
        |  SELECT substr(word, CAST(s.k AS INT), CAST(ls.l AS INT)) AS piece,
        |    CAST(sum(n) AS BIGINT) AS f
@@ -2798,7 +2804,8 @@ object SparkEntry {
     // the probed cells only
     "q_knn_graph_ivf" ->
       """WITH cent AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0),
         |x AS MATERIALIZED (SELECT vec_id, embedding,
         |    list_transform(embedding::DOUBLE[], v -> floor(v * 1e6 + 0.5)) AS q
         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
@@ -5416,7 +5423,8 @@ object SparkEntry {
     // lowest-id-representative keep rule
     "q_dedup_semantic" ->
       """WITH cent AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0),
         |assigned AS (
         |  SELECT vec_id, embedding, cent_id AS cell FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -5438,7 +5446,8 @@ object SparkEntry {
         |FROM assigned a LEFT JOIN g USING (vec_id) ORDER BY a.vec_id""".stripMargin,
     "q_sim_ivf" ->
       """WITH cent AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0),
         |assigned AS (
         |  SELECT vec_id, embedding, cent_id AS cell FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -5506,7 +5515,8 @@ object SparkEntry {
         |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
         |  WHERE rank <= 5),
         |cent AS (
-        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0),
         |assigned AS (
         |  SELECT vec_id, embedding, cent_id AS cell FROM (
         |    SELECT e.vec_id, e.embedding, c.cent_id,

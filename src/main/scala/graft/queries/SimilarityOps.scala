@@ -293,7 +293,9 @@ object SimilarityOps {
     // literal" stance as the LSH planes and KMeansOps' driver-side
     // centroid table) so the E-step needs no crossJoin and no
     // aggregation at all.
-    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < k)
+    // same null/empty codebook guard as q_knn_graph_ivf / q_dedup_semantic
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < k &&
+        col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
@@ -734,7 +736,12 @@ object SimilarityOps {
                        k: Int = 16, tau: Double = 0.35): DataFrame = {
     VectorFunctions.register(s)
     val e = embeddings(s, d)
-    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < k)
+    // null/empty embeddings are excluded from the codebook (ADVICE r13
+    // — q_knn_graph_ivf's convention; a null centroid would NPE the
+    // collect and desync cell assignment vs the oracle): no-op on a
+    // clean corpus, loud-proof on a dirty one
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < k &&
+        col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
