@@ -103,4 +103,19 @@ class SharedStateSpec extends AnyFunSuite {
     val b = graft.plans.SharedState.cached(spark, "spec.r", "/d")(build("b"))
     assert(!(b eq a))
   }
+  test("SharedDedup artifacts memoize per (app, dir, family) and the LM models per (app, dir)") {
+    graft.plans.SharedState.reset()
+    import graft.queries.{DedupOps, HashFamily}
+    val a = DedupOps.SharedDedup.pairs(spark, sf, HashFamily.Md5)
+    val b = DedupOps.SharedDedup.pairs(spark, sf, HashFamily.Md5)
+    assert(a eq b, "confirmed-pair artifact must be built once per (app, dir, family)")
+    val x = DedupOps.SharedDedup.pairs(spark, sf, HashFamily.Xxh64)
+    assert(!(x eq a), "the xxh64 path must never share the md5 artifact")
+    val s1 = DedupOps.SharedDedup.simPairs(spark, sf)
+    val s2 = DedupOps.SharedDedup.simPairs(spark, sf)
+    assert(s1 eq s2, "simhash-pair artifact must be built once")
+    assert(!(DedupOps.SharedDedup.simPairs(spark, sf, maxHamming = 2) eq s1),
+      "a different maxHamming must key its own artifact")
+    graft.plans.SharedState.reset()
+  }
 }
