@@ -1923,13 +1923,31 @@ object TextOps {
     * map-side-combined O(queries)-key aggregation. Nothing else
     * shuffles.
     */
-  def q_pbm(s: SparkSession, d: String, depth: Int = 20): DataFrame = {
-    val clicked = q_bm25(s, d, depth)
+  def q_pbm(s: SparkSession, d: String, depth: Int = 20): DataFrame =
+    pbmAggregate(pbmClicked(s, d, depth), depth).orderBy("query_id")
+
+  /** The declared click log behind [[q_pbm]] — (query_id, rank,
+    * click): the lexical depth-cut list joined to the broadcast
+    * quality-click dimension. Factored so the streaming twin's parity
+    * spec can replay the IDENTICAL rows through
+    * [[graft.streaming.StreamingOps.streamingPbm]].
+    */
+  private[graft] def pbmClicked(
+      s: SparkSession, d: String, depth: Int): DataFrame =
+    q_bm25(s, d, depth)
       .join(broadcast(qualityTop(s, d, depth)
           .select(col("doc_id"), lit(1L).as("click"))),
         Seq("doc_id"), "left")
       .select(col("query_id"), col("rank"),
         coalesce(col("click"), lit(0L)).as("click"))
+
+  /** The PBM/IPS aggregation over a (query_id, rank, click) log —
+    * shared verbatim by [[q_pbm]] and the streaming twin (both
+    * estimators are plain sums, so batch and stream are the SAME
+    * associative fold; unsorted — each surface adds its own
+    * presentation order).
+    */
+  private[graft] def pbmAggregate(clicked: DataFrame, depth: Int): DataFrame =
     clicked.groupBy("query_id")
       .agg(sum(col("click")).as("n_clicks"),
         sum(col("click") * col("rank")).as("ips_sum"))
@@ -1938,8 +1956,6 @@ object TextOps {
           .as("ctr_fp"),
         expr(s"(2 * ips_sum * 1000000 + $depth) div (2 * $depth)")
           .as("ips_fp"))
-      .orderBy("query_id")
-  }
 
   /** The mirrored sigmoid-confidence expression of [[q_ece]], shared
     * verbatim with the generated oracle (the welchT stance): a

@@ -575,4 +575,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PBM equals the batch q_pbm per-query estimates over a two-batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the IDENTICAL declared click log the batch key aggregates
+    val rows = graft.queries.TextOps.pbmClicked(spark, TestSpark.sf, 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("click"))).toSeq
+    assert(rows.nonEmpty, "click log fixture is empty")
+    val input = MemoryStream[(Long, Long, Long)]
+    val stream = graft.streaming.StreamingOps.streamingPbm(
+        input.toDF().toDF("query_id", "rank", "click"))
+      .writeStream.format("memory").queryName("pbm_stream")
+      .outputMode("complete").start()
+    // split mid-corpus so per-query counters must merge across the
+    // batch boundary, not reset at it
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1: _*); stream.processAllAvailable()
+    input.addData(b2: _*); stream.processAllAvailable()
+    stream.stop()
+    def cell(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("query_id") -> ((r.getAs[Long]("n_clicks"),
+        r.getAs[Long]("ctr_fp"), r.getAs[Long]("ips_fp")))
+    val streamed = spark.table("pbm_stream").collect().map(cell).toMap
+    val batch = graft.queries.TextOps.q_pbm(spark, TestSpark.sf)
+      .collect().map(cell).toMap
+    assert(streamed == batch,
+      s"streaming PBM diverged: ${(streamed.toSet diff batch.toSet).take(3)}")
+  }
 }
