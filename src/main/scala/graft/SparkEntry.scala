@@ -62,6 +62,7 @@ object SparkEntry {
     "q_having"       -> (Relational.q_having _),
     "q_subquery"     -> (Relational.q_subquery _),
     "q_sim_ivf"      -> (SimilarityOps.q_sim_ivf _),
+    "q_ivf_balance"  -> ((s, d) => SimilarityOps.q_ivf_balance(s, d)),
     "q_agg_cube"     -> (Relational.q_agg_cube _),
     // §2.6 sorts / top-k
     "q_sort" -> (Relational.q_sort _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "q_distinct_n"   -> ((s, d) => TextOps.q_distinct_n(s, d)),
     "q_readability"  -> (TextOps.q_readability _),
     "q_heaps"        -> (TextOps.q_heaps _),
+    "q_novelty"      -> (TextOps.q_novelty _),
     "q_drift_psi"    -> ((s, d) => TextOps.q_drift_psi(s, d)),
     "q_langid_eval"  -> (TextOps.q_langid_eval _),
     "q_profile"      -> (TextOps.q_profile _),
@@ -3726,6 +3728,30 @@ object SparkEntry {
          |SELECT grp, n_j, r2_j, k, n, tie_t,
          |  ${graft.queries.TextOps.kruskalH} AS h
          |FROM g, tot, tie ORDER BY grp""".stripMargin,
+    // Novelty: the q_minhash shingle spelling (with the NULL-text
+    // filter), distinct grams per doc, first-occurrence owners from
+    // the vocab-sized min-doc table, x1e6 round-half-up share
+    "q_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |    ELSE [text] END AS shingles
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents
+        |        WHERE text IS NOT NULL)),
+        |g AS (SELECT DISTINCT doc_id, unnest(shingles) AS gram FROM sh),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+        |own AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY gram),
+        |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM own GROUP BY 1)
+        |SELECT d.doc_id, pd.n_grams,
+        |  CASE WHEN pd.n_grams IS NOT NULL
+        |    THEN CAST(coalesce(nn.n_novel, 0) AS BIGINT) END AS n_novel,
+        |  CASE WHEN pd.n_grams IS NOT NULL
+        |    THEN (2 * coalesce(nn.n_novel, 0) * 1000000 + pd.n_grams)
+        |         // (2 * pd.n_grams) END AS novelty_fp
+        |FROM documents d
+        |LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |LEFT JOIN nn ON d.doc_id = nn.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Heaps fit: exact first-sighting counts, one cumulative window
     // (the Spark side's two-level prefix is algebraically identical),
     // x1e3 quantized-ln points, zipf-style moment fit
@@ -5444,6 +5470,35 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell, CAST(coalesce(g.n_dups, 0) AS BIGINT) AS n_dups,
         |  coalesce(g.rep_id, a.vec_id) AS rep_id, g.rep_id IS NULL AS kept
         |FROM assigned a LEFT JOIN g USING (vec_id) ORDER BY a.vec_id""".stripMargin,
+    // IVF index health: the q_sim_ivf assignment window also carries
+    // the winning cosine; floor(c*1e6+0.5) is the engine-identical
+    // quantizer (double round() would be half-even vs HALF_UP)
+    "q_ivf_balance" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |a AS (
+        |  SELECT vec_id, cent_id AS cell,
+        |    CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS cos_fp
+        |  FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS c,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+        |                 c.cent_id) AS rn
+        |    FROM embeddings e, cent c
+        |    WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0)
+        |  WHERE rn = 1),
+        |g AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cos_fp) AS BIGINT) AS sc FROM a GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(max(n) AS BIGINT) AS mx,
+        |        CAST(count(*) AS BIGINT) AS nc FROM g)
+        |SELECT c.cent_id AS cell, CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+        |  CASE WHEN g.n IS NOT NULL THEN (2 * g.sc + g.n) // (2 * g.n) END AS mean_cos_fp,
+        |  (2 * coalesce(g.n, 0) * 1000000 + t) // (2 * t) AS share_fp,
+        |  (2 * mx * nc * 1000000 + t) // (2 * t) AS imbalance_fp
+        |FROM cent c LEFT JOIN g ON g.cell = c.cent_id, tot
+        |ORDER BY cell""".stripMargin,
     "q_sim_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings

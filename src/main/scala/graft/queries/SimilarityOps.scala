@@ -164,6 +164,62 @@ object SimilarityOps {
         expr("CAST(sq_l2(qq, qn) AS BIGINT)").as("d2"))
   }
 
+  /** IVF index-health report — the occupancy/quantization audit an
+    * ANN operator reads before trusting [[q_sim_ivf]]'s geometry on a
+    * new corpus: one row per codebook cell with its member count, its
+    * corpus share, the mean assignment cosine (how well the cell's
+    * members actually match their centroid — a low-cohesion cell is a
+    * codebook that needs retraining), and the global imbalance factor
+    * max/mean over non-empty cells (cell skew drives both probe cost
+    * variance and recall loss: a 10× hot cell makes every query that
+    * probes it 10× more expensive). Empty cells are REPORTED via the
+    * codebook spine (n = 0), not dropped — dead cells are the other
+    * codebook-health failure.
+    *
+    * Determinism: per-row cosine quantizes to a ×1e6 long via
+    * `floor(c·1e6 + 0.5)` (the embedding-grid spelling — floor is
+    * engine-identical, unlike double round); means/shares/imbalance
+    * are then exact round-half-up integer divisions.
+    *
+    * Scale shape: the E-step is the established scan-side projection
+    * against centroid literals (zero rows move); ONE bounded-key
+    * (≤ K cells) aggregation, checkpointed (read by the output AND
+    * the one-row total — the twice-referenced rule); the K-row spine
+    * and the broadcast one-row total attach without corpus shuffles.
+    */
+  def q_ivf_balance(s: SparkSession, d: String, kCells: Int = 16): DataFrame = {
+    VectorFunctions.register(s)
+    val e = embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    if (cents.isEmpty)
+      return e.select(col("vec_id").as("cell"), col("vec_id").as("n"),
+        col("vec_id").as("mean_cos_fp"), col("vec_id").as("share_fp"),
+        col("vec_id").as("imbalance_fp")).limit(0)
+    val (cos, cell) = KMeansOps.bestScore(col("embedding"), cents)
+    val g = e.select(cell.as("cell"),
+        floor(cos * 1e6 + 0.5).cast("long").as("cos_fp"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("cos_fp")).as("sc"))
+      .transform(graft.plans.Ckpt.maybe)
+    val tot = g.agg(sum(col("n")).as("t"), max(col("n")).as("mx"),
+      count(lit(1)).as("nc"))
+    import s.implicits._
+    val spine = cents.map(_._1).toSeq.toDF("cell")
+    spine.join(g, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNotNull, expr("(2 * sc + n) div (2 * n)"))
+          .as("mean_cos_fp"),
+        expr("(2 * coalesce(n, 0) * 1000000 + t) div (2 * t)").as("share_fp"),
+        expr("(2 * mx * nc * 1000000 + t) div (2 * t)").as("imbalance_fp"))
+      .orderBy("cell")
+  }
+
   /** Brute-force top-k cosine neighbors for a small query set.
     *
     * Plan shape for scale: the query side (10 rows) is broadcast; the

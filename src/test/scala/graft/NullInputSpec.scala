@@ -49,7 +49,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_shard_quality", "q_distinct_n", "q_dp_hist", "q_sample_es",
     "q_kruskal", "q_quantile_norm", "q_heavyhitters", "q_rrf", "q_rbo",
     "q_ece", "q_ndcg", "q_dp_topk", "q_curriculum", "q_hill", "q_pbm",
-    "q_unigram_train", "q_unigram_encode", "q_unigram_prune")
+    "q_unigram_train", "q_unigram_encode", "q_unigram_prune",
+    "q_novelty")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>
@@ -99,7 +100,7 @@ class NullInputSpec extends AnyFunSuite {
     "q_embed_stats", "q_embed_quant", "q_embed_calib", "q_embed_centroid", "q_embed_train",
     "q_sim_topk", "q_dedup_embed", "q_sim_lsh", "q_sim_ivf", "q_sim_pq",
     "q_sim_ivfpq", "q_dedup_semantic", "q_prune_proto", "q_kcenter",
-    "q_hard_negatives", "q_knn_graph", "q_knn_graph_ivf")
+    "q_hard_negatives", "q_knn_graph", "q_knn_graph_ivf", "q_ivf_balance")
 
   test("every embedding-family query survives null, zero, and empty vectors") {
     embeddingQueries.foreach { name =>
