@@ -63,6 +63,7 @@ object SparkEntry {
     "q_subquery"     -> (Relational.q_subquery _),
     "q_sim_ivf"      -> (SimilarityOps.q_sim_ivf _),
     "q_ivf_balance"  -> ((s, d) => SimilarityOps.q_ivf_balance(s, d)),
+    "q_select_mmr"   -> ((s, d) => SimilarityOps.q_select_mmr(s, d)),
     "q_agg_cube"     -> (Relational.q_agg_cube _),
     // §2.6 sorts / top-k
     "q_sort" -> (Relational.q_sort _),
@@ -602,6 +603,55 @@ object SparkEntry {
        |  list(score ORDER BY piece) AS ss FROM sc0),
        |${(1 to rounds).map(k => emRound(k, s"vv${k - 1}")).mkString(",\n")}"""
       .stripMargin
+  }
+
+  /** Generated-SQL replay of [[graft.queries.SimilarityOps
+    * .q_select_mmr]]'s greedy chain: rel scores once, then k CTE
+    * steps s1..sK, each picking the (score_fp DESC, vec_id) argmax
+    * over the not-yet-selected candidates with max-sim-to-selected
+    * spelled as greatest() over one correlated scalar subquery per
+    * prior one-row step. Every step AS MATERIALIZED (DuckDB re-inlines
+    * CTEs per reference — an unmaterialized s1 would re-run inside
+    * every later step's subqueries multiplicatively).
+    */
+  private def duckMmrSql(k: Int): String = {
+    def fpcos(a: String, b: String) =
+      s"CAST(floor(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]) * 1e6 + 0.5) AS BIGINT)"
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS MATERIALIZED (
+           |  SELECT vec_id, rel_fp, CAST(NULL AS BIGINT) AS maxsim_fp,
+           |    rel_fp AS score_fp, embedding
+           |  FROM rel ORDER BY rel_fp DESC, vec_id LIMIT 1)""".stripMargin
+      else {
+        val subs = (1 until i).map(j =>
+          s"(SELECT ${fpcos("r.embedding", "s.embedding")} FROM s$j s)")
+        val ms =
+          if (subs.length == 1) subs.head
+          else s"greatest(${subs.mkString(", ")})"
+        val excl = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$i AS MATERIALIZED (
+           |  SELECT vec_id, rel_fp, maxsim_fp, rel_fp - maxsim_fp AS score_fp,
+           |    embedding
+           |  FROM (SELECT r.vec_id, r.rel_fp, r.embedding, $ms AS maxsim_fp
+           |        FROM rel r WHERE r.vec_id NOT IN ($excl))
+           |  ORDER BY score_fp DESC, vec_id LIMIT 1)""".stripMargin
+      }
+    }
+    val unions = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id, rel_fp, maxsim_fp, score_fp FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+       |  WHERE vec_id = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
+       |rel AS MATERIALIZED (
+       |  SELECT c.vec_id, ${fpcos("c.embedding", "q.qv")} AS rel_fp, c.embedding
+       |  FROM embeddings c, q
+       |  WHERE c.vec_id > 0 AND c.embedding IS NOT NULL AND len(c.embedding) > 0),
+       |${steps.mkString(",\n")}
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY rank""".stripMargin
   }
 
   /** Full WITH-body CTE chain deriving the BPE merge tables m1..mK
@@ -5470,6 +5520,11 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell, CAST(coalesce(g.n_dups, 0) AS BIGINT) AS n_dups,
         |  coalesce(g.rep_id, a.vec_id) AS rep_id, g.rep_id IS NULL AS kept
         |FROM assigned a LEFT JOIN g USING (vec_id) ORDER BY a.vec_id""".stripMargin,
+    // Greedy MMR: the identical sequential chain as k generated CTE
+    // steps (the BPE m1..mK precedent) — each s_i is ONE row, so the
+    // max-sim-to-selected is a greatest() over i-1 correlated scalar
+    // subqueries, and every step is pinned AS MATERIALIZED
+    "q_select_mmr" -> duckMmrSql(8),
     // IVF index health: the q_sim_ivf assignment window also carries
     // the winning cosine; floor(c*1e6+0.5) is the engine-identical
     // quantizer (double round() would be half-even vs HALF_UP)

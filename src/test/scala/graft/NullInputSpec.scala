@@ -100,7 +100,8 @@ class NullInputSpec extends AnyFunSuite {
     "q_embed_stats", "q_embed_quant", "q_embed_calib", "q_embed_centroid", "q_embed_train",
     "q_sim_topk", "q_dedup_embed", "q_sim_lsh", "q_sim_ivf", "q_sim_pq",
     "q_sim_ivfpq", "q_dedup_semantic", "q_prune_proto", "q_kcenter",
-    "q_hard_negatives", "q_knn_graph", "q_knn_graph_ivf", "q_ivf_balance")
+    "q_hard_negatives", "q_knn_graph", "q_knn_graph_ivf", "q_ivf_balance",
+    "q_select_mmr")
 
   test("every embedding-family query survives null, zero, and empty vectors") {
     embeddingQueries.foreach { name =>
