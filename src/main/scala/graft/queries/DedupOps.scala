@@ -599,7 +599,15 @@ object DedupOps {
     * detection and span assembly all row-local in the scan stage.
     */
   private def cdcChunkTable(s: SparkSession, d: String, k: Int,
-                            mod: Int): DataFrame = {
+                            mod: Int): DataFrame =
+    // chunk rows ≈ tokens/mod — the same artifact class as the winnow
+    // fingerprints; consumed twice inside q_cdc_chunks (df count +
+    // join back) and again by q_cdc_savings
+    graft.plans.SharedState.cachedDf(s, s"dedup.cdc.$k.$mod", d,
+      Seq("documents.parquet"))(cdcChunkTableOf(s, d, k, mod))
+
+  private def cdcChunkTableOf(s: SparkSession, d: String, k: Int,
+                              mod: Int): DataFrame = {
     val h60 = (g: Column) =>
       conv(substring(md5(g), 1, 15), 16, 10).cast("long")
     val staged = documents(s, d)
@@ -871,7 +879,17 @@ object DedupOps {
     * presentation sort would be wasted).
     */
   private[graft] def winnowFps(
-      s: SparkSession, d: String, k: Int = 4, win: Int = 4): DataFrame = {
+      s: SparkSession, d: String, k: Int = 4, win: Int = 4): DataFrame =
+    // fingerprint rows ≈ 2·tokens/(win+1) of three longs — the
+    // pair-scale artifact class (graph.coEdges precedent), and the
+    // md5-heavy build was re-run up to 3× inside q_overlap alone
+    // (rare slice + both self-join sides) plus once more by q_winnow:
+    // build once per (app, dir, k, win), every consumer rebases
+    graft.plans.SharedState.cachedDf(s, s"dedup.winnow.$k.$win", d,
+      Seq("documents.parquet"))(winnowFpsOf(s, d, k, win))
+
+  private def winnowFpsOf(
+      s: SparkSession, d: String, k: Int, win: Int): DataFrame = {
     val hashes = transform(shinglesN(col("text"), k),
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
     // (hash, 0-based position) structs: struct ordering is
