@@ -102,14 +102,19 @@ object SharedState {
             java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.nio.file.FileAlreadyExistsException |
+          case e @ (_: java.nio.file.FileAlreadyExistsException |
                _: java.nio.file.AccessDeniedException |
-               _: java.nio.file.DirectoryNotEmptyException =>
-            // another writer won the race — discard our copy
+               _: java.nio.file.DirectoryNotEmptyException) =>
+            // presumed: another writer won the race — discard our copy
             val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
             try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
               .forEach(q => java.nio.file.Files.deleteIfExists(q))
             finally walk.close()
+            // ... but only if a winner actually exists: a genuine
+            // permission problem on the artifacts dir would otherwise
+            // be swallowed here and resurface as a confusing
+            // missing-path read failure below (ADVICE r14)
+            if (!java.nio.file.Files.exists(marker)) throw e
         }
         // localCheckpoint lineage cannot cross JVMs; the parquet IS
         // the materialization, so no further Ckpt on the read side

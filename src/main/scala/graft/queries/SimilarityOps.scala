@@ -67,11 +67,17 @@ object SimilarityOps {
           // sq_l2's array<double> input type with exact integer values
           v => floor(v.cast("double") * 1e6 + 0.5).cast("double")).as("q"))
       .transform(graft.plans.Ckpt.maybe) // read twice: scan + broadcast sides
+    // counted at most ONCE per call (ADVICE r14: with
+    // spark.graft.checkpoint=false the count is a full corpus
+    // recompute, so the auto branch must not count for the gate and
+    // again for kCells): exact mode never forces it, ivf/auto-above
+    // force it exactly once and reuse it for the cell derivation
+    lazy val n = x.count()
     val exact = s.conf.get("spark.graft.knnMode", "auto") match {
       case "exact" => true
       case "ivf"   => false
       case _ =>
-        x.count() <= s.conf.get("spark.graft.knnExactLimit", "65536").toLong
+        n <= s.conf.get("spark.graft.knnExactLimit", "65536").toLong
     }
     val pairs =
       if (exact)
@@ -81,7 +87,7 @@ object SimilarityOps {
           .select(col("va"), col("vb"),
             expr("CAST(sq_l2(qa, qb) AS BIGINT)").as("d2"))
       else {
-        val kCells = math.max(16, math.sqrt(x.count().toDouble).toInt)
+        val kCells = math.max(16, math.sqrt(n.toDouble).toInt)
         ivfCandidates(s, d, nprobe = 4, kCells = kCells)
       }
     knnFinish(pairs, k)

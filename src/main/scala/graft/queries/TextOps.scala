@@ -1632,8 +1632,13 @@ object TextOps {
     // all consume the depth-20 table, so it builds once per
     // (app, dir, k, nQueries) and the family rebases on the artifact
     // (r14 — the SharedDedup prescription applied to retrieval-eval)
+    // the artifact is cached UNSORTED (the disk path re-reads via
+    // parquet, which guarantees no row order) and the declared
+    // (query_id, rank) presentation sort applies OUTSIDE the cache
+    // boundary — the SharedDedup convention (ADVICE r14)
     graft.plans.SharedState.cachedDf(s, s"text.bm25.$k.$nQueries", d,
       Seq("documents.parquet"))(bm25Of(s, d, k, nQueries))
+      .orderBy("query_id", "rank")
 
   private def bm25Of(s: SparkSession, d: String, k: Int,
                      nQueries: Int): DataFrame = {
@@ -1668,7 +1673,6 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"))
-      .orderBy("query_id", "rank")
   }
 
   /** The ×1e10 quality-fixed-point top-`depth` ranking shared by

@@ -38,7 +38,22 @@ class KnnGateSpec extends AnyFunSuite {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    try { body; Thread.sleep(2000) } // async listener bus drain
+    try {
+      body
+      // the listener bus is async: poll until the captured-plan count
+      // has been stable for 1.5 s (bounded at 30 s) instead of a fixed
+      // sleep, which under CI load could cut the drain short and make
+      // the plan-presence assertions flaky (ADVICE r14)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          (plans.size != last ||
+            System.nanoTime() - stableSince < 1500L * 1000 * 1000)) {
+        if (plans.size != last) { last = plans.size; stableSince = System.nanoTime() }
+        Thread.sleep(100)
+      }
+    }
     finally spark.listenerManager.unregister(listener)
     plans.asScala.toSeq
   }
