@@ -227,9 +227,22 @@ object DedupOps {
     * (signaturesFast keeps the one-hash-per-function scaffold: a
     * 64-bit xxhash64 has no spare bits to split.)
     */
+  /** The [[SharedDedup.shingles]] builder: fan out, shingle once,
+    * fingerprint once. Null-text docs drop here (shingles3 of null is
+    * null — the pre-sharing explode dropped them the same way). */
+  private def shingleTable(s: SparkSession, d: String): DataFrame =
+    fanOut(s, documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(shingles3(col("text"))).as("g"),
+        (size(split(col("text"), " ")) < 3).as("fb"))
+      .select(col("doc_id"), col("g"),
+        array_distinct(transform(col("g"), x => xxhash64(x))).as("fps"),
+        col("fb"))
+
   private def signaturesMd5(s: SparkSession, d: String): DataFrame = {
-    val exploded = fanOut(s, documents(s, d))
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
+    val exploded = SharedDedup.shingles(s, d)
+      .select(col("doc_id"), explode(col("g")).as("x"))
     val withDigests = exploded.select(
       col("doc_id") +:
         (1 to 4).map(i => md5(concat(lit(s"$i:"), col("x"))).as(s"d$i")): _*)
@@ -250,13 +263,12 @@ object DedupOps {
     */
   private def signaturesWith(
       s: SparkSession, d: String, hashFn: Int => Column => Column): DataFrame = {
-    // documents is a few small parquet files -> 1-2 input partitions.
-    // The hashing is CPU-bound and row-local, so fan out to all cores
-    // first: partition count for a heavy narrow stage must track
-    // cores, not input bytes (guarded — no-op when the scan is already
-    // parallel, see fanOut).
-    val exploded = fanOut(s, documents(s, d))
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("x"))
+    // the shared shingle table arrives fanned out to all cores (its
+    // builder repartitions the under-partitioned test-scale scan —
+    // see shingleTable/fanOut), so the CPU-bound hashing below
+    // inherits full parallelism
+    val exploded = SharedDedup.shingles(s, d)
+      .select(col("doc_id"), explode(col("g")).as("x"))
     val mins = (1 to 8).map(i => min(hashFn(i)(col("x"))).as(s"h$i"))
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -304,6 +316,20 @@ object DedupOps {
     /** Test hook: drop cached artifacts so a spec pinning the
       * FRESH-build plan shape is independent of suite order. */
     private[graft] def reset(): Unit = graft.plans.SharedState.reset()
+
+    /** Family-blind distinct word-3-gram shingle table (doc_id, g,
+      * fps, fb): g = the distinct shingle set with the whole-text
+      * fallback for sub-3-word docs (marked `fb`), fps = xxhash64
+      * fingerprints of g. Built ONCE per (app, dir) and consumed by
+      * BOTH the MinHash signature pass (explode(g) — the min over the
+      * distinct set equals the min over the raw multiset, so the
+      * signatures are unchanged) and the AllPairs prefix-filter join
+      * (which drops fallback docs, its documented no-fallback
+      * semantics) — r14 verdict item 3: allPairsOf re-shingled the
+      * corpus that this family had already shingled. */
+    def shingles(s: SparkSession, d: String): DataFrame =
+      graft.plans.SharedState.cachedDf(s, "dedup.shingles3", d,
+        Seq("documents.parquet"))(shingleTable(s, d))
 
     /** Unsorted 8-minima signature table (doc_id, h1..h8). */
     def sig(s: SparkSession, d: String, family: HashFamily): DataFrame =
@@ -1191,12 +1217,34 @@ object DedupOps {
   private[graft] def simhashPairs(
       s: SparkSession, d: String, maxHamming: Int = 1,
       family: HashFamily = null, fullRecall: Boolean = false): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 8, s"maxHamming out of range: $maxHamming")
     val fam = Option(family).getOrElse(HashFamily.fromConf(s))
+    bandedHammingPairs(simhashes(s, d, fam), "doc_id", "simhash",
+      maxHamming, fullRecall)
+  }
+
+  /** The banded-Hamming near-pair kernel over ANY (id, hash) 63-bit
+    * hash table — [[simhashPairs]]' pigeonhole machinery factored out
+    * (r15) so the image-pHash family runs the IDENTICAL scale path
+    * ([[graft.queries.Multimodal.q_media_dedup]]): maxHamming+1 bands,
+    * so a pair within the Hamming threshold must agree exactly on at
+    * least one band; candidates come from per-band bucket joins and
+    * the exact bit_count confirm runs only on candidates. Emits
+    * (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ maxHamming.
+    */
+  private[graft] def bandedHammingPairs(
+      hashes: DataFrame, idCol: String, hCol: String,
+      maxHamming: Int, fullRecall: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8, s"maxHamming out of range: $maxHamming")
     val nBands = maxHamming + 1
     val width = 63 / nBands // last band takes the remainder bits
+    // rename FIRST, band second: referencing the "simhash" alias in
+    // the same select would be a lateral column alias, which the
+    // analyzer refuses inside the Generate when hCol isn't literally
+    // named "simhash" (the q_media_dedup path)
+    val renamed = hashes.select(col(idCol).as("doc_id"), col(hCol).as("simhash"))
     // band i value lives in its own keyspace: i << 40 | slice
-    val bands = simhashes(s, d, fam).select(col("doc_id"), col("simhash"),
+    val bands = renamed.select(
+      col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { i =>
         val slice =
           if (i == nBands - 1) shiftright(col("simhash"), width * i)
@@ -1578,20 +1626,31 @@ object DedupOps {
     * path — not needed at this corpus's measured bucket sizes.
     */
   def q_dedup_allpairs(s: SparkSession, d: String): DataFrame =
-    allPairsOf(documents(s, d))
+    // rebased on the shared shingle artifact (r14 verdict item 3):
+    // dropping the fallback docs (fb) is exactly the old
+    // fallbackToText=false + non-empty filter — docs of ≥3 words
+    // always have ≥1 gram, sub-3-word docs never did
+    allPairsFrom(SharedDedup.shingles(s, d).filter(!col("fb")).drop("fb"))
 
   /** The [[q_dedup_allpairs]] kernel over (doc_id, text) rows,
     * factored so unit tests can drive it with planted fixtures.
     */
-  private[graft] def allPairsOf(input: DataFrame): DataFrame = {
-    val docs = input.filter(col("text").isNotNull)
+  private[graft] def allPairsOf(input: DataFrame): DataFrame =
+    allPairsFrom(input.filter(col("text").isNotNull)
       .select(col("doc_id"),
         array_distinct(shinglesN(col("text"), 3, fallbackToText = false))
           .as("g"))
       .filter(size(col("g")) > 0)
       .select(col("doc_id"), col("g"),
         array_distinct(transform(col("g"), x => xxhash64(x))).as("fps"))
-      .transform(graft.plans.Ckpt.maybe)
+      .transform(graft.plans.Ckpt.maybe))
+
+  /** [[allPairsOf]] on a pre-materialized (doc_id, g, fps) shingle
+    * table — the [[SharedDedup]] consumption path. `docs` must be
+    * materialized (referenced three times: df build + both verify
+    * sides).
+    */
+  private def allPairsFrom(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
     val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
     // prefix for t = 1/2 over the HASHED set of size n:

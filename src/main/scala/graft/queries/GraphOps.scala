@@ -495,6 +495,13 @@ object GraphOps {
     def coEdges(s: SparkSession, d: String): DataFrame =
       graft.plans.SharedState.cachedDf(s, "graph.coEdges", d,
         Seq("lineitem.parquet"))(partCoEdges(s, d))
+    /** The materialized final (node, label) LPA table over
+      * [[coEdges]], shared by q_graph_lpa and q_graph_modularity —
+      * both keys run the identical K-iteration propagation, so it
+      * builds once per (app, dir, iters). */
+    def lpa(s: SparkSession, d: String, iters: Int): DataFrame =
+      graft.plans.SharedState.cached(s, s"graph.lpaLabels.$iters", d)(
+        lpaLabelTable(coEdges(s, d), iters))
     /** (edges, degree table, oriented triangle set), the triangle
       * family's shared input. */
     def triangles(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
@@ -728,13 +735,23 @@ object GraphOps {
     * DuckDB. Community sizes attach via one O(labels) count agg.
     */
   def q_graph_lpa(s: SparkSession, d: String, iters: Int = 3): DataFrame =
-    lpaLabels(SharedGraph.coEdges(s, d), iters)
+    lpaFinish(SharedGraph.lpa(s, d, iters))
 
   /** The synchronous-LPA kernel of [[q_graph_lpa]], factored so unit
     * tests can drive it with hand-built graphs. `e` must be a
     * DISTINCT undirected edge list with `a < b` (long columns).
     */
-  private[graft] def lpaLabels(e: DataFrame, iters: Int): DataFrame = {
+  private[graft] def lpaLabels(e: DataFrame, iters: Int): DataFrame =
+    lpaFinish(lpaLabelTable(e, iters))
+
+  /** The K-iteration propagation loop of [[lpaLabels]], returning the
+    * MATERIALIZED final (node, label) table — the expensive state
+    * [[q_graph_lpa]] and [[q_graph_modularity]] both consume, so it
+    * memoizes once per (app, dir, iters) via [[SharedGraph.lpa]]
+    * (r14 verdict: the LPA rerun inside modularityOf was most of the
+    * #2 bench key).
+    */
+  private[graft] def lpaLabelTable(e: DataFrame, iters: Int): DataFrame = {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .transform(graft.plans.Ckpt.maybe)
@@ -758,11 +775,18 @@ object GraphOps {
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
         .select(col("dst").as("node"), (-col("best.neg")).as("label"))
     }
-    // the FINAL label table is referenced twice (sizes agg + output
-    // join) — materialize once or the whole K-iteration chain runs
-    // twice (the twice-referenced-state rule; labels inside the loop
-    // are single-reference and need no per-level materialization)
-    val labelsD = labels.transform(graft.plans.Ckpt.maybe)
+    // the FINAL label table is referenced at least twice by every
+    // consumer (sizes agg + output join here; three joins in the
+    // modularity kernel) — materialize once or the whole K-iteration
+    // chain reruns per reference (the twice-referenced-state rule;
+    // labels inside the loop are single-reference and need no
+    // per-level materialization)
+    labels.transform(graft.plans.Ckpt.maybe)
+  }
+
+  /** The O(labels) community-size attach + presentation sort of
+    * [[q_graph_lpa]] over a materialized label table. */
+  private def lpaFinish(labelsD: DataFrame): DataFrame = {
     val sizes = labelsD.groupBy("label").agg(count(lit(1)).as("comm_size"))
     labelsD.join(broadcast(sizes), Seq("label"))
       .select(col("node"), col("label"), col("comm_size"))
@@ -992,7 +1016,10 @@ object GraphOps {
     * aggregation is map-side combinable with O(labels) output.
     */
   def q_graph_modularity(s: SparkSession, d: String, iters: Int = 3): DataFrame =
-    modularityOf(SharedGraph.coEdges(s, d), iters)
+    // coEdges and the label table are both already-materialized
+    // shared artifacts — the LPA loop no longer reruns inside this
+    // key (r14 verdict item 2)
+    modularityFrom(SharedGraph.coEdges(s, d), SharedGraph.lpa(s, d, iters))
 
   /** The [[q_graph_modularity]] kernel over a DISTINCT undirected
     * `a < b` edge list, factored so unit tests can drive it with
@@ -1000,8 +1027,14 @@ object GraphOps {
     */
   private[graft] def modularityOf(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.transform(graft.plans.Ckpt.maybe) // referenced 3x below
-    val labels = lpaLabels(e, iters).select(col("node"), col("label"))
-      .transform(graft.plans.Ckpt.maybe)
+    modularityFrom(e, lpaLabelTable(e, iters))
+  }
+
+  /** [[modularityOf]] on a pre-materialized (edges, labels) pair —
+    * the [[SharedGraph]] consumption path. Both inputs must be
+    * materialized (each is referenced 3×). */
+  private def modularityFrom(e: DataFrame, labelTable: DataFrame): DataFrame = {
+    val labels = labelTable.select(col("node"), col("label"))
     val m = e.agg(count(lit(1)).as("m"))
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
