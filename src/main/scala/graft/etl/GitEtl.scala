@@ -106,16 +106,6 @@ object GitEtl {
       .toDF()
       .persist()
 
-    // Author normalization (J1): broadcast the email→name map and
-    // override the *name* only (repository.rs:167-171). A literal
-    // MapType rides inside codegen — zero shuffle, like the
-    // reference's in-process HashMap.
-    val authorMapCol = typedLit(config.authorMap)
-    val logsRaw = events.filter(col("kind") === "commit")
-      .select(col("commit.*"))
-      .withColumn("author_name",
-        coalesce(element_at(authorMapCol, col("author_email")), col("author_name")))
-
     // Repositories dimension from the VALIDATED WORK-LIST (kind=repo
     // events), not from extracted commits: a repo that validates but
     // yields zero non-merge commits still gets its row, matching the
@@ -134,27 +124,7 @@ object GitEtl {
 
     val repositories = repoDim.select("repo_id", "name", "url")
 
-    val logs = logsRaw
-      .join(broadcast(repoDim), logsRaw("repo_path") === repoDim("path"))
-      .select(
-        col("commit_hash"),
-        col("parent_hash"),
-        col("author_name"),
-        col("author_email"),
-        timestamp_seconds(col("commit_epoch")).as("commit_datetime"),
-        col("commit_epoch"),
-        col("message"),
-        col("insertions"),
-        col("deletions"),
-        col("repo_id").as("repository_id"))
-
-    // repository_id discriminates fork-shared commit hashes, matching
-    // the (repository_id, commit_hash) logs key — without it a commit
-    // reachable from two repos would double-join per-file rows.
-    val changedFiles = logsRaw
-      .join(broadcast(repoDim), logsRaw("repo_path") === repoDim("path"))
-      .select(col("commit_hash"), explode(col("changed_files")).as("file_path"),
-        col("repo_id").as("repository_id"))
+    val (logs, changedFiles) = normalizedTables(events, repoDim, config.authorMap)
 
     val failures = events.filter(col("kind") === "error")
       .select(col("repo_path").as("path"), col("error"))
@@ -166,6 +136,47 @@ object GitEtl {
       "failures" -> failures,
       "ignored" -> ignored.toDF("name"),
       "events" -> events)
+  }
+
+  /** The commit-normalization tail shared by the full-history path
+    * above and the incremental path ([[GitEtlIncr]]): author-map
+    * override + repo-id attach + per-file explode over any extraction
+    * event frame and any (repo_id, path) dimension.
+    */
+  private[etl] def normalizedTables(
+      events: DataFrame, repoDim: DataFrame,
+      authorMap: Map[String, String]): (DataFrame, DataFrame) = {
+    // Author normalization (J1): broadcast the email→name map and
+    // override the *name* only (repository.rs:167-171). A literal
+    // MapType rides inside codegen — zero shuffle, like the
+    // reference's in-process HashMap.
+    val authorMapCol = typedLit(authorMap)
+    val logsRaw = events.filter(col("kind") === "commit")
+      .select(col("commit.*"))
+      .withColumn("author_name",
+        coalesce(element_at(authorMapCol, col("author_email")), col("author_name")))
+    val dim = repoDim.select(col("repo_id"), col("path"))
+    val logs = logsRaw
+      .join(broadcast(dim), logsRaw("repo_path") === dim("path"))
+      .select(
+        col("commit_hash"),
+        col("parent_hash"),
+        col("author_name"),
+        col("author_email"),
+        timestamp_seconds(col("commit_epoch")).as("commit_datetime"),
+        col("commit_epoch"),
+        col("message"),
+        col("insertions"),
+        col("deletions"),
+        col("repo_id").as("repository_id"))
+    // repository_id discriminates fork-shared commit hashes, matching
+    // the (repository_id, commit_hash) logs key — without it a commit
+    // reachable from two repos would double-join per-file rows.
+    val changedFiles = logsRaw
+      .join(broadcast(dim), logsRaw("repo_path") === dim("path"))
+      .select(col("commit_hash"), explode(col("changed_files")).as("file_path"),
+        col("repo_id").as("repository_id"))
+    (logs, changedFiles)
   }
 
   /** Materialize the run report from [[dataframes]] output — the one

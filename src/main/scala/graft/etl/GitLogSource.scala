@@ -43,7 +43,13 @@ final case class ExtractEvent(
     repo_path: String,
     repo_url: String,
     error: String,
-    commit: CommitRow)
+    commit: CommitRow,
+    // incremental-extraction metadata, set on kind="repo" events of the
+    // since-snapshot path only (GitEtlIncr): the repo's HEAD at
+    // extraction time (the next run's frontier) and how this run
+    // extracted it — full | since | noop | rewind
+    head: String = null,
+    mode: String = null)
 
 /** Git history extraction via `git log` parsing (the JVM has no
   * bundled JGit in /opt/spark/jars, and libgit2 is C — parsing
@@ -217,6 +223,64 @@ object GitLogSource {
     }
   }
 
+  /** The repo's current HEAD hash, or None when unresolvable. */
+  def headHash(path: Path): Option[String] =
+    Try(Process(Seq("git", "rev-parse", "--verify", "HEAD"), path.toFile).!!.trim)
+      .toOption.filter(_.nonEmpty)
+
+  /** Is `old` an ancestor of HEAD? False on a force-pushed/rewritten
+    * history AND on an unknown object (gc'd old head) — both fall back
+    * to full extraction in [[extractRepoSince]]. */
+  private def isAncestor(path: Path, old: String): Boolean =
+    Try(Process(Seq("git", "merge-base", "--is-ancestor", old, "HEAD"),
+      path.toFile).!(ProcessLogger(_ => (), _ => ()))).toOption.contains(0)
+
+  /** Incremental variant of [[extractRepo]] — the since-snapshot ETL's
+    * per-repo extraction (the reference re-runs full history every
+    * time, analyzer.rs:301; a real deployment re-extracts daily and
+    * must touch only new commits). Given the repo's head recorded by
+    * the PREVIOUS run:
+    *
+    *  - no previous head (new repo)          → mode "full": whole history;
+    *  - previous head == current HEAD        → mode "noop": zero commits,
+    *    no `git log` subprocess at all;
+    *  - previous head is an ancestor of HEAD → mode "since": exactly
+    *    `git log old..HEAD` — cost proportional to NEW commits;
+    *  - previous head missing / not an ancestor (force push, gc)
+    *                                         → mode "rewind": full
+    *    history again — the append path's anti-join against the
+    *    already-committed (repository_id, commit_hash) set deduplicates
+    *    (GitEtlIncr), so a rewound repo is re-covered, never doubled.
+    *
+    * The kind="repo" event carries the CURRENT head (the next run's
+    * frontier) and the mode taken.
+    */
+  def extractRepoSince(path: Path, prevHead: Option[String]): Iterator[ExtractEvent] = {
+    val name = path.getFileName.toString
+    validateRepo(path) match {
+      case Some(err) =>
+        Iterator.single(ExtractEvent("error", name, path.toString, null, err, null))
+      case None =>
+        val url = remoteUrl(path.toFile)
+        val head = headHash(path).orNull
+        val mode = prevHead match {
+          case None                               => "full"
+          case Some(old) if old == head           => "noop"
+          case Some(old) if isAncestor(path, old) => "since"
+          case Some(_)                            => "rewind"
+        }
+        val repoEv = Iterator.single(
+          ExtractEvent("repo", name, path.toString, url, null, null, head, mode))
+        val commits = mode match {
+          case "noop"  => Iterator.empty[CommitRow]
+          case "since" => streamRepo(path, name, url, Seq(s"${prevHead.get}..HEAD"))
+          case _       => streamRepo(path, name, url)
+        }
+        repoEv ++ commits.map(c =>
+          ExtractEvent("commit", name, path.toString, url, null, c))
+    }
+  }
+
   /** Sharded variant of [[extractRepo]] — the giant-repo straggler
     * mitigation: shard `sh` of `shards` extracts only the commits whose
     * hash falls in its slice, so one huge history spreads over several
@@ -327,8 +391,11 @@ object GitLogSource {
     }
   }
 
-  private def streamRepo(path: Path, name: String, url: String): Iterator[CommitRow] = {
-    val pb = new java.lang.ProcessBuilder(logCommand: _*)
+  private def streamRepo(path: Path, name: String, url: String,
+                         range: Seq[String] = Nil): Iterator[CommitRow] = {
+    // `range` appends a rev range (e.g. "old..HEAD") to the shared log
+    // command — empty means the default HEAD walk
+    val pb = new java.lang.ProcessBuilder((logCommand ++ range): _*)
     pb.directory(path.toFile)
     val proc = pb.start()
     proc.getOutputStream.close()
