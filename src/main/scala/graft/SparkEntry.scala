@@ -301,6 +301,7 @@ object SparkEntry {
     "q_media_decode"   -> ((s, d) => Multimodal.q_media_decode(s, d)),
     "q_media_audio"    -> ((s, d) => Multimodal.q_media_audio(s, d)),
     "q_media_phash"    -> ((s, d) => Multimodal.q_media_phash(s, d)),
+    "q_media_dedup"    -> ((s, d) => Multimodal.q_media_dedup(s, d)),
     "q_media_frame_meta" -> ((s, d) => Multimodal.q_media_frame_meta(s, d)),
   )
 
@@ -2986,6 +2987,34 @@ object SparkEntry {
         |  FROM ph x JOIN ph y ON x.media_id <> y.media_id)
         |SELECT media_id, phash, nn_id, nn_hamming
         |FROM pr WHERE rn = 1 ORDER BY media_id""".stripMargin,
+    // Image near-dup pairs (Multimodal.q_media_dedup): banding is pure
+    // pruning (pigeonhole: maxHamming+1 bands, a pair within the
+    // threshold agrees exactly on >=1 band), so the oracle skips it
+    // and takes ALL pairs within Hamming <= 3 over the closed-form
+    // pHash — a hash match proves the banded path loses no pairs and
+    // reproves the PNG codec arithmetic (the q_dedup_simhash stance).
+    "q_media_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, g1.x, g2.y,
+        |    299*((media_id*37 + x*5 + y*11) % 256)
+        |    + 587*((media_id*37 + x*5 + y*11 + 3) % 256)
+        |    + 114*((media_id*37 + x*5 + y*11 + 6) % 256) AS luma
+        |  FROM documents, generate_series(0, 15) g1(x), generate_series(0, 15) g2(y)
+        |  WHERE doc_id < 64),
+        |bl AS (SELECT media_id, (y // 2) * 8 + (x // 2) AS b,
+        |         CAST(sum(luma) AS BIGINT) AS bs
+        |       FROM px GROUP BY 1, 2),
+        |tt AS (SELECT media_id, CAST(sum(bs) AS BIGINT) AS total
+        |       FROM bl GROUP BY 1),
+        |ph AS (SELECT bl.media_id,
+        |    CAST(sum(CASE WHEN b < 63 AND 64 * bs > total
+        |             THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM bl JOIN tt USING (media_id) GROUP BY 1)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     // REAL audio codec round-trip (Multimodal.q_media_audio): Spark
     // encodes a deterministic 256-sample 16-bit PCM mono WAV per id
     // with javax.sound.sampled, decodes it back, and emits integer

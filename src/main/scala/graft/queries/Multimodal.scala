@@ -264,31 +264,14 @@ object Multimodal {
     * mapPartitions decode pass (codec init amortized per partition);
     * the all-pairs neighbor scan is bounded by the oracle window, and
     * at corpus scale is replaced verbatim by the banded-LSH machinery
-    * of q_dedup_simhash (63-bit hash, 4×16-bit bands → Hamming ≤ 3
-    * guaranteed by pigeonhole) — the hash column, not this report, is
+    * of q_dedup_simhash — which [[q_media_dedup]] actually RUNS over
+    * these hashes (r15; maxHamming+1 bands → recall guaranteed by
+    * pigeonhole). The hash column, not this report, is
     * the production surface.
     */
   def q_media_phash(s: SparkSession, d: String, maxDocs: Int = 64,
       w: Int = 16, h: Int = 16): DataFrame = {
-    import s.implicits._
-    val hashes = documents(s, d).select(col("doc_id"))
-      .filter(col("doc_id") < maxDocs)
-      .as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
-          val blocks = decodeLumaBlocks(encodePng(id, w, h), 8)
-            .getOrElse(sys.error(s"PNG round-trip failed for media_id=$id"))
-          val total = blocks.sum
-          var hash = 0L
-          var b = 0
-          while (b < 63) { // bit 63 would sign the long
-            if (64L * blocks(b) > total) hash |= (1L << b)
-            b += 1
-          }
-          PhashRow(id, hash)
-        }
-      }
-      .toDF().transform(graft.plans.Ckpt.maybe) // referenced twice: both pair sides
+    val hashes = phashTable(s, d, maxDocs, w, h)
     // broadcast the bounded hash table: BroadcastNestedLoopJoin, never
     // a shuffled cartesian (the all-pairs scan is oracle-window-sized
     // by contract; corpus scale goes through banded LSH instead)
@@ -305,6 +288,63 @@ object Multimodal {
       .select("media_id", "phash", "nn_id", "nn_hamming")
       .orderBy("media_id")
   }
+
+  /** The materialized (media_id, phash) table both pHash keys consume:
+    * one mapPartitions decode pass over the REAL PNG codec (init
+    * amortized per partition), checkpointed — [[q_media_phash]] reads
+    * it on both pair sides, [[q_media_dedup]] feeds it to the banded
+    * candidate generator.
+    */
+  private def phashTable(s: SparkSession, d: String, maxDocs: Int,
+      w: Int, h: Int): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < maxDocs)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val blocks = decodeLumaBlocks(encodePng(id, w, h), 8)
+            .getOrElse(sys.error(s"PNG round-trip failed for media_id=$id"))
+          val total = blocks.sum
+          var hash = 0L
+          var b = 0
+          while (b < 63) { // bit 63 would sign the long
+            if (64L * blocks(b) > total) hash |= (1L << b)
+            b += 1
+          }
+          PhashRow(id, hash)
+        }
+      }
+      .toDF().transform(graft.plans.Ckpt.maybe)
+  }
+
+  /** Image-corpus near-dup pairs — [[q_media_phash]]'s 63-bit aHash
+    * run through the banded-Hamming candidate machinery of
+    * q_dedup_simhash ([[graft.queries.DedupOps.bandedHammingPairs]]):
+    * maxHamming+1 bands of the hash, per-band bucket equi-joins
+    * generate candidates (pigeonhole: a pair within the threshold
+    * agrees exactly on ≥1 band — NO false negatives), exact
+    * bit_count(xor) confirms. This wires the scale path the r14
+    * multimodal family documented but didn't run: at corpus scale the
+    * only exchange moves (band, id, hash) triples — never an image
+    * pair space — and the decode stays a single scan-stage
+    * mapPartitions pass.
+    *
+    * Oracle stance: banding is pure pruning, so DuckDB takes ALL
+    * pairs within the threshold over the closed-form pHash (the
+    * q_dedup_simhash convention) — a hash match proves the banded
+    * path loses no pairs AND reproves the codec arithmetic. Default
+    * threshold 3 ≈ the aHash near-dup band (measured: 149 of 2016
+    * possible pairs at the 64-image oracle window — structured, not
+    * saturated).
+    */
+  def q_media_dedup(s: SparkSession, d: String, maxDocs: Int = 64,
+      maxHamming: Int = 3, w: Int = 16, h: Int = 16): DataFrame =
+    DedupOps.bandedHammingPairs(
+        phashTable(s, d, maxDocs, w, h), "media_id", "phash", maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+      .orderBy("media_a", "media_b")
 
   // ---- Real audio codec (javax.sound.sampled — bundled in every JVM) ----
 

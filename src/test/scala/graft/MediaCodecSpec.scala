@@ -92,4 +92,32 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudioFeatures(wav).isDefined)
     assert(Multimodal.decodeAudioFeatures("plain text".getBytes).isEmpty)
   }
+
+  test("banded-Hamming candidates equal brute force on a planted near-dup fixture (q_media_dedup recall)") {
+    import TestSpark.spark.implicits._
+    // planted around one base hash: near-dups at Hamming 1, 2, 3 (the
+    // pigeonhole guarantee must surface ALL of them), a Hamming-4
+    // neighbor (candidates may propose it, the exact confirm must drop
+    // it), and far hashes — so every band width and the confirm filter
+    // are exercised
+    val base = 0x123456789abcdL
+    val rows = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                                    // Hamming 1
+      3L -> (base ^ (1L << 20) ^ (1L << 40)),               // Hamming 2
+      4L -> (base ^ (1L << 5) ^ (1L << 25) ^ (1L << 45)),   // Hamming 3
+      5L -> (base ^ 0xfL),                                  // Hamming 4: out
+      6L -> (~base & Long.MaxValue),                        // far
+      7L -> 0L)
+    val got = graft.queries.DedupOps
+      .bandedHammingPairs(rows.toDF("id", "h"), "id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, s"banded=$got brute=$brute")
+    assert(brute.exists(_._3 == 3L), "fixture must actually plant a depth-3 pair")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L), "Hamming-4 neighbor must not pass the confirm")
+  }
 }
