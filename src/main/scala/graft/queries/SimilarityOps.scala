@@ -921,12 +921,23 @@ object SimilarityOps {
     * bounded all-pairs form oracle-checks the kernel). Top-50 pairs
     * under the (cosine DESC, ids) total order.
     *
-    * Honest scale note for THIS corpus: the 31-word shared vocabulary
-    * means every term's posting list is O(corpus), so an unbounded
-    * term self-join is structurally quadratic here — on a real
-    * corpus the scale path is prefix filtering (Bayardo et al. 2007:
-    * index only each doc's highest-weight terms above the threshold
-    * bound) or the MinHash-LSH candidates feeding this same kernel.
+    * Scale route (r15 — the r14 verdict's "documented escalation"
+    * implemented): on THIS corpus the 31-word shared vocabulary makes
+    * every term's posting list O(corpus), so the unbounded term
+    * self-join is structurally quadratic. Above
+    * `spark.graft.sparseExactLimit` (or with
+    * `spark.graft.sparseMode=prefix`) candidate generation switches
+    * to the AllPairs prefix filter in Bayardo's ORIGINAL setting
+    * (Bayardo et al., WWW 2007 — weighted cosine over TF-IDF
+    * vectors): order terms globally rarest-first (df asc), keep each
+    * doc's prefix = the positions whose SUFFIX L2 norm still reaches
+    * `spark.graft.sparseTau` (Cauchy-Schwarz: if every shared term
+    * lies in a doc's sub-threshold suffix, the pair's cosine is below
+    * tau — so joining prefix terms against full posting lists loses
+    * NO pair at or above the threshold), then score candidates with
+    * the IDENTICAL exact integer kernel and keep cosine ≥ tau. The
+    * gate and both-route identity are pinned in SparseGateSpec; the
+    * oracle runs the below-gate route (sf data sits under the limit).
     *
     * Determinism: weights quantize to ×1e6 longs BEFORE any sum, so
     * dot products and squared norms are exact order-free long sums
@@ -934,7 +945,9 @@ object SimilarityOps {
     * accumulation far from long overflow at this scale); the cosine
     * is then ONE double expression per pair — two sqrts and a
     * division on exact integer operands, mirrored token-for-token in
-    * the oracle.
+    * the oracle. The prefix bound itself compares exact long
+    * suffix-sums against tau²·n2 in DECIMAL(38,0), one fixed-point
+    * ulp slack absorbing the reported cosine's 6-dp rounding.
     */
   def q_sim_sparse(s: SparkSession, d: String, maxDoc: Long = 100,
                    topN: Int = 50): DataFrame = {
@@ -950,24 +963,106 @@ object SimilarityOps {
         round(round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6) * 1e6)
           .cast("long").as("w"))
       .filter(col("doc_id") < maxDoc)
-      // three consumers (norms + both dot sides) over a token-scale
-      // tf/df lineage — the twice-referenced-state rule; the
-      // materialized slice is O(maxDoc * doc vocab) rows, kilobytes
+      // three-plus consumers (norms + both dot sides; the prefix
+      // route adds the candidate build) over a token-scale tf/df
+      // lineage — the twice-referenced-state rule; the materialized
+      // slice is O(maxDoc * doc vocab) rows, kilobytes
       .transform(graft.plans.Ckpt.maybe)
     val norms = wfp.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    val dots = wfp.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
-      .join(wfp.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
-        Seq("term"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(col("wa") * col("wb")).as("dot_fp"))
-    dots
+      .transform(graft.plans.Ckpt.maybe) // 3 consumers: finish a/b + prefix bound
+    // counted at most once (the knnExactLimit convention): forced
+    // modes never trigger the job
+    lazy val n = norms.count()
+    val exact = s.conf.get("spark.graft.sparseMode", "auto") match {
+      case "allpairs" => true
+      case "prefix"   => false
+      case _ =>
+        n <= s.conf.get("spark.graft.sparseExactLimit", "65536").toLong
+    }
+    if (exact) {
+      val dots = wfp.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+        .join(wfp.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+          Seq("term"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("wa") * col("wb")).as("dot_fp"))
+      sparseFinish(dots, norms, topN)
+    } else {
+      val tau = s.conf.get("spark.graft.sparseTau", "0.5").toDouble
+      val cand = sparseCandidates(wfp, df, norms, tau)
+      val dots = cand
+        .join(wfp.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa")),
+          Seq("doc_a"))
+        .join(wfp.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+          Seq("doc_b", "term"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("wa") * col("wb")).as("dot_fp"))
+      sparseFinish(dots, norms, topN, minCos = Some(tau))
+    }
+  }
+
+  /** Prefix-filtered candidate pairs over a ×1e6 fixed-point TF-IDF
+    * slice — the [[q_sim_sparse]] upper route's generator, factored so
+    * SparseGateSpec can pin its two algorithm properties directly
+    * (recall: candidates ⊇ every pair with cosine ≥ tau; pruning:
+    * strictly fewer candidates than the full pair space).
+    *
+    * Global term order = (df ASC, term): rare terms first, so prefixes
+    * are rare-token-heavy and candidate buckets stay small exactly
+    * where posting lists are long — the AllPairs property. A doc's
+    * position i is in its prefix iff the L2 norm of its suffix FROM i
+    * still reaches tau (suffix_sumsq·10¹² ≥ (tau_fp−1)²·n2, exact
+    * longs compared in DECIMAL(38,0)); by Cauchy-Schwarz a pair whose
+    * shared terms all sit in one side's sub-threshold suffix has
+    * cosine < tau, so every qualifying pair shares ≥1 term that is in
+    * at least one side's prefix — which is exactly the (prefix ×
+    * full-posting) join emitted here, canonicalized by least/greatest
+    * and deduped.
+    */
+  private[graft] def sparseCandidates(
+      wfp: DataFrame, df: DataFrame, norms: DataFrame,
+      tau: Double): DataFrame = {
+    // one ulp of conservative slack: the reported cosine rounds to 6
+    // decimals, so a pair printing exactly tau can sit 5e-7 below it
+    val tauFp = math.floor(tau * 1e6).toLong - 1
+    val bound = tauFp * tauFp // ≤ 1e12, exact in long
+    val pref = wfp.join(broadcast(df), "term")
+      .groupBy("doc_id")
+      // array_sort on struct(df, term, w) IS the global order: df asc,
+      // ties by term — any consistent total order works
+      .agg(array_sort(collect_list(struct(col("df"), col("term"), col("w")))).as("ts"))
+      .join(norms, "doc_id")
+      .select(col("doc_id"), explode(expr(
+        s"""filter(
+           |  transform(ts, (x, i) -> CASE WHEN
+           |      CAST(aggregate(slice(ts, i + 1, size(ts) - i), 0L,
+           |                     (acc, y) -> acc + y.w * y.w) AS DECIMAL(38,0))
+           |        * 1000000000000
+           |      >= CAST($bound AS DECIMAL(38,0)) * n2
+           |    THEN x.term ELSE NULL END),
+           |  t -> t IS NOT NULL)""".stripMargin)).as("term"))
+    pref.select(col("term"), col("doc_id").as("p_doc"))
+      .join(wfp.select(col("term"), col("doc_id").as("a_doc")), Seq("term"))
+      .filter(col("p_doc") =!= col("a_doc"))
+      .select(least(col("p_doc"), col("a_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("a_doc")).as("doc_b"))
+      .distinct()
+  }
+
+  /** The shared exact-scoring tail of both [[q_sim_sparse]] routes:
+    * norm attach, one double cosine per pair, total-order top-N.
+    * `minCos` is the prefix route's declared threshold (its candidate
+    * recall guarantee only covers pairs at or above it). */
+  private def sparseFinish(dots: DataFrame, norms: DataFrame, topN: Int,
+                           minCos: Option[Double] = None): DataFrame = {
+    val scored = dots
       .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), Seq("doc_a"))
       .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("dot_fp"),
         round(col("dot_fp").cast("double") /
           (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6)
           .as("cosine"))
+    minCos.fold(scored)(t => scored.filter(col("cosine") >= t))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
       .limit(topN)
   }
