@@ -22,8 +22,11 @@ object Main {
     if (args.isEmpty) {
       System.err.println(
         "usage: graft.etl.Main <root> --out <dir> [--config <toml>] " +
-          "[--max-depth N] [--recursive] [--shards N] [--num-threads N] [--clear]\n" +
-          "       (--database is accepted as an alias for --out, matching the reference CLI)")
+          "[--max-depth N] [--recursive] [--shards N] [--num-threads N] " +
+          "[--incremental] [--clear]\n" +
+          "       (--database is accepted as an alias for --out, matching the reference CLI;\n" +
+          "        --incremental appends only new commits since the last run's recorded\n" +
+          "        heads to snapshot-versioned tables under --out)")
       sys.exit(2)
     }
     val root = Paths.get(args(0))
@@ -34,6 +37,7 @@ object Main {
     var recursive = false
     var shards = 1 // >1 spreads giant repos over several tasks
     var threads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    var incremental = false
     var clear = false
     var i = 1
     def value(flag: String): String = {
@@ -53,6 +57,7 @@ object Main {
         case "--recursive"   => recursive = true; i += 1 // analyzer.rs:32-62 parity
         case "--shards"      => shards = value("--shards").toInt; i += 2
         case "--num-threads" => threads = value("--num-threads").toInt; i += 2
+        case "--incremental" => incremental = true; i += 1 // since-snapshot mode
         case "--clear"       => clear = true; i += 1 // parquet overwrite is implicit
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
@@ -74,6 +79,23 @@ object Main {
     // when missing; no --config picks up ./config.toml if present
     val config = EtlConfig.resolve(configPath.map(Paths.get(_)))
     val t0 = System.nanoTime()
+
+    if (incremental) {
+      // since-snapshot mode: only new commits extract; tables are the
+      // snapshot-versioned manifest-log layout (GitEtlIncr scaladoc)
+      val rep = GitEtlIncr.run(spark, root, out, config, maxDepth)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val byMode = rep.modes.groupBy(_._2).view.mapValues(_.size).toMap
+      println(f"# Done in $secs%.1f seconds (incremental -> logs version ${rep.logsVersion})")
+      println("# Repos by mode: " + Seq("full", "since", "noop", "rewind")
+        .flatMap(m => byMode.get(m).map(n => s"$m=$n")).mkString(", "))
+      if (rep.failed.nonEmpty)
+        println(s"# Skipped (${rep.failed.size}): ${rep.failed.keys.toSeq.sorted.mkString(", ")}")
+      println(s"# batch: ${rep.batchLogs} log rows, ${rep.batchFiles} changed-file rows -> $out")
+      spark.stop()
+      return
+    }
+
     val tables = GitEtl.dataframes(spark, root, config, maxDepth, shards)
     // Live progress during the long pole (the reference's per-repo
     // bars, analyzer.rs:282): one Spark task = one (repo, shard), so
