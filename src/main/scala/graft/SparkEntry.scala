@@ -168,6 +168,7 @@ object SparkEntry {
     "q_ece"          -> (TextOps.q_ece _),
     "q_ndcg"         -> ((s, d) => TextOps.q_ndcg(s, d)),
     "q_pbm"          -> ((s, d) => TextOps.q_pbm(s, d)),
+    "q_map"          -> ((s, d) => TextOps.q_map(s, d)),
     "q_hill"         -> ((s, d) => TextOps.q_hill(s, d)),
     "q_zipf"         -> ((s, d) => TextOps.q_zipf(s, d)),
     "q_chi2"         -> (TextOps.q_chi2 _),
@@ -3621,6 +3622,35 @@ object SparkEntry {
          |  (2 * CAST(sum(click) AS BIGINT) * 1000000 + 20) // (2 * 20) AS ctr_fp,
          |  (2 * CAST(sum(click * rank) AS BIGINT) * 1000000 + 20) // (2 * 20) AS ips_fp
          |FROM cl GROUP BY 1 ORDER BY query_id""".stripMargin,
+    // MAP@20: binary quality-top relevance over the bm25 depth-20
+    // list; Precision@r terms share denominator L = lcm(1..20) =
+    // 232792560 so the AP numerator is an exact long sum and ap_fp is
+    // one x1e6 round-half-up division by L*20 = 4655851200
+    "q_map" ->
+      s"""WITH $duckBm25Ctes,
+         |lex AS (SELECT query_id, doc_id, r FROM (
+         |          SELECT query_id, doc_id,
+         |            CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r
+         |          FROM agg) WHERE r <= 20),
+         |qsc AS (SELECT doc_id,
+         |          CAST(round($duckQualityScore * 1e10) AS BIGINT) AS qf
+         |        FROM documents WHERE text IS NOT NULL),
+         |qtop AS (SELECT doc_id, r FROM (
+         |           SELECT doc_id,
+         |             CAST(row_number() OVER (ORDER BY qf DESC, doc_id) AS BIGINT) AS r
+         |           FROM qsc) WHERE r <= 20),
+         |cl AS (SELECT lex.query_id, lex.r AS rank,
+         |         CASE WHEN qtop.doc_id IS NULL THEN 0 ELSE 1 END AS click
+         |       FROM lex LEFT JOIN qtop USING (doc_id)),
+         |h AS (SELECT query_id, rank, click,
+         |        sum(click) OVER (PARTITION BY query_id ORDER BY rank
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+         |      FROM cl)
+         |SELECT query_id, CAST(sum(click) AS BIGINT) AS n_rel,
+         |  (2 * CAST(sum(click * hits * (232792560 // rank)) AS BIGINT) * 1000000
+         |    + 4655851200) // (2 * 4655851200) AS ap_fp
+         |FROM h GROUP BY 1 ORDER BY query_id""".stripMargin,
     // Hill tail index: top-21 counts by (n DESC, t), x1e9-quantized
     // per-count ln, exact ratio sum, x1e6 alpha with a NULL guard for
     // k past the vocabulary

@@ -1975,6 +1975,46 @@ object TextOps {
         expr(s"(2 * ips_sum * 1000000 + $depth) div (2 * $depth)")
           .as("ips_fp"))
 
+  /** MAP@k (mean-average-precision leg of the retrieval-eval family —
+    * [[q_rrf]] merges, [[q_rbo]] measures agreement, [[q_ndcg]] grades,
+    * [[q_pbm]] debiases clicks; this one scores BINARY relevance with
+    * the rank-position metric TREC reports): per query, AP@k =
+    * (1/k)·Σ_{relevant ranks r} Precision@r over [[q_bm25]]'s
+    * depth-cut list, relevance = membership in the query-independent
+    * quality top-`depth` ([[qualityTop]] — the same labels the rest of
+    * the family uses), normalizer = the constant k (the TREC AP@k
+    * convention with R ≥ k candidates).
+    *
+    * Exactness: Precision@r = hits_r/r is put over the common
+    * denominator L = lcm(1..depth) (232 792 560 at depth 20), so the
+    * AP numerator Σ click_r·hits_r·(L/r) is an exact order-free long
+    * sum (≤ depth²·L ≈ 9.3e10) and ap_fp is ONE ×1e6 round-half-up
+    * division by L·depth. Consumes the same (query_id, rank, click)
+    * log as [[q_pbm]] ([[pbmClicked]] — the BM25/quality artifacts
+    * build once for the whole family).
+    *
+    * Scale shape: the cumulative-hits window runs over ≤ depth rows
+    * per query (bounded partitions, the q_ndcg ideal-window stance);
+    * one O(queries)-key map-side-combined aggregation. Nothing else
+    * shuffles.
+    */
+  def q_map(s: SparkSession, d: String, depth: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = (1 to depth).foldLeft(1L)((l, i) =>
+      l / BigInt(l).gcd(BigInt(i)).toLong * i)
+    val den = L * depth
+    val w = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pbmClicked(s, d, depth)
+      .withColumn("hits", sum(col("click")).over(w))
+      .groupBy("query_id")
+      .agg(sum(col("click")).as("n_rel"),
+        sum(col("click") * col("hits") * expr(s"$L div rank")).as("ap_sum"))
+      .select(col("query_id"), col("n_rel"),
+        expr(s"(2 * ap_sum * 1000000 + $den) div (2 * $den)").as("ap_fp"))
+      .orderBy("query_id")
+  }
+
   /** The mirrored sigmoid-confidence expression of [[q_ece]], shared
     * verbatim with the generated oracle (the welchT stance): a
     * DECLARED literal-weight length→P(en) model, σ((n_chars−300)/50),

@@ -50,7 +50,7 @@ class NullInputSpec extends AnyFunSuite {
     "q_kruskal", "q_quantile_norm", "q_heavyhitters", "q_rrf", "q_rbo",
     "q_ece", "q_ndcg", "q_dp_topk", "q_curriculum", "q_hill", "q_pbm",
     "q_unigram_train", "q_unigram_encode", "q_unigram_prune",
-    "q_novelty")
+    "q_novelty", "q_map", "q_media_dedup", "q_dedup_allpairs")
 
   test("every documents-family query survives NULL and empty text values") {
     documentQueries.foreach { name =>
