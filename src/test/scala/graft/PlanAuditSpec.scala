@@ -120,6 +120,11 @@ class PlanAuditSpec extends AnyFunSuite {
           "was dropped and the kernel degraded to shuffle joins")
     }
     try {
+      // fresh-build discipline: an earlier suite may have memoized the
+      // shared graph artifacts (e.g. PageRankSpec's q_graph_modularity
+      // builds the r15 shared LPA label table) — a cache hit here
+      // would capture only the finish joins, not the iteration kernel
+      graft.queries.GraphOps.SharedGraph.reset()
       runAndAssert("q_pagerank", 3)      // broadcast(ranks) x 3 iterations
       runAndAssert("q_pagerank_dir", 3)  // broadcast(ranks) x 3 iterations
       runAndAssert("q_pagerank_seed", 3) // broadcast(ranks) x 3 iterations
