@@ -1655,20 +1655,58 @@ object DedupOps {
     val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
     // prefix for t = 1/2 over the HASHED set of size n:
     // p = n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1
+    // materialized ONCE: the prefix-entry table is referenced twice
+    // (both sides of the in-bucket self-join below), and without the
+    // checkpoint the whole lineage — explode, df attach, collect_list
+    // aggregation (its exchange included), prefix explode — ran per
+    // side, doubling the key's dominant cost (r15 opt: the benched
+    // plan held the subtree twice). Each entry carries its 1-based
+    // prefix POSITION for the PPJoin positional filter below.
     val pe = ex.join(dfreq, "fp")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("fp")))).as("ord"))
       .select(col("doc_id"), size(col("ord")).as("n"),
-        explode(expr(
-          "slice(transform(ord, x -> x.fp), 1, (size(ord) div 2) + 1)"))
-          .as("fp"))
+        posexplode(expr(
+          "slice(transform(ord, x -> x.fp), 1, (size(ord) div 2) + 1)")))
+      .select(col("doc_id"), col("n"), col("col").as("fp"),
+        (col("pos") + 1).as("p"))
+      .transform(graft.plans.Ckpt.maybe)
+    // PPJoin positional filter (Xiao 2008), r15 opt: overlap between
+    // two df-ordered sets that first agree at positions (p_a, p_b) is
+    // at most 1 + min(n_a − p_a, n_b − p_b) (the matched token plus
+    // the shorter remaining suffix; for the FIRST common token no
+    // earlier common token exists, so the bound is exact-valid, and
+    // the first common token maximizes the bound over a pair's match
+    // instances — filtering every instance then distinct keeps a pair
+    // iff its best bound passes, an exact candidate superset). At
+    // J ≥ 1/2 the requirement is 3·o ≥ n_a + n_b; measured sf0.1:
+    // 310k → 125k candidates, identical 256 survivors.
     val cand = pe.as("a").join(pe.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
           // PPJoin length filter for t = 1/2: sizes within 2x
-          col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+          col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2 &&
+          (lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p")))
+            * 3 >= col("a.n") + col("b.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    // Two-phase verify (r15 opt): phase 1 intersects the LONG
+    // fingerprint arrays — every common raw gram maps to a common fp,
+    // so |fps_a ∩ fps_b| ≥ |g_a ∩ g_b| and |g| ≥ |fps| per side;
+    // a true pair (3·|g∩| ≥ |g_a|+|g_b|) therefore always satisfies
+    // 3·|fps∩| ≥ |fps_a|+|fps_b| — the prune is collision-proof in
+    // the safe direction. Phase 2 runs the exact RAW-gram intersect
+    // on the survivors only, so the declared output is unchanged
+    // while the expensive string-array join touches ~256 rows, not
+    // ~125k (measured verify 4.8 → ~1.5 s).
+    val fpsA = docs.select(col("doc_id").as("doc_a"), col("fps").as("fa"))
+    val fpsB = docs.select(col("doc_id").as("doc_b"), col("fps").as("fb2"))
+    val pre = cand
+      .join(fpsA, "doc_a")
+      .join(fpsB, "doc_b")
+      .filter(size(array_intersect(col("fa"), col("fb2"))) * 3
+        >= size(col("fa")) + size(col("fb2")))
+      .select(col("doc_a"), col("doc_b"))
+    pre
       .join(docs.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch stage-by-stage profiler for the optimization rounds: time
+  * each intermediate of a query under investigation so the expensive
+  * stage is identified by measurement, not guesswork (guide §1).
+  * Usage: runMain graft.tools.OptProbe <probeName> [sfDir]
+  */
+object OptProbe {
+  def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => () }
+    name match {
+      case "allpairs" => allpairs(spark, d)
+      case other => sys.error(s"unknown probe '$other'")
+    }
+    spark.stop()
+  }
+
+  def allpairs(spark: SparkSession, d: String): Unit = {
+    val sh = t("shingles artifact")(
+      graft.queries.DedupOps.SharedDedup.shingles(spark, d))
+    t("shingles count")(println(sh.count()))
+    val docs = sh.filter(!col("fb")).drop("fb")
+    val ex = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+    t("dfreq count")(println(dfreq.count()))
+    val pe0 = ex.join(dfreq, "fp").groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("fp")))).as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        explode(expr(
+          "slice(transform(ord, x -> x.fp), 1, (size(ord) div 2) + 1)"))
+          .as("fp"))
+    val pe = t("pe build+ckpt")(graft.plans.Ckpt.maybe(pe0))
+    t("pe count")(println(pe.count()))
+    val cand0 = pe.as("a").join(pe.as("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    t("cand pre-distinct count")(println(cand0.count()))
+    val cand = cand0.distinct()
+    t("cand distinct count")(println(cand.count()))
+    val ver = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"))
+      .filter(expr("3 * n_inter >= n_a + n_b"))
+    t("verify count")(println(ver.count()))
+    t("full query foreach (warm1)")(
+      graft.SparkEntry.queries("q_dedup_allpairs")(spark, d).foreach(_ => ()))
+    t("full query foreach (warm2)")(
+      graft.SparkEntry.queries("q_dedup_allpairs")(spark, d).foreach(_ => ()))
+
+    // PPJoin positional-filter prototype: prefix entries carry their
+    // 1-based position; a candidate instance survives only if its
+    // overlap upper bound 1 + min(n_a - p_a, n_b - p_b) can still
+    // reach the J >= 1/2 requirement 3*o >= n_a + n_b.
+    val peP0 = ex.join(dfreq, "fp").groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("fp")))).as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("n"),
+        posexplode(expr(
+          "slice(transform(ord, x -> x.fp), 1, (size(ord) div 2) + 1)")))
+      .withColumnRenamed("col", "fp")
+      .select(col("doc_id"), col("n"), col("fp"), (col("pos") + 1).as("p"))
+    val peP = t("peP build+ckpt")(graft.plans.Ckpt.maybe(peP0))
+    val candP0 = peP.as("a").join(peP.as("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2 &&
+        (lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) * 3
+          >= col("a.n") + col("b.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    t("candP pre-distinct count")(println(candP0.count()))
+    val candP = candP0.distinct()
+    t("candP distinct count")(println(candP.count()))
+    val verP = candP
+      .join(docs.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"))
+      .filter(expr("3 * n_inter >= n_a + n_b"))
+    t("verP count")(println(verP.count()))
+  }
+}
