@@ -82,7 +82,42 @@ object BpeOps {
     * encode, neither of which a single-node trainer can do at 100 TB.
     */
   def q_bpe_train(s: SparkSession, d: String, merges: Int = 8,
-                  checkpointEvery: Int = 64): DataFrame = {
+                  checkpointEvery: Int = 64): DataFrame =
+    SharedBpe.merges(s, d, merges, checkpointEvery).orderBy("step")
+
+  /** Once-per-(app, dir, K) BPE artifacts — the SharedState pattern
+    * (r15 opt): the bench ran the K-iteration training loop THREE
+    * times (q_bpe_encode, q_tok_fertility and q_bpe_sweep each
+    * compose train-then-read) and the corpus encode pass twice. The
+    * merge table is MODEL-sized (K driver-local rows — a
+    * LocalRelation, no recompute risk); the per-doc encode table is
+    * O(docs). Both are exactly what a production pipeline persists
+    * once per tokenizer fit (the [[graft.sources.Sinks.writeMergeTable]]
+    * path BpeSpec round-trips).
+    */
+  private[graft] object SharedBpe {
+    /** Trained merge table, unsorted (sort applied outside the cache
+      * boundary — the SharedDedup convention). `checkpointEvery` is
+      * lineage cadence only, invisible in the result, so it is not
+      * part of the key.
+      */
+    def merges(s: SparkSession, d: String, k: Int,
+               checkpointEvery: Int = 64): DataFrame =
+      graft.plans.SharedState.cached(s, s"bpe.merges.$k", d)(
+        trainMerges(s, d, k, checkpointEvery))
+
+    /** Per-doc encode stats (doc_id, n_words, n_base_symbols,
+      * n_bpe_tokens) under the K-merge fit, unsorted. */
+    def encoded(s: SparkSession, d: String, k: Int): DataFrame =
+      graft.plans.SharedState.cachedDf(s, s"bpe.encoded.$k", d,
+        Seq("documents.parquet"))(
+        encodePerDoc(s, d, merges(s, d, k)))
+  }
+
+  /** The [[q_bpe_train]] loop body (see that scaladoc for the full
+    * design account); returns the merge table UNSORTED. */
+  private def trainMerges(s: SparkSession, d: String, merges: Int,
+                          checkpointEvery: Int): DataFrame = {
     import s.implicits._
     val vocab0 = documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -117,7 +152,7 @@ object BpeOps {
       }
     }
     vocab0.unpersist()
-    found.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt").orderBy("step")
+    found.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
   }
 
   /** Encode the corpus with an ALREADY-TRAINED merge table — the
@@ -183,7 +218,8 @@ object BpeOps {
     * composition.
     */
   def q_bpe_encode(s: SparkSession, d: String, merges: Int = 8): DataFrame =
-    encodeWith(s, d, q_bpe_train(s, d, merges))
+    // shared train + shared encode (r15 opt); sort outside the cache
+    SharedBpe.encoded(s, d, merges).orderBy("doc_id")
 
   /** Per-language tokenizer fertility / compression report — the
     * diagnostic a multilingual pipeline reads before committing to a
@@ -205,13 +241,22 @@ object BpeOps {
     * production passes a persisted merge table to [[fertilityWith]].
     */
   def q_tok_fertility(s: SparkSession, d: String, merges: Int = 8): DataFrame =
-    fertilityWith(s, d, q_bpe_train(s, d, merges))
+    // shared train + shared per-doc encode (r15 opt): the bench paid
+    // the full training loop AND a second corpus encode here on top
+    // of q_bpe_encode's
+    fertilityFrom(s, d, SharedBpe.encoded(s, d, merges))
 
   /** [[q_tok_fertility]] against an already-trained merge table (the
     * [[encodeWith]] stance).
     */
   def fertilityWith(s: SparkSession, d: String, mergeTable: DataFrame): DataFrame =
-    encodePerDoc(s, d, mergeTable)
+    fertilityFrom(s, d, encodePerDoc(s, d, mergeTable))
+
+  /** The [[q_tok_fertility]] aggregation over a per-doc encode table
+    * of [[encodePerDoc]] shape. */
+  private def fertilityFrom(s: SparkSession, d: String,
+                            perDoc: DataFrame): DataFrame =
+    perDoc
       .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -260,7 +305,7 @@ object BpeOps {
     */
   def q_bpe_sweep(s: SparkSession, d: String, merges: Int = 8,
                   stride: Int = 2): DataFrame = {
-    val trained = q_bpe_train(s, d, merges).orderBy("step").collect()
+    val trained = SharedBpe.merges(s, d, merges).orderBy("step").collect()
       .map(r => (r.getAs[Long]("step"),
         s"<${r.getAs[String]("lhs")}><${r.getAs[String]("rhs")}>",
         s"<${r.getAs[String]("merged")}>"))

@@ -179,8 +179,10 @@ object TextOps {
       .select(
         col("doc_id"),
         collapsed.as("clean_text"),
-        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("long").as("n_urls"),
-        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        // regexp_count ≡ size(regexp_extract_all(_, _, 0)) without the
+        // per-row match-array materialization (the q_pii note)
+        regexp_count(col("text"), lit(urlPat)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
         (length(col("text")) - length(collapsed)).cast("long").as("n_removed_chars"))
       .orderBy("doc_id")
   }
@@ -859,9 +861,15 @@ object TextOps {
       .select(col("event_id"), line.as("line"))
       .select(
         col("event_id"),
-        size(regexp_extract_all(col("line"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("line"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
-        size(regexp_extract_all(col("line"), lit(userPat), lit(0))).cast("long").as("n_user_ids"),
+        // regexp_count, not size(regexp_extract_all(_, _, 0)): both
+        // count non-overlapping matches identically, but the count
+        // form never materializes the per-row match ARRAY — at corpus
+        // scale that is one UTF8String allocation per match per row
+        // saved in the hot scan projection (r15 opt, guide §4 "prefer
+        // built-ins that do less")
+        regexp_count(col("line"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("line"), lit(ipPat)).cast("long").as("n_ips"),
+        regexp_count(col("line"), lit(userPat)).cast("long").as("n_user_ids"),
         regexp_replace(
           regexp_replace(
             regexp_replace(col("line"), ipPat, "[IP]"),

@@ -31,9 +31,50 @@ object OptProbe {
     catch { case scala.util.control.NonFatal(_) => () }
     name match {
       case "allpairs" => allpairs(spark, d)
+      case "pii" => pii(spark, d)
       case other => sys.error(s"unknown probe '$other'")
     }
     spark.stop()
+  }
+
+  def pii(spark: SparkSession, d: String): Unit = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val ipPat    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val userPat  = "\\buser \\d+\\b"
+    val line = concat(
+      lit("user "), col("user_id").cast("string"),
+      lit(" <u"), col("user_id").cast("string"), lit("@mail.example.com> did "),
+      col("event_type"),
+      lit(" from 10."), pmod(col("user_id"), lit(256L)).cast("string"),
+      lit("."), pmod(col("event_id"), lit(256L)).cast("string"),
+      lit("."), pmod(col("user_id") + col("event_id"), lit(256L)).cast("string"))
+    val base = graft.Tables.events(spark, d)
+      .select(col("event_id"), line.as("line"))
+    t("line build only")(base.foreach(_ => ()))
+    t("line build only 2")(base.foreach(_ => ()))
+    val counts = base.select(col("event_id"),
+      size(regexp_extract_all(col("line"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("line"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col("line"), lit(userPat), lit(0))).cast("long").as("n_user_ids"))
+    t("counts only")(counts.foreach(_ => ()))
+    t("counts only 2")(counts.foreach(_ => ()))
+    val red = base.select(col("event_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("line"), ipPat, "[IP]"),
+          emailPat, "[EMAIL]"),
+        userPat, "[USER]").as("redacted"))
+    t("redact only")(red.foreach(_ => ()))
+    t("redact only 2")(red.foreach(_ => ()))
+    val countsRc = base.select(col("event_id"),
+      regexp_count(col("line"), lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(col("line"), lit(ipPat)).cast("long").as("n_ips"),
+      regexp_count(col("line"), lit(userPat)).cast("long").as("n_user_ids"))
+    t("counts regexp_count")(countsRc.foreach(_ => ()))
+    t("counts regexp_count 2")(countsRc.foreach(_ => ()))
+    val noSort = graft.SparkEntry.queries("q_pii")(spark, d)
+    t("full q_pii")(noSort.foreach(_ => ()))
+    t("full q_pii 2")(noSort.foreach(_ => ()))
   }
 
   def allpairs(spark: SparkSession, d: String): Unit = {
