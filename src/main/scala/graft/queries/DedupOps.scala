@@ -527,14 +527,19 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val hashes = transform(shinglesN(col("text"), k, fallbackToText = false),
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    // materialized ONCE (r15 opt, twice-referenced rule): fp feeds
+    // the df aggregate AND the join below, and f2 feeds BOTH sides of
+    // the diagonal self-join — unmaterialized, the token-scale
+    // gram-hash explode ran up to four times per query
     val fp = documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "fp")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+      .transform(graft.plans.Ckpt.maybe)
     val rare = fp.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= maxDocs)
       .select("fp")
-    val f2 = fp.join(rare, "fp")
+    val f2 = fp.join(rare, "fp").transform(graft.plans.Ckpt.maybe)
     val matched = f2.as("a").join(f2.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

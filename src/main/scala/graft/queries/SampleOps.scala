@@ -745,12 +745,18 @@ object SampleOps {
     * stance as the BPE merge table and the fp index.
     */
   def dsirModel(s: SparkSession, d: String): DataFrame =
-    dsirBucketed(documents(s, d)).groupBy("b").agg(count(lit(1)).as("r"))
-      .join(dsirBucketed(documents(s, d)
-          .filter(TextOps.qualityScore(col("text")) >= 0.45))
-        .groupBy("b").agg(count(lit(1)).as("t")), Seq("b"), "left")
-      .na.fill(0L, Seq("t"))
-      .transform(graft.plans.Ckpt.maybe)
+    // memoized once per (app, dir): the model is 1024 rows but its
+    // lineage is TWO corpus token scans (raw + quality-filtered) —
+    // the train-once/score-often split made literal (r15 opt, the
+    // SharedBpe/SharedDedup stance)
+    graft.plans.SharedState.cachedDf(s, "dsir.model", d,
+      Seq("documents.parquet")) {
+      dsirBucketed(documents(s, d)).groupBy("b").agg(count(lit(1)).as("r"))
+        .join(dsirBucketed(documents(s, d)
+            .filter(TextOps.qualityScore(col("text")) >= 0.45))
+          .groupBy("b").agg(count(lit(1)).as("t")), Seq("b"), "left")
+        .na.fill(0L, Seq("t"))
+    }
 
   def q_dsir(s: SparkSession, d: String): DataFrame = {
     // Token-bucket stream WITHOUT the target flag. Carrying

@@ -753,8 +753,14 @@ object TextOps {
     graft.functions.BloomFunctions.register(s)
     val fp = documents(s, d)
       .select(col("doc_id"), col("source"), normalizedFp(col("text")).as("fp"))
+    // the INDEX fp set is materialized once (r15 opt): it feeds both
+    // the bloom build and the exact anti-join, and it is precisely the
+    // persisted state a production incremental pipeline holds anyway
+    // (q_dedup_incr_idx's index table) — unlike the batch fps below,
+    // which stay unmaterialized by design (see scaladoc)
     val existing = fp.filter(col("source") === "src0").select("fp")
       .filter(col("fp").isNotNull).distinct()
+      .transform(graft.plans.Ckpt.maybe)
     val batch = fp.filter(col("source") =!= "src0")
     val bloomRow = existing
       .agg(call_function("bloom_agg",

@@ -32,6 +32,20 @@ object OptProbe {
     name match {
       case "allpairs" => allpairs(spark, d)
       case "pii" => pii(spark, d)
+      case "plancost" =>
+        // planning-only vs execution cost for named keys (args via env)
+        sys.env.getOrElse("OPT_KEYS", "q_sim_pq").split(",").foreach { k =>
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            val df = graft.SparkEntry.queries(k)(spark, d)
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan
+            val t2 = System.nanoTime()
+            df.foreach(_ => ())
+            val t3 = System.nanoTime()
+            println(f"[probe] $k run$i: construct ${(t1-t0)/1e9}%.2f plan ${(t2-t1)/1e9}%.2f exec ${(t3-t2)/1e9}%.2f")
+          }
+        }
       case other => sys.error(s"unknown probe '$other'")
     }
     spark.stop()
