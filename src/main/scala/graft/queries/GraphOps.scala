@@ -102,10 +102,9 @@ object GraphOps {
   private def pagerankUndirected(
       s: SparkSession, d: String, iters: Int,
       checkpointEvery: Int, forced: Option[Boolean]): DataFrame = {
-    val e0 = csPairs(s, d)
-    // One corpus extraction (shared via csPairs), then checkpointed
-    // ONCE per key with degree attached
-    // via a window (one src shuffle instead of groupBy+join's two).
+    // One SHARED symmetric degree-windowed edge table (r15 opt:
+    // q_pagerank, _copart and _seeded each rebuilt it — union +
+    // degree window + checkpoint, one src shuffle per key).
     // EVERYTHING downstream — the O(nodes) deg table, n_nodes, rank
     // init, the display join — derives from the checkpointed plans:
     // round-8 profiling showed the deg/nDf/final-join subtrees each
@@ -114,11 +113,7 @@ object GraphOps {
     // In co-partitioned mode the window's own hashpartitioning(src)
     // IS the iteration partitioning, preserved through the
     // checkpoint — no extra repartition needed.
-    val edgesD = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .transform(graft.plans.Ckpt.maybe)
+    val edgesD = SharedGraph.symEdges(s, d)
     val deg = edgesD.select(col("src"), col("deg"))
       .dropDuplicates("src").transform(graft.plans.Ckpt.maybe)
     // size-gated switch (round 12): forced by the _copart key, else
@@ -175,27 +170,29 @@ object GraphOps {
     * cadence.
     */
   def q_pagerank_directed(s: SparkSession, d: String,
-                          iters: Int = 3): DataFrame = {
-    val edges = csPairs(s, d)
-      .select(col("a").as("src"), col("b").as("dst"))
-    directedKernel(edges, iters)
-  }
+                          iters: Int = 3): DataFrame =
+    // shared directed degree-windowed edge table (r15 opt)
+    directedFrom(SharedGraph.dirEdges(s, d), iters)
 
   /** Iteration kernel for [[q_pagerank_directed]], factored out so
     * PageRankSpec can drive it with a hand-built sink graph and check
     * the dangling-mass arithmetic against hand-computed fixed-point
     * values. `edges` is a distinct (src, dst) DataFrame.
     */
-  private[graft] def directedKernel(edges: DataFrame, iters: Int): DataFrame = {
+  private[graft] def directedKernel(edges: DataFrame, iters: Int): DataFrame =
     // Same single-extraction discipline as [[q_pagerank]]: degree via
     // a window on the one checkpointed pass; the node table (with
     // outdeg 0 for sinks) derives from the CHECKPOINTED edges — a
     // max-groupBy over (src, deg) ∪ (dst, 0) rows — so no downstream
     // subtree ever re-runs the corpus extraction.
-    val edgesD = edges
+    directedFrom(edges
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .transform(graft.plans.Ckpt.maybe)
+      .transform(graft.plans.Ckpt.maybe), iters)
+
+  /** [[directedKernel]] on a pre-materialized (src, dst, deg) edge
+    * table — the [[SharedGraph.dirEdges]] consumption path. */
+  private def directedFrom(edgesD: DataFrame, iters: Int): DataFrame = {
     val nodes = edgesD.select(col("src").as("node"), col("deg"))
       .unionAll(edgesD.select(col("dst").as("node"), lit(0L).as("deg")))
       .groupBy("node").agg(max(col("deg")).as("deg"))
@@ -259,12 +256,8 @@ object GraphOps {
     */
   def q_pagerank_seeded(s: SparkSession, d: String, iters: Int = 3,
                         checkpointEvery: Int = 8): DataFrame = {
-    val e0 = csPairs(s, d)
-    val edgesD = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .transform(graft.plans.Ckpt.maybe)
+    // shared symmetric edge table (r15 opt — see pagerankUndirected)
+    val edgesD = SharedGraph.symEdges(s, d)
     val isSeed = col("node").startsWith("s") &&
       substring(col("node"), 2, 18).cast("long") % 100 === 0
     val nodes = edgesD.select(col("src").as("node"), col("deg"))
@@ -495,6 +488,36 @@ object GraphOps {
     def coEdges(s: SparkSession, d: String): DataFrame =
       graft.plans.SharedState.cachedDf(s, "graph.coEdges", d,
         Seq("lineitem.parquet"))(partCoEdges(s, d))
+    /** The SYMMETRIC degree-windowed edge table (src, dst, deg) over
+      * [[csPairs]], checkpointed — the shared input of the undirected
+      * iteration kernels (r15 opt): q_pagerank, q_pagerank_copart and
+      * q_pagerank_seeded each rebuilt the identical union + degree
+      * window + checkpoint. In-memory memoization ONLY (cached, not
+      * cachedDf): the degree window's hashpartitioning(src) IS the
+      * copart iteration layout, preserved through localCheckpoint but
+      * not through a parquet round-trip, and PlanAuditSpec pins the
+      * copart join's zero-edge-exchange shape. */
+    def symEdges(s: SparkSession, d: String): DataFrame =
+      graft.plans.SharedState.cached(s, "graph.symEdges", d) {
+        val e0 = csPairs(s, d)
+        graft.plans.Ckpt.maybe(
+          e0.select(col("a").as("src"), col("b").as("dst"))
+            .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+            .withColumn("deg", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+      }
+
+    /** The DIRECTED degree-windowed edge table (src, dst, deg) over
+      * [[csPairs]] — [[q_pagerank_directed]]'s kernel input, same
+      * in-memory-only stance as [[symEdges]]. */
+    def dirEdges(s: SparkSession, d: String): DataFrame =
+      graft.plans.SharedState.cached(s, "graph.dirEdges", d) {
+        graft.plans.Ckpt.maybe(
+          csPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
+            .withColumn("deg", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+      }
+
     /** The materialized final (node, label) LPA table over
       * [[coEdges]], shared by q_graph_lpa and q_graph_modularity —
       * both keys run the identical K-iteration propagation, so it
@@ -936,18 +959,23 @@ object GraphOps {
     * normalization product needs max_degree < ~9·10⁶ — beyond,
     * widen to DECIMAL(38,0)/HUGEINT (the q_chi2 stance).
     */
-  def q_graph_hits(s: SparkSession, d: String, iters: Int = 4): DataFrame = {
-    val edges = csPairs(s, d)
-      .select(col("a").as("src"), col("b").as("dst"))
-    hitsKernel(edges, iters)
-  }
+  def q_graph_hits(s: SparkSession, d: String, iters: Int = 4): DataFrame =
+    // the shared directed edge table (r15 opt): its (src, dst) rows
+    // ARE this kernel's edge set, already materialized — the narrow
+    // projection reads checkpointed partitions, no per-key re-copy
+    hitsFrom(SharedGraph.dirEdges(s, d).select(col("src"), col("dst")), iters)
 
   /** Iteration kernel for [[q_graph_hits]], factored so a spec can
     * drive it with a hand-built graph and check the max-normalized
     * fixed-point arithmetic against hand-computed values.
     */
-  private[graft] def hitsKernel(edges: DataFrame, iters: Int): DataFrame = {
-    val edgesD = edges.transform(graft.plans.Ckpt.maybe)
+  private[graft] def hitsKernel(edges: DataFrame, iters: Int): DataFrame =
+    hitsFrom(edges.transform(graft.plans.Ckpt.maybe), iters)
+
+  /** [[hitsKernel]] on a pre-materialized edge set — the
+    * [[SharedGraph.dirEdges]] consumption path. */
+  private def hitsFrom(edgesIn: DataFrame, iters: Int): DataFrame = {
+    val edgesD = edgesIn
     val nodes = edgesD.select(col("src").as("node"))
       .unionAll(edgesD.select(col("dst").as("node")))
       .distinct().transform(graft.plans.Ckpt.maybe)
