@@ -653,6 +653,58 @@ object SimilarityOps {
     * suite pins exact-duplicate vectors to ADC distance 0 (quantization
     * cannot split identical inputs).
     */
+  /** The collected PQ codebook (first K conforming embeddings),
+    * memoized once per (app, dir) — [[q_sim_pq]] and [[q_pq_error]]
+    * each re-collected it (r15 opt). Kilobytes. */
+  private def pqCents(s: SparkSession, d: String): Array[Array[Float]] =
+    graft.plans.SharedState.cached(s, "pq.cents", d) {
+      embeddings(s, d).filter(size(col("embedding")) === PqDims)
+        .filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .sortBy(_.getAs[Long]("vec_id"))
+        .map(_.getSeq[Float](1).toArray)
+    }
+
+  /** Fixed-point squared-L2 between a subvector column and a literal
+    * sub-centroid: one codegen'd loop, one deterministic rounding. */
+  private def pqDistFp(cents: Array[Array[Float]])(
+      sub: Column, mi: Int, ki: Int): Column = {
+    val subDim = PqDims / PqM
+    round(call_function("sq_l2", sub,
+      typedLit(cents(ki).slice(mi * subDim, (mi + 1) * subDim)))
+      * lit(1e6)).cast("long")
+  }
+
+  /** The shared per-vector PQ assignment table (vec_id, codes, errs):
+    * per subspace the argmin centroid id AND its distance — exactly
+    * the `least` struct both [[q_sim_pq]] (.k) and [[q_pq_error]]
+    * (.d) computed independently over the full corpus (r15 opt: one
+    * encode pass instead of two; O(vectors) rows, 8 ints + 8 longs
+    * each). Caller must have checked [[pqCents]] non-empty. */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame =
+    graft.plans.SharedState.cachedDf(s, "pq.encoded", d,
+      Seq("embeddings.parquet")) {
+      val m = PqM
+      val k = PqK
+      val subDim = PqDims / m
+      val cents = pqCents(s, d)
+      val distFp = pqDistFp(cents) _
+      val subs = array((0 until m).map(mi =>
+        slice(col("embedding"), mi * subDim + 1, subDim)): _*)
+      val asg = (0 until m).map { mi =>
+        val sub = element_at(col("subs"), mi + 1)
+        least((0 until k).map { ki =>
+          struct(distFp(sub, mi, ki).as("d"), lit(ki).as("k"))
+        }: _*)
+      }
+      embeddings(s, d).filter(size(col("embedding")) === PqDims)
+        .withColumn("subs", subs)
+        .select(col("vec_id"),
+          array(asg.map(_.getField("k")): _*).as("codes"),
+          array(asg.map(_.getField("d")): _*).as("errs"))
+    }
+
   def q_sim_pq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val m = PqM
@@ -663,37 +715,20 @@ object SimilarityOps {
     // drop them on BOTH sides (the oracle mirrors len(embedding)=64)
     val e = embeddings(s, d).filter(size(col("embedding")) === dims)
     // The codebook is a MODEL (K×dims floats, kilobytes): collect once,
-    // ship as literals — the q_sim_ivf stance.
-    val cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .sortBy(_.getAs[Long]("vec_id"))
-      .map(_.getSeq[Float](1).toArray)
+    // ship as literals — the q_sim_ivf stance (shared, r15 opt).
+    val cents: Array[Array[Float]] = pqCents(s, d)
     if (cents.isEmpty)
       return e.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0.0).as("approx_dist"), col("vec_id").as("rank")).limit(0)
-    def subCent(mi: Int, ki: Int): Array[Float] =
-      cents(ki).slice(mi * subDim, (mi + 1) * subDim)
-    // fixed-point squared-L2 between a subvector column and a literal
-    // sub-centroid: one codegen'd loop, then one deterministic rounding
     def distFp(sub: Column, mi: Int, ki: Int): Column =
-      round(call_function("sq_l2", sub, typedLit(subCent(mi, ki))) * lit(1e6)).cast("long")
+      pqDistFp(cents)(sub, mi, ki)
     // subvectors materialized once per row (m slices), then reused
     // across all K centroid distances of their subspace
     val subs = array((0 until m).map(mi =>
       slice(col("embedding"), mi * subDim + 1, subDim)): _*)
-    // Encode: codes[m] = argmin_k distFp — `least` over (dist, id)
-    // structs, the mirror of KMeansOps.nearestCell's greatest form
-    val codeCols = (0 until m).map { mi =>
-      val sub = element_at(col("subs"), mi + 1)
-      least((0 until k).map { ki =>
-        struct(distFp(sub, mi, ki).as("d"), lit(ki).as("k"))
-      }: _*).getField("k")
-    }
-    // `subs` as a named projection column so the m slices materialize
-    // once per row and are shared across all K distances per subspace
-    val codes = e.withColumn("subs", subs)
-      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+    // Encode: from the SHARED assignment table (r15 opt — one corpus
+    // encode pass serves this key and q_pq_error)
+    val codes = pqEncoded(s, d).select(col("vec_id"), col("codes"))
     // Query side: the per-query M×K ADC table, fixed-point longs
     val qTab = array((0 until m).map { mi =>
       val sub = element_at(col("subs"), mi + 1)
@@ -740,33 +775,16 @@ object SimilarityOps {
     */
   def q_pq_error(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val m = PqM
-    val k = PqK
-    val dims = PqDims
-    val subDim = dims / m
-    val e = embeddings(s, d).filter(size(col("embedding")) === dims)
-    val cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .sortBy(_.getAs[Long]("vec_id"))
-      .map(_.getSeq[Float](1).toArray)
+    val e = embeddings(s, d).filter(size(col("embedding")) === PqDims)
+    val cents: Array[Array[Float]] = pqCents(s, d)
     if (cents.isEmpty)
       return e.select(col("vec_id").as("subspace"), lit(0L).as("n_vecs"),
         lit(0L).as("sum_err_fp"), lit(0L).as("mean_err_fp")).limit(0)
-    def subCent(mi: Int, ki: Int): Array[Float] =
-      cents(ki).slice(mi * subDim, (mi + 1) * subDim)
-    def distFp(sub: Column, mi: Int, ki: Int): Column =
-      round(call_function("sq_l2", sub, typedLit(subCent(mi, ki))) * lit(1e6)).cast("long")
-    val subs = array((0 until m).map(mi =>
-      slice(col("embedding"), mi * subDim + 1, subDim)): _*)
-    val errCols = (0 until m).map { mi =>
-      val sub = element_at(col("subs"), mi + 1)
-      least((0 until k).map { ki =>
-        struct(distFp(sub, mi, ki).as("d"), lit(ki).as("k"))
-      }: _*).getField("d")
-    }
-    e.withColumn("subs", subs)
-      .select(col("vec_id"), posexplode(array(errCols: _*)).as(Seq("subspace", "err_fp")))
+    // per-subspace errors from the SHARED assignment table (r15 opt):
+    // the argmin distance is the same `least` struct's d field the
+    // encoder computes — one corpus pass for both keys
+    pqEncoded(s, d)
+      .select(col("vec_id"), posexplode(col("errs")).as(Seq("subspace", "err_fp")))
       .filter(col("err_fp").isNotNull)
       .groupBy(col("subspace").cast("long").as("subspace"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("err_fp")).as("sum_err_fp"))

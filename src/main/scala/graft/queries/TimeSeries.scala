@@ -1095,12 +1095,18 @@ object TimeSeries {
     * reduced to (user_id, [s_us, e_us)) half-open micro intervals.
     */
   private def sessionIntervals(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("s_us"),
-        unix_micros(col("session_window.end")).as("e_us"))
+    // memoized once per (app, dir) — q_concurrency and q_join_overlap
+    // each rebuilt the identical session aggregation (r15 opt, the
+    // SharedState funnel; O(sessions) rows)
+    graft.plans.SharedState.cachedDf(s, "ts.sessionIntervals", d,
+      Seq("events.parquet")) {
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_us"),
+          unix_micros(col("session_window.end")).as("e_us"))
+    }
 
   def q_concurrency(s: SparkSession, d: String): DataFrame =
     concurrencyOf(sessionIntervals(s, d).select("s_us", "e_us"))
