@@ -454,7 +454,17 @@ object EmbedOps {
     * PageRank kernel shape at toy size).
     */
   def q_pca_power(s: SparkSession, d: String, iters: Int = 8): DataFrame =
-    powerIterate(covCellsShared(s, d), iters)
+    pcaModelShared(s, d, iters).orderBy("dim")
+
+  /** The trained dominant-direction table (dim, v_fp, lambda_fp),
+    * memoized once per (app, dir, iters) — [[q_pca_power]] and
+    * [[q_pca_project]] each ran the identical K-step iteration
+    * (~3 model-sized jobs per step) before sharing (r15 opt). Cached
+    * UNSORTED; consumers sort (the SharedDedup convention). */
+  private def pcaModelShared(s: SparkSession, d: String,
+                             iters: Int): DataFrame =
+    graft.plans.SharedState.cached(s, s"embed.pcaModel.$iters", d)(
+      graft.plans.Ckpt.maybe(powerIterate(covCellsShared(s, d), iters)))
 
   /** The K-step integer power iteration over a (i, j, n, s_ij, s_i,
     * s_j) cell table — factored so [[q_pca_project]] can feed a
@@ -496,7 +506,6 @@ object EmbedOps {
     v.crossJoin(broadcast(lastMx))
       .select(col("dim"), col("v").as("v_fp"),
         expr("mx div 100000").as("lambda_fp"))
-      .orderBy("dim")
   }
 
   /** Projection of every embedding onto [[q_pca_power]]'s dominant
@@ -520,7 +529,7 @@ object EmbedOps {
     // power iteration AND the trace (the twice-referenced-state rule,
     // now shared with q_embed_cov / q_pca_power via SharedState)
     val cells = covCellsShared(s, d)
-    val pca = powerIterate(cells, 8).collect() // 64 rows — the model
+    val pca = pcaModelShared(s, d, 8).collect() // 64 rows — the model
     if (pca.isEmpty)
       return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
