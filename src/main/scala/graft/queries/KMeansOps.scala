@@ -154,7 +154,7 @@ object KMeansOps {
     val vecs = graft.Tables.embeddings(s, d)
       .filter(col("vec_id") < maxVecs) // bounded verification window
       .select(col("vec_id"), col("embedding"))
-    val cents = trainedKernelCents(s, vecs, k, iters)
+    val cents = sharedKernelCents(s, d, k, iters, maxVecs)
     if (cents.isEmpty) // degenerate corpus: no seeds, nothing to train
       return vecs.select(col("vec_id"), col("vec_id").as("cell"),
         lit(0.0).as("cosine")).limit(0)
@@ -171,6 +171,24 @@ object KMeansOps {
     * so the evaluation key scores the EXACT model the training key
     * reports, not a re-derivation that could drift.
     */
+  /** [[trainedKernelCents]] memoized per (app, dir, k, iters,
+    * maxVecs) — q_embed_train, q_silhouette and q_prune_proto each
+    * ran the identical Lloyd training loop (r15 opt); the collected
+    * K-row model is kilobytes of driver state, the cheapest possible
+    * artifact. The bounded `vecs` window is rebuilt per call (a
+    * filter over the scan — construction only, never executed when
+    * the model is cached). */
+  private def sharedKernelCents(
+      s: SparkSession, d: String, k: Int, iters: Int,
+      maxVecs: Int): Array[(Long, Array[Float])] =
+    graft.plans.SharedState.cached(s, s"kmeans.cents.$k.$iters.$maxVecs", d) {
+      trainedKernelCents(s,
+        graft.Tables.embeddings(s, d)
+          .filter(col("vec_id") < maxVecs)
+          .select(col("vec_id"), col("embedding")),
+        k, iters)
+    }
+
   private[queries] def trainedKernelCents(
       s: SparkSession, vecs: DataFrame, k: Int,
       iters: Int): Array[(Long, Array[Float])] = {
@@ -240,7 +258,7 @@ object KMeansOps {
     val vecs = graft.Tables.embeddings(s, d)
       .filter(col("vec_id") < maxVecs)
       .select(col("vec_id"), col("embedding"))
-    val cents = trainedKernelCents(s, vecs, k, iters)
+    val cents = sharedKernelCents(s, d, k, iters, maxVecs)
     if (cents.isEmpty)
       return vecs.select(col("vec_id").as("cell"), lit(0L).as("n_vecs"),
         lit(0L).as("sum_sil_fp"), lit(0L).as("mean_sil_fp")).limit(0)
@@ -311,7 +329,7 @@ object KMeansOps {
     val vecs = graft.Tables.embeddings(s, d)
       .filter(col("vec_id") < maxVecs)
       .select(col("vec_id"), col("embedding"))
-    val cents = trainedKernelCents(s, vecs, k, iters)
+    val cents = sharedKernelCents(s, d, k, iters, maxVecs)
     if (cents.isEmpty) // degenerate corpus: no seeds, nothing to prune
       return vecs.select(col("vec_id"), col("vec_id").as("cell"),
         lit(0L).as("cos_fp"), lit(0L).as("rnk"), lit(0L).as("n_cell"),
