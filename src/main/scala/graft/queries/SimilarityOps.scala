@@ -316,31 +316,39 @@ object SimilarityOps {
     * (query × candidate) row — the window `row_number` form it replaces
     * shuffled the full scored set.
     */
-  def q_sim_topk(s: SparkSession, d: String): DataFrame = {
-    VectorFunctions.register(s)
-    val e = embeddings(s, d)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-      .crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        round(expr("cosine_sim(qv, nv)"), 6).as("cosine"))
-      // cosine_sim returns NULL for malformed vectors (dim mismatch /
-      // null elements); the tuple encoder's primitive Double would
-      // crash on it, and an unrankable candidate should drop anyway
-      .filter(col("cosine").isNotNull)
-    scored.groupBy("query_id")
-      .agg(TopKAggregator.topk(5)(col("cosine"), col("neighbor_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
-      .select(
-        col("query_id"),
-        col("pair._2").as("neighbor_id"),
-        col("pair._1").as("cosine"),
-        (col("pos") + 1).cast("long").as("rank"))
-      .orderBy("query_id", "rank")
-  }
+  def q_sim_topk(s: SparkSession, d: String): DataFrame =
+    simTopkShared(s, d).orderBy("query_id", "rank")
+
+  /** [[q_sim_topk]]'s result UNSORTED, memoized per (app, dir) — the
+    * exact-truth table is also [[q_sim_recall]]'s denominator, which
+    * previously re-ran the full exact scoring pass (r15 opt; sort
+    * outside the cache boundary, the SharedDedup convention). */
+  private def simTopkShared(s: SparkSession, d: String): DataFrame =
+    graft.plans.SharedState.cachedDf(s, "sim.topk", d,
+      Seq("embeddings.parquet")) {
+      VectorFunctions.register(s)
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(expr("cosine_sim(qv, nv)"), 6).as("cosine"))
+        // cosine_sim returns NULL for malformed vectors (dim mismatch /
+        // null elements); the tuple encoder's primitive Double would
+        // crash on it, and an unrankable candidate should drop anyway
+        .filter(col("cosine").isNotNull)
+      scored.groupBy("query_id")
+        .agg(TopKAggregator.topk(5)(col("cosine"), col("neighbor_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+        .select(
+          col("query_id"),
+          col("pair._2").as("neighbor_id"),
+          col("pair._1").as("cosine"),
+          (col("pos") + 1).cast("long").as("rank"))
+    }
 
   /** Truncated-dimension retrieval eval — the Matryoshka question
     * (Kusupati et al. 2022: can the index store only the first m
@@ -488,7 +496,17 @@ object SimilarityOps {
     * the corpus partitions by cell, and a query touches nprobe/K of
     * the data.
     */
-  def q_sim_ivf(s: SparkSession, d: String): DataFrame = {
+  def q_sim_ivf(s: SparkSession, d: String): DataFrame =
+    simIvfShared(s, d).orderBy("query_id", "rank")
+
+  /** [[q_sim_ivf]]'s result UNSORTED, memoized per (app, dir) — also
+    * [[q_sim_recall]]'s numerator, which previously re-ran the whole
+    * IVF pipeline (r15 opt; the simTopkShared stance). */
+  private def simIvfShared(s: SparkSession, d: String): DataFrame =
+    graft.plans.SharedState.cachedDf(s, "sim.ivf", d,
+      Seq("embeddings.parquet"))(simIvfBuild(s, d))
+
+  private def simIvfBuild(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val k = 16
     val nprobe = 4
@@ -537,7 +555,6 @@ object SimilarityOps {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
       .select(col("query_id"), col("pair._2").as("neighbor_id"),
         col("pair._1").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
-      .orderBy("query_id", "rank")
   }
 
   /** LSH geometry shared by the Spark query and the DuckDB oracle
@@ -1169,8 +1186,10 @@ object SimilarityOps {
     * EVALUATION pass on a sampled query set, not inline in serving.
     */
   def q_sim_recall(s: SparkSession, d: String): DataFrame = {
-    val exact = q_sim_topk(s, d).select(col("query_id"), col("neighbor_id"))
-    val approx = q_sim_ivf(s, d)
+    // both sides from the shared unsorted artifacts (r15 opt): this
+    // key previously re-ran the full exact AND IVF scoring passes
+    val exact = simTopkShared(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = simIvfShared(s, d)
       .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
     exact
       .join(approx,
