@@ -1278,12 +1278,18 @@ object TextOps {
     * (doc_id, n_trigrams, n_tri, n_bi, n_uni, sum_score_fp).
     */
   private def backoffPerDoc(s: SparkSession, d: String): DataFrame =
-    backoffPositions(s, d, heldOutOnly = true).groupBy("doc_id").agg(
-      count(lit(1)).as("n_trigrams"),
-      sum(when(col("is_tri"), 1L).otherwise(0L)).as("n_tri"),
-      sum(when(col("is_bi"), 1L).otherwise(0L)).as("n_bi"),
-      sum(when(!col("is_tri") && !col("is_bi"), 1L).otherwise(0L)).as("n_uni"),
-      sum(col("score_fp")).as("sum_score_fp"))
+    // memoized once per (app, dir): q_lm_backoff and q_mix_lm each
+    // re-ran the token-scale position scoring (trigram explode + five
+    // count joins) to reach this O(docs) table (r15 opt)
+    graft.plans.SharedState.cachedDf(s, "text.backoffPerDoc", d,
+      Seq("documents.parquet")) {
+      backoffPositions(s, d, heldOutOnly = true).groupBy("doc_id").agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("is_tri"), 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("is_bi"), 1L).otherwise(0L)).as("n_bi"),
+        sum(when(!col("is_tri") && !col("is_bi"), 1L).otherwise(0L)).as("n_uni"),
+        sum(col("score_fp")).as("sum_score_fp"))
+    }
 
   /** Per-trigram-position stupid-backoff scores (doc_id, is_tri,
     * is_bi, score_fp) under the even-half model — the position table
