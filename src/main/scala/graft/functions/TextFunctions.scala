@@ -141,6 +141,139 @@ object CharEntropyFp {
   }
 }
 
+/** Packed (gram count << 32 | distinct gram count) over a document's
+  * word n-grams, as a codegen'd UnaryExpression — the replacement for
+  * q_repetition's interpreted HOF chain (three gram builds + three
+  * array_distinct per row, each an interpreted lambda: Spark HOFs are
+  * CodegenFallback, and one fallback evicts the whole projection from
+  * whole-stage codegen — the round-4 lesson, here removed rather than
+  * mitigated). Contract is BIT-IDENTICAL to the SQL form it replaces
+  * ([[graft.GramStatsSpec]] pins equality on fixtures and random
+  * strings): words = `split(text, ' ')` with limit −1 (trailing
+  * empties kept, `''` for the empty string — probed Spark semantics),
+  * gram i = words i..i+n−1 joined by one space (fewer than n words ⇒
+  * zero grams, the fallbackToText=false branch), counts are the RAW
+  * gram count and the distinct gram count. Both fit 32 bits by the
+  * 2 GiB string-row bound, so one long carries the pair and the
+  * consumer unpacks with shiftright/bitwiseAND — still inside codegen.
+  */
+case class GramStats(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "gram_stats"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramStats.packed(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.GramStats.packed($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramStats {
+  /** Static kernel (static forwarder, callable from generated Java). */
+  def packed(s: UTF8String, n: Int): Long = {
+    // String.split(" ", -1) = Spark's split(text, ' '): literal-space
+    // regex, limit -1 keeps trailing empties, "" yields [""]
+    val ws = s.toString.split(" ", -1)
+    if (n == 1) {
+      val set = new java.util.HashSet[String](ws.length * 2)
+      var i = 0
+      while (i < ws.length) { set.add(ws(i)); i += 1 }
+      (ws.length.toLong << 32) | set.size.toLong
+    } else if (ws.length < n) 0L
+    else {
+      val cnt = ws.length - n + 1
+      val set = new java.util.HashSet[String](cnt * 2)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < cnt) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+      (cnt.toLong << 32) | set.size.toLong
+    }
+  }
+}
+
+/** First-occurrence-ordered DISTINCT word n-gram array — the codegen'd
+  * form of `array_distinct(shinglesN(text, n, fallbackToText = true))`
+  * (r15 opt): the HOF chain ran interpreted at every distinct-shingle
+  * site (the shared shingle artifact build, q_contamination's 5-gram
+  * table, every exact-Jaccard confirm side). Semantics are
+  * BIT-IDENTICAL for non-null text ([[graft.GramStatsSpec]] pins
+  * equality): words = split(text, ' ') limit −1, grams join with one
+  * space, fewer than n words falls back to the WHOLE original text as
+  * the single gram, distinct keeps first occurrences in order. Null
+  * text returns NULL (the callers all guard or are join-insensitive
+  * to the [null]-vs-NULL distinction — see call sites).
+  */
+case class DistinctGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_grams"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    DistinctGrams.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.DistinctGrams.grams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistinctGrams {
+  /** Static kernel (static forwarder, callable from generated Java). */
+  def grams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val text = s.toString
+    val ws = text.split(" ", -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (ws.length < n) out.add(text)
+    else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      val cnt = ws.length - n + 1
+      while (i < cnt) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object TextFunctions {
 
   /** Build a [[UnicodeNormalize]] from SQL-call arguments: 1-arg form
@@ -164,6 +297,27 @@ object TextFunctions {
     CharEntropyFp(exprs.head)
   }
 
+  /** Build a [[GramStats]]: (string, n) with n a foldable int literal
+    * ≥ 1 — the gram order is plan-time fixed, like unicode_norm's form.
+    */
+  private[functions] def makeGramStats(exprs: Seq[Expression]): GramStats = exprs match {
+    case Seq(c, Literal(n: Int, org.apache.spark.sql.types.IntegerType)) =>
+      require(n >= 1, s"gram_stats: n must be >= 1, got $n")
+      GramStats(c, n)
+    case _ => throw new IllegalArgumentException(
+      "gram_stats requires (string, int literal n >= 1)")
+  }
+
+  /** Build a [[DistinctGrams]] — same argument contract as
+    * [[makeGramStats]]. */
+  private[functions] def makeDistinctGrams(exprs: Seq[Expression]): DistinctGrams = exprs match {
+    case Seq(c, Literal(n: Int, org.apache.spark.sql.types.IntegerType)) =>
+      require(n >= 1, s"distinct_grams: n must be >= 1, got $n")
+      DistinctGrams(c, n)
+    case _ => throw new IllegalArgumentException(
+      "distinct_grams requires (string, int literal n >= 1)")
+  }
+
   /** Register `unicode_norm` / `char_entropy_fp` for use via
     * `expr(...)` and SQL. Idempotent per session.
     */
@@ -171,5 +325,7 @@ object TextFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("unicode_norm", makeNorm, "built-in")
     reg.createOrReplaceTempFunction("char_entropy_fp", makeEntropy, "built-in")
+    reg.createOrReplaceTempFunction("gram_stats", makeGramStats, "built-in")
+    reg.createOrReplaceTempFunction("distinct_grams", makeDistinctGrams, "built-in")
   }
 }

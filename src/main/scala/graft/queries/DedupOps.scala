@@ -177,6 +177,18 @@ object DedupOps {
       1)
   }
 
+
+  /** Codegen'd first-occurrence-distinct 3-gram array — replaces the
+    * interpreted `array_distinct(shingles3(c))` HOF chain at every
+    * confirm/shingle site (r15 opt; bit-identical for non-null text,
+    * pinned by GramStatsSpec; all call sites guarantee non-null input
+    * by construction — signature/shingle tables filter nulls first).
+    */
+  private def distinctShingles3(s: SparkSession, c: Column): Column = {
+    graft.functions.TextFunctions.register(s)
+    call_function("distinct_grams", c, lit(3))
+  }
+
   /** 8-function MinHash signature per document.
     *
     * Shape: explode shingles → 4 codegen'd scalar md5s per shingle row
@@ -234,7 +246,7 @@ object DedupOps {
     fanOut(s, documents(s, d))
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        array_distinct(shingles3(col("text"))).as("g"),
+        distinctShingles3(s, col("text")).as("g"),
         (size(split(col("text"), " ")) < 3).as("fb"))
       .select(col("doc_id"), col("g"),
         array_distinct(transform(col("g"), x => xxhash64(x))).as("fps"),
@@ -412,8 +424,8 @@ object DedupOps {
     // and far cheaper than shingling every non-candidate doc.
     val sides = cand.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    val shA = array_distinct(shingles3(col("t_a")))
-    val shB = array_distinct(shingles3(col("t_b")))
+    val shA = distinctShingles3(s, col("t_a"))
+    val shB = distinctShingles3(s, col("t_b"))
     sides.join(documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
       .agg(
@@ -477,8 +489,8 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), nAgree.as("n_agree"))
     val sides = cand.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    val shA = array_distinct(shingles3(col("t_a")))
-    val shB = array_distinct(shingles3(col("t_b")))
+    val shA = distinctShingles3(s, col("t_a"))
+    val shB = distinctShingles3(s, col("t_b"))
     val ex = sides
       .join(documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
@@ -840,9 +852,9 @@ object DedupOps {
     // in its own projection so the three scores' field reads stay
     // reads (CollapseProject won't inline it)
     val stats = element_at(
-      transform(array(array_distinct(shingles3(col("t_a")))), shA =>
+      transform(array(distinctShingles3(s, col("t_a"))), shA =>
         element_at(
-          transform(array(array_distinct(shingles3(col("t_b")))), shB =>
+          transform(array(distinctShingles3(s, col("t_b"))), shB =>
             struct(size(array_intersect(shA, shB)).cast("long").as("inter"),
               size(shA).cast("long").as("na"),
               size(shB).cast("long").as("nb"))), 1)), 1)
@@ -871,7 +883,7 @@ object DedupOps {
   def q_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .filter(col("doc_id") < 40)
-      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), distinctShingles3(s, col("text")).as("sh"))
     sh.as("a")
       .join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -1030,8 +1042,8 @@ object DedupOps {
     // exact-Jaccard confirm via the dedup family's text-ride regroup
     val sides = cand.select(col("doc_id"), col("bench_id"),
       explode(array(col("doc_id"), col("bench_id"))).as("member"))
-    val shA = array_distinct(shingles3(col("t_a")))
-    val shB = array_distinct(shingles3(col("t_b")))
+    val shA = distinctShingles3(s, col("t_a"))
+    val shB = distinctShingles3(s, col("t_b"))
     val conf = sides
       .join(documents(s, d).select(col("doc_id").as("member"), col("text")),
         Seq("member"))
@@ -1059,8 +1071,10 @@ object DedupOps {
   }
 
   def q_contamination(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"),
-      array_distinct(shinglesN(col("text"), 5)).as("gs"))
+    val docs = documents(s, d).select(col("doc_id"), {
+      graft.functions.TextFunctions.register(s)
+      call_function("distinct_grams", col("text"), lit(5)).as("gs")
+    })
     val bench = docs.filter(col("doc_id") % 100 < 2)
       .select(explode(col("gs")).as("g")).distinct()
     val corpus = docs.filter(col("doc_id") % 100 >= 2)

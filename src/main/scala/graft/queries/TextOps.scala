@@ -194,37 +194,34 @@ object TextOps {
     * zero-shuffle scan projection; there is no corpus-wide state.
     */
   def q_repetition(s: SparkSession, d: String): DataFrame = {
-    // Each gram array is LET-BOUND into one (n, n_distinct) struct —
-    // the inline form (`dupFrac(g)` referencing g three times plus
-    // n_words a fourth) evaluated every interpreted-HOF gram build
-    // 3-4× per row, and there is no cross-expression CSE in an
-    // interpreted projection (measured 5.5-7.1s → ~1.5s warm at
-    // sf0.1 under the foreach bench). The struct is built in its own
-    // projection; CollapseProject won't inline a non-cheap expression
-    // referenced more than once, so the downstream field reads stay
-    // reads.
-    def stats(g: Column): Column =
-      element_at(transform(array(g), a =>
-        struct(size(a).cast("long").as("n"),
-          size(array_distinct(a)).cast("long").as("nd"))), 1)
-    def frac(st: Column): Column =
-      when(st.getField("n") > 0,
-        round((st.getField("n") - st.getField("nd")).cast("double") /
-          st.getField("n"), 10))
+    // The three (count, distinct-count) pairs come from the codegen'd
+    // [[graft.functions.GramStats]] kernel (r15 opt): the previous
+    // let-bound HOF form still ran every gram build + array_distinct
+    // as interpreted lambdas, evicting the whole projection from
+    // whole-stage codegen (HOFs are CodegenFallback); the kernel is
+    // one tight fused-scan loop per n, bit-identical by GramStatsSpec
+    // and unchanged under the oracle. Unpacking (shiftright /
+    // bitwiseAND) stays inside codegen; NULL text propagates NULL
+    // through the pack, so n_words is NULL and the fracs take the
+    // otherwise(0.0) branch exactly as before.
+    graft.functions.TextFunctions.register(s)
+    def n(p: Column): Column = shiftright(p, 32)
+    def nd(p: Column): Column = p.bitwiseAND(lit(0xFFFFFFFFL))
+    def frac(p: Column): Column =
+      when(n(p) > 0,
+        round((n(p) - nd(p)).cast("double") / n(p), 10))
         .otherwise(lit(0.0))
     documents(s, d)
       .select(col("doc_id"),
-        stats(split(col("text"), " ")).as("sw"),
-        stats(graft.queries.DedupOps.shinglesN(col("text"), 2,
-          fallbackToText = false)).as("s2"),
-        stats(graft.queries.DedupOps.shinglesN(col("text"), 3,
-          fallbackToText = false)).as("s3"))
+        expr("gram_stats(text, 1)").as("p1"),
+        expr("gram_stats(text, 2)").as("p2"),
+        expr("gram_stats(text, 3)").as("p3"))
       .select(
         col("doc_id"),
-        col("sw.n").as("n_words"),
-        frac(col("sw")).as("dup_word_frac"),
-        frac(col("s2")).as("dup_2gram_frac"),
-        frac(col("s3")).as("dup_3gram_frac"))
+        n(col("p1")).as("n_words"),
+        frac(col("p1")).as("dup_word_frac"),
+        frac(col("p2")).as("dup_2gram_frac"),
+        frac(col("p3")).as("dup_3gram_frac"))
       .orderBy("doc_id")
   }
 
