@@ -243,6 +243,68 @@ case class DistinctGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** RAW (order-preserving, duplicates kept) word n-gram array — the
+  * codegen'd form of `shinglesN(text, n, fallbackToText)` itself, for
+  * the explode sites where the downstream consumer needs every gram
+  * occurrence (LM position tables, CMS lanes, winnow windows,
+  * distinct-n). Same word/join semantics as [[DistinctGrams]];
+  * `fallback` selects the short-text branch ([] vs [text]).
+  */
+case class WordGrams(child: Expression, n: Int, fallback: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGrams.grams(input.asInstanceOf[UTF8String], n, fallback)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.WordGrams.grams($c, $n, $fallback);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  /** Static kernel (static forwarder, callable from generated Java). */
+  def grams(s: UTF8String, n: Int,
+            fallback: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val text = s.toString
+    val ws = text.split(" ", -1)
+    if (ws.length < n) {
+      if (fallback)
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](UTF8String.fromString(text)))
+      else
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    } else {
+      val cnt = ws.length - n + 1
+      val arr = new Array[Any](cnt)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < cnt) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        arr(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+  }
+}
+
 object DistinctGrams {
   /** Static kernel (static forwarder, callable from generated Java). */
   def grams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
@@ -318,6 +380,17 @@ object TextFunctions {
       "distinct_grams requires (string, int literal n >= 1)")
   }
 
+  /** Build a [[WordGrams]]: (string, int literal n ≥ 1, boolean
+    * literal fallback). */
+  private[functions] def makeWordGrams(exprs: Seq[Expression]): WordGrams = exprs match {
+    case Seq(c, Literal(n: Int, org.apache.spark.sql.types.IntegerType),
+        Literal(fb: Boolean, org.apache.spark.sql.types.BooleanType)) =>
+      require(n >= 1, s"word_grams: n must be >= 1, got $n")
+      WordGrams(c, n, fb)
+    case _ => throw new IllegalArgumentException(
+      "word_grams requires (string, int literal n >= 1, boolean literal)")
+  }
+
   /** Register `unicode_norm` / `char_entropy_fp` for use via
     * `expr(...)` and SQL. Idempotent per session.
     */
@@ -327,5 +400,6 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("char_entropy_fp", makeEntropy, "built-in")
     reg.createOrReplaceTempFunction("gram_stats", makeGramStats, "built-in")
     reg.createOrReplaceTempFunction("distinct_grams", makeDistinctGrams, "built-in")
+    reg.createOrReplaceTempFunction("word_grams", makeWordGrams, "built-in")
   }
 }

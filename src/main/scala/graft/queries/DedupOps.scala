@@ -189,6 +189,14 @@ object DedupOps {
     call_function("distinct_grams", c, lit(3))
   }
 
+
+  /** Codegen'd raw gram builder (the TextOps.wordGramsC twin). */
+  private def wordGramsC(s: SparkSession, c: Column, n: Int,
+                         fallback: Boolean): Column = {
+    graft.functions.TextFunctions.register(s)
+    call_function("word_grams", c, lit(n), lit(fallback))
+  }
+
   /** 8-function MinHash signature per document.
     *
     * Shape: explode shingles → 4 codegen'd scalar md5s per shingle row
@@ -537,7 +545,7 @@ object DedupOps {
   def q_substr_runs(s: SparkSession, d: String, k: Int = 8,
                     maxDocs: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashes = transform(shinglesN(col("text"), k, fallbackToText = false),
+    val hashes = transform(wordGramsC(s, col("text"), k, fallback = false),
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
     // materialized ONCE (r15 opt, twice-referenced rule): fp feeds
     // the df aggregate AND the join below, and f2 feeds BOTH sides of
@@ -656,7 +664,7 @@ object DedupOps {
     val staged = documents(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("w"),
-        shinglesN(col("text"), k, fallbackToText = false).as("grams"))
+        wordGramsC(s, col("text"), k, fallback = false).as("grams"))
       .select(col("doc_id"), col("w"),
         filter(
           transform(col("grams"),
@@ -933,7 +941,7 @@ object DedupOps {
 
   private def winnowFpsOf(
       s: SparkSession, d: String, k: Int, win: Int): DataFrame = {
-    val hashes = transform(shinglesN(col("text"), k),
+    val hashes = transform(wordGramsC(s, col("text"), k, fallback = true),
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
     // (hash, 0-based position) structs: struct ordering is
     // field-by-field, so array_min = smallest hash, leftmost on ties

@@ -335,12 +335,32 @@ object TextOps {
     * short docs fall back to the whole text as their single gram
     * (df-1 semantics still well-defined).
     */
+
+  /** Codegen'd gram builders (r15 opt — see [[graft.functions
+    * .WordGrams]]/[[graft.functions.DistinctGrams]]): bit-identical to
+    * the interpreted shinglesN / array_distinct∘shinglesN HOF chains
+    * they replace (GramStatsSpec), but fused into whole-stage codegen.
+    * Null text yields NULL (vs the HOF's [NULL]); every swapped site
+    * either filters nulls first or explodes, where both forms emit
+    * zero surviving rows.
+    */
+  private def wordGramsC(s: SparkSession, c: Column, n: Int,
+                         fallback: Boolean): Column = {
+    graft.functions.TextFunctions.register(s)
+    call_function("word_grams", c, lit(n), lit(fallback))
+  }
+
+  private def distinctGramsC(s: SparkSession, c: Column, n: Int): Column = {
+    graft.functions.TextFunctions.register(s)
+    call_function("distinct_grams", c, lit(n))
+  }
+
   def q_ngram_novelty(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(DedupOps.shinglesN(col("text"), 3))).as("gram"))
-      .filter(col("gram").isNotNull) // null docs shingle to [NULL]
+        explode(distinctGramsC(s, col("text"), 3)).as("gram"))
+      .filter(col("gram").isNotNull) // no-op now (null docs yield NULL arrays)
     val withDf = grams.withColumn("df",
       count(lit(1)).over(Window.partitionBy("gram")))
     val per = withDf.groupBy("doc_id")
@@ -958,8 +978,7 @@ object TextOps {
   def q_collocations(s: SparkSession, d: String, minCount: Int = 5,
                      topN: Int = 100): DataFrame = {
     val bgw = documents(s, d)
-      .select(explode(graft.queries.DedupOps.shinglesN(col("text"), 2,
-        fallbackToText = false)).as("bg"))
+      .select(explode(wordGramsC(s, col("text"), 2, fallback = false)).as("bg"))
       .select(col("bg"),
         element_at(split(col("bg"), " "), 1).as("w1"),
         element_at(split(col("bg"), " "), 2).as("w2"))
@@ -1143,8 +1162,7 @@ object TextOps {
     graft.plans.SharedState.cached(s, "text.bigramModel", d) {
       val bgw = documents(s, d)
         .select(col("doc_id"),
-          explode(graft.queries.DedupOps.shinglesN(col("text"), 2,
-            fallbackToText = false)).as("bg"))
+          explode(wordGramsC(s, col("text"), 2, fallback = false)).as("bg"))
         .select(col("bg"), element_at(split(col("bg"), " "), 1).as("w1"))
       val vocab = documents(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -1157,8 +1175,7 @@ object TextOps {
   private def bigramLogpPerDoc(s: SparkSession, d: String): DataFrame = {
     val bgw = documents(s, d)
       .select(col("doc_id"),
-        explode(graft.queries.DedupOps.shinglesN(col("text"), 2,
-          fallbackToText = false)).as("bg"))
+        explode(wordGramsC(s, col("text"), 2, fallback = false)).as("bg"))
       .select(col("doc_id"), col("bg"),
         element_at(split(col("bg"), " "), 1).as("w1"))
     val (c12, c1, vocab) = bigramModel(s, d)
@@ -1310,11 +1327,11 @@ object TextOps {
     graft.plans.SharedState.cached(s, "text.backoffCounts", d) {
       val train = documents(s, d).filter(col("doc_id") % 2 === 0)
       val toks = train.select(explode(split(col("text"), " ")).as("tok"))
-      val c2 = train.select(explode(graft.queries.DedupOps
-          .shinglesN(col("text"), 2, fallbackToText = false)).as("bg"))
+      val c2 = train.select(
+          explode(wordGramsC(s, col("text"), 2, fallback = false)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c"))
-      val c3 = train.select(explode(graft.queries.DedupOps
-          .shinglesN(col("text"), 3, fallbackToText = false)).as("tg"))
+      val c3 = train.select(
+          explode(wordGramsC(s, col("text"), 3, fallback = false)).as("tg"))
         .groupBy("tg").agg(count(lit(1)).as("c"))
       (graft.plans.Ckpt.maybe(toks.groupBy("tok").agg(count(lit(1)).as("c"))),
         graft.plans.Ckpt.maybe(c2),
@@ -1327,8 +1344,8 @@ object TextOps {
     val docs = documents(s, d)
     val (c1, c2, c3, nTot) = backoffCounts(s, d)
     val pos = (if (heldOutOnly) docs.filter(col("doc_id") % 2 === 1) else docs)
-      .select(col("doc_id"), explode(graft.queries.DedupOps
-        .shinglesN(col("text"), 3, fallbackToText = false)).as("tg"))
+      .select(col("doc_id"),
+        explode(wordGramsC(s, col("text"), 3, fallback = false)).as("tg"))
       .select(col("doc_id"), col("tg"), split(col("tg"), " ").as("ws"))
       .select(col("doc_id"), col("tg"),
         concat_ws(" ", element_at(col("ws"), 1), element_at(col("ws"), 2)).as("b12"),
@@ -2217,8 +2234,7 @@ object TextOps {
   def q_novelty(s: SparkSession, d: String): DataFrame = {
     val g = documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(array_distinct(graft.queries.DedupOps
-          .shingles3(col("text")))).as("gram"))
+        explode(distinctGramsC(s, col("text"), 3)).as("gram"))
     val perDoc = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val owners = g.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc").as("doc_id"))
@@ -2482,8 +2498,7 @@ object TextOps {
       .select(col("source"), col("text"))
     val grams = (1 to maxN).map { n =>
       docs.select(col("source"), lit(n.toLong).as("n"),
-        explode(DedupOps.shinglesN(col("text"), n, fallbackToText = false))
-          .as("g"))
+        explode(wordGramsC(s, col("text"), n, fallback = false)).as("g"))
     }.reduce(_ unionAll _)
     grams.groupBy("source", "n")
       .agg(count(lit(1)).as("total_ngrams"),
