@@ -124,7 +124,7 @@ object BpeOps {
       .filter(length(col("word")) > 1)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("r", concat(lit("<"),
-        array_join(expr("filter(split(word, ''), c -> c <> '')"), "><"), lit(">")))
+        array_join(expr("array_remove(split(word, ''), '')"), "><"), lit(">")))
       .select(col("n"), col("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val found = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -194,9 +194,9 @@ object BpeOps {
     val words = documents(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
+        explode(expr("array_remove(split(text, ' '), '')")).as("word"))
     val bracketed = concat(lit("<"),
-      array_join(expr("filter(split(word, ''), c -> c <> '')"), "><"), lit(">"))
+      array_join(expr("array_remove(split(word, ''), '')"), "><"), lit(">"))
     val encoded = table.foldLeft(bracketed) { case (c, (pat, mrg)) =>
       replace(c, lit(pat), lit(mrg))
     }
@@ -311,12 +311,12 @@ object BpeOps {
         s"<${r.getAs[String]("merged")}>"))
     val checkpoints = 0L +: (stride.toLong to merges.toLong by stride.toLong)
     val bracketed = concat(lit("<"),
-      array_join(expr("filter(split(word, ''), c -> c <> '')"), "><"), lit(">"))
+      array_join(expr("array_remove(split(word, ''), '')"), "><"), lit(">"))
     val nTok = (c: Column) =>
       (length(c) - length(replace(c, lit(">"), lit("")))).cast("long")
     var staged = documents(s, d)
       .filter(col("text").isNotNull)
-      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
+      .select(explode(expr("array_remove(split(text, ' '), '')")).as("word"))
       .select(length(col("word")).cast("long").as("n_sym"),
         bracketed.as("enc_0"))
     checkpoints.drop(1).foreach { k =>

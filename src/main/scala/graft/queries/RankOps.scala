@@ -22,7 +22,7 @@ object RankOps {
   private def perDocTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
-        size(filter(split(col("text"), " "), t => length(t) > 0))
+        size(array_remove(split(col("text"), " "), ""))
           .cast("long").as("t"))
       .filter(col("t") >= 0)
 
@@ -61,7 +61,7 @@ object RankOps {
     val per = documents(s, d)
       .filter(col("lang").isNotNull)
       .select(col("doc_id"), col("lang"),
-        size(filter(split(col("text"), " "), t => length(t) > 0))
+        size(array_remove(split(col("text"), " "), ""))
           .cast("long").as("t"))
       .filter(col("t") >= 0)
     val g = globalRowNumber(per, "grn", col("lang"), col("t"), col("doc_id"))

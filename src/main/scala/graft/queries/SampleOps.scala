@@ -867,7 +867,7 @@ object SampleOps {
     val per = documents(s, d)
       .filter(col("text").isNotNull && qf.isNotNull)
       .select(col("doc_id"), qf.as("qf"),
-        size(filter(split(col("text"), " "), t => length(t) > 0))
+        size(array_remove(split(col("text"), " "), ""))
           .cast("long").as("t"))
     val ranked = graft.plans.GlobalRank.globalRowNumber(
       per, "rn", negate(col("qf")), col("doc_id"))

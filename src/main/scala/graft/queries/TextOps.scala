@@ -1486,7 +1486,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val per = documents(s, d)
       .select(col("doc_id"),
-        size(filter(split(col("text"), " "), t => length(t) > 0))
+        size(array_remove(split(col("text"), " "), ""))
           .cast("long").as("t"))
       .filter(col("t") >= 0) // null text -> null t -> comparison null -> dropped
     val ranked = graft.plans.GlobalRank
@@ -2363,7 +2363,7 @@ object TextOps {
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        size(array_remove(split(col("text"), "\\s+"), ""))
           .cast("long").as("w"),
         greatest(expr("regexp_count(text, '[.!?]+')").cast("long"), lit(1L))
           .as("sent"),

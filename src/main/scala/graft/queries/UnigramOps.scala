@@ -310,7 +310,7 @@ object UnigramOps {
       .select(col("word"), size(col("lens")).cast("long").as("n_tok"))
     documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
+        explode(expr("array_remove(split(text, ' '), '')")).as("word"))
       .join(broadcast(wordTok), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
