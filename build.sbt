@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr,
+// UNPREFIXED: with the default LoggedOutput strategy sbt wraps every
+// stdout line in "[info] ", which broke the driver's parse of the
+// bench's one-line JSON for four straight rounds (BENCH_r12–r15 all
+// `parsed: null` — r15 verdict item 2).
+run / outputStrategy := Some(StdoutOutput)
 // UTF-8 process locale for forked JVMs: sun.jnu.encoding follows the
 // OS locale (the -D override is ignored on JDK 17+), and the container
 // default POSIX locale makes java.nio.file reject non-ASCII paths —

@@ -83,12 +83,21 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // SharedState keyset size before the cold run: if the cold run
+      // BUILT new shared artifacts, a warm re-run reads them for free
+      // and min-of-2 would report a number no fresh run can achieve —
+      // the r15 verdict quantified ~134s of artifact-build cost
+      // silently excluded from the total this way. For such keys the
+      // COLD reading is the honest one (both readings still go into
+      // the "reruns" field).
+      val keysBefore = graft.plans.SharedState.keyCount
       val (ok, t1) =
         if (nRuns > 1) {
           val runs = (1 to nRuns).map(_ => timeOnce(fn))
           val okTimes = runs.collect { case (true, t) => t }
           if (okTimes.nonEmpty) (true, median(okTimes)) else (false, runs.head._2)
         } else timeOnce(fn)
+      val builtArtifacts = graft.plans.SharedState.keyCount > keysBefore
       // Heavy keys (>2s) additionally ALWAYS get one warm re-run in
       // single-shot mode (r12 verdict #3: the driver's one-shot BENCH
       // is the surface the 2x bar reads, and graph-family keys swung
@@ -102,9 +111,19 @@ object Bench {
             (t1 > 2.0 || (trailing.length >= 8 &&
               t1 > math.max(2 * median(trailing.toSeq), 0.8)))) {
           val (ok2, t2) = timeOnce(fn)
-          val best = if (ok2) math.min(t1, t2) else t1
+          // Memoization-aware (r15 verdict item 1): min-of-2 is a
+          // NOISE re-measurement, valid only when the two runs do the
+          // same work. When the cold run built SharedState artifacts,
+          // the warm run merely reads them — reporting their min would
+          // exclude the build from the total (a workload no real run
+          // achieves). Report the cold reading for those keys.
+          val best =
+            if (!ok2) t1
+            else if (builtArtifacts) t1
+            else math.min(t1, t2)
           System.err.println(
-            f"[bench] $name: first $t1%.2fs (heavy or > 2x trailing median), re-ran: $t2%.2fs -> $best%.2fs")
+            f"[bench] $name: first $t1%.2fs (heavy or > 2x trailing median), re-ran: $t2%.2fs -> $best%.2fs" +
+              (if (builtArtifacts) " [cold kept: built shared artifacts]" else ""))
           // both readings go into the artifact (ADVICE r13: min-of-2
           // keys were indistinguishable from single readings, and with
           // SharedState the cold reading is the one carrying the
@@ -124,8 +143,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val rr = reruns.map { case (k, (c, w)) => s"\"" + k + s"\":[$c,$w]" }
       .mkString("{", ",", "}")
+    // per-artifact build seconds (r15 verdict item 4: shared-artifact
+    // build cost was drifting unobserved because only warm consumer
+    // reads were reported) — first-build wall clock per SharedState key
+    val arts = graft.plans.SharedState.buildTimes
+      .map { case (k, t) => s"\"" + k + s"\":$t" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$rr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$rr,"artifacts":$arts,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json captures only the TAIL of the line
     // above — r10's artifact hid 169 of 235 keys, making a total-level

@@ -27,6 +27,27 @@ object SharedState {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, Any]
 
+  /** Wall-clock seconds each artifact's FIRST build took, in build
+    * order — the r15 verdict found shared-artifact build cost
+    * "drifting up unobserved" because every reported per-key number
+    * was a warm read; the bench emits this map so the build cost is
+    * first-class in the artifact (VERDICT r15 item 1/4). */
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  /** Snapshot of the build log (name -> seconds, insertion order). */
+  private[graft] def buildTimes: Seq[(String, Double)] = {
+    val it = buildLog.iterator(); val b = Seq.newBuilder[(String, Double)]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** Snapshot of the memoized keyset — the bench compares it around a
+    * retry to detect whether the warm re-run consumed artifacts built
+    * during the cold pass (in which case min-of-2 would silently drop
+    * the build cost from the total). */
+  private[graft] def keyCount: Int = cache.size
+
   private def bypass(s: SparkSession): Boolean =
     s.conf.get("spark.graft.ckptCapture", "false").toBoolean ||
       !s.conf.get("spark.graft.checkpoint", "true").toBoolean
@@ -35,12 +56,19 @@ object SharedState {
   def cached[T](s: SparkSession, name: String, d: String)(build: => T): T =
     if (bypass(s)) build
     else cache.getOrElseUpdate(
-      s.sparkContext.applicationId + "|" + name + "|" + d, build)
+      s.sparkContext.applicationId + "|" + name + "|" + d, {
+        val t0 = System.nanoTime()
+        val r: T = build
+        val secs = (System.nanoTime() - t0) / 1e9
+        buildLog.add(name -> secs)
+        System.err.println(f"[shared] built $name in $secs%.2fs")
+        r
+      })
       .asInstanceOf[T]
 
   /** Test hook: drop every cached artifact so specs pinning the
     * FRESH-build plan shape are independent of suite order. */
-  private[graft] def reset(): Unit = cache.clear()
+  private[graft] def reset(): Unit = { cache.clear(); buildLog.clear() }
 
   /** Cross-JVM layer for single-DataFrame artifacts: when
     * `spark.graft.artifacts.dir` is SET, the artifact persists as
