@@ -2807,7 +2807,8 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
         |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
         |    ELSE [text] END) AS s
-        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents WHERE doc_id < 40))
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents
+        |        WHERE doc_id < 40 AND text IS NOT NULL))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 10) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,

@@ -181,8 +181,10 @@ object DedupOps {
   /** Codegen'd first-occurrence-distinct 3-gram array — replaces the
     * interpreted `array_distinct(shingles3(c))` HOF chain at every
     * confirm/shingle site (r15 opt; bit-identical for non-null text,
-    * pinned by GramStatsSpec; all call sites guarantee non-null input
-    * by construction — signature/shingle tables filter nulls first).
+    * pinned by GramStatsSpec; every call site filters null text first
+    * — signature/shingle tables by construction, q_ngram_jaccard
+    * explicitly since r16 — because the kernel returns NULL where the
+    * old HOF built [NULL]).
     */
   private def distinctShingles3(s: SparkSession, c: Column): Column = {
     graft.functions.TextFunctions.register(s)
@@ -889,8 +891,13 @@ object DedupOps {
     * above is the scale path; this exists to oracle-check the kernel.
     */
   def q_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+    // text.isNotNull (r15 ADVICE): the distinct_grams kernel returns
+    // NULL for null text where the old HOF built [NULL] and DuckDB's
+    // list_distinct builds [] — a null-text doc would score -1/-1 ⇒
+    // jaccard 1.0 against every partner. Null docs don't participate
+    // (the winnowFps convention); the oracle SQL pins the same filter.
     val sh = documents(s, d)
-      .filter(col("doc_id") < 40)
+      .filter(col("doc_id") < 40 && col("text").isNotNull)
       .select(col("doc_id"), distinctShingles3(s, col("text")).as("sh"))
     sh.as("a")
       .join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
@@ -1720,8 +1727,13 @@ object DedupOps {
     // fingerprint arrays — every common raw gram maps to a common fp,
     // so |fps_a ∩ fps_b| ≥ |g_a ∩ g_b| and |g| ≥ |fps| per side;
     // a true pair (3·|g∩| ≥ |g_a|+|g_b|) therefore always satisfies
-    // 3·|fps∩| ≥ |fps_a|+|fps_b| — the prune is collision-proof in
-    // the safe direction. Phase 2 runs the exact RAW-gram intersect
+    // 3·|fps∩| ≥ |fps_a|+|fps_b| — collision-safe up to INTRA-
+    // intersection collisions (r15 ADVICE correction: an xxhash64
+    // collision between two distinct COMMON grams of a borderline
+    // pair shrinks |fps∩| by 1 but |fps_a|+|fps_b| by only 2, so
+    // that pair could be pruned — ~2⁻⁶⁴ per gram pair, the same
+    // trust level as the MinHash stack). Phase 2 runs the exact
+    // RAW-gram intersect
     // on the survivors only, so the declared output is unchanged
     // while the expensive string-array join touches ~256 rows, not
     // ~125k (measured verify 4.8 → ~1.5 s).

@@ -180,7 +180,10 @@ object TextOps {
         col("doc_id"),
         collapsed.as("clean_text"),
         // regexp_count ≡ size(regexp_extract_all(_, _, 0)) without the
-        // per-row match-array materialization (the q_pii note)
+        // per-row match-array materialization (the q_pii note).
+        // Null-text contract (r15 ADVICE, pinned): counts are NULL for
+        // NULL text — matching DuckDB's len(regexp_extract_all(NULL))
+        // — not the legacy sizeOfNull -1 the HOF form produced.
         regexp_count(col("text"), lit(urlPat)).cast("long").as("n_urls"),
         regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
         (length(col("text")) - length(collapsed)).cast("long").as("n_removed_chars"))

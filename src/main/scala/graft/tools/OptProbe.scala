@@ -32,6 +32,7 @@ object OptProbe {
     name match {
       case "allpairs" => allpairs(spark, d)
       case "pii" => pii(spark, d)
+      case "triangles" => triangles(spark, d)
       case "plancost" =>
         // planning-only vs execution cost for named keys (args via env)
         sys.env.getOrElse("OPT_KEYS", "q_sim_pq").split(",").foreach { k =>
@@ -158,5 +159,70 @@ object OptProbe {
         size(col("gb")).cast("long").as("n_b"))
       .filter(expr("3 * n_inter >= n_a + n_b"))
     t("verP count")(println(verP.count()))
+  }
+
+  /** Stage-by-stage timing of the triangle artifact build (r16: the
+    * most expensive cold path in the bench — 23.9s on whichever graph
+    * key runs first) plus its consumers.
+    */
+  def triangles(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.Tables.lineitem(spark, d)
+    val so = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+      .distinct()
+    t("so distinct")(so.foreach(_ => ()))
+    val e0 = so.as("x").join(so.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b"))
+    t("pair join pre-distinct")(println(e0.count()))
+    val e = e0.distinct()
+    t("coEdges distinct")(println(e.count()))
+    val eC = t("coEdges ckpt")(graft.plans.Ckpt.maybe(e))
+    val sym = eC.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(eC.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+    val symC = t("sym window+ckpt")(graft.plans.Ckpt.maybe(sym))
+    val deg = symC.select(col("src").as("node"), col("deg")).dropDuplicates("node")
+    val o0 = symC.join(
+        broadcast(deg.select(col("node").as("dn"), col("deg").as("ddeg"))),
+        col("dst") === col("dn"))
+      .filter(col("deg") < col("ddeg") ||
+        (col("deg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddeg"))
+    val o = t("oriented ckpt")(graft.plans.Ckpt.maybe(o0))
+    t("oriented count")(println(o.count()))
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("dv"))
+    val e2 = o.select(col("src").as("u2"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = e1.join(e2, col("u") === col("u2") &&
+        (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("u"), col("v"), col("w"))
+    t("wedge count")(println(wedges.count()))
+    val tris = wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    t("tris count (shuffle semi)")(println(tris.count()))
+    val trisB = wedges.join(
+      broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
+      Seq("v", "w"), "left_semi")
+    t("tris count (broadcast semi)")(println(trisB.count()))
+    val trisBB = e1.join(broadcast(e2), col("u") === col("u2") &&
+        (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("u"), col("v"), col("w"))
+      .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
+        Seq("v", "w"), "left_semi")
+    t("tris count (bcast wedge + bcast semi)")(println(trisBB.count()))
+    // packed single-long key: LongHashedRelation instead of the
+    // generic two-column UnsafeHashedRelation
+    val trisPk = wedges
+      .withColumn("vw", shiftleft(col("v"), 32).bitwiseOR(col("w")))
+      .join(broadcast(o.select(
+          shiftleft(col("src"), 32).bitwiseOR(col("dst")).as("vw"))),
+        Seq("vw"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+    t("tris count (packed bcast semi)")(println(trisPk.count()))
+    t("tris count (packed bcast semi) 2")(println(trisPk.count()))
+    println("==== closure BEFORE (shuffle semi) ====")
+    tris.explain("formatted")
+    println("==== closure AFTER (packed broadcast semi) ====")
+    trisPk.explain("formatted")
   }
 }
