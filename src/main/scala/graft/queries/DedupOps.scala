@@ -271,7 +271,7 @@ object DedupOps {
     val mins = (1 to 8).map { i =>
       val seed = (i + 1) / 2           // digest 1..4, used twice
       val off = if (i % 2 == 1) 1 else 17 // hex window within the digest
-      min(conv(substring(col(s"d$seed"), off, 15), 16, 10).cast("long")).as(s"h$i")
+      min(graft.functions.HashFunctions.hexWindowU(col(s"d$seed"), off, 15)).as(s"h$i")
     }
     withDigests.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -548,7 +548,7 @@ object DedupOps {
                     maxDocs: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashes = transform(wordGramsC(s, col("text"), k, fallback = false),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+      g => graft.functions.HashFunctions.md5WindowU(g, 1, 15))
     // materialized ONCE (r15 opt, twice-referenced rule): fp feeds
     // the df aggregate AND the join below, and f2 feeds BOTH sides of
     // the diagonal self-join — unmaterialized, the token-scale
@@ -662,7 +662,7 @@ object DedupOps {
   private def cdcChunkTableOf(s: SparkSession, d: String, k: Int,
                               mod: Int): DataFrame = {
     val h60 = (g: Column) =>
-      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      graft.functions.HashFunctions.md5WindowU(g, 1, 15)
     val staged = documents(s, d)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("w"),
@@ -949,7 +949,7 @@ object DedupOps {
   private def winnowFpsOf(
       s: SparkSession, d: String, k: Int, win: Int): DataFrame = {
     val hashes = transform(wordGramsC(s, col("text"), k, fallback = true),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+      g => graft.functions.HashFunctions.md5WindowU(g, 1, 15))
     // (hash, 0-based position) structs: struct ordering is
     // field-by-field, so array_min = smallest hash, leftmost on ties
     val hp = transform(hashes, (h, i) => struct(h.as("h"), i.cast("long").as("p")))
@@ -1147,8 +1147,8 @@ object DedupOps {
       // Char 1 is the most significant nibble of `lo`, so bit b of
       // nibble j = char b/4+1 sits at lo bit 4*(14 - b/4) + b%4.
       .select(col("doc_id"),
-        conv(substring(col("hx"), 1, 15), 16, 10).cast("long").as("lo"),
-        conv(substring(col("hx"), 16, 1), 16, 10).cast("long").as("hi"))
+        graft.functions.HashFunctions.hexWindowU(col("hx"), 1, 15).as("lo"),
+        graft.functions.HashFunctions.hexWindowU(col("hx"), 16, 1).as("hi"))
     def bitOf(b: Int) =
       if (b < 60) shiftright(col("lo"), 4 * (14 - b / 4) + b % 4).bitwiseAND(1)
       else shiftright(col("hi"), b - 60).bitwiseAND(1)

@@ -168,8 +168,8 @@ object RankOps {
   def q_sample_systematic(s: SparkSession, d: String, k: Int = 20): DataFrame = {
     val hashed = documents(s, d).select(
       col("doc_id"),
-      conv(substring(md5(concat(lit("sys:"), col("doc_id"))), 1, 15), 16, 10)
-        .cast("long").as("hv"))
+      graft.functions.HashFunctions.md5WindowU(
+        concat(lit("sys:"), col("doc_id")), 1, 15).as("hv"))
     globalRowNumber(hashed, "rn", col("hv"), col("doc_id"))
       .filter((col("rn") - 1) % k === 0)
       .select(col("doc_id"), col("hv"), col("rn"))

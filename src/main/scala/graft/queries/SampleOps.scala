@@ -19,11 +19,16 @@ object SampleOps {
   private val Hex = "0123456789abcdef"
 
   /** First `chars` hex chars of md5(key) as an integer column — the
-    * deterministic "random" draw, identical in Spark (`conv`) and
-    * DuckDB (nibble arithmetic, see the oracle SQL).
+    * deterministic "random" draw, identical in Spark and DuckDB
+    * (nibble arithmetic, see the oracle SQL). Since r16 the Spark-side
+    * evaluation is the codegen'd [[graft.functions.Md5WindowU]] kernel
+    * — bit-identical to the previous
+    * `conv(substring(md5(key), 1, chars), 16, 10)` chain
+    * (HashKernelSpec) without its per-row hex-string/substring
+    * allocations and conv re-parse.
     */
   def hashDraw(key: Column, chars: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, chars), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5WindowU(key.cast("string"), 1, chars)
 
   /** Stratified downsampling by language with per-stratum keep rates —
     * the standard rebalancing move (downweight the dominant language,
@@ -908,7 +913,7 @@ object SampleOps {
     * anywhere.
     */
   def q_shard_manifest(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
-    val fp = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val fp = graft.functions.HashFunctions.md5WindowU(col("text"), 1, 15)
     documents(s, d)
       .select(
         pmod(hashDraw(col("doc_id"), 8), lit(shards.toLong)).as("shard"),

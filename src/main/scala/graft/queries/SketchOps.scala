@@ -132,8 +132,8 @@ object SketchOps {
     val k = 32
     val hashed = customer(s, d).select(
       col("c_nationkey"),
-      conv(substring(md5(concat(lit("kmv:"), col("c_custkey"))), 1, 15), 16, 10)
-        .cast("long").as("hv"))
+      graft.functions.HashFunctions.md5WindowU(
+        concat(lit("kmv:"), col("c_custkey")), 1, 15).as("hv"))
     val perNation = hashed.groupBy("c_nationkey")
       .agg(graft.functions.KmvAggregator.kmv(k)(col("hv")).as("sk"))
     val global = perNation
@@ -271,8 +271,8 @@ object SketchOps {
       val h = md5(concat(lit(s"${j / 2}:"), col("gram")))
       val off = if (j % 2 == 0) 1 else 17
       struct(lit(j.toLong).as("lane"),
-        pmod(conv(substring(h, off, 15), 16, 10)
-          .cast("long"), lit(width.toLong)).as("bucket"))
+        pmod(graft.functions.HashFunctions.hexWindowU(h, off, 15),
+          lit(width.toLong)).as("bucket"))
     }: _*)
 
   def q_ngram_cms(s: SparkSession, d: String, depth: Int = 4,

@@ -1338,8 +1338,8 @@ object TimeSeries {
     */
   private[graft] def poissonWeight(eventId: Column, rep: Column): Column = {
     val thresholds = PoissonThresholds
-    val u = conv(substring(md5(concat(eventId.cast("string"),
-      lit(":"), rep.cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = graft.functions.HashFunctions.md5WindowU(
+      concat(eventId.cast("string"), lit(":"), rep.cast("string")), 1, 13)
     thresholds.tail.zipWithIndex
       .foldLeft(when(u < thresholds.head, 0)) { case (acc, (th, i)) =>
         acc.when(u < th, i + 1)
