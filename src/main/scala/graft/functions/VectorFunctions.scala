@@ -272,6 +272,77 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   }
 }
 
+/** Upper-triangle pairwise products of a quantized (long) vector —
+  * the codegen'd form of q_embed_cov's nested-transform pair build
+  * (r16 opt): `flatten(transform(sequence(0, d−1), i =>
+  * transform(sequence(i, d−1), j => struct(i, j, q[i]·q[j]))))` ran
+  * as interpreted HOF lambdas over d(d+1)/2 = 2,080 struct
+  * allocations per vector — the dominant cost of the shared
+  * covariance-cell artifact (embed.covCells, 3.7s of the sf0.1
+  * bench). One static call emits the same (i, j, p) triples in the
+  * same row-major order; products are exact long multiplies on the
+  * ×1e6 grid exactly as before (the decimal widening happens
+  * DOWNSTREAM of the sum, unchanged). NULL vector → NULL; a NULL
+  * element yields NULL products wherever the HOF form did
+  * ([[graft.PairProductsSpec]] pins equality).
+  */
+case class PairProducts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.LongType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "pair_products"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairProducts.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.PairProducts.pairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairProducts {
+  /** Static kernel (static forwarder, callable from generated Java). */
+  def pairs(q: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d = q.numElements()
+    val out = new Array[Any](d * (d + 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      val iNull = q.isNullAt(i)
+      val qi = if (iNull) 0L else q.getLong(i)
+      var j = i
+      while (j < d) {
+        val p: Any =
+          if (iNull || q.isNullAt(j)) null
+          else java.lang.Long.valueOf(qi * q.getLong(j))
+        out(idx) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](i.toLong, j.toLong, p))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Analysis-time input validation (ExpectsInputTypes is unusable
     * outside org.apache.spark.sql — AbstractDataType is private[sql]).
@@ -304,5 +375,11 @@ object VectorFunctions {
       "dot_product", exprs => { val (l, r) = twoArgs("dot_product", exprs); DotProduct(l, r) }, "built-in")
     reg.createOrReplaceTempFunction(
       "sq_l2", exprs => { val (l, r) = twoArgs("sq_l2", exprs); SquaredL2(l, r) }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "pair_products", exprs => {
+        require(exprs.length == 1,
+          s"pair_products requires exactly 1 argument, got ${exprs.length}")
+        PairProducts(exprs.head)
+      }, "built-in")
   }
 }

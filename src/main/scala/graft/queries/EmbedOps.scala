@@ -398,16 +398,19 @@ object EmbedOps {
     * integer moments (n, s_ij, s_i, s_j, v_i, v_j).
     */
   private def covCells(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val qd = embeddings(s, d).filter(col("embedding").isNotNull)
       .select(transform(col("embedding"),
         v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+    // pair_products = the codegen'd kernel form of the previous
+    // nested-transform upper-triangle build (r16 opt): the HOF chain
+    // allocated d(d+1)/2 = 2,080 structs per vector through
+    // interpreted lambda frames — the dominant cost of this shared
+    // artifact (3.7s at sf0.1). Same (i, j, p) triples, same order,
+    // exact long products on the ×1e6 grid (PairProductsSpec pins
+    // bit-equality; the decimal widening stays downstream of the sum).
     val cells = qd
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("q")) - 1), i => transform(
-          sequence(i, size(col("q")) - 1), j => struct(
-            i.cast("long").as("i"), j.cast("long").as("j"),
-            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
-              .as("p")))))).as("c"))
+      .select(explode(call_function("pair_products", col("q"))).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
@@ -464,48 +467,65 @@ object EmbedOps {
   private def pcaModelShared(s: SparkSession, d: String,
                              iters: Int): DataFrame =
     graft.plans.SharedState.cached(s, s"embed.pcaModel.$iters", d)(
-      graft.plans.Ckpt.maybe(powerIterate(covCellsShared(s, d), iters)))
+      powerIterate(s, covCellsShared(s, d), iters))
 
   /** The K-step integer power iteration over a (i, j, n, s_ij, s_i,
-    * s_j) cell table — factored so [[q_pca_project]] can feed a
-    * checkpointed cells table and reuse it for the trace instead of
-    * recomputing the corpus-scale covariance pass (the
-    * twice-referenced-state rule; recomputation measured as the
-    * suite's heaviest key at 9.6s before the split, ~2x its floor).
+    * s_j) cell table, run DRIVER-SIDE on the collected cells (r16
+    * opt): both the input (d(d+1)/2 = 2,080 cells) and every
+    * iteration's state (the d-vector) are model-sized and
+    * corpus-INDEPENDENT — the same collected-model stance as the PQ
+    * codebook and q_pca_project's own direction collect — while the
+    * distributed form paid ~3 cluster jobs per step on 4,096-cell
+    * tables (3.4s of pure job-dispatch latency at sf0.1, invariant
+    * with corpus size). The corpus-scale work stays distributed in
+    * covCells. Arithmetic is replicated EXACTLY: the decimal(38,0)
+    * products run as BigInt (superset of the decimal range, bounded
+    * by the documented n ≤ 2.7e7 headroom), every `div` is the
+    * sign-separated truncating division on nonnegative operands the
+    * SQL form spelled out, and long sums are exact — EmbedSpec and
+    * the oracle's unrolled-CTE replay pin the outputs unchanged.
     */
-  private def powerIterate(cells: DataFrame, iters: Int): DataFrame = {
-    val upper = cells
-      .select(col("i"), col("j"),
-        expr(s"""CASE WHEN $covNumDec >= 0
-               |  THEN ($covNumDec) div (CAST(n AS DECIMAL(38,0)) * n * 1000000)
-               |  ELSE -(($covNumNegDec) div (CAST(n AS DECIMAL(38,0)) * n * 1000000))
-               |END""".stripMargin).as("m"))
-      // d(d+1)/2 rows, model-sized; referenced twice by the mirror
-      // union below — without this checkpoint the corpus-scale cell
-      // pass underneath runs once per branch (no cross-branch CSE)
-      .transform(graft.plans.Ckpt.maybe)
-    val mat = upper.unionAll(upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("m")))
-      .transform(graft.plans.Ckpt.maybe) // reread by all K iterations
-    var v = mat.select(col("i").as("dim")).distinct()
-      .select(col("dim"), lit(100000L).as("v"))
-    var lastMx: DataFrame = null
-    (1 to iters).foreach { _ =>
-      val w = mat.join(broadcast(v), mat("j") === v("dim"))
-        .groupBy(mat("i").as("dim"))
-        .agg(sum(col("m") * col("v")).as("w"))
-      lastMx = w.agg(max(abs(col("w"))).as("mx"))
-      v = w.crossJoin(broadcast(lastMx))
-        .select(col("dim"),
-          when(col("mx") > 0,
-            expr("""CASE WHEN w >= 0 THEN (w * 100000) div mx
-                   |ELSE -(((-w) * 100000) div mx) END""".stripMargin))
-            .otherwise(lit(0L)).as("v"))
-        .transform(graft.plans.Ckpt.maybe) // twice-referenced: next step's join + output
+  private def powerIterate(s: SparkSession, cells: DataFrame,
+                           iters: Int): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "dim BIGINT, v_fp BIGINT, lambda_fp BIGINT")
+    val raw = cells.select(col("i"), col("j"), col("n"), col("s_ij"),
+      col("s_i"), col("s_j")).collect()
+    if (raw.isEmpty)
+      return s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    // m_ij = trunc((n·s_ij − s_i·s_j) / (n²·1e6)), sign-separated so
+    // the division always sees nonnegative operands (BigInt / == the
+    // SQL div there)
+    val entries = raw.flatMap { r =>
+      val i = r.getAs[Long]("i"); val j = r.getAs[Long]("j")
+      val n = BigInt(r.getAs[Long]("n"))
+      val num = n * BigInt(r.getAs[Long]("s_ij")) -
+        BigInt(r.getAs[Long]("s_i")) * BigInt(r.getAs[Long]("s_j"))
+      val den = n * n * 1000000
+      val m = (if (num >= 0) num / den else -((-num) / den)).toLong
+      if (i == j) Seq((i, j, m)) else Seq((i, j, m), (j, i, m))
     }
-    v.crossJoin(broadcast(lastMx))
-      .select(col("dim"), col("v").as("v_fp"),
-        expr("mx div 100000").as("lambda_fp"))
+    val dims = entries.map(_._1).distinct.sorted
+    var v = dims.map(_ -> 100000L).toMap
+    var mx = 0L
+    (1 to iters).foreach { _ =>
+      val w = new scala.collection.mutable.HashMap[Long, Long]()
+      entries.foreach { case (i, j, m) =>
+        w(i) = w.getOrElse(i, 0L) + m * v(j) // exact long sums
+      }
+      mx = if (w.isEmpty) 0L else w.valuesIterator.map(math.abs).max
+      v = dims.map { i =>
+        val wi = w.getOrElse(i, 0L)
+        i -> (if (mx > 0)
+          (if (wi >= 0) wi * 100000 / mx else -((-wi) * 100000 / mx))
+        else 0L)
+      }.toMap
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(dims.map(i =>
+        org.apache.spark.sql.Row(i, v(i), mx / 100000)): _*)
+    s.createDataFrame(rows, schema)
   }
 
   /** Projection of every embedding onto [[q_pca_power]]'s dominant

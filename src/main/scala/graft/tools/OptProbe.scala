@@ -33,6 +33,7 @@ object OptProbe {
       case "allpairs" => allpairs(spark, d)
       case "pii" => pii(spark, d)
       case "triangles" => triangles(spark, d)
+      case "covcells" => covcells(spark, d)
       case "plancost" =>
         // planning-only vs execution cost for named keys (args via env)
         sys.env.getOrElse("OPT_KEYS", "q_sim_pq").split(",").foreach { k =>
@@ -224,5 +225,40 @@ object OptProbe {
     tris.explain("formatted")
     println("==== closure AFTER (packed broadcast semi) ====")
     trisPk.explain("formatted")
+  }
+
+  /** Plan + timing evidence for the covCells build segment (it lives
+    * behind a SharedState checkpoint, so consumer-key plans don't show
+    * it): the old nested-transform HOF pair build vs the pair_products
+    * kernel. */
+  def covcells(spark: SparkSession, d: String): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val qd = graft.Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull)
+      .select(transform(col("embedding"),
+        v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+    val before = qd
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("q")) - 1), i => transform(
+          sequence(i, size(col("q")) - 1), j => struct(
+            i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
+              .as("p")))))).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
+    val after = qd
+      .select(explode(call_function("pair_products", col("q"))).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
+    t("HOF pair build (before)")(before.foreach(_ => ()))
+    t("HOF pair build (before) 2")(before.foreach(_ => ()))
+    t("pair_products kernel (after)")(after.foreach(_ => ()))
+    t("pair_products kernel (after) 2")(after.foreach(_ => ()))
+    println("==== covCells BEFORE (HOF pair build) ====")
+    before.explain("formatted")
+    println("==== covCells AFTER (pair_products kernel) ====")
+    after.explain("formatted")
   }
 }
