@@ -1028,24 +1028,35 @@ object GraphOps {
       .transform(graft.plans.Ckpt.maybe)
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
+      // araw/hraw are referenced TWICE (the max-normalization scalar
+      // AND the score rebuild) — unmaterialized, the corpus-scale edge
+      // join ran once per reference (r16 fix, the twice-referenced
+      // rule; measured 2 edge joins per half-step in the job trace).
+      // Materialized, the max and the rebuild read O(nodes) rows.
       val araw = edgesBySrc.join(graft.plans.StateJoin.side(hub, copart),
           edgesBySrc("src") === hub("node"))
         .groupBy(edgesBySrc("dst")).agg(sum(col("hub_fp")).as("raw"))
+        .transform(graft.plans.Ckpt.maybe)
       val amax = araw.agg(max(col("raw")).as("mx"))
+      // auth/hub themselves are no longer checkpointed (r16): with
+      // araw/hraw materialized they are O(nodes) projections over
+      // checkpointed inputs, each referenced once per half-step (the
+      // readout reads only the FINAL tables, also once), and plan
+      // depth stays bounded because every half-step's lineage
+      // truncates at its raw-score checkpoint.
       auth = nodes.join(araw, nodes("node") === araw("dst"), "left")
         .crossJoin(broadcast(amax))
         .withColumn("raw0", coalesce(col("raw"), lit(0L)))
         .select(nodes("node"), expr("(raw0 * 1000000) div mx").as("auth_fp"))
-        .transform(graft.plans.Ckpt.maybe) // referenced 2x: hub half-step + readout
       val hraw = edgesByDst.join(graft.plans.StateJoin.side(auth, copart),
           edgesByDst("dst") === auth("node"))
         .groupBy(edgesByDst("src")).agg(sum(col("auth_fp")).as("raw"))
+        .transform(graft.plans.Ckpt.maybe)
       val hmax = hraw.agg(max(col("raw")).as("mx"))
       hub = nodes.join(hraw, nodes("node") === hraw("src"), "left")
         .crossJoin(broadcast(hmax))
         .withColumn("raw0", coalesce(col("raw"), lit(0L)))
         .select(nodes("node"), expr("(raw0 * 1000000) div mx").as("hub_fp"))
-        .transform(graft.plans.Ckpt.maybe) // referenced 2x: next auth half-step + readout
     }
     hub.join(auth, Seq("node"))
       .select(col("node"), col("hub_fp"), col("auth_fp"),

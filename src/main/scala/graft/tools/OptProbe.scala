@@ -34,6 +34,26 @@ object OptProbe {
       case "pii" => pii(spark, d)
       case "triangles" => triangles(spark, d)
       case "covcells" => covcells(spark, d)
+      case "jobs" =>
+        // job count + wall per key: iteration kernels pay one
+        // scheduler round-trip per job, the local latency floor
+        sys.env.getOrElse("OPT_KEYS", "q_graph_hits").split(",").foreach { k =>
+          (1 to 2).foreach { i =>
+            val counter = new java.util.concurrent.atomic.AtomicInteger()
+            val l = new org.apache.spark.scheduler.SparkListener {
+              override def onJobStart(
+                  j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+                counter.incrementAndGet(); ()
+              }
+            }
+            spark.sparkContext.addSparkListener(l)
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(k)(spark, d).foreach(_ => ())
+            val secs = (System.nanoTime() - t0) / 1e9
+            spark.sparkContext.removeSparkListener(l)
+            println(f"[probe] $k run$i: ${counter.get()} jobs, $secs%.2f s")
+          }
+        }
       case "plancost" =>
         // planning-only vs execution cost for named keys (args via env)
         sys.env.getOrElse("OPT_KEYS", "q_sim_pq").split(",").foreach { k =>
