@@ -1667,17 +1667,21 @@ object TextOps {
     // the ranked list is queries×k rows off a corpus-scale build —
     // exactly the persist-once shape: q_rrf / q_rbo / q_ndcg / q_pbm
     // all consume the depth-20 table, so it builds once per
-    // (app, dir, k, nQueries) and the family rebases on the artifact
-    // (r14 — the SharedDedup prescription applied to retrieval-eval)
-    // the artifact is cached UNSORTED (the disk path re-reads via
-    // parquet, which guarantees no row order) and the declared
-    // (query_id, rank) presentation sort applies OUTSIDE the cache
-    // boundary — the SharedDedup convention (ADVICE r14)
-    graft.plans.SharedState.cachedDf(s, s"text.bm25.$k.$nQueries", d,
-      Seq("documents.parquet"))(bm25Of(s, d, k, nQueries))
+    // (app, dir, nQueries) and the family rebases on the artifact
+    // (r14 — the SharedDedup prescription applied to retrieval-eval).
+    // The artifact is the FULL ranked table, k-independent (r16 opt):
+    // k only selects the rank cut, but keying the cache on it built
+    // the identical corpus-scale scored table once per depth — the
+    // bench paid it twice (k=5 for the declared key, k=20 for the
+    // eval family), 2.5s each. The cut now applies OUTSIDE the cache,
+    // like the presentation sort (unsorted cache, the SharedDedup
+    // convention — ADVICE r14).
+    graft.plans.SharedState.cachedDf(s, s"text.bm25ranked.$nQueries", d,
+      Seq("documents.parquet"))(bm25Of(s, d, nQueries))
+      .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
 
-  private def bm25Of(s: SparkSession, d: String, k: Int,
+  private def bm25Of(s: SparkSession, d: String,
                      nQueries: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def tfOf() = documents(s, d)
@@ -1708,7 +1712,6 @@ object TextOps {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_fp").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"))
   }
 
