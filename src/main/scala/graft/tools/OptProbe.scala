@@ -34,6 +34,7 @@ object OptProbe {
       case "pii" => pii(spark, d)
       case "triangles" => triangles(spark, d)
       case "covcells" => covcells(spark, d)
+      case "joinoverlap" => joinoverlap(spark, d)
       case "jobs" =>
         // job count + wall per key: iteration kernels pay one
         // scheduler round-trip per job, the local latency floor
@@ -245,6 +246,52 @@ object OptProbe {
     tris.explain("formatted")
     println("==== closure AFTER (packed broadcast semi) ====")
     trisPk.explain("formatted")
+  }
+
+  /** Candidate-volume probe for q_join_overlap's hour-binned interval
+    * self-join (r16, verdict item 4): sessions/hour histogram and the
+    * in-bin pair count, vs what a finer bin would give. */
+  def joinoverlap(spark: SparkSession, d: String): Unit = {
+    val sess = graft.Tables.events(spark, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"))
+      .transform(graft.plans.Ckpt.maybe)
+    t("sessions count")(println(sess.count()))
+    val binned = sess.select(col("user_id"), col("s_us"), col("e_us"),
+        explode(expr("sequence(s_us div 3600000000, (e_us - 1) div 3600000000)"))
+          .as("hr"))
+      .transform(graft.plans.Ckpt.maybe)
+    t("binned rows")(println(binned.count()))
+    val hist = binned.groupBy("hr").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("hours"), max(col("n")).as("mx"),
+        expr("percentile(n, 0.5)").as("med"), sum(col("n") * col("n")).as("pairs2"))
+    t("histogram")(hist.show(false))
+    val a = binned.select(col("hr"), col("user_id").as("ua"),
+      col("s_us").as("sa"), col("e_us").as("ea"))
+    val b = binned.select(col("hr"), col("user_id").as("ub"),
+      col("s_us").as("sb"), col("e_us").as("eb"))
+    val joined = a.join(b, Seq("hr"))
+      .filter(col("ua") < col("ub"))
+    t("in-bin ua<ub pairs")(println(joined.count()))
+    val binned10 = sess.select(col("user_id"), col("s_us"), col("e_us"),
+        explode(expr("sequence(s_us div 600000000, (e_us - 1) div 600000000)"))
+          .as("hr"))
+      .transform(graft.plans.Ckpt.maybe)
+    t("binned rows (10min)")(println(binned10.count()))
+    val a10 = binned10.select(col("hr"), col("user_id").as("ua"))
+    val b10 = binned10.select(col("hr"), col("user_id").as("ub"))
+    t("in-bin ua<ub pairs (10min)")(println(
+      a10.join(b10, Seq("hr")).filter(col("ua") < col("ub")).count()))
+    val out = joined
+      .filter(col("sa") < col("eb") && col("sb") < col("ea") &&
+        col("hr") === expr("greatest(sa, sb) div 3600000000"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
+    t("output pair-rows")(println(out.count()))
+    t("full q_join_overlap")(graft.SparkEntry.queries("q_join_overlap")(spark, d).foreach(_ => ()))
+    t("full q_join_overlap 2")(graft.SparkEntry.queries("q_join_overlap")(spark, d).foreach(_ => ()))
   }
 
   /** Plan + timing evidence for the covCells build segment (it lives
