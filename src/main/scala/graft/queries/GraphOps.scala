@@ -453,12 +453,22 @@ object GraphOps {
     * parts-per-order (≤ 7), so output is linear in orders.
     */
   private def partCoEdges(s: SparkSession, d: String): DataFrame = {
-    val so = lineitem(s, d)
+    // One exchange instead of three (r16 opt, guide §2.4): the old
+    // form paid distinct(ok, sk) + the ok-keyed self-join + the pair
+    // distinct; collect_set per order dedups (ok, sk) inside the SAME
+    // aggregation that groups the per-order parts, and the ≤
+    // parts-per-order (≤ 7 ⇒ ≤ 21 pairs) in-row pair build replaces
+    // the join. sort_array pins the set's nondeterministic order so
+    // i < j enumerates exactly the a < b pairs; output and the final
+    // distinct are unchanged.
+    lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
-      .distinct()
-    so.as("x").join(so.as("y"),
-        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      .groupBy("ok").agg(sort_array(collect_set(col("sk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
   }
 

@@ -200,6 +200,16 @@ object OptProbe {
     val e = e0.distinct()
     t("coEdges distinct")(println(e.count()))
     val eC = t("coEdges ckpt")(graft.plans.Ckpt.maybe(e))
+    val eNew = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("sk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+    t("coEdges NEW (collect_set) ckpt")(graft.plans.Ckpt.maybe(eNew))
+    t("coEdges NEW again")(graft.plans.Ckpt.maybe(eNew))
     val sym = eC.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(eC.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
