@@ -210,6 +210,10 @@ object OptProbe {
       .distinct()
     t("coEdges NEW (collect_set) ckpt")(graft.plans.Ckpt.maybe(eNew))
     t("coEdges NEW again")(graft.plans.Ckpt.maybe(eNew))
+    println("==== coEdges BEFORE (distinct + self-join) ====")
+    e.explain("formatted")
+    println("==== coEdges AFTER (collect_set + in-row pairs) ====")
+    eNew.explain("formatted")
     val sym = eC.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(eC.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
