@@ -60,4 +60,34 @@ object Ckpt {
       df.localCheckpoint()
     else df
   }
+
+  /** [[maybe]] for LAYOUT-CARRYING materializations (r16 find): the
+    * copart iteration kernels rely on the checkpointed edge table
+    * keeping its hashpartitioning so each iteration join exchanges
+    * only the O(nodes) state — but under AQE,
+    * `Dataset.localCheckpoint` records UnknownPartitioning in the
+    * LogicalRDD (the AdaptiveSparkPlan does not expose its final
+    * partitioning to the checkpoint path), which silently
+    * re-introduced one full EDGE exchange per iteration
+    * (q_pagerank_copart's executed plan carried a
+    * hashpartitioning(src) ENSURE_REQUIREMENTS exchange on every
+    * iteration join; probed directly: a shuffle-hash self-join over
+    * an AQE-on checkpoint plans 2 exchanges, over an AQE-off
+    * checkpoint ZERO). Disabling AQE around just this one
+    * materialization restores the recorded partitioning; the builds
+    * routed here are fixed-shape window/repartition plans that gain
+    * nothing from AQE, and the conf flip is scoped to the eager
+    * checkpoint call.
+    */
+  def maybePartitioned(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    if (conf.get("spark.graft.ckptCapture", "false").toBoolean)
+      captured.add(df.queryExecution.sparkPlan)
+    if (conf.get("spark.graft.checkpoint", "true").toBoolean) {
+      val prev = conf.get("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint()
+      finally conf.set("spark.sql.adaptive.enabled", prev)
+    } else df
+  }
 }

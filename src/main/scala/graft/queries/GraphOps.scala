@@ -369,7 +369,7 @@ object GraphOps {
     // levels; the same exchange the forced key pays up front).
     val copart = forced.getOrElse(graft.plans.StateJoin.copartFor(nodes))
     val edgesD = if (copart && !forced.contains(true))
-      edgesD0.repartition(col("src")).transform(graft.plans.Ckpt.maybe)
+      edgesD0.repartition(col("src")).transform(graft.plans.Ckpt.maybePartitioned)
     else edgesD0
     var visited = nodes.filter(
         col("node").startsWith("s") &&
@@ -512,7 +512,11 @@ object GraphOps {
     def symEdges(s: SparkSession, d: String): DataFrame =
       graft.plans.SharedState.cached(s, "graph.symEdges", d) {
         val e0 = csPairs(s, d)
-        graft.plans.Ckpt.maybe(
+        // maybePartitioned (r16): the degree window's
+        // hashpartitioning(src) IS the copart iteration layout; under
+        // AQE a plain localCheckpoint records UnknownPartitioning and
+        // every iteration join re-exchanges the EDGES (see Ckpt)
+        graft.plans.Ckpt.maybePartitioned(
           e0.select(col("a").as("src"), col("b").as("dst"))
             .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
             .withColumn("deg", count(lit(1)).over(
@@ -524,7 +528,7 @@ object GraphOps {
       * in-memory-only stance as [[symEdges]]. */
     def dirEdges(s: SparkSession, d: String): DataFrame =
       graft.plans.SharedState.cached(s, "graph.dirEdges", d) {
-        graft.plans.Ckpt.maybe(
+        graft.plans.Ckpt.maybePartitioned(
           csPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
             .withColumn("deg", count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy("src"))))
@@ -587,7 +591,7 @@ object GraphOps {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .transform(graft.plans.Ckpt.maybe)
+      .transform(graft.plans.Ckpt.maybePartitioned)
     val deg = sym.select(col("src").as("node"), col("deg")).dropDuplicates("node")
     val o = sym.join(
         broadcast(deg.select(col("node").as("dn"), col("deg").as("ddeg"))),
@@ -595,7 +599,10 @@ object GraphOps {
       .filter(col("deg") < col("ddeg") ||
         (col("deg") === col("ddeg") && col("src") < col("dst")))
       .select(col("src"), col("dst"), col("ddeg"))
-      .transform(graft.plans.Ckpt.maybe)
+      // maybePartitioned: o inherits sym's hashpartitioning(src);
+      // keeping it recorded lets the wedge self-join plan without
+      // re-exchanging either side (both read the same layout)
+      .transform(graft.plans.Ckpt.maybePartitioned)
     val e1 = o.select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("dv"))
     val e2 = o.select(col("src").as("u2"), col("dst").as("w"), col("ddeg").as("dw"))
     val wedges = e1.join(e2, col("u") === col("u2") &&
@@ -832,8 +839,8 @@ object GraphOps {
     // iteration's shuffle-hash join moves only the label table.
     labels = labels.transform(graft.plans.Ckpt.maybe)
     val copart = graft.plans.StateJoin.copartFor(labels)
-    val symJ = if (copart) sym.repartition(col("src")).transform(graft.plans.Ckpt.maybe)
-               else sym
+    val symJ = if (copart) sym.repartition(col("src"))
+      .transform(graft.plans.Ckpt.maybePartitioned) else sym
     (1 to iters).foreach { _ =>
       labels = symJ.join(graft.plans.StateJoin.side(labels, copart),
           symJ("src") === labels("node"))
@@ -959,7 +966,7 @@ object GraphOps {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .transform(graft.plans.Ckpt.maybe)
+      .transform(graft.plans.Ckpt.maybePartitioned)
     val deg = sym.select(col("src").as("node"), col("deg")).dropDuplicates("node")
     val nByDeg = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
     val knn = sym.join(
@@ -1031,9 +1038,11 @@ object GraphOps {
     // the single checkpointed edge set as before.
     val copart = graft.plans.StateJoin.copartFor(nodes)
     val edgesBySrc = if (copart)
-      edgesD.repartition(col("src")).transform(graft.plans.Ckpt.maybe) else edgesD
+      edgesD.repartition(col("src"))
+        .transform(graft.plans.Ckpt.maybePartitioned) else edgesD
     val edgesByDst = if (copart)
-      edgesD.repartition(col("dst")).transform(graft.plans.Ckpt.maybe) else edgesD
+      edgesD.repartition(col("dst"))
+        .transform(graft.plans.Ckpt.maybePartitioned) else edgesD
     var hub = nodes.select(col("node"), lit(1000000L).as("hub_fp"))
       .transform(graft.plans.Ckpt.maybe)
     var auth: DataFrame = null

@@ -35,6 +35,24 @@ object OptProbe {
       case "triangles" => triangles(spark, d)
       case "covcells" => covcells(spark, d)
       case "joinoverlap" => joinoverlap(spark, d)
+      case "ckptpart" =>
+        // does localCheckpoint preserve outputPartitioning? (AQE on/off)
+        import org.apache.spark.sql.expressions.Window
+        Seq("true", "false").foreach { aqe =>
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          val df = spark.range(0, 100000)
+            .select((col("id") % 1000).as("src"), col("id").as("dst"))
+            .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+          val ck = df.localCheckpoint()
+          println(s"[probe] aqe=$aqe ckpt partitioning: " +
+            ck.queryExecution.executedPlan.outputPartitioning)
+          val joined = ck.as("a").join(ck.as("b").hint("shuffle_hash"),
+            col("a.src") === col("b.src"))
+          val nExch = joined.queryExecution.executedPlan.toString
+            .split("\n").count(_.contains("Exchange"))
+          println(s"[probe] aqe=$aqe self-join exchanges: $nExch")
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
       case "jobs" =>
         // job count + wall per key: iteration kernels pay one
         // scheduler round-trip per job, the local latency floor
